@@ -1,0 +1,122 @@
+"""Vectorized hashing kernels for dedup / similarity: shingles, MinHash,
+SimHash, n-gram Jaccard.
+
+All public-knowledge algorithms (Broder 1997 resemblance/MinHash; Charikar
+2002 SimHash; banding/LSH per Leskovec-Rajaraman-Ullman, "Mining of Massive
+Datasets" ch.3).  NumPy uint64 arithmetic with wraparound (mod 2^64) keeps
+everything deterministic and platform-independent; the MinHash permutations
+are the multiply-shift family h_i(x) = (a_i*x + b_i) mod 2^64 with odd a_i —
+a standard practical choice that vectorizes to one fused multiply-add per
+permutation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .textkit import fnv1a64
+
+
+def token_hashes(tokens: list) -> np.ndarray:
+    """FNV-1a hash per token -> uint64 array."""
+    return np.fromiter(
+        (fnv1a64(t.encode("utf-8")) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def shingle_hashes(tokens: list, k: int = 3) -> np.ndarray:
+    """Rolling polynomial hash of every k-token shingle -> unique uint64 set.
+
+    Polynomial rolling (Rabin-Karp) over per-token FNV hashes with base B:
+    h(i) = sum_{j<k} B^j * th[i+j]  (mod 2^64), vectorized via a strided sum.
+    Documents shorter than k tokens hash as one all-token shingle; empty
+    documents -> empty set.
+    """
+    th = token_hashes(tokens)
+    n = len(th) - k + 1
+    if n <= 0:
+        if len(th) == 0:
+            return np.empty(0, dtype=np.uint64)
+        k = len(th)
+    B = np.uint64(1099511628211)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            powers[j] = powers[j - 1] * B  # wraps mod 2^64
+        windows = np.lib.stride_tricks.sliding_window_view(th, k)
+        h = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def _minhash_params(num_perm: int, seed: int):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    hashes: np.ndarray, num_perm: int = 128, seed: int = 42
+) -> np.ndarray:
+    """MinHash signature of one unique-hash set -> uint64[num_perm].
+
+    Empty input -> all-ones sentinel (max uint64) so empty docs only collide
+    with empty docs.
+    """
+    a, b = _minhash_params(num_perm, seed)
+    if hashes.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = a[:, None] * hashes[None, :].astype(np.uint64) + b[:, None]
+    return h.min(axis=1)
+
+
+def minhash_signatures_batch(
+    hash_sets: list, num_perm: int = 128, seed: int = 42
+) -> np.ndarray:
+    """MinHash for a batch of documents -> uint64[n_docs, num_perm]."""
+    a, b = _minhash_params(num_perm, seed)
+    out = np.full((len(hash_sets), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for d, hs in enumerate(hash_sets):
+            if hs.size:
+                out[d] = (a[:, None] * hs[None, :].astype(np.uint64) + b[:, None]).min(axis=1)
+    return out
+
+
+def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list:
+    """Split a signature into ``bands`` bands and hash each -> list of
+    (band_id, band_hash) pairs.  Docs sharing any band key are LSH
+    candidates (MMDS ch.3 banding)."""
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        chunk = sig[b * rows:(b + 1) * rows]
+        out.append((b, fnv1a64(chunk.tobytes())))
+    return out
+
+
+def simhash64(tokens: list) -> int:
+    """Charikar SimHash: 64-bit majority vote over token-hash bits."""
+    if not tokens:
+        return 0
+    th = token_hashes(tokens)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(np.packbits((votes > 0)[::-1]).view(">u8")[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard similarity of two unique-hash sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0

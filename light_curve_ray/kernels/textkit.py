@@ -1,0 +1,209 @@
+"""Deterministic text kernels: HTML -> text, url -> domain, tokenization,
+language ID, quality scoring, fingerprinting.
+
+The north star's per-row invariant is *byte-identical extracted text per url*
+across heterogeneous workers (BASELINE.json ``input_hint``), so everything
+here is pure Python / stdlib — no locale, libc or third-party parser
+dependence.  The same functions are called by the distributed actor-pool
+stage (stages/extract.py) and by the single-process oracle in tests, which is
+how byte-identity is verified (SURVEY §5 "oracle tests").
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# ---------------------------------------------------------------- extraction
+
+_SKIP_CONTENT = {"script", "style", "noscript", "template", "head"}
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article", "header",
+    "footer", "nav", "aside", "blockquote", "pre", "hr", "form", "title",
+}
+
+
+class _TextExtractor(HTMLParser):
+    """Collects visible text; skips script/style/head subtrees; decodes
+    entities via convert_charrefs (stdlib, deterministic)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_CONTENT:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_CONTENT and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self.chunks.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.chunks.append(data)
+
+
+def extract_text(html: bytes | str) -> str:
+    """HTML bytes -> canonical visible text.
+
+    Canonical form: entity-decoded visible text with all whitespace runs
+    collapsed to single spaces (``" ".join(text.split())``) — a single
+    deterministic normal form so outputs are byte-identical regardless of
+    which worker parses the page.  Malformed HTML never raises: the stdlib
+    parser is lenient and any residual error yields the raw-text fallback.
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        raw = bytes(html).decode("utf-8", errors="replace")
+    else:
+        raw = html
+    p = _TextExtractor()
+    try:
+        p.feed(raw)
+        p.close()
+    except Exception:
+        return " ".join(re.sub(r"<[^>]*>", " ", raw).split())
+    return " ".join("".join(p.chunks).split())
+
+
+# ---------------------------------------------------------------- url parsing
+
+def url_domain(url: str) -> str:
+    """scheme://host[:port]/path -> lowercased host ('' when unparseable).
+
+    Pure string slicing (no urllib.parse quirks), mirrored exactly by the
+    vectorized pyarrow implementation in stages/project.py and by the oracle
+    SQL in pipelines/queries.py.
+    """
+    if not url:
+        return ""
+    i = url.find("://")
+    host = url[i + 3:] if i >= 0 else url
+    for stop in ("/", "?", "#"):
+        j = host.find(stop)
+        if j >= 0:
+            host = host[:j]
+    j = host.find(":")
+    if j >= 0:
+        host = host[:j]
+    return host.lower()
+
+
+# ---------------------------------------------------------------- tokenizing
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def token_count_ws(text: str) -> int:
+    """Whitespace token count."""
+    return len(text.split())
+
+
+def token_count_bpe(text: str) -> int:
+    """BPE-ish token count: word-or-punctuation regex matches."""
+    return len(_WORD_RE.findall(text))
+
+
+# ---------------------------------------------------------------- language id
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"},
+    "es": {"el", "la", "los", "las", "de", "que", "es", "en", "un", "una"},
+    "fr": {"le", "la", "les", "des", "est", "et", "un", "une", "dans", "pour"},
+}
+
+
+def lang_id(text: str) -> str:
+    """Deterministic n-gram/stopword language heuristic.
+
+    Script ranges first (CJK -> ja/zh by kana presence, Cyrillic -> ru), then
+    stopword-hit argmax over {en,de,es,fr}; ties and no-hits -> 'und'.
+    """
+    if not text:
+        return "und"
+    sample = text[:4000]
+    n_cyr = n_cjk = n_kana = 0
+    for ch in sample:
+        o = ord(ch)
+        if 0x0400 <= o <= 0x04FF:
+            n_cyr += 1
+        elif 0x4E00 <= o <= 0x9FFF:
+            n_cjk += 1
+        elif 0x3040 <= o <= 0x30FF:
+            n_kana += 1
+    n_alpha = sum(ch.isalpha() for ch in sample) or 1
+    if (n_cjk + n_kana) / n_alpha > 0.3:
+        return "ja" if n_kana > 0 else "zh"
+    if n_cyr / n_alpha > 0.3:
+        return "ru"
+    words = [w for w in sample.lower().split() if w]
+    scores = {
+        lang: sum(w in sw for w in words) for lang, sw in _STOPWORDS.items()
+    }
+    best = max(scores, key=lambda k: (scores[k], k))
+    if scores[best] == 0:
+        return "und"
+    ranked = sorted(scores.values(), reverse=True)
+    if len(ranked) > 1 and ranked[0] == ranked[1]:
+        return "und"
+    return best
+
+
+# ---------------------------------------------------------------- quality
+
+_STOP_EN = _STOPWORDS["en"]
+
+
+def quality_scores(text: str) -> dict:
+    """Deterministic quality metrics (length / punctuation / stopword /
+    digit / caps ratios + mean word length)."""
+    n_chars = len(text)
+    words = text.split()
+    n_words = len(words)
+    if n_chars == 0:
+        return {
+            "n_chars": 0, "n_words": 0, "mean_word_len": 0.0,
+            "punct_ratio": 0.0, "digit_ratio": 0.0, "upper_ratio": 0.0,
+            "stopword_ratio": 0.0,
+        }
+    n_punct = sum(not ch.isalnum() and not ch.isspace() for ch in text)
+    n_digit = sum(ch.isdigit() for ch in text)
+    n_upper = sum(ch.isupper() for ch in text)
+    n_stop = sum(w.lower() in _STOP_EN for w in words)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": (sum(len(w) for w in words) / n_words) if n_words else 0.0,
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digit / n_chars,
+        "upper_ratio": n_upper / n_chars,
+        "stopword_ratio": (n_stop / n_words) if n_words else 0.0,
+    }
+
+
+# ---------------------------------------------------------------- fingerprint
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    """64-bit FNV-1a hash (public-domain algorithm; deterministic across
+    platforms, unlike Python's salted ``hash``)."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def fingerprint(text: str) -> int:
+    """Document fingerprint: FNV-1a of the whitespace-normalized text."""
+    return fnv1a64(" ".join(text.split()).encode("utf-8"))

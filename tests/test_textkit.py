@@ -1,0 +1,129 @@
+"""Text kernel tests: deterministic extraction, url parsing, tokenizing,
+language ID, fingerprints, MinHash/SimHash properties."""
+
+import numpy as np
+
+from light_curve_ray.kernels import hashing
+from light_curve_ray.kernels.textkit import (
+    extract_text,
+    fingerprint,
+    fnv1a64,
+    lang_id,
+    quality_scores,
+    token_count_bpe,
+    token_count_ws,
+    url_domain,
+)
+
+
+class TestExtract:
+    def test_strips_tags_and_scripts(self):
+        html = b"<html><head><title>T</title><script>var x=1;</script></head>" \
+               b"<body><p>Hello <b>world</b></p><style>.c{}</style>Bye</body></html>"
+        # title is inside <head>, which is skipped entirely
+        assert extract_text(html) == "Hello world Bye"
+
+    def test_entities(self):
+        assert extract_text(b"<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+    def test_whitespace_normalized(self):
+        assert extract_text(b"<div>  a\n\n  b\t c </div>") == "a b c"
+
+    def test_multibyte_utf8(self):
+        assert extract_text("<p>héllo wörld — ünïcode</p>".encode()) == "héllo wörld — ünïcode"
+
+    def test_deterministic_bytes(self):
+        html = b"<p>x</p>" * 100
+        assert extract_text(html).encode() == extract_text(html).encode()
+
+    def test_malformed_never_raises(self):
+        assert isinstance(extract_text(b"<p><<<>>zzz<b"), str)
+        assert isinstance(extract_text(b"\xff\xfe broken"), str)
+
+
+class TestUrl:
+    def test_basic(self):
+        assert url_domain("https://example.com/path/x") == "example.com"
+
+    def test_port_query_fragment(self):
+        assert url_domain("http://A.B.com:8080/x?q=1#f") == "a.b.com"
+        assert url_domain("https://example.com?q=1") == "example.com"
+        assert url_domain("https://example.com#frag") == "example.com"
+
+    def test_no_scheme(self):
+        assert url_domain("example.com/path") == "example.com"
+
+    def test_empty(self):
+        assert url_domain("") == ""
+
+
+def test_token_counts():
+    assert token_count_ws("a b  c") == 3
+    assert token_count_bpe("a, b c!") == 5
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog is in the house for now") == "en"
+    assert lang_id("der hund und die katze ist nicht ein tier") == "de"
+    assert lang_id("это русский текст на кириллице") == "ru"
+    assert lang_id("これは日本語のテキストです") == "ja"
+    assert lang_id("") == "und"
+    assert lang_id("zzz qqq xxx") == "und"
+
+
+def test_quality_scores():
+    q = quality_scores("The cat, and dog. 12")
+    assert q["n_words"] == 5
+    assert q["n_chars"] == 20
+    assert 0 < q["punct_ratio"] < 0.2
+    assert q["digit_ratio"] == 2 / 20
+    assert quality_scores("")["n_chars"] == 0
+
+
+def test_fingerprint_deterministic():
+    assert fingerprint("a  b") == fingerprint("a b")
+    assert fingerprint("a b") != fingerprint("a c")
+    assert fnv1a64(b"") == 0xCBF29CE484222325
+
+
+class TestHashing:
+    def test_shingles(self):
+        h = hashing.shingle_hashes("a b c d e".split(), k=3)
+        assert h.size == 3  # abc bcd cde
+        h2 = hashing.shingle_hashes("a b".split(), k=3)
+        assert h2.size == 1  # short doc -> one shingle
+        assert hashing.shingle_hashes([], k=3).size == 0
+
+    def test_minhash_jaccard_estimate(self):
+        rng = np.random.RandomState(42)
+        base = rng.randint(0, 2**63, 1000).astype(np.uint64)
+        a = base[:800]
+        b = base[200:]  # true J = 600/1000 = 0.6
+        sa = hashing.minhash_signature(np.unique(a), num_perm=256)
+        sb = hashing.minhash_signature(np.unique(b), num_perm=256)
+        est = (sa == sb).mean()
+        assert abs(est - 0.6) < 0.1
+
+    def test_minhash_batch_matches_single(self):
+        rng = np.random.RandomState(1)
+        sets = [np.unique(rng.randint(0, 2**63, 50).astype(np.uint64)) for _ in range(5)]
+        batch = hashing.minhash_signatures_batch(sets, num_perm=64)
+        for i, s in enumerate(sets):
+            np.testing.assert_array_equal(batch[i], hashing.minhash_signature(s, num_perm=64))
+
+    def test_identical_docs_share_all_bands(self):
+        s = hashing.minhash_signature(np.arange(100, dtype=np.uint64), num_perm=128)
+        assert hashing.lsh_band_keys(s) == hashing.lsh_band_keys(s.copy())
+
+    def test_simhash_similar_docs_close(self):
+        d1 = ("the quick brown fox jumps over the lazy dog " * 10).split()
+        d2 = ("the quick brown fox leaps over the lazy dog " * 10).split()
+        d3 = ("completely different words entirely unrelated content here " * 10).split()
+        h1, h2, h3 = (hashing.simhash64(d) for d in (d1, d2, d3))
+        assert hashing.hamming64(h1, h2) < hashing.hamming64(h1, h3)
+
+    def test_jaccard(self):
+        a = np.array([1, 2, 3], dtype=np.uint64)
+        b = np.array([2, 3, 4], dtype=np.uint64)
+        assert hashing.jaccard(a, b) == 0.5
+        assert hashing.jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 1.0
