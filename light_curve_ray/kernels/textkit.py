@@ -74,25 +74,22 @@ def extract_text(html: bytes | str) -> str:
 
 # ---------------------------------------------------------------- url parsing
 
-def url_domain(url: str) -> str:
-    """scheme://host[:port]/path -> lowercased host ('' when unparseable).
+# ONE pattern shared by three implementations: this Python kernel, the
+# vectorized pyarrow pc.extract_regex in stages/project.py, and the DuckDB
+# regexp_extract in the oracle SQL (pipelines/queries.py) — so url -> domain
+# is bit-identical across the engine, the stage, and the correctness oracle.
+# Named group: pyarrow's extract_regex requires named groups; DuckDB's
+# regexp_extract addresses it positionally as group 1; Python re by name.
+URL_DOMAIN_PATTERN = r"^(?:[^:/?#]+://)?(?P<domain>[^/?#:]+)"
+_URL_DOMAIN_RE = re.compile(URL_DOMAIN_PATTERN)
 
-    Pure string slicing (no urllib.parse quirks), mirrored exactly by the
-    vectorized pyarrow implementation in stages/project.py and by the oracle
-    SQL in pipelines/queries.py.
-    """
+
+def url_domain(url: str) -> str:
+    """scheme://host[:port]/path -> lowercased host ('' when unparseable)."""
     if not url:
         return ""
-    i = url.find("://")
-    host = url[i + 3:] if i >= 0 else url
-    for stop in ("/", "?", "#"):
-        j = host.find(stop)
-        if j >= 0:
-            host = host[:j]
-    j = host.find(":")
-    if j >= 0:
-        host = host[:j]
-    return host.lower()
+    m = _URL_DOMAIN_RE.match(url)
+    return m.group(1).lower() if m else ""
 
 
 # ---------------------------------------------------------------- tokenizing

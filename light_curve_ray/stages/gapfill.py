@@ -1,0 +1,87 @@
+"""Gap-fill + Gorilla stages (SURVEY §2b-O7/O8).
+
+Second, much smaller shuffle: after aggregation the rollup table is ~10^3-10^4x
+smaller than the input, and it re-groups WITHOUT bucket_ts so each group is
+one whole (lang, domain, tier) series.  Inside the group:
+
+1. co-sort buckets by time (R1 semantics — kernels/cosort, stable);
+2. build the full tier grid, endpoints inclusive (R3 linspace contract —
+   kernels/grid.bucket_grid);
+3. linearly interpolate the per-bucket ``mean`` onto missing buckets with the
+   reference-exact kernel (R5 — kernels/interp.interpolate); rows synthesized
+   this way carry filled=true, n=0 and NULL for the other features;
+4. Gorilla-encode the dense (bucket_ts, mean) stream into one binary blob
+   per series (kernels/gorilla).
+
+Gap-fill fills *interior* gaps; the grid spans first..last observed bucket,
+so the reference's left/right constant fills never fire on this path (they
+are exercised by the standalone interpolate query, SURVEY §2b-O15).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.cosort import argsort_time
+from ..kernels.gorilla import gorilla_encode
+from ..kernels.grid import TIER_STEP_US, bucket_grid
+from ..kernels.interp import interpolate
+
+ROLLUP_FEATURES = [
+    "n", "mean", "wmean", "std", "skew", "kurtosis", "amplitude",
+    "beyond_1_std", "linear_trend_slope",
+]
+
+
+def gapfill_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn over (lang, domain, tier): densify the bucket grid."""
+    tier = g["tier"].iloc[0]
+    step = TIER_STEP_US[tier]
+    order = argsort_time(g["bucket_ts_us"].to_numpy())
+    g = g.iloc[order]
+    have = g["bucket_ts_us"].to_numpy()
+    grid = bucket_grid(have[0], have[-1], step)
+    if grid.size == have.size:  # dense already — same column order as below
+        out = g.copy()
+        out["filled"] = False
+        return out[
+            ["lang", "domain", "tier", "bucket_ts_us"] + ROLLUP_FEATURES + ["filled"]
+        ]
+    mean_on_grid = interpolate(
+        have.astype(np.float64),
+        g["mean"].to_numpy(),
+        grid.astype(np.float64),
+        left=np.nan,
+        right=np.nan,  # never hit: grid spans [first, last]
+    )
+    dense = pd.DataFrame({"bucket_ts_us": grid})
+    dense["lang"] = g["lang"].iloc[0]
+    dense["domain"] = g["domain"].iloc[0]
+    dense["tier"] = tier
+    merged = dense.merge(g, on=["lang", "domain", "tier", "bucket_ts_us"], how="left")
+    filled = merged["n"].isna().to_numpy()
+    merged["filled"] = filled
+    merged["mean"] = np.where(filled, mean_on_grid, merged["mean"].to_numpy())
+    merged["n"] = merged["n"].fillna(0).astype(np.int64)
+    return merged[
+        ["lang", "domain", "tier", "bucket_ts_us"] + ROLLUP_FEATURES + ["filled"]
+    ]
+
+
+def gorilla_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups fn over (lang, domain, tier): one Gorilla blob per series
+    from the (gap-filled, dense) (bucket_ts, mean) stream."""
+    order = argsort_time(g["bucket_ts_us"].to_numpy())
+    g = g.iloc[order]
+    blob = gorilla_encode(g["bucket_ts_us"].to_numpy(), g["mean"].to_numpy())
+    return pd.DataFrame(
+        {
+            "lang": [g["lang"].iloc[0]],
+            "domain": [g["domain"].iloc[0]],
+            "tier": [g["tier"].iloc[0]],
+            "n_buckets": [len(g)],
+            "n_filled": [int(g["filled"].sum()) if "filled" in g else 0],
+            "points_gorilla": [blob],
+        }
+    )

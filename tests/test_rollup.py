@@ -1,0 +1,109 @@
+"""End-to-end rollup tests: distributed pipeline vs single-process oracle on
+the deterministic synthetic pages table (SURVEY §5 oracle tests)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from light_curve_ray.pipelines.oracle import oracle_points, oracle_rollup
+from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+from light_curve_ray.sources.pages import generate_pages_table
+
+KEY = ["lang", "domain", "tier", "bucket_ts_us"]
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages")
+    tbl = generate_pages_table(n_rows=1000, n_domains=20, seed=42)
+    pq.write_table(tbl, str(d / "pages-0.parquet"))
+    return str(d), tbl
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(KEY).reset_index(drop=True)
+
+
+def test_rollup_matches_oracle(ray_session, pages_dir, tmp_path):
+    d, tbl = pages_dir
+    cfg = RollupConfig(
+        input_paths=d,
+        input_kind="pages",
+        tiers=("1h", "1d", "30d"),
+        out_dir=str(tmp_path / "out"),
+        extract_concurrency=2,
+    )
+    result = run_rollup(cfg)
+    got = _sorted(result["rollup"].to_pandas())
+
+    exp = oracle_rollup(oracle_points(tbl))
+    exp_rollup = _sorted(exp["rollup"])
+
+    assert len(got) == len(exp_rollup)
+    assert list(got["lang"]) == list(exp_rollup["lang"])
+    assert list(got["domain"]) == list(exp_rollup["domain"])
+    assert list(got["bucket_ts_us"]) == list(exp_rollup["bucket_ts_us"])
+    np.testing.assert_array_equal(got["n"], exp_rollup["n"])
+    np.testing.assert_array_equal(got["filled"], exp_rollup["filled"])
+    for col in ["mean", "wmean", "std", "skew", "kurtosis", "amplitude",
+                "beyond_1_std", "linear_trend_slope"]:
+        g = got[col].to_numpy(dtype=np.float64)
+        e = exp_rollup[col].to_numpy(dtype=np.float64)
+        both_nan = np.isnan(g) & np.isnan(e)
+        close = np.abs(g - e) < 1e-9 * np.maximum(1.0, np.abs(e))
+        assert bool(np.all(both_nan | close)), col
+
+    # gorilla series blobs byte-identical
+    got_series = result["series"].to_pandas().sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
+    exp_series = exp["series"].sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
+    assert len(got_series) == len(exp_series)
+    for i in range(len(got_series)):
+        assert bytes(got_series["points_gorilla"][i]) == bytes(exp_series["points_gorilla"][i]), i
+
+    # parquet written partitioned by tier
+    import os
+    out = str(tmp_path / "out" / "rollup")
+    assert any("tier=1h" in p for p in os.listdir(out))
+
+
+def test_extract_byte_identical(ray_session, pages_dir):
+    """The per-row invariant (BASELINE.json input_hint): distributed extract
+    output is byte-identical per url to the single-process kernel."""
+    import ray.data as rd
+
+    from light_curve_ray.stages.extract import ExtractTextStage
+
+    d, tbl = pages_dir
+    ds = rd.read_parquet(d).map_batches(
+        ExtractTextStage, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+    got = ds.to_pandas().drop_duplicates("url").set_index("url")["text"]
+    exp_tbl = oracle_points(tbl)  # includes extraction via same kernel
+    from light_curve_ray.stages.extract import extract_text_oracle
+
+    exp = extract_text_oracle(tbl).to_pandas().drop_duplicates("url").set_index("url")["text"]
+    assert len(got) == len(exp)
+    for url in exp.index:
+        assert got[url].encode() == exp[url].encode()
+
+
+def test_tier_cascade_equals_direct(ray_session, pages_dir):
+    """1d stats cascaded from 1h partials == 1d computed directly from points
+    (exact sum algebra, stages/aggregate.shift_stats)."""
+    d, tbl = pages_dir
+    cfg = RollupConfig(input_paths=d, input_kind="pages", tiers=("1h", "1d"),
+                       gapfill=False, gorilla=False, compute_beyond=False)
+    res = run_rollup(cfg)
+    got_1d = res["rollup"].to_pandas()
+    got_1d = got_1d[got_1d["tier"] == "1d"]
+
+    exp = oracle_rollup(oracle_points(tbl), tiers=("1d",), gapfill=False)["rollup"]
+    m = got_1d.merge(exp, on=["lang", "domain", "bucket_ts_us"], suffixes=("_g", "_e"))
+    assert len(m) == len(exp) == len(got_1d)
+    for col in ["mean", "std", "skew", "kurtosis", "linear_trend_slope"]:
+        g = m[f"{col}_g"].to_numpy(dtype=np.float64)
+        e = m[f"{col}_e"].to_numpy(dtype=np.float64)
+        ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) < 1e-8 * np.maximum(1, np.abs(e)))
+        assert bool(np.all(ok)), col
