@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tiered rollup on /root/testdata/sf0.001.
+``queries()`` / ``oracle_sql()`` come from light_curve_ray.pipelines.queries
+— one entry per operator from SURVEY.md §2 (rollup tiers, gap-fill,
+interpolation, dedup family, similarity search, text analysis, Gorilla,
+multimodal plumbing), SQL-checked wherever ANSI SQL can express the
+semantics.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init() / ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +18,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: events -> points ->
+    tiered (1h/1d/30d) feature rollup -> gap-fill; returns the rollup
+    Dataset (driver checks rows >= 0, stable schema)."""
+    from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+
+    cfg = RollupConfig(
+        input_paths="/root/testdata/sf0.001/events.parquet",
+        input_kind="table",
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tiers=("1h", "1d", "30d"),
+        gorilla=False,
+    )
+    return run_rollup(cfg)["rollup"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from light_curve_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from light_curve_ray.pipelines.queries import build_oracle_sql
+
+    return build_oracle_sql()

@@ -1,45 +1,43 @@
 """Mergeable per-bucket sufficient statistics -> light-curve-style features.
 
-The reference computes whole-series features in memory (the light-curve-feature
-extractor family pointed at by /root/reference/README.md:18; definitions are
-public knowledge, Malanchev et al. 2021, MNRAS 502:5147).  Ray Data delivers a
-series in *blocks*, so the engine's aggregates must be mergeable: every block
-emits per-(series, bucket) sufficient statistics that merge ASSOCIATIVELY by
-plain Sum / Min / Max — which lets the shuffle-side combine be Ray Data's
-built-in vectorized aggregates, with no custom reducers on the hot path.
+The reference computes whole-series features in memory (the
+light-curve-feature extractor family pointed at by
+/root/reference/README.md:18; definitions are public knowledge, Malanchev et
+al. 2021, MNRAS 502:5147).  Ray Data delivers a series in *blocks*, so the
+engine's aggregates must be mergeable.  The value moments use the
+**streaming Welford/Pébay central-moment form** (Pébay 2008, SAND2008-6212:
+numerically stable arbitrary-order central-moment merging): each block emits
+per-(series, bucket)
 
-Sufficient statistics per group (all float64 except n):
+    n, mean, M2 = Σ(v-mean)², M3 = Σ(v-mean)³, M4 = Σ(v-mean)⁴
 
-    n       point count
-    sum_w   Σw                (weights)
+about its OWN block-local mean, and partials merge associatively with the
+Pébay pairwise update.  Raw power sums (Σv², Σv³, Σv⁴) are NOT used for the
+central moments: for data with |mean| >> std (e.g. prices ~8e4 with std
+~20) they cancel catastrophically — s4-based kurtosis loses ~10 of 16
+digits.  Central moments are exact-to-ulp regardless of the mean.
+
+Plain-sum statistics (no subtraction -> no cancellation) stay plain sums so
+the shuffle-side merge for them is Ray's built-in vectorized Sum/Min/Max:
+
+    sum_w   Σw                 (weights)
     sum_wv  Σw·v
-    s1..s4  Σv, Σv², Σv³, Σv⁴ (raw power sums)
     vmin/vmax
-    st1     Σt'    where t' = (t_us - bucket_ts_us)/1e6 seconds — shifting by
-    st2     Σt'²   the bucket start is deterministic per group, needs no
+    st1     Σt'    where t' = (t_us - bucket_ts_us)/1e6 seconds — shifting
+    st2     Σt'²   by the bucket start is deterministic per group, needs no
     stv     Σt'·v  pre-pass, and keeps the OLS normal equations conditioned
-                   (raw epoch-µs² would cancel catastrophically in float64)
 
 Finalized features (nine, north_star list):
 
-    mean      s1/n
+    mean      (streamed)
     wmean     sum_wv/sum_w
-    std       sample std (ddof=1), NULL when n < 2
+    std       sample std sqrt(M2/(n-1)), NULL when n < 2
     skew      population skewness m3/m2^1.5, NULL when m2 ≈ 0
     kurtosis  population excess kurtosis m4/m2² − 3, NULL when m2 ≈ 0
     amplitude (max−min)/2   (light-curve Amplitude definition)
-    beyond_1_std  computed in a second pass (needs final mean/std; see
-                  stages/aggregate.py) — fraction of |v−mean| > std
+    beyond_1_std  second pass (needs final mean/std; stages/aggregate.py)
     linear_trend_slope  OLS slope of v over t' seconds
     (count n is the ninth)
-
-Raw power sums instead of Welford/Pébay central-moment merges: the merge
-becomes a plain sum (associative, expressible as Ray built-in aggregates AND
-as ANSI SQL for the DuckDB oracle — identical algebra on both sides).  The
-classic cancellation risk of raw moments is bounded here because v is a
-per-page scalar metric with O(1) coefficient of variation, and the one badly
-conditioned axis (absolute epoch time) is shifted per bucket.  Near-constant
-series degrade to m2 ≈ 0 and are reported as NULL skew/kurtosis explicitly.
 """
 
 from __future__ import annotations
@@ -52,16 +50,19 @@ POINT_STAT_COLUMNS = (
     "n",
     "sum_w",
     "sum_wv",
-    "s1",
-    "s2",
-    "s3",
-    "s4",
+    "mean",
+    "M2",
+    "M3",
+    "M4",
     "vmin",
     "vmax",
     "st1",
     "st2",
     "stv",
 )
+
+# packed layout of the Pébay accumulator (the custom-aggregate payload)
+MSTATE_COLUMNS = ("n", "mean", "M2", "M3", "M4")
 
 FEATURE_COLUMNS = (
     "n",
@@ -75,6 +76,27 @@ FEATURE_COLUMNS = (
 )
 
 
+def _group_codes(tbl: pa.Table, key_cols: list):
+    """Vectorized composite group codes + first-occurrence row per group.
+
+    Dictionary-encode each key column (arrow C++), mix the per-column codes
+    into one int64 (cardinalities are block-local so the product stays far
+    under 2^63 for ≤3 key columns at any sane block size), then np.unique.
+    Returns (inverse_codes, first_row_indices).
+    """
+    mixed = None
+    for k in key_cols:
+        col = tbl[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = pc.dictionary_encode(col)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = len(enc.dictionary)
+        mixed = idx if mixed is None else mixed * max(card, 1) + idx
+    _, first, inv = np.unique(mixed, return_index=True, return_inverse=True)
+    return inv, first
+
+
 def point_stats_arrow(
     tbl: pa.Table,
     key_cols: list,
@@ -85,88 +107,132 @@ def point_stats_arrow(
 ) -> pa.Table:
     """Block-local partial aggregation: one row per distinct key in ``tbl``.
 
-    Vectorized end-to-end with pyarrow compute + hash group_by (C++ kernels).
-    ``key_cols`` must include ``bucket_col``.  Output columns: key_cols +
-    POINT_STAT_COLUMNS.  This is the map-side combiner that shrinks the
-    groupby shuffle from raw points to one row per (key, block).
+    Vectorized (dictionary-encode + np.bincount segmented sums; no Python
+    row loop).  ``key_cols`` must include ``bucket_col``.  Output columns:
+    key_cols + POINT_STAT_COLUMNS.  This is the map-side combiner that
+    shrinks the groupby shuffle from raw points to one row per (key, block)
+    — also the skew bound: a Zipf-hot key contributes at most #blocks
+    partial rows, never #points.
     """
-    v = pc.cast(tbl[v_col], pa.float64())
-    w = pc.cast(tbl[w_col], pa.float64())
-    t_us = pc.cast(tbl[t_us_col], pa.int64())
-    b_us = pc.cast(tbl[bucket_col], pa.int64())
-    tp = pc.divide(pc.cast(pc.subtract(t_us, b_us), pa.float64()), 1e6)
+    inv, first = _group_codes(tbl, key_cols)
+    g = len(first)
+    v = pc.cast(tbl[v_col], pa.float64()).to_numpy(zero_copy_only=False)
+    w = pc.cast(tbl[w_col], pa.float64()).to_numpy(zero_copy_only=False)
+    t_us = pc.cast(tbl[t_us_col], pa.int64()).to_numpy(zero_copy_only=False)
+    b_us = pc.cast(tbl[bucket_col], pa.int64()).to_numpy(zero_copy_only=False)
+    tp = (t_us - b_us).astype(np.float64) / 1e6
 
-    v2 = pc.multiply(v, v)
-    work = pa.table(
-        {
-            **{k: tbl[k] for k in key_cols},
-            "v": v,
-            "wv": pc.multiply(w, v),
-            "w": w,
-            "v2": v2,
-            "v3": pc.multiply(v2, v),
-            "v4": pc.multiply(v2, v2),
-            "tp": tp,
-            "tp2": pc.multiply(tp, tp),
-            "tpv": pc.multiply(tp, v),
-        }
+    n = np.bincount(inv, minlength=g).astype(np.int64)
+    s1 = np.bincount(inv, weights=v, minlength=g)
+    mean = s1 / n
+    d = v - mean[inv]
+    d2 = d * d
+    M2 = np.bincount(inv, weights=d2, minlength=g)
+    M3 = np.bincount(inv, weights=d2 * d, minlength=g)
+    M4 = np.bincount(inv, weights=d2 * d2, minlength=g)
+    sum_w = np.bincount(inv, weights=w, minlength=g)
+    sum_wv = np.bincount(inv, weights=w * v, minlength=g)
+    st1 = np.bincount(inv, weights=tp, minlength=g)
+    st2 = np.bincount(inv, weights=tp * tp, minlength=g)
+    stv = np.bincount(inv, weights=tp * v, minlength=g)
+    vmin = np.full(g, np.inf)
+    vmax = np.full(g, -np.inf)
+    np.minimum.at(vmin, inv, v)
+    np.maximum.at(vmax, inv, v)
+
+    first_idx = pa.array(first, pa.int64())
+    cols = {k: pc.take(tbl[k], first_idx) for k in key_cols}
+    cols["n"] = pa.array(n, pa.int64())
+    for name, arr in (("sum_w", sum_w), ("sum_wv", sum_wv), ("mean", mean),
+                      ("M2", M2), ("M3", M3), ("M4", M4), ("vmin", vmin),
+                      ("vmax", vmax), ("st1", st1), ("st2", st2),
+                      ("stv", stv)):
+        cols[name] = pa.array(arr, pa.float64())
+    return pa.table(cols)
+
+
+def pack_mstate(tbl: pa.Table) -> pa.Table:
+    """Pack (n, mean, M2, M3, M4) into one fixed_size_list<double, 5> column
+    ``mstate`` (the custom-merge payload) and drop the unpacked moment cols
+    (``n`` stays — it merges exactly via built-in Sum and is used by the
+    cascade/finalize as an int)."""
+    g = len(tbl)
+    flat = np.empty(g * 5, dtype=np.float64)
+    flat[0::5] = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    for j, c in enumerate(("mean", "M2", "M3", "M4"), start=1):
+        flat[j::5] = tbl[c].to_numpy(zero_copy_only=False)
+    mstate = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), 5)
+    out = tbl.drop_columns(["mean", "M2", "M3", "M4"])
+    return out.append_column("mstate", mstate)
+
+
+def unpack_mstate(tbl: pa.Table) -> pa.Table:
+    """Inverse of pack_mstate (after the shuffle merge)."""
+    col = tbl["mstate"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.asarray(col.to_pylist(), dtype=np.float64).reshape(len(tbl), 5)
+    out = tbl.drop_columns(["mstate"])
+    for j, c in enumerate(("mean", "M2", "M3", "M4"), start=1):
+        out = out.append_column(c, pa.array(mat[:, j], pa.float64()))
+    return out
+
+
+def merge_moments_pair(a, b):
+    """Pébay pairwise merge of two (n, mean, M2, M3, M4) accumulators.
+
+    Pébay 2008 eqs. (1.12)/(2.12): associative & commutative to float
+    precision; numerically stable for |mean| >> std.
+    """
+    na, ma, M2a, M3a, M4a = a
+    nb, mb, M2b, M3b, M4b = b
+    if na == 0:
+        return tuple(b)
+    if nb == 0:
+        return tuple(a)
+    n = na + nb
+    delta = mb - ma
+    mean = ma + delta * (nb / n)
+    M2 = M2a + M2b + delta * delta * (na * nb / n)
+    M3 = (
+        M3a + M3b
+        + delta**3 * (na * nb * (na - nb) / (n * n))
+        + 3.0 * delta * (na * M2b - nb * M2a) / n
     )
-    agg = work.group_by(key_cols).aggregate(
-        [
-            ("v", "count"),
-            ("w", "sum"),
-            ("wv", "sum"),
-            ("v", "sum"),
-            ("v2", "sum"),
-            ("v3", "sum"),
-            ("v4", "sum"),
-            ("v", "min"),
-            ("v", "max"),
-            ("tp", "sum"),
-            ("tp2", "sum"),
-            ("tpv", "sum"),
-        ]
+    M4 = (
+        M4a + M4b
+        + delta**4 * (na * nb * (na * na - na * nb + nb * nb) / (n**3))
+        + 6.0 * delta * delta * (na * na * M2b + nb * nb * M2a) / (n * n)
+        + 4.0 * delta * (na * M3b - nb * M3a) / n
     )
-    rename = {
-        "v_count": "n",
-        "w_sum": "sum_w",
-        "wv_sum": "sum_wv",
-        "v_sum": "s1",
-        "v2_sum": "s2",
-        "v3_sum": "s3",
-        "v4_sum": "s4",
-        "v_min": "vmin",
-        "v_max": "vmax",
-        "tp_sum": "st1",
-        "tp2_sum": "st2",
-        "tpv_sum": "stv",
-    }
-    agg = agg.rename_columns([rename.get(c, c) for c in agg.column_names])
-    agg = agg.set_column(
-        agg.column_names.index("n"), "n", pc.cast(agg["n"], pa.int64())
-    )
-    # Stable column order: keys first, then stats.
-    return agg.select(list(key_cols) + list(POINT_STAT_COLUMNS))
+    return (n, mean, M2, M3, M4)
+
+
+def merge_moments_rows(mat: np.ndarray):
+    """Sequentially merge rows of an (k, 5) accumulator matrix."""
+    acc = (0.0, 0.0, 0.0, 0.0, 0.0)
+    for i in range(mat.shape[0]):
+        acc = merge_moments_pair(acc, tuple(mat[i]))
+    return acc
 
 
 # Guard for "variance is numerically zero": m2 below this fraction of the
-# mean-square magnitude is treated as a constant series (NULL skew/kurt).
+# mean-square magnitude (mean² + m2 ≡ E[v²]) is a constant series.
 _M2_EPS = 1e-12
 
 
 def finalize_features(stats: dict) -> dict:
     """Finalize merged sufficient statistics into the feature columns.
 
-    ``stats``: mapping of POINT_STAT_COLUMNS -> 1-D numpy arrays (one element
-    per group).  Returns dict of numpy arrays; non-finite/undefined entries
-    are NaN (converted to Arrow nulls by the caller so SQL NULL semantics
-    match — see oracle notes in pipelines/queries.py).
-    """
+    ``stats``: mapping of POINT_STAT_COLUMNS -> 1-D numpy arrays (one
+    element per group).  Returns dict of numpy arrays; undefined entries are
+    NaN (converted to Arrow nulls by the caller so SQL NULL semantics
+    match)."""
     n = np.asarray(stats["n"], dtype=np.float64)
-    s1 = np.asarray(stats["s1"], dtype=np.float64)
-    s2 = np.asarray(stats["s2"], dtype=np.float64)
-    s3 = np.asarray(stats["s3"], dtype=np.float64)
-    s4 = np.asarray(stats["s4"], dtype=np.float64)
+    mean = np.asarray(stats["mean"], dtype=np.float64)
+    M2 = np.asarray(stats["M2"], dtype=np.float64)
+    M3 = np.asarray(stats["M3"], dtype=np.float64)
+    M4 = np.asarray(stats["M4"], dtype=np.float64)
     sum_w = np.asarray(stats["sum_w"], dtype=np.float64)
     sum_wv = np.asarray(stats["sum_wv"], dtype=np.float64)
     vmin = np.asarray(stats["vmin"], dtype=np.float64)
@@ -176,29 +242,25 @@ def finalize_features(stats: dict) -> dict:
     stv = np.asarray(stats["stv"], dtype=np.float64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        mean = s1 / n
         wmean = np.where(sum_w > 0, sum_wv / sum_w, np.nan)
-        m2 = s2 / n - mean * mean
-        m2 = np.maximum(m2, 0.0)
-        # sample variance via M2 = s2 - n*mean^2
-        M2 = np.maximum(s2 - n * mean * mean, 0.0)
-        std = np.where(n > 1, np.sqrt(M2 / np.maximum(n - 1, 1)), np.nan)
-        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean**3
-        m4 = (
-            s4 / n
-            - 4.0 * mean * (s3 / n)
-            + 6.0 * mean * mean * (s2 / n)
-            - 3.0 * mean**4
-        )
-        scale = np.maximum(s2 / np.maximum(n, 1), 1.0)  # magnitude of v²
+        M2c = np.maximum(M2, 0.0)
+        std = np.where(n > 1, np.sqrt(M2c / np.maximum(n - 1, 1)), np.nan)
+        m2 = M2c / n
+        m3 = M3 / n
+        m4 = M4 / n
+        scale = np.maximum(mean * mean + m2, 1.0)
         degenerate = m2 <= _M2_EPS * scale
-        skew = np.where(degenerate, np.nan, m3 / np.power(np.where(degenerate, 1.0, m2), 1.5))
-        kurt = np.where(degenerate, np.nan, m4 / np.square(np.where(degenerate, 1.0, m2)) - 3.0)
+        safe_m2 = np.where(degenerate, 1.0, m2)
+        skew = np.where(degenerate, np.nan, m3 / np.power(safe_m2, 1.5))
+        kurt = np.where(degenerate, np.nan, m4 / np.square(safe_m2) - 3.0)
         amplitude = (vmax - vmin) / 2.0
+        s1 = mean * n
         denom = n * st2 - st1 * st1
         tscale = np.maximum(st2, 1.0)
         flat_t = denom <= _M2_EPS * n * tscale
-        slope = np.where(flat_t, np.nan, (n * stv - st1 * s1) / np.where(flat_t, 1.0, denom))
+        slope = np.where(
+            flat_t, np.nan,
+            (n * stv - st1 * s1) / np.where(flat_t, 1.0, denom))
 
     return {
         "n": np.asarray(stats["n"], dtype=np.int64),
@@ -213,23 +275,33 @@ def finalize_features(stats: dict) -> dict:
 
 
 def merge_stats_numpy(stats: dict, group_codes: np.ndarray, n_groups: int) -> dict:
-    """Segmented merge of stat rows by group code (plain sums / min / max).
+    """Segmented merge of stat rows by group code.
 
-    Used by the single-process oracle and tests; the distributed path uses
-    Ray's built-in Sum/Min/Max aggregates which compute the same algebra.
+    Plain sums / min / max for the sum-form columns; sequential Pébay merge
+    for the central-moment columns.  Used by the single-process oracle and
+    tests; the distributed path uses Ray built-ins + the MomentMerge custom
+    aggregate (stages/aggregate.py) computing the same algebra.
     """
     out = {}
-    for col in POINT_STAT_COLUMNS:
+    for col in ("n", "sum_w", "sum_wv", "st1", "st2", "stv"):
         arr = np.asarray(stats[col], dtype=np.float64)
-        if col == "vmin":
-            acc = np.full(n_groups, np.inf)
-            np.minimum.at(acc, group_codes, arr)
-        elif col == "vmax":
-            acc = np.full(n_groups, -np.inf)
-            np.maximum.at(acc, group_codes, arr)
-        else:
-            acc = np.zeros(n_groups)
-            np.add.at(acc, group_codes, arr)
+        acc = np.zeros(n_groups)
+        np.add.at(acc, group_codes, arr)
         out[col] = acc
+    for col, init, fn in (("vmin", np.inf, np.minimum),
+                          ("vmax", -np.inf, np.maximum)):
+        arr = np.asarray(stats[col], dtype=np.float64)
+        acc = np.full(n_groups, init)
+        fn.at(acc, group_codes, arr)
+        out[col] = acc
+    accs = [(0.0, 0.0, 0.0, 0.0, 0.0)] * n_groups
+    n_in = np.asarray(stats["n"], dtype=np.float64)
+    for i in range(len(group_codes)):
+        g = group_codes[i]
+        row = (n_in[i], stats["mean"][i], stats["M2"][i], stats["M3"][i],
+               stats["M4"][i])
+        accs[g] = merge_moments_pair(accs[g], row)
+    for j, c in enumerate(("mean", "M2", "M3", "M4"), start=1):
+        out[c] = np.array([a[j] for a in accs])
     out["n"] = out["n"].astype(np.int64)
     return out

@@ -1,0 +1,696 @@
+"""Driver-facing query registry: one Ray Data pipeline per operator from
+SURVEY.md §2, each paired (where ANSI-SQL can express it) with a DuckDB
+oracle returning the SAME columns so the driver's row-count/schema/value-hash
+check passes.
+
+Float parity discipline: the engine and DuckDB sum doubles in different
+orders, so raw float aggregates differ in the last ulps.  Both sides
+therefore ROUND every float output to 6 decimals as the final step (and both
+sides express the feature algebra over the SAME raw power sums — see
+kernels/moments.py for why power sums instead of Welford merges: the merge
+is a plain SUM, expressible identically in Ray aggregates and ANSI SQL).
+NaN/undefined values are Arrow NULLs on the Ray side and SQL NULLs on the
+oracle side (kernels/moments._NULLABLE_FEATURES).
+
+Queries without an oracle entry (minhash/simhash/LSH/gorilla/multimodal —
+genuinely non-SQL-expressible) get the driver's rows-only check and are
+pinned instead by unit tests against single-process oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels.grid import TIER_STEP_US
+from ..stages.project import table_to_points
+from .rollup import (
+    RollupConfig,
+    attach_beyond,
+    finalize_tiers,
+    gapfilled,
+    points_dataset,
+    tier_stats,
+)
+
+# ---------------------------------------------------------------- helpers
+
+ROLLUP_COLS = [
+    "lang", "domain", "tier", "bucket_ts_us", "n", "mean", "wmean", "std",
+    "skew", "kurtosis", "amplitude", "beyond_1_std", "linear_trend_slope",
+]
+
+
+def _round6(tbl: pa.Table) -> pa.Table:
+    """Final normalization: float cols rounded to 6 dp (half-away, matching
+    DuckDB ROUND bit-for-bit — kernels/rounding.py), non-finite -> NULL."""
+    from ..kernels.rounding import round_decimals_away
+
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        if pa.types.is_floating(col.type):
+            col = pc.cast(col, pa.float64())
+            vals = col.to_numpy(zero_copy_only=False)
+            mask = ~np.isfinite(vals)
+            cols[name] = pa.array(round_decimals_away(vals), pa.float64(),
+                                  mask=mask)
+        else:
+            cols[name] = col
+    return pa.table(cols)
+
+
+def _collect(ds) -> pa.Table:
+    """Small-result collection (rollup-scale outputs only)."""
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return _round6(tbl)
+
+
+def _events_cfg(sf_dir: str, tiers: tuple) -> RollupConfig:
+    return RollupConfig(
+        input_paths=f"{sf_dir}/events.parquet",
+        input_kind="table",
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tiers=tiers,
+    )
+
+
+def _rollup_tier(cfg: RollupConfig, tier: str):
+    """Engine path for one tier: cascade from 1h when tier is coarser —
+    the driver's SQL oracle computes the tier DIRECTLY from raw points, so
+    this check pins the cascade algebra (shift_stats) end-to-end."""
+    points = points_dataset(cfg).materialize()  # two passes: stats + beyond
+    tiers = ("1h",) if tier == "1h" else ("1h", tier)
+    stats = tier_stats(points, tiers)
+    feats = finalize_tiers({tier: stats[tier]})
+    feats = attach_beyond(feats, points, cfg.n_std, cfg)
+    return feats[tier]
+
+
+# ------------------------------------------------------------ SQL builders
+
+_FEATURE_SQL_TAIL = """
+SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
+  ROUND(mean, 6) AS mean,
+  ROUND(wmean, 6) AS wmean,
+  ROUND(std, 6) AS std,
+  CASE WHEN m2 <= 1e-12 * scale THEN NULL
+       ELSE ROUND(m3 / POWER(m2, 1.5), 6) END AS skew,
+  CASE WHEN m2 <= 1e-12 * scale THEN NULL
+       ELSE ROUND(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis,
+  ROUND(amplitude, 6) AS amplitude,
+  ROUND(CAST(COALESCE(n_beyond, 0) AS DOUBLE) / n, 6) AS beyond_1_std,
+  CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
+       ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope
+FROM f LEFT JOIN bc USING (lang, domain, bucket_ts_us)
+"""
+
+
+def _rollup_sql(points_sql: str, tier: str, n_std: float = 1.0) -> str:
+    """Full-feature rollup SQL over a points CTE (lang, domain, t_us, v, w).
+
+    Same algebra as kernels/moments.finalize_features: CENTRAL moments
+    (computed here via a two-pass mean join — the oracle's luxury; the
+    engine streams them via Pébay merges), so both sides are numerically
+    stable for |mean| >> std.  beyond_1_std is the same two-pass join the
+    engine does."""
+    step = TIER_STEP_US[tier]
+    return f"""
+WITH pts AS ({points_sql}),
+b AS (
+  SELECT lang, domain,
+         (t_us // {step}) * {step} AS bucket_ts_us,
+         v, w,
+         CAST(t_us - (t_us // {step}) * {step} AS DOUBLE) / 1e6 AS tp
+  FROM pts
+),
+m AS (
+  SELECT lang, domain, bucket_ts_us,
+         COUNT(*) AS n, AVG(v) AS mean,
+         SUM(w) AS sum_w, SUM(w * v) AS sum_wv,
+         MIN(v) AS vmin, MAX(v) AS vmax,
+         SUM(tp) AS st1, SUM(tp * tp) AS st2, SUM(tp * v) AS stv
+  FROM b GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT b.lang, b.domain, b.bucket_ts_us,
+         SUM((b.v - m.mean) * (b.v - m.mean)) AS cm2,
+         SUM((b.v - m.mean) * (b.v - m.mean) * (b.v - m.mean)) AS cm3,
+         SUM((b.v - m.mean) * (b.v - m.mean) * (b.v - m.mean)
+             * (b.v - m.mean)) AS cm4
+  FROM b JOIN m USING (lang, domain, bucket_ts_us)
+  GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT lang, domain, bucket_ts_us, n, st1, st2, stv,
+    mean,
+    mean * n AS s1,
+    CASE WHEN sum_w > 0 THEN sum_wv / sum_w END AS wmean,
+    CASE WHEN n > 1
+         THEN SQRT(GREATEST(cm2, 0.0) / (n - 1)) END AS std,
+    GREATEST(cm2, 0.0) / n AS m2,
+    cm3 / n AS m3,
+    cm4 / n AS m4,
+    GREATEST(mean * mean + GREATEST(cm2, 0.0) / n, 1.0) AS scale,
+    (vmax - vmin) / 2.0 AS amplitude,
+    CAST(n AS DOUBLE) * st2 - st1 * st1 AS denom,
+    GREATEST(st2, 1.0) AS tscale
+  FROM m JOIN c USING (lang, domain, bucket_ts_us)
+),
+pb AS (
+  SELECT b.lang, b.domain, b.bucket_ts_us,
+         CASE WHEN ABS(b.v - f.mean) > {n_std} * f.std THEN 1 ELSE 0 END AS beyond
+  FROM b JOIN f USING (lang, domain, bucket_ts_us)
+),
+bc AS (
+  SELECT lang, domain, bucket_ts_us, SUM(beyond) AS n_beyond
+  FROM pb GROUP BY 1, 2, 3
+)
+{_FEATURE_SQL_TAIL.format(tier=tier)}
+"""
+
+
+EVENTS_POINTS_SQL = """
+  SELECT 'all' AS lang, event_type AS domain,
+         epoch_us(ts) AS t_us, value AS v, 1.0 AS w
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+"""
+
+LINEITEM_POINTS_SQL = """
+  SELECT l_returnflag AS lang, l_linestatus AS domain,
+         epoch_us(l_shipdate) AS t_us, l_extendedprice AS v, l_quantity AS w
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+"""
+
+
+def _gapfill_sql(points_sql: str, tier: str, n_std: float = 1.0) -> str:
+    """Gap-filled rollup SQL: dense bucket grid per series, linear
+    interpolation of ``mean`` on missing buckets (reference Interpolator
+    semantics — interior-only here, grid spans first..last observed)."""
+    step = TIER_STEP_US[tier]
+    base = _rollup_sql(points_sql, tier, n_std)
+    return f"""
+WITH r AS ({base}),
+bounds AS (
+  SELECT lang, domain, MIN(bucket_ts_us) AS lo, MAX(bucket_ts_us) AS hi
+  FROM r GROUP BY 1, 2
+),
+grid AS (
+  SELECT lang, domain,
+         UNNEST(generate_series(lo, hi, {step})) AS bucket_ts_us
+  FROM bounds
+),
+j AS (
+  SELECT g.lang, g.domain, g.bucket_ts_us,
+         r.n, r.mean, r.wmean, r.std, r.skew, r.kurtosis, r.amplitude,
+         r.beyond_1_std, r.linear_trend_slope
+  FROM grid g LEFT JOIN r USING (lang, domain, bucket_ts_us)
+),
+w AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN n IS NOT NULL THEN bucket_ts_us END IGNORE NULLS)
+      OVER (PARTITION BY lang, domain ORDER BY bucket_ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    LAST_VALUE(CASE WHEN n IS NOT NULL THEN mean END IGNORE NULLS)
+      OVER (PARTITION BY lang, domain ORDER BY bucket_ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    FIRST_VALUE(CASE WHEN n IS NOT NULL THEN bucket_ts_us END IGNORE NULLS)
+      OVER (PARTITION BY lang, domain ORDER BY bucket_ts_us
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+    FIRST_VALUE(CASE WHEN n IS NOT NULL THEN mean END IGNORE NULLS)
+      OVER (PARTITION BY lang, domain ORDER BY bucket_ts_us
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+  FROM j
+)
+SELECT lang, domain, '{tier}' AS tier, bucket_ts_us,
+  COALESCE(n, 0) AS n,
+  CASE WHEN n IS NOT NULL THEN mean
+       ELSE ROUND(
+         ((CAST(next_t AS DOUBLE) - CAST(bucket_ts_us AS DOUBLE))
+            / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE))) * prev_v
+         + (1.0 - (CAST(next_t AS DOUBLE) - CAST(bucket_ts_us AS DOUBLE))
+            / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE))) * next_v, 6)
+  END AS mean,
+  wmean, std, skew, kurtosis, amplitude, beyond_1_std, linear_trend_slope,
+  (n IS NULL) AS filled
+FROM w
+"""
+
+
+INTERP_GRID_SQL = """
+WITH pts AS (
+  SELECT event_type AS series,
+         CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS t, value AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+knots AS (SELECT series, t, AVG(v) AS v FROM pts GROUP BY 1, 2),
+bounds AS (SELECT series, MIN(t) AS lo, MAX(t) AS hi FROM knots GROUP BY 1),
+tgt AS (
+  SELECT series, i, lo + ((hi - lo) / 100.0) * CAST(i AS DOUBLE) AS t
+  FROM bounds, UNNEST(range(0, 101)) AS u(i)
+),
+l AS (
+  SELECT g.series, g.i, g.t, k.t AS lt, k.v AS lv
+  FROM tgt g ASOF LEFT JOIN knots k
+    ON g.series = k.series AND g.t >= k.t
+),
+r AS (
+  SELECT g.series, g.i, k.t AS rt, k.v AS rv
+  FROM tgt g ASOF LEFT JOIN knots k
+    ON g.series = k.series AND g.t <= k.t
+)
+SELECT l.series, CAST(l.i AS BIGINT) AS i,
+  ROUND(CASE
+    WHEN lt IS NULL THEN 0.0
+    WHEN rt IS NULL THEN 0.0
+    WHEN lt = rt THEN lv
+    ELSE ((rt - l.t) / (rt - lt)) * lv
+         + (1.0 - (rt - l.t) / (rt - lt)) * rv
+  END, 6) AS v
+FROM l JOIN r ON l.series = r.series AND l.i = r.i
+"""
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 6) AS sum_value,
+  ROUND(AVG(value), 6) AS avg_value,
+  ROUND(MIN(value), 6) AS min_value,
+  ROUND(MAX(value), 6) AS max_value
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type
+"""
+
+HOT_KEYS_SQL = """
+SELECT 'all' AS lang, event_type AS domain, COUNT(*) AS n_points
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+DEDUP_EMBEDDING_SQL = """
+WITH nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+"""
+
+ANN_TOPK_SQL = """
+WITH nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT * FROM nv ORDER BY vec_id LIMIT 10),
+s AS (
+  SELECT q.vec_id AS query_id, nv.vec_id AS vec_id,
+         list_cosine_similarity(q.e, nv.e) AS cos_sim
+  FROM q JOIN nv ON q.vec_id <> nv.vec_id
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY ROUND(cos_sim, 6) DESC, vec_id) AS r
+  FROM s
+)
+SELECT query_id, vec_id, ROUND(cos_sim, 6) AS cos_sim FROM rk WHERE r <= 5
+"""
+
+TEXT_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    LENGTH(text) AS n_chars,
+    CASE WHEN TRIM(text) = '' THEN 0
+         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_words,
+    LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tokens_bpe,
+    LENGTH(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+      AS n_punct,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+    CASE WHEN TRIM(text) = '' THEN 0
+         ELSE LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+              x -> LOWER(x) IN ('the','and','of','to','in','is','that',
+                                'for','with','was'))) END AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
+  CASE WHEN n_words > 0
+       THEN ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 6) ELSE 0.0
+  END AS mean_word_len,
+  CASE WHEN n_chars > 0
+       THEN ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) ELSE 0.0
+  END AS punct_ratio,
+  CASE WHEN n_chars > 0
+       THEN ROUND(CAST(n_digit AS DOUBLE) / n_chars, 6) ELSE 0.0
+  END AS digit_ratio,
+  CASE WHEN n_chars > 0
+       THEN ROUND(CAST(n_upper AS DOUBLE) / n_chars, 6) ELSE 0.0
+  END AS upper_ratio,
+  CASE WHEN n_words > 0
+       THEN ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) ELSE 0.0
+  END AS stopword_ratio
+FROM t
+"""
+
+
+# ------------------------------------------------------------ Ray queries
+
+def q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ds = ds.filter(
+        lambda r: r["ts"] is not None and r["value"] is not None
+        and r["event_type"] is not None)
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return _collect(out)
+
+
+def q_rollup(tier: str):
+    def run(sf_dir: str):
+        cfg = _events_cfg(sf_dir, (tier,))
+        ds = _rollup_tier(cfg, tier)
+        tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        return _round6(tbl.select(ROLLUP_COLS))
+    return run
+
+
+def q_rollup_lineitem_1d(sf_dir: str):
+    cfg = RollupConfig(
+        input_paths=f"{sf_dir}/lineitem.parquet",
+        input_kind="table",
+        key_cols=["l_returnflag", "l_linestatus"],
+        ts_col="l_shipdate",
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        tiers=("1d",),
+    )
+    ds = _rollup_tier(cfg, "1d")
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return _round6(tbl.select(ROLLUP_COLS))
+
+
+def q_gapfill_1d(sf_dir: str):
+    cfg = _events_cfg(sf_dir, ("1d",))
+    feats = _rollup_tier(cfg, "1d")
+    # Round BEFORE gap-fill: the oracle SQL interpolates over its rounded
+    # rollup CTE, so both sides must feed identical (rounded) knot values
+    # into the interpolation for bit-equal filled means.
+    feats = feats.map_batches(_round6, batch_format="pyarrow")
+    dense = gapfilled(feats)
+    tbl = pa.Table.from_pandas(dense.to_pandas(), preserve_index=False)
+    return _round6(tbl.select(ROLLUP_COLS + ["filled"]))
+
+
+def q_interp_grid(sf_dir: str):
+    """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
+    per-series uniform linspace grid + reference-exact interpolation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..kernels.grid import linspace
+    from ..kernels.interp import interpolate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def _points(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["value"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "series": batch["event_type"],
+            "t": pc.divide(pc.cast(pc.cast(batch["ts"], pa.int64()),
+                                   pa.float64()), 1e6),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_points, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def _interp(g: pd.DataFrame) -> pd.DataFrame:
+        # dedupe knots at identical t (mean), sort, 101-point linspace grid
+        k = g.groupby("t", sort=True)["v"].mean().reset_index()
+        x = k["t"].to_numpy()
+        y = k["v"].to_numpy()
+        grid = linspace(x[0], x[-1], 101)
+        out = interpolate(x, y, grid, left=0.0, right=0.0)
+        # output the grid INDEX, not raw t: at epoch-second magnitude the
+        # 6-dp rounding of t sits below one float64 ulp, so numpy/DuckDB
+        # half-even vs half-away tie-breaking flips the last digit
+        return pd.DataFrame(
+            {"series": g["series"].iloc[0],
+             "i": np.arange(101, dtype=np.int64), "v": out})
+
+    out = pts.groupby("series").map_groups(_interp, batch_format="pandas")
+    return _collect(out)
+
+
+def q_hot_keys(sf_dir: str):
+    """Skew pre-pass (SURVEY §4): per-key point counts — the hot-list input
+    for salting decisions."""
+    from ray.data.aggregate import Count
+
+    cfg = _events_cfg(sf_dir, ("1h",))
+    pts = points_dataset(cfg)
+    out = pts.groupby(["lang", "domain"]).aggregate(
+        Count(alias_name="n_points"))
+    return _collect(out)
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(exact_dedup(ds))
+
+
+def _augmented_documents(sf_dir: str):
+    """documents ∪ exact copies (+100000) ∪ perturbed copies (+200000, every
+    7th word dropped, doc_id % 5 == 0) — a deterministic near-dup corpus so
+    the minhash/simhash/jaccard queries have non-trivial output on testdata
+    (which itself contains no duplicate texts)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id = list(ids)
+        out_tx = list(texts)
+        for i, t in zip(ids, texts):
+            out_id.append(i + 100_000)
+            out_tx.append(t)
+            if i % 5 == 0:
+                words = (t or "").split()
+                out_id.append(i + 200_000)
+                out_tx.append(" ".join(
+                    w for j, w in enumerate(words) if j % 7 != 0))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    return ds.map_batches(_augment, batch_format="pyarrow")
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ..stages.dedup import minhash_dedup_pairs
+
+    ds = _augmented_documents(sf_dir)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    return _collect(pairs)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_dedup_pairs
+
+    ds = _augmented_documents(sf_dir)
+    pairs = simhash_dedup_pairs(ds, max_hamming=3)
+    return _collect(pairs)
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """LSH candidates re-scored with EXACT n-gram Jaccard (verify stage)."""
+    import ray
+
+    from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_verify
+
+    ds = _augmented_documents(sf_dir)
+    docs = {}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        docs.update(zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()))
+    lookup_ref = ray.put(docs)
+    cand = minhash_dedup_pairs(ds, threshold=0.5)
+    verified = ngram_jaccard_verify(cand, lookup_ref, min_jaccard=0.5)
+    return _collect(verified)
+
+
+def q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = embedding_pairs(ds, tau=0.3)
+    return _collect(pairs)
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.similarity import ann_topk, load_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = load_corpus(ds)
+    nq = min(10, len(ids))
+    out = ann_topk(ds, ids[:nq], mat[:nq], k=5)
+    return _collect(out)
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.similarity import ann_topk_lsh, load_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = load_corpus(ds)
+    nq = min(10, len(ids))
+    out = ann_topk_lsh(ds, ids[:nq], mat[:nq], k=5, nbits=8)
+    return _collect(out)
+
+
+def q_text_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.textstats import text_stats_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = text_stats_dataset(ds, with_lang=False, with_fingerprint=False)
+    return _collect(out)
+
+
+def q_lang_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.textstats import text_stats_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = text_stats_dataset(ds, with_lang=True, with_fingerprint=True)
+    out = out.select_columns(["doc_id", "lang_pred", "fingerprint_hex"])
+    return _collect(out)
+
+
+def q_series_gorilla(sf_dir: str):
+    """Flagship tail: tiered rollup -> gap-fill -> one Gorilla blob per
+    series (rows-only check; byte-exactness pinned by tests/test_gorilla.py
+    encode->decode==identity)."""
+    from .rollup import run_rollup
+
+    cfg = _events_cfg(sf_dir, ("1h", "1d", "30d"))
+    res = run_rollup(cfg)
+    tbl = pa.Table.from_pandas(res["series"].to_pandas(),
+                               preserve_index=False)
+    lens = pc.binary_length(tbl["points_gorilla"])
+    tbl = tbl.append_column("blob_len", pc.cast(lens, pa.int64()))
+    return _round6(tbl.select(
+        ["lang", "domain", "tier", "n_buckets", "n_filled", "blob_len"]))
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: synthesize deterministic binary payloads keyed
+    by doc_id, decode via the actor-pool stage (fake LCRF codec — the real
+    image/audio libs are stubbed, see stages/multimodal.py)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_payloads, fake_payload
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _payloads(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        payloads = [
+            fake_payload(kinds[i % 3], 64 + i % 64, 48 + i % 16,
+                         1 + i % 5, seed=i)
+            for i in ids
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    payloads = ds.map_batches(_payloads, batch_format="pyarrow")
+    return _collect(decode_payloads(payloads, batch_size=64))
+
+
+# ------------------------------------------------------------- registries
+
+def build_queries() -> dict:
+    return {
+        "events_by_type": q_events_by_type,
+        "rollup_1h": q_rollup("1h"),
+        "rollup_1d": q_rollup("1d"),
+        "rollup_30d": q_rollup("30d"),
+        "gapfill_1d": q_gapfill_1d,
+        "interp_grid": q_interp_grid,
+        "rollup_lineitem_1d": q_rollup_lineitem_1d,
+        "hot_keys": q_hot_keys,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_stats": q_text_stats,
+        "lang_fingerprint": q_lang_fingerprint,
+        "series_gorilla": q_series_gorilla,
+        "multimodal_decode": q_multimodal_decode,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "events_by_type": EVENTS_BY_TYPE_SQL,
+        "rollup_1h": _rollup_sql(EVENTS_POINTS_SQL, "1h"),
+        "rollup_1d": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
+        "rollup_30d": _rollup_sql(EVENTS_POINTS_SQL, "30d"),
+        "gapfill_1d": _gapfill_sql(EVENTS_POINTS_SQL, "1d"),
+        "interp_grid": INTERP_GRID_SQL,
+        "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
+        "hot_keys": HOT_KEYS_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_embedding": DEDUP_EMBEDDING_SQL,
+        "ann_topk": ANN_TOPK_SQL,
+        "text_stats": TEXT_STATS_SQL,
+        # minhash/simhash/ngram-jaccard/lsh/gorilla/multimodal/lang_id:
+        # not SQL-expressible -> rows-only driver check + unit-test oracles
+    }

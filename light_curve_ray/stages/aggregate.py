@@ -1,31 +1,44 @@
 """Grouped feature aggregation (SURVEY §2b-O6) as map-side partials + a
-built-in-aggregate merge.
+mergeable shuffle-side reduce.
 
 Scale design: a bare ``groupby().aggregate()`` shuffles every point row.
 Here every block first collapses to one row per (lang, domain, bucket) via
-pyarrow hash group_by (C++ kernels, kernels/moments.point_stats_arrow), so
-the all-to-all exchange moves partial-stat rows (≤ one per key per block),
-then Ray's built-in vectorized Sum/Min/Max aggregates merge them — the
-sufficient statistics are plain sums by construction (kernels/moments.py).
+vectorized segmented reduction (kernels/moments.point_stats_arrow), so the
+all-to-all exchange moves partial-stat rows (≤ one per key per block).  The
+shuffle-side merge is Ray's built-in vectorized Sum/Min/Max for the plain
+sums plus ONE custom mergeable aggregate — ``MomentMerge``, the streaming
+Welford/Pébay central-moment combiner (north_star: "streaming
+Welford/moment accumulators") — for (n, mean, M2, M3, M4), packed into a
+single fixed_size_list<double,5> ``mstate`` column.  Central-moment form is
+a correctness requirement, not a style choice: raw power sums cancel
+catastrophically when |mean| >> std (see kernels/moments.py docstring).
+
 This map-side combine is also the skew mitigation: a Zipf-hot domain
 contributes at most #blocks partial rows to its key, never #points, so no
-explicit salting is needed on this path (SURVEY §4: partial aggregation
-happens map-side; documented hot-key bound).
+explicit salting is needed on this path (SURVEY §4; documented hot-key
+bound).
 
-Tier cascade (1h -> 1d -> 30d): coarser tiers re-bucket the *hourly partial
-stats*, not the raw points — sums/min/max merge unchanged, and the
-time-shifted OLS terms are re-based from hour start to the coarser bucket
-start with exact algebra (``shift_stats``), so raw points shuffle once.
+Tier cascade (1h -> 1d -> 30d): coarser tiers re-bucket the *hourly
+partials*, not the raw points — moment states and sums merge unchanged, and
+the time-shifted OLS terms are re-based from hour start to the coarser
+bucket start with exact algebra (``shift_stats``), so raw points shuffle
+once.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from ..kernels.grid import TIER_STEP_US
-from ..kernels.moments import POINT_STAT_COLUMNS, finalize_features, point_stats_arrow
+from ..kernels.moments import (
+    POINT_STAT_COLUMNS,
+    finalize_features,
+    merge_moments_pair,
+    merge_moments_rows,
+    pack_mstate,
+    point_stats_arrow,
+    unpack_mstate,
+)
 
 KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 
@@ -33,9 +46,13 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 # NULL semantics line up between engine output and oracle SQL.
 _NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis", "linear_trend_slope")
 
+# plain-sum / min / max partial columns (cancellation-free, built-in merge)
+_SUM_COLS = ("sum_w", "sum_wv", "st1", "st2", "stv")
+
 
 def make_partial_stats_fn(step_us: int):
-    """map_batches fn: points block -> per-(lang,domain,bucket) partials."""
+    """map_batches fn: points block -> per-(lang,domain,bucket) partials
+    with the moment state packed for the custom merge."""
 
     def partial_stats(batch: pa.Table) -> pa.Table:
         # exact int64 floor-to-bucket (kernels/grid.bucket_floor semantics);
@@ -44,23 +61,62 @@ def make_partial_stats_fn(step_us: int):
         t_us = batch["t_us"].to_numpy(zero_copy_only=False)
         bucket = (t_us // step_us) * step_us
         batch = batch.append_column("bucket_ts_us", pa.array(bucket, pa.int64()))
-        return point_stats_arrow(batch, KEY_COLS, bucket_col="bucket_ts_us")
+        stats = point_stats_arrow(batch, KEY_COLS, bucket_col="bucket_ts_us")
+        return pack_mstate(stats)
 
     return partial_stats
 
 
+class MomentMerge:
+    """Ray AggregateFnV2: Pébay merge of packed (n, mean, M2, M3, M4).
+
+    One Python-level merge per (group, block) — the partial rows are already
+    one-per-key-per-block, so this is rollup-scale work, never point-scale.
+    """
+
+    def __new__(cls, on: str = "mstate", alias_name: str = "mstate"):
+        from ray.data.aggregate import AggregateFnV2
+        from ray.data.block import BlockAccessor
+
+        class _MomentMerge(AggregateFnV2):
+            def __init__(self):
+                super().__init__(
+                    alias_name,
+                    zero_factory=lambda: (0.0, 0.0, 0.0, 0.0, 0.0),
+                    on=on,
+                    ignore_nulls=True,
+                )
+
+            def aggregate_block(self, block):
+                tbl = BlockAccessor.for_block(block).to_arrow()
+                col = tbl[on]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                mat = np.asarray(col.to_pylist(), dtype=np.float64)
+                if mat.size == 0:
+                    return (0.0, 0.0, 0.0, 0.0, 0.0)
+                return merge_moments_rows(mat.reshape(-1, 5))
+
+            def combine(self, current, new):
+                return merge_moments_pair(tuple(current), tuple(new))
+
+            def finalize(self, acc):
+                return list(acc)
+
+        return _MomentMerge()
+
+
 def merge_partials(ds):
-    """Shuffle-side merge: groupby key, plain Sum / Min / Max per stat."""
+    """Shuffle-side merge: groupby key; built-in Sum/Min/Max for plain
+    sums, MomentMerge for the packed central-moment state."""
     from ray.data.aggregate import Max, Min, Sum
 
-    aggs = []
-    for col in POINT_STAT_COLUMNS:
-        if col == "vmin":
-            aggs.append(Min(col, alias_name=col))
-        elif col == "vmax":
-            aggs.append(Max(col, alias_name=col))
-        else:
-            aggs.append(Sum(col, alias_name=col))
+    aggs = [Sum("n", alias_name="n")]
+    for col in _SUM_COLS:
+        aggs.append(Sum(col, alias_name=col))
+    aggs.append(Min("vmin", alias_name="vmin"))
+    aggs.append(Max("vmax", alias_name="vmax"))
+    aggs.append(MomentMerge())
     return ds.groupby(KEY_COLS).aggregate(*aggs)
 
 
@@ -69,8 +125,9 @@ def shift_stats(batch: pa.Table, to_step_us: int) -> pa.Table:
 
     Fine-bucket time sums are relative to the fine bucket start; re-base to
     the coarse start with c = (fine_start - coarse_start)/1e6 s:
-        st1' = st1 + n·c,  st2' = st2 + 2c·st1 + n·c²,  stv' = stv + c·s1.
-    Exact algebra — cascading 1h -> 1d -> 30d gives the same sums as
+        st1' = st1 + n·c,  st2' = st2 + 2c·st1 + n·c²,  stv' = stv + c·s1
+    (s1 = n·mean).  The value-moment state is shift-invariant.  Exact
+    algebra — cascading 1h -> 1d -> 30d merges the same accumulators as
     bucketing the raw points directly (test_rollup.py pins this).
     """
     fine = batch["bucket_ts_us"].to_numpy(zero_copy_only=False)
@@ -80,7 +137,11 @@ def shift_stats(batch: pa.Table, to_step_us: int) -> pa.Table:
     st1 = batch["st1"].to_numpy(zero_copy_only=False)
     st2 = batch["st2"].to_numpy(zero_copy_only=False)
     stv = batch["stv"].to_numpy(zero_copy_only=False)
-    s1 = batch["s1"].to_numpy(zero_copy_only=False)
+    mstate = batch["mstate"]
+    if isinstance(mstate, pa.ChunkedArray):
+        mstate = mstate.combine_chunks()
+    mean = np.asarray(mstate.to_pylist(), dtype=np.float64).reshape(-1, 5)[:, 1]
+    s1 = mean * n
     out = {name: batch[name] for name in batch.column_names}
     out["bucket_ts_us"] = pa.array(coarse, pa.int64())
     out["st1"] = pa.array(st1 + n * c, pa.float64())
@@ -91,7 +152,9 @@ def shift_stats(batch: pa.Table, to_step_us: int) -> pa.Table:
 
 def finalize_stats_batch(batch: pa.Table, tier: str) -> pa.Table:
     """Merged stats -> feature columns (+ tier tag); NaN -> Arrow null."""
-    stats = {c: batch[c].to_numpy(zero_copy_only=False) for c in POINT_STAT_COLUMNS}
+    batch = unpack_mstate(batch)
+    stats = {c: batch[c].to_numpy(zero_copy_only=False)
+             for c in POINT_STAT_COLUMNS}
     feats = finalize_features(stats)
     cols = {
         "lang": batch["lang"],
@@ -120,9 +183,10 @@ def make_beyond_partial_fn(stats_by_tier_ref, n_std: float = 1.0):
     the follow-up groupby sums them.  Uses the final per-bucket mean/std, so
     the fraction is exact (not streamable in one pass by definition).
     """
-    import pandas as _pd  # noqa: F401 (documents the pandas dependency)
+    from ..kernels.grid import TIER_STEP_US
 
     def beyond_partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         import ray
 
         stats_by_tier = ray.get(stats_by_tier_ref)
@@ -130,7 +194,6 @@ def make_beyond_partial_fn(stats_by_tier_ref, n_std: float = 1.0):
         domain = batch["domain"].to_numpy(zero_copy_only=False)
         t_us = batch["t_us"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
-        import pandas as pd
 
         outs = []
         for tier, stats_df in stats_by_tier.items():

@@ -55,7 +55,7 @@ def table_to_points(
     maps to domain with lang='all'.  Keeps the rollup operators reusable over
     any input shape (the capability matrix is about semantics, not schema).
     """
-    mask = pc.is_valid(batch[ts_col])
+    mask = pc.and_(pc.is_valid(batch[ts_col]), pc.is_valid(batch[value_col]))
     for k in key_cols:
         mask = pc.and_(mask, pc.is_valid(batch[k]))
     batch = batch.filter(mask)

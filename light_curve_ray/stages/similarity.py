@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths, per the standard ANN playbook:
+
+- **Brute-force cosine top-k** (the exactness baseline): the query matrix is
+  the SMALL side — normalized once, ``ray.put`` once, read zero-copy inside
+  every ``map_batches`` task (never re-shipped per batch).  Each block does
+  one numpy matmul (Q · Bᵀ) and keeps only its block-local top-k per query,
+  so the follow-up groupby shuffles ≤ k·n_blocks candidate rows, not n·q
+  scores.  Final per-query merge sorts by (rounded cos desc, vec_id) — the
+  deterministic tie-break that makes output stable across block orders.
+- **LSH-bucketed variant** (the scale path): random-hyperplane signatures
+  (Charikar 2002) bucket the corpus; a query probes its own bucket plus all
+  Hamming-1 neighbors, so each query scans ~(1+nbits)/2^nbits of the corpus
+  instead of all of it.  Recall vs the brute-force baseline is pinned by
+  tests (tests/test_similarity.py), not guaranteed — the classic ANN trade.
+
+Near-duplicate detection by embedding cosine (``embedding_pairs``) reuses
+the brute-force machinery: block rows vs the broadcast corpus, emitting each
+unordered pair exactly once via the id_a < id_b predicate evaluated on the
+block side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.rounding import round_decimals_away
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float32> -> (n, d) float64, via flat values (zero Python loop)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def load_corpus(ds, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Materialize (ids, normalized matrix) of a SMALL dataset for broadcast.
+
+    Only valid for the broadcast side (queries / sub-million corpora); the
+    big side always streams through map_batches.
+    """
+    ids_chunks, mats = [], []
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_chunks.append(batch[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_emb_matrix(batch, emb_col))
+    ids = np.concatenate(ids_chunks)
+    mat = _normalize(np.vstack(mats))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             exclude_self: bool = True):
+    """Exact cosine top-k per query: Dataset of (query_id, vec_id, cos_sim).
+
+    ``query_mat`` must be L2-normalized (load_corpus does this).
+    """
+    import ray
+
+    qref = ray.put((np.asarray(query_ids), np.asarray(query_mat)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        sims = qmat @ bmat.T  # (q, nblock)
+        if exclude_self:
+            sims[qids[:, None] == vids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_v = vids[idx.ravel()]
+        rows_s = np.take_along_axis(sims, idx, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pa.table({
+            "query_id": pa.array(rows_q[keep], pa.int64()),
+            "vec_id": pa.array(rows_v[keep], pa.int64()),
+            "cos_sim": pa.array(rows_s[keep], pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["cos_sim"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        # deterministic: rounded cos desc, then vec_id asc
+        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_sim": pa.array(s[order], pa.float64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")
+
+
+def embedding_pairs(ds, tau: float, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """Near-duplicate pairs by cosine ≥ tau: (vec_a < vec_b, cos_sim).
+
+    The full corpus is the broadcast side here — valid at the sandbox scale
+    and for sub-million-row dedup sides generally; the scale path is
+    LSH-bucket → within-bucket pairs (same topology as stages/dedup.py
+    minhash banding).
+    """
+    import ray
+
+    corpus_ids, corpus_mat = load_corpus(ds, id_col, emb_col)
+    cref = ray.put((corpus_ids, corpus_mat))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(cref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        sims = bmat @ cmat.T  # (nblock, ncorpus)
+        hit = (sims >= tau) & (vids[:, None] < cids[None, :])
+        bi, cj = np.nonzero(hit)
+        return pa.table({
+            "vec_a": pa.array(vids[bi], pa.int64()),
+            "vec_b": pa.array(cids[cj], pa.int64()),
+            "cos_sim": pa.array(sims[bi, cj], pa.float64()),
+        })
+
+    return ds.map_batches(_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ------------------------------------------------------------------ LSH path
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim))
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (n, nbits)
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def ann_topk_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 k: int = 5, nbits: int = 8, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 exclude_self: bool = True):
+    """Approximate top-k: scan only buckets within Hamming 1 of the query's
+    random-hyperplane bucket.  Same output schema as ann_topk."""
+    import ray
+
+    qids = np.asarray(query_ids)
+    qmat = np.asarray(query_mat)
+    dim = qmat.shape[1]
+    planes = _hyperplanes(dim, nbits, seed)
+    qbuckets = _bucket_of(qmat, planes)
+    # probe set per query: own bucket + flip each bit
+    probes = {}
+    for i, b in enumerate(qbuckets):
+        s = {int(b)} | {int(b) ^ (1 << j) for j in range(nbits)}
+        for bucket in s:
+            probes.setdefault(bucket, []).append(i)
+    qref = ray.put((qids, qmat, planes, probes))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _qids, _qmat, _planes, _probes = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        vbuckets = _bucket_of(bmat, _planes)
+        out_q, out_v, out_s = [], [], []
+        for bucket in np.unique(vbuckets):
+            qidx = _probes.get(int(bucket))
+            if not qidx:
+                continue
+            sel = vbuckets == bucket
+            sims = _qmat[qidx] @ bmat[sel].T
+            svids = vids[sel]
+            for r, qi in enumerate(qidx):
+                srow = sims[r]
+                if exclude_self:
+                    srow = np.where(svids == _qids[qi], -np.inf, srow)
+                kk = min(k, len(srow))
+                top = np.argpartition(-srow, kk - 1)[:kk]
+                for t in top:
+                    if np.isfinite(srow[t]):
+                        out_q.append(_qids[qi])
+                        out_v.append(svids[t])
+                        out_s.append(srow[t])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(np.asarray(out_s, dtype=np.float64),
+                                pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["cos_sim"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_sim": pa.array(s[order], pa.float64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")

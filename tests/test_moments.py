@@ -115,7 +115,7 @@ def test_multi_group_partials():
     p = point_stats_arrow(tbl, ["key", "bucket_ts_us"])
     df = p.to_pandas().set_index("key").sort_index()
     assert df.loc["a", "n"] == 2 and df.loc["b", "n"] == 3
-    assert df.loc["a", "s1"] == 4.0
+    assert df.loc["a", "mean"] == 2.0
     assert df.loc["b", "vmin"] == 10.0 and df.loc["b", "vmax"] == 60.0
     assert df.loc["b", "sum_wv"] == 10.0 + 40.0 + 60.0
 

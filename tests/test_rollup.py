@@ -55,12 +55,20 @@ def test_rollup_matches_oracle(ray_session, pages_dir, tmp_path):
         close = np.abs(g - e) < 1e-9 * np.maximum(1.0, np.abs(e))
         assert bool(np.all(both_nan | close)), col
 
-    # gorilla series blobs byte-identical
+    # gorilla series blobs: timestamps exact, values atol-equal after decode
+    # (distributed Pébay merge order shifts means by ~1 ulp vs the
+    # sequential oracle, so byte-identity across merge orders cannot hold;
+    # encode->decode identity is pinned by test_gorilla.py)
+    from light_curve_ray.kernels.gorilla import gorilla_decode
+
     got_series = result["series"].to_pandas().sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
     exp_series = exp["series"].sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
     assert len(got_series) == len(exp_series)
     for i in range(len(got_series)):
-        assert bytes(got_series["points_gorilla"][i]) == bytes(exp_series["points_gorilla"][i]), i
+        gt, gv = gorilla_decode(bytes(got_series["points_gorilla"][i]))
+        et, ev = gorilla_decode(bytes(exp_series["points_gorilla"][i]))
+        np.testing.assert_array_equal(gt, et)
+        np.testing.assert_allclose(gv, ev, rtol=1e-12)
 
     # parquet written partitioned by tier
     import os
