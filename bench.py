@@ -1,0 +1,188 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline pipeline — the flagship Common-Crawl-style
+pages rollup (extract -> points -> tiered 1h/1d/30d moment rollup ->
+gap-fill -> Gorilla) over a deterministic synthetic pages table sized to the
+scale factor — plus every driver query over $GRAFT_SF_DIR, and prints ONE
+JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "headline": {...points/s detail...}}
+
+--scaling: runs the headline job twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the scaling
+efficiency (tput_32/tput_8)/4 — the sandbox proxy for the north rule's
+N -> 4N-node criterion (BASELINE.md).
+
+Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), LCR_BENCH_PAGES (headline page count, default 60000).
+This script OWNS its Ray session (drivers that pre-init Ray must import
+__ray_entry__ instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("LCR_BENCH_PAGES", "100000"))
+# scaling runs need a compute-bound job so fixed Ray overheads (~5 s)
+# amortize: bigger corpus, generated once and cached
+SCALE_PAGES = int(os.environ.get("LCR_SCALE_PAGES", "600000"))
+PAGE_KB = float(os.environ.get("LCR_BENCH_PAGE_KB", "6"))
+N_DOMAINS = 200
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def _pages_dir(n_pages: int) -> str:
+    """Deterministic cached synthetic pages shards under /tmp."""
+    d = f"/tmp/lcr_bench_pages_{n_pages}_{N_DOMAINS}_{PAGE_KB:g}kb"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from light_curve_ray.sources.pages import write_pages_parquet
+
+        write_pages_parquet(d, n_rows=n_pages, n_domains=N_DOMAINS,
+                            rows_per_file=10_000, page_kb=PAGE_KB)
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_headline(num_cpus: int, n_pages: int) -> dict:
+    """One full pages-rollup run; returns wall time + throughput."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+
+    pages = _pages_dir(n_pages)
+    cfg = RollupConfig(
+        input_paths=pages,
+        input_kind="pages",
+        tiers=("1h", "1d", "30d"),
+        # fixed-size pool: the autoscaling ramp (4 -> N actors) costs more
+        # than it saves on a throughput run
+        extract_concurrency=max(4, num_cpus - 2),
+        read_num_blocks=max(2 * num_cpus, n_pages // 10_000),
+    )
+    t0 = time.monotonic()
+    res = run_rollup(cfg)
+    rollup_rows = res["rollup"].count()
+    series_rows = res["series"].count() if res["series"] is not None else 0
+    wall = time.monotonic() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "pages": n_pages,
+        "rollup_rows": rollup_rows,
+        "series_rows": series_rows,
+        "pages_per_s": round(n_pages / wall, 1),
+        "num_cpus": num_cpus,
+    }
+
+
+def run_queries() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        fn(SF_DIR)
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_bench():
+    headline = run_headline(NUM_CPUS, N_PAGES)
+    queries = run_queries()
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "pages rollup wall time (extract->tiers->gapfill->gorilla)"
+                  f" @ {N_PAGES} pages + per-query wall times @ {SF_DIR}",
+        "value": headline["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "headline": headline,
+    }))
+
+
+def _warm_page_cache(d: str) -> None:
+    """Read every corpus byte once so BOTH timed runs see a warm page
+    cache — /tmp is disk-backed here, and a cold first run otherwise
+    charges ~15 s of disk I/O to whichever CPU count goes first."""
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def main_scaling():
+    """Fresh-process runs at 8 and 32 CPUs -> scaling efficiency."""
+    d = _pages_dir(SCALE_PAGES)  # materialize input once, outside timed runs
+    _warm_page_cache(d)
+    results = {}
+    for n in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-once",
+             str(n), str(SCALE_PAGES)],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    t8, t32 = results[8]["pages_per_s"], results[32]["pages_per_s"]
+    eff = (t32 / t8) / 4.0
+    print(json.dumps({
+        "metric": "scaling efficiency (pages/s at 32 cpus / pages/s at 8 cpus) / 4",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "run_8": results[8],
+        "run_32": results[32],
+        "sf": _sf_of(SF_DIR),
+    }))
+
+
+if __name__ == "__main__":
+    if "--headline-once" in sys.argv:
+        i = sys.argv.index("--headline-once")
+        n_cpus, n_pages = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        r = run_headline(n_cpus, n_pages)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(r))
+    elif "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -151,30 +151,161 @@ def point_stats_arrow(
     return pa.table(cols)
 
 
-def pack_mstate(tbl: pa.Table) -> pa.Table:
-    """Pack (n, mean, M2, M3, M4) into one fixed_size_list<double, 5> column
-    ``mstate`` (the custom-merge payload) and drop the unpacked moment cols
-    (``n`` stays — it merges exactly via built-in Sum and is used by the
-    cascade/finalize as an int)."""
+# state-vector layout == POINT_STAT_COLUMNS order; named indices:
+N_, SUM_W_, SUM_WV_, MEAN_, M2_, M3_, M4_, VMIN_, VMAX_, ST1_, ST2_, STV_ = \
+    range(12)
+
+STATE_WIDTH = len(POINT_STAT_COLUMNS)
+
+
+def pack_state(tbl: pa.Table, key_cols: list) -> pa.Table:
+    """Pack ALL 12 sufficient statistics into one
+    fixed_size_list<double, 12> column ``state``.
+
+    One packed column -> ONE custom aggregate at the shuffle merge (one
+    Python-level call per group instead of ten separate aggregate objects)
+    and a denser shuffle payload (no per-column Arrow overhead)."""
     g = len(tbl)
-    flat = np.empty(g * 5, dtype=np.float64)
-    flat[0::5] = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    for j, c in enumerate(("mean", "M2", "M3", "M4"), start=1):
-        flat[j::5] = tbl[c].to_numpy(zero_copy_only=False)
-    mstate = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), 5)
-    out = tbl.drop_columns(["mean", "M2", "M3", "M4"])
-    return out.append_column("mstate", mstate)
+    flat = np.empty(g * STATE_WIDTH, dtype=np.float64)
+    for j, c in enumerate(POINT_STAT_COLUMNS):
+        flat[j::STATE_WIDTH] = tbl[c].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+    state = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat, pa.float64()), STATE_WIDTH)
+    return pa.table({**{k: tbl[k] for k in key_cols}, "state": state})
 
 
-def unpack_mstate(tbl: pa.Table) -> pa.Table:
-    """Inverse of pack_mstate (after the shuffle merge)."""
-    col = tbl["mstate"]
+def state_matrix(col) -> np.ndarray:
+    """state column -> (n_rows, 12) float64 matrix, zero-copy when possible."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    mat = np.asarray(col.to_pylist(), dtype=np.float64).reshape(len(tbl), 5)
-    out = tbl.drop_columns(["mstate"])
-    for j, c in enumerate(("mean", "M2", "M3", "M4"), start=1):
+    if isinstance(col, (pa.FixedSizeListArray, pa.ListArray,
+                        pa.LargeListArray)):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(-1, STATE_WIDTH)
+    return np.asarray(col.to_pylist(), dtype=np.float64).reshape(
+        -1, STATE_WIDTH)
+
+
+def unpack_state(tbl: pa.Table) -> pa.Table:
+    """Inverse of pack_state: state column -> the 12 named stat columns."""
+    mat = state_matrix(tbl["state"])
+    out = tbl.drop_columns(["state"])
+    for j, c in enumerate(POINT_STAT_COLUMNS):
         out = out.append_column(c, pa.array(mat[:, j], pa.float64()))
+    return out
+
+
+def merge_state_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Merge two 12-wide state vectors: plain sums + min/max + Pébay."""
+    na, nb = a[N_], b[N_]
+    if na == 0:
+        return np.array(b, dtype=np.float64)
+    if nb == 0:
+        return np.array(a, dtype=np.float64)
+    out = np.empty(STATE_WIDTH, dtype=np.float64)
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+        out[j] = a[j] + b[j]
+    out[VMIN_] = min(a[VMIN_], b[VMIN_])
+    out[VMAX_] = max(a[VMAX_], b[VMAX_])
+    n, mean, M2, M3, M4 = merge_moments_pair(
+        (na, a[MEAN_], a[M2_], a[M3_], a[M4_]),
+        (nb, b[MEAN_], b[M2_], b[M3_], b[M4_]),
+    )
+    out[N_], out[MEAN_], out[M2_], out[M3_], out[M4_] = n, mean, M2, M3, M4
+    return out
+
+
+def merge_state_pairs_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized merge of row-aligned state matrices a[i] ⊕ b[i].
+
+    Same algebra as merge_state_pair, as numpy array ops over all pairs at
+    once — the inner kernel of the segmented sort-merge reduce."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = np.empty_like(a)
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+        out[:, j] = a[:, j] + b[:, j]
+    out[:, VMIN_] = np.minimum(a[:, VMIN_], b[:, VMIN_])
+    out[:, VMAX_] = np.maximum(a[:, VMAX_], b[:, VMAX_])
+    na, nb = a[:, N_], b[:, N_]
+    ma, mb = a[:, MEAN_], b[:, MEAN_]
+    M2a, M2b = a[:, M2_], b[:, M2_]
+    M3a, M3b = a[:, M3_], b[:, M3_]
+    M4a, M4b = a[:, M4_], b[:, M4_]
+    n = na + nb
+    with np.errstate(invalid="ignore", divide="ignore"):
+        delta = mb - ma
+        mean = ma + delta * (nb / n)
+        M2 = M2a + M2b + delta * delta * (na * nb / n)
+        M3 = (M3a + M3b
+              + delta**3 * (na * nb * (na - nb) / (n * n))
+              + 3.0 * delta * (na * M2b - nb * M2a) / n)
+        M4 = (M4a + M4b
+              + delta**4 * (na * nb * (na * na - na * nb + nb * nb) / (n**3))
+              + 6.0 * delta * delta * (na * na * M2b + nb * nb * M2a) / (n * n)
+              + 4.0 * delta * (na * M3b - nb * M3a) / n)
+    # empty-side identities (na or nb == 0): take the other side verbatim
+    a_empty = na == 0
+    b_empty = nb == 0
+    out[:, N_] = np.where(a_empty, nb, np.where(b_empty, na, n))
+    for j, merged in ((MEAN_, mean), (M2_, M2), (M3_, M3), (M4_, M4)):
+        out[:, j] = np.where(a_empty, b[:, j],
+                             np.where(b_empty, a[:, j], merged))
+    return out
+
+
+def segmented_state_merge(mat: np.ndarray, inv: np.ndarray):
+    """Reduce state rows by group code, fully vectorized.
+
+    ``mat`` (k, 12) MUST be ordered so equal ``inv`` codes are contiguous
+    (sorted-by-key blocks guarantee this).  Iteratively merges adjacent
+    same-group pairs — O(log max_multiplicity) numpy passes, no Python
+    per-group loop.  Returns (merged matrix, group codes) with one row per
+    distinct code, original code order preserved.
+    """
+    mat = np.array(mat, dtype=np.float64)  # copy: arrow views are read-only
+    inv = np.asarray(inv)
+    while len(inv) > 1:
+        same = inv[:-1] == inv[1:]
+        if not same.any():
+            break
+        k = len(inv)
+        starts = np.empty(k, dtype=bool)
+        starts[0] = True
+        starts[1:] = inv[1:] != inv[:-1]
+        pos = np.arange(k) - np.maximum.accumulate(
+            np.where(starts, np.arange(k), 0))
+        is_left = np.zeros(k, dtype=bool)
+        is_left[:-1] = same & (pos[:-1] % 2 == 0)
+        left = np.nonzero(is_left)[0]
+        right = left + 1
+        mat[left] = merge_state_pairs_vec(mat[left], mat[right])
+        keep = np.ones(k, dtype=bool)
+        keep[right] = False
+        mat = mat[keep]
+        inv = inv[keep]
+    return mat, inv
+
+
+def merge_state_rows(mat: np.ndarray) -> np.ndarray:
+    """Reduce a (k, 12) state matrix to one vector.
+
+    Plain columns reduce vectorized; the moment quadruple folds via Pébay
+    (k is the per-(group, block) multiplicity — almost always 1-3 rows)."""
+    if mat.shape[0] == 1:
+        return mat[0].astype(np.float64, copy=True)
+    out = np.empty(STATE_WIDTH, dtype=np.float64)
+    for j in (N_, SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+        out[j] = mat[:, j].sum()
+    out[VMIN_] = mat[:, VMIN_].min()
+    out[VMAX_] = mat[:, VMAX_].max()
+    acc = (0.0, 0.0, 0.0, 0.0, 0.0)
+    for i in range(mat.shape[0]):
+        acc = merge_moments_pair(
+            acc, (mat[i, N_], mat[i, MEAN_], mat[i, M2_], mat[i, M3_],
+                  mat[i, M4_]))
+    out[N_], out[MEAN_], out[M2_], out[M3_], out[M4_] = acc
     return out
 
 

@@ -62,6 +62,10 @@ class RollupConfig:
     extract_concurrency: tuple = (2, 8)
     extract_batch_size: int = 512
     points_batch_size: int = 65536
+    # read fan-out hint: small page shards default to one read task per
+    # couple of files, serializing the parquet+html decode; raise this to
+    # ~#files (or #cpus) for small-file inputs
+    read_num_blocks: int | None = None
     # broadcast threshold for the beyond pass: above this many rollup rows
     # the stats lookup table should switch to a hash-partitioned Dataset.join
     # of points with stats instead of a driver broadcast (documented scale
@@ -77,7 +81,8 @@ def points_dataset(cfg: RollupConfig):
         ds = rd.read_parquet(cfg.input_paths, columns=cfg.read_columns)
         return ds
     if cfg.input_kind == "pages":
-        ds = rd.read_parquet(cfg.input_paths)
+        ds = rd.read_parquet(cfg.input_paths,
+                             override_num_blocks=cfg.read_num_blocks)
         ds = ds.map_batches(
             ExtractTextStage,
             batch_format="pyarrow",
@@ -166,7 +171,6 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     feats_pd = {tier: ds.to_pandas() for tier, ds in features_by_tier.items()}
     total = sum(len(df) for df in feats_pd.values())
@@ -185,10 +189,16 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # The partial counts are ≤ one row per (key, tier) per block — the same
+    # rollup scale as the feature table that is ALREADY driver-side for the
+    # broadcast (guarded by beyond_broadcast_limit above), so the final
+    # integer-sum combine is a driver-side pandas groupby: a distributed
+    # groupby here would pay Ray's per-group dispatch for a plain int sum.
     counts = (
-        beyond.groupby(["lang", "domain", "tier", "bucket_ts_us"])
-        .aggregate(Sum("n_beyond", alias_name="n_beyond"))
-        .to_pandas()
+        beyond.to_pandas()
+        .groupby(["lang", "domain", "tier", "bucket_ts_us"], sort=False,
+                 as_index=False)["n_beyond"]
+        .sum()
     )
     out = {}
     for tier, df in feats_pd.items():
@@ -249,6 +259,11 @@ def run_rollup(cfg: RollupConfig) -> dict:
         rollup = rollup.union(features[tier])
     if cfg.gapfill:
         rollup = gapfilled(rollup)
+    if cfg.gorilla or cfg.out_dir:
+        # two+ consumers (series branch / parquet sink / caller) — pin the
+        # rollup-scale result so the gap-fill chain executes once, not per
+        # consumer (lazy Datasets re-execute shared upstream otherwise)
+        rollup = rollup.materialize()
     series = gorilla_series(rollup) if cfg.gorilla else None
 
     out_paths = None

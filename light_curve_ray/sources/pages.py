@@ -33,9 +33,11 @@ _HTML_TEMPLATE = (
     "<html><head><title>{title}</title><script>var t={i};</script>"
     "<style>.x{{color:red}}</style></head>"
     "<body><h1>{title} &amp; more</h1><p>{para} &lt;tag&gt; café "
-    "ünicode — {i}</p><div>{para2}</div>"
+    "ünicode — {i}</p><div>{para2}</div>{body}"
     "<noscript>ignored</noscript></body></html>"
 )
+
+_PARA_TEMPLATE = '<div class="s{j}"><h2>sec {j}</h2><p>{words}</p></div>'
 
 
 def _paragraph(rng: np.random.RandomState, n: int) -> str:
@@ -47,6 +49,7 @@ def generate_pages_table(
     n_domains: int = 20,
     seed: int = 42,
     dup_frac: float = 0.01,
+    page_kb: float = 1.0,
 ) -> pa.Table:
     """Build the pages table as one pyarrow Table (pure function of args)."""
     rng = np.random.RandomState(seed)
@@ -78,15 +81,23 @@ def generate_pages_table(
         path_i[i] = counters[d]
         counters[d] += 1
 
+    # extra body sections sized so each page lands near ``page_kb`` KB —
+    # Common-Crawl-like pages are multi-KB, and per-page size is what makes
+    # the extract stage's compute meaningful in benchmarks
+    n_paras = max(0, int((page_kb * 1024 - 400) // 300))
     urls, htmls, texts, langs = [], [], [], []
     for i in range(n_rows):
         d = domain_ids[i]
         urls.append(f"https://{domain_names[d]}/page/{path_i[i]}")
         para = _paragraph(rng, 8 + int(rng.randint(0, 40)))
         para2 = _paragraph(rng, 4 + int(rng.randint(0, 20)))
+        body = "".join(
+            _PARA_TEMPLATE.format(j=j, words=_paragraph(rng, 45))
+            for j in range(n_paras)
+        )
         htmls.append(
             _HTML_TEMPLATE.format(
-                title=f"doc {i}", i=i, para=para, para2=para2
+                title=f"doc {i}", i=i, para=para, para2=para2, body=body
             ).encode("utf-8")
         )
         texts.append(para if rng.rand() < 0.3 else None)  # pass-through path
@@ -115,6 +126,7 @@ def write_pages_parquet(
     n_domains: int,
     seed: int = 42,
     rows_per_file: int = 250_000,
+    page_kb: float = 1.0,
 ) -> list:
     """Write the pages table as multiple parquet files (shards) so Ray Data
     gets block-per-fragment parallelism.  Returns the file paths."""
@@ -125,7 +137,8 @@ def write_pages_parquet(
     shard = 0
     for start in range(0, n_rows, rows_per_file):
         n = min(rows_per_file, n_rows - start)
-        tbl = generate_pages_table(n, n_domains, seed=seed + shard)
+        tbl = generate_pages_table(n, n_domains, seed=seed + shard,
+                                   page_kb=page_kb)
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
         pq.write_table(tbl, path)
         paths.append(path)

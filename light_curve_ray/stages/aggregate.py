@@ -4,14 +4,14 @@ mergeable shuffle-side reduce.
 Scale design: a bare ``groupby().aggregate()`` shuffles every point row.
 Here every block first collapses to one row per (lang, domain, bucket) via
 vectorized segmented reduction (kernels/moments.point_stats_arrow), so the
-all-to-all exchange moves partial-stat rows (≤ one per key per block).  The
-shuffle-side merge is Ray's built-in vectorized Sum/Min/Max for the plain
-sums plus ONE custom mergeable aggregate — ``MomentMerge``, the streaming
-Welford/Pébay central-moment combiner (north_star: "streaming
-Welford/moment accumulators") — for (n, mean, M2, M3, M4), packed into a
-single fixed_size_list<double,5> ``mstate`` column.  Central-moment form is
-a correctness requirement, not a style choice: raw power sums cancel
-catastrophically when |mean| >> std (see kernels/moments.py docstring).
+all-to-all exchange moves partial-stat rows (≤ one per key per block), each
+carrying ALL 12 sufficient statistics packed into one
+fixed_size_list<double,12> ``state`` column.  The shuffle-side merge is ONE
+custom mergeable aggregate — ``StateMerge``, plain sums + min/max + the
+streaming Welford/Pébay central-moment combiner (north_star: "streaming
+Welford/moment accumulators").  Central-moment form is a correctness
+requirement, not a style choice: raw power sums cancel catastrophically
+when |mean| >> std (see kernels/moments.py docstring).
 
 This map-side combine is also the skew mitigation: a Zipf-hot domain
 contributes at most #blocks partial rows to its key, never #points, so no
@@ -29,15 +29,23 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..kernels.moments import (
+    N_,
     POINT_STAT_COLUMNS,
+    ST1_,
+    ST2_,
+    STATE_WIDTH,
+    STV_,
+    MEAN_,
     finalize_features,
-    merge_moments_pair,
-    merge_moments_rows,
-    pack_mstate,
+    merge_state_pair,
+    merge_state_rows,
+    pack_state,
     point_stats_arrow,
-    unpack_mstate,
+    state_matrix,
+    unpack_state,
 )
 
 KEY_COLS = ["lang", "domain", "bucket_ts_us"]
@@ -46,13 +54,9 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 # NULL semantics line up between engine output and oracle SQL.
 _NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis", "linear_trend_slope")
 
-# plain-sum / min / max partial columns (cancellation-free, built-in merge)
-_SUM_COLS = ("sum_w", "sum_wv", "st1", "st2", "stv")
-
-
 def make_partial_stats_fn(step_us: int):
     """map_batches fn: points block -> per-(lang,domain,bucket) partials
-    with the moment state packed for the custom merge."""
+    with ALL sufficient statistics packed into the ``state`` column."""
 
     def partial_stats(batch: pa.Table) -> pa.Table:
         # exact int64 floor-to-bucket (kernels/grid.bucket_floor semantics);
@@ -62,62 +66,131 @@ def make_partial_stats_fn(step_us: int):
         bucket = (t_us // step_us) * step_us
         batch = batch.append_column("bucket_ts_us", pa.array(bucket, pa.int64()))
         stats = point_stats_arrow(batch, KEY_COLS, bucket_col="bucket_ts_us")
-        return pack_mstate(stats)
+        return pack_state(stats, KEY_COLS)
 
     return partial_stats
 
 
-class MomentMerge:
-    """Ray AggregateFnV2: Pébay merge of packed (n, mean, M2, M3, M4).
+class StateMerge:
+    """Ray AggregateFnV2: merge the packed 12-wide sufficient-statistic
+    state (plain sums + min/max + Pébay central moments) in ONE aggregate.
 
-    One Python-level merge per (group, block) — the partial rows are already
-    one-per-key-per-block, so this is rollup-scale work, never point-scale.
+    A single aggregate object means one Python-level call per (group,
+    block) at the shuffle merge — with ten separate aggregates the
+    per-group dispatch overhead dominated the merge stage ~10x.  The
+    partial rows are already one-per-key-per-block, so this is
+    rollup-scale work, never point-scale.
     """
 
-    def __new__(cls, on: str = "mstate", alias_name: str = "mstate"):
+    def __new__(cls, on: str = "state", alias_name: str = "state"):
         from ray.data.aggregate import AggregateFnV2
         from ray.data.block import BlockAccessor
 
-        class _MomentMerge(AggregateFnV2):
+        zero = np.zeros(STATE_WIDTH, dtype=np.float64)
+
+        class _StateMerge(AggregateFnV2):
             def __init__(self):
                 super().__init__(
                     alias_name,
-                    zero_factory=lambda: (0.0, 0.0, 0.0, 0.0, 0.0),
+                    zero_factory=lambda: zero,
                     on=on,
                     ignore_nulls=True,
                 )
 
             def aggregate_block(self, block):
                 tbl = BlockAccessor.for_block(block).to_arrow()
-                col = tbl[on]
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-                mat = np.asarray(col.to_pylist(), dtype=np.float64)
-                if mat.size == 0:
-                    return (0.0, 0.0, 0.0, 0.0, 0.0)
-                return merge_moments_rows(mat.reshape(-1, 5))
+                mat = state_matrix(tbl[on])
+                if mat.shape[0] == 0:
+                    return zero
+                return merge_state_rows(mat)
 
             def combine(self, current, new):
-                return merge_moments_pair(tuple(current), tuple(new))
+                return merge_state_pair(np.asarray(current),
+                                        np.asarray(new))
 
             def finalize(self, acc):
                 return list(acc)
 
-        return _MomentMerge()
+        return _StateMerge()
+
+
+def _block_state_merge(batch: pa.Table) -> pa.Table:
+    """Vectorized within-block merge: one state row per key in the block,
+    plus a ``boundary`` flag on each block's first/last key (the only keys
+    whose partial rows can continue into a neighboring sorted block)."""
+    from ..kernels.moments import _group_codes, segmented_state_merge
+
+    if len(batch) == 0:
+        return batch.append_column("boundary", pa.array([], pa.bool_()))
+    inv, _ = _group_codes(batch, KEY_COLS)
+    # rows arrive key-sorted, so equal keys are contiguous; rebuild
+    # positional run codes (equal inv <-> equal key) for the segmented merge
+    changed = np.empty(len(batch), dtype=bool)
+    changed[0] = True
+    changed[1:] = inv[1:] != inv[:-1]
+    order_codes = np.cumsum(changed) - 1
+    mat = state_matrix(batch["state"])
+    merged, codes = segmented_state_merge(mat, order_codes)
+    first_rows = np.nonzero(changed)[0]
+    keys = {k: pc.take(batch[k], pa.array(first_rows, pa.int64()))
+            for k in KEY_COLS}
+    state = pa.FixedSizeListArray.from_arrays(
+        pa.array(merged.ravel(), pa.float64()), STATE_WIDTH)
+    g = len(first_rows)
+    boundary = np.zeros(g, dtype=bool)
+    boundary[0] = True
+    boundary[-1] = True
+    return pa.table({**keys, "state": state,
+                     "boundary": pa.array(boundary, pa.bool_())})
 
 
 def merge_partials(ds):
-    """Shuffle-side merge: groupby key; built-in Sum/Min/Max for plain
-    sums, MomentMerge for the packed central-moment state."""
-    from ray.data.aggregate import Max, Min, Sum
+    """Shuffle-side merge: sort by key (the one all-to-all exchange), then
+    a fully VECTORIZED segmented Pébay reduce per sorted block.
 
-    aggs = [Sum("n", alias_name="n")]
-    for col in _SUM_COLS:
-        aggs.append(Sum(col, alias_name=col))
-    aggs.append(Min("vmin", alias_name="vmin"))
-    aggs.append(Max("vmax", alias_name="vmax"))
-    aggs.append(MomentMerge())
-    return ds.groupby(KEY_COLS).aggregate(*aggs)
+    Sorted order makes every key's partial rows contiguous, so a key that
+    is not its block's first or last key is completely merged inside that
+    block (exact, no cross-block traffic).  Only the ≤2 boundary keys per
+    block need resolution; that residual is ~2 rows/block — collapsed in a
+    single partition with the same vectorized kernel.  This avoids Ray's
+    per-group Python dispatch in groupby().aggregate(), which dominated the
+    merge stage ~3x at 45k groups.  (The single-partition residual merge
+    holds to ~1e6-block jobs ≈ 300 MB; beyond that, repeat the sort-merge
+    pass hierarchically.)
+    """
+    merged = ds.sort(KEY_COLS).map_batches(
+        _block_state_merge, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _interior(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(batch["boundary"])
+        return batch.filter(mask).drop_columns(["boundary"])
+
+    def _boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["boundary"]).drop_columns(["boundary"])
+
+    def _final_merge(batch: pa.Table) -> pa.Table:
+        out = _block_state_merge(batch)
+        return out.drop_columns(["boundary"])
+
+    interior = merged.map_batches(_interior, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    residual = (
+        merged.map_batches(_boundary, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(_final_merge, batch_format="pyarrow", batch_size=None)
+    )
+    return interior.union(residual)
+
+
+def merge_partials_agg(ds):
+    """Alternative merge via Ray groupby + the StateMerge aggregate.
+
+    Same algebra, Ray-native topology; kept for cross-checking (tests) and
+    as the fallback when inputs are not sortable."""
+    return ds.groupby(KEY_COLS).aggregate(StateMerge())
 
 
 def shift_stats(batch: pa.Table, to_step_us: int) -> pa.Table:
@@ -133,26 +206,24 @@ def shift_stats(batch: pa.Table, to_step_us: int) -> pa.Table:
     fine = batch["bucket_ts_us"].to_numpy(zero_copy_only=False)
     coarse = (fine // to_step_us) * to_step_us
     c = (fine - coarse) / 1e6
-    n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    st1 = batch["st1"].to_numpy(zero_copy_only=False)
-    st2 = batch["st2"].to_numpy(zero_copy_only=False)
-    stv = batch["stv"].to_numpy(zero_copy_only=False)
-    mstate = batch["mstate"]
-    if isinstance(mstate, pa.ChunkedArray):
-        mstate = mstate.combine_chunks()
-    mean = np.asarray(mstate.to_pylist(), dtype=np.float64).reshape(-1, 5)[:, 1]
-    s1 = mean * n
+    mat = state_matrix(batch["state"]).copy()
+    n = mat[:, N_]
+    st1 = mat[:, ST1_].copy()
+    s1 = mat[:, MEAN_] * n
+    mat[:, ST1_] = st1 + n * c
+    mat[:, ST2_] = mat[:, ST2_] + 2.0 * c * st1 + n * c * c
+    mat[:, STV_] = mat[:, STV_] + c * s1
+    state = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel(), pa.float64()), STATE_WIDTH)
     out = {name: batch[name] for name in batch.column_names}
     out["bucket_ts_us"] = pa.array(coarse, pa.int64())
-    out["st1"] = pa.array(st1 + n * c, pa.float64())
-    out["st2"] = pa.array(st2 + 2.0 * c * st1 + n * c * c, pa.float64())
-    out["stv"] = pa.array(stv + c * s1, pa.float64())
+    out["state"] = state
     return pa.table(out)
 
 
 def finalize_stats_batch(batch: pa.Table, tier: str) -> pa.Table:
     """Merged stats -> feature columns (+ tier tag); NaN -> Arrow null."""
-    batch = unpack_mstate(batch)
+    batch = unpack_state(batch)
     stats = {c: batch[c].to_numpy(zero_copy_only=False)
              for c in POINT_STAT_COLUMNS}
     feats = finalize_features(stats)
