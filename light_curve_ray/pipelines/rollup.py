@@ -7,8 +7,9 @@ rollup-scale, ~10^3-10^4x smaller than the input):
     read_parquet (O1, column-pruned)
       -> map_batches ExtractTextStage         (O2, actor pool, arrow, stateful)
       -> map_batches pages_to_points          (O3-O5, stateless, vectorized)
-      -> map_batches partial stats [1h]       (map-side combine, arrow C++)
-      -> groupby(lang,domain,bucket).Sum/Min/Max   (THE shuffle — partial rows)
+      -> map_batches partial stats [1h]       (map-side combine, packed state,
+                                               optional hot-domain salting)
+      -> sort(key) + vectorized Pébay merge   (THE shuffle — partial rows)
       -> per tier: shift_stats + re-merge     (cascade: 1d/30d from 1h stats)
       -> finalize features                    (vectorized)
       -> beyond_1_std second pass             (broadcast stats, map-side counts)
@@ -54,12 +55,23 @@ class RollupConfig:
     weight_col: str | None = None
     read_columns: list | None = None
     tiers: tuple = ("1h", "1d", "30d")
+    # skew handling (north rule: explicit salting for hot domains): when
+    # True, a cheap sampling pre-pass finds Zipf-head domains and their
+    # points get salted partial keys (stages/aggregate.make_partial_stats_fn)
+    salt_hot_domains: bool = False
+    n_salt: int = 16
     n_std: float = 1.0
     gapfill: bool = True
     gorilla: bool = True
     compute_beyond: bool = True
     out_dir: str | None = None
     extract_concurrency: tuple = (2, 8)
+    # "actors": fixed/autoscaling actor pool (stateful-stage pattern;
+    # required when per-worker state is expensive).  "tasks": stateless
+    # map_batches with a once-per-worker-process cached stage — lets reads
+    # and extraction share the whole CPU budget instead of a static slot
+    # split (better throughput when stage state is cheap, like this parser).
+    extract_mode: str = "actors"
     extract_batch_size: int = 512
     points_batch_size: int = 65536
     # read fan-out hint: small page shards default to one read task per
@@ -71,6 +83,14 @@ class RollupConfig:
     # of points with stats instead of a driver broadcast (documented scale
     # path; the sandbox datasets stay far below it).
     beyond_broadcast_limit: int = 5_000_000
+    # adaptive tail: once the POINTS have been aggregated, the rollup is
+    # ~10^3-10^4x smaller.  When the merged fine-tier stats are under this
+    # many rows, the cascade/finalize/gap-fill/Gorilla tail runs vectorized
+    # in-process (same kernels) instead of as 6+ distributed stages whose
+    # scheduling overhead (~7 s) dwarfs their sub-second compute.  A
+    # 10^12-doc crawl produces >> this many series-buckets and takes the
+    # distributed tail.  0 forces the distributed tail (tests).
+    small_rollup_limit: int = 2_000_000
 
 
 def points_dataset(cfg: RollupConfig):
@@ -81,15 +101,60 @@ def points_dataset(cfg: RollupConfig):
         ds = rd.read_parquet(cfg.input_paths, columns=cfg.read_columns)
         return ds
     if cfg.input_kind == "pages":
+        if cfg.extract_mode == "fused":
+            import glob as _glob
+            import os as _os
+
+            from ..stages.extract import FusedPagesToPointsStage
+
+            paths = cfg.input_paths
+            if not isinstance(paths, (list, tuple)):
+                if _os.path.isdir(paths):
+                    paths = sorted(_glob.glob(_os.path.join(paths,
+                                                            "*.parquet")))
+                else:
+                    paths = [paths]
+            conc = cfg.extract_concurrency
+            if isinstance(conc, int):
+                conc = max(2, conc)
+            # one work item per ROW GROUP (sub-file granularity -> smooth
+            # task waves across the pool; falls back to whole files)
+            import pyarrow.parquet as _pq
+
+            items = []
+            for p in paths:
+                n_rg = _pq.ParquetFile(p).metadata.num_row_groups
+                if n_rg > 1:
+                    items.extend({"path": p, "rg": i} for i in range(n_rg))
+                else:
+                    items.append({"path": p, "rg": -1})
+            return rd.from_items(
+                items, override_num_blocks=len(items),
+            ).map_batches(
+                FusedPagesToPointsStage,
+                batch_format="pyarrow",
+                batch_size=1,
+                concurrency=conc,
+                num_cpus=1,
+            )
         ds = rd.read_parquet(cfg.input_paths,
                              override_num_blocks=cfg.read_num_blocks)
-        ds = ds.map_batches(
-            ExtractTextStage,
-            batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
-            concurrency=cfg.extract_concurrency,
-            num_cpus=1,
-        )
+        if cfg.extract_mode == "tasks":
+            from ..stages.extract import extract_text_task
+
+            ds = ds.map_batches(
+                extract_text_task,
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+            )
+        else:
+            ds = ds.map_batches(
+                ExtractTextStage,
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+                concurrency=cfg.extract_concurrency,
+                num_cpus=1,
+            )
         return ds.map_batches(
             pages_to_points,
             batch_format="pyarrow",
@@ -119,21 +184,26 @@ def points_dataset(cfg: RollupConfig):
     )
 
 
-def tier_stats(points_ds, tiers: tuple):
+def tier_stats(points_ds, tiers: tuple, hot_domains: frozenset | None = None,
+               n_salt: int = 16):
     """O6 merge stage: dict tier -> merged sufficient-stats Dataset.
 
     Raw points are scanned and shuffled ONCE, at the finest requested tier;
     coarser tiers cascade from the merged fine stats (shift + re-merge) —
     the re-merge input is rollup-scale, so those shuffles are tiny.
+    ``hot_domains``: Zipf-head domains whose partials get salted keys.
     """
     ordered = sorted(tiers, key=lambda t: TIER_STEP_US[t])
     fine = ordered[0]
     fine_partials = points_ds.map_batches(
-        make_partial_stats_fn(TIER_STEP_US[fine]),
+        make_partial_stats_fn(TIER_STEP_US[fine], hot_domains=hot_domains,
+                              n_salt=n_salt),
         batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    stats = {fine: merge_partials(fine_partials).materialize()}
+        batch_size=65536,  # bundle small upstream blocks: the map-side
+        zero_copy_batch=True,  # combine collapses per BATCH, and the sort
+    )                          # cost scales with partial-row count
+    stats = {fine: merge_partials(
+        fine_partials, salted=bool(hot_domains)).materialize()}
     for tier in ordered[1:]:
         step = TIER_STEP_US[tier]
 
@@ -169,10 +239,19 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
     ``cfg.beyond_broadcast_limit`` rows the design switches to
     Dataset.join(points, stats) — documented, not needed at sandbox scale.
     """
-    import ray
     import ray.data as rd
 
     feats_pd = {tier: ds.to_pandas() for tier, ds in features_by_tier.items()}
+    out_pd = attach_beyond_pd(feats_pd, points_ds, n_std, cfg)
+    return {tier: rd.from_pandas(df) for tier, df in out_pd.items()}
+
+
+def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
+                     cfg: RollupConfig) -> dict:
+    """Core of the beyond pass over driver-side feature frames; the points
+    partial-count map stays distributed."""
+    import ray
+
     total = sum(len(df) for df in feats_pd.values())
     if total > cfg.beyond_broadcast_limit:
         raise NotImplementedError(
@@ -187,6 +266,7 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
     beyond = points_ds.map_batches(
         make_beyond_partial_fn(ref, n_std=n_std),
         batch_format="pyarrow",
+        batch_size=cfg.points_batch_size,
         zero_copy_batch=True,
     )
     # The partial counts are ≤ one row per (key, tier) per block — the same
@@ -209,7 +289,7 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
             frac = nb / m["n"].to_numpy(dtype=np.float64)
         m["beyond_1_std"] = frac
         m = m.drop(columns=["n_beyond"])
-        out[tier] = rd.from_pandas(m)
+        out[tier] = m
     return out
 
 
@@ -227,10 +307,85 @@ def gorilla_series(rollup_ds):
     )
 
 
+def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,
+                phases: dict, t0: float) -> dict:
+    """Adaptive in-process tail (cfg.small_rollup_limit): cascade,
+    finalize, beyond, gap-fill and Gorilla run vectorized on the driver
+    with the SAME kernels as the distributed tail — the merged rollup is
+    orders of magnitude smaller than the input, and six sub-second
+    distributed stages otherwise cost ~7 s of pure scheduling.  The
+    distributed tail (forced with small_rollup_limit=0) is pinned equal by
+    tests/test_rollup.py."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.aggregate import driver_merge_states
+
+    t1 = time.monotonic()
+    tables = [t for t in ray.get(fine_stats.to_arrow_refs()) if len(t)]
+    fine_tbl = pa.concat_tables(tables).combine_chunks()
+    fine = ordered[0]
+    stats_tbl = {fine: fine_tbl}
+    for tier in ordered[1:]:
+        shifted = shift_stats(fine_tbl, TIER_STEP_US[tier])
+        stats_tbl[tier] = driver_merge_states(shifted)
+    feats_pd = {tier: finalize_stats_batch(tbl, tier).to_pandas()
+                for tier, tbl in stats_tbl.items()}
+    phases["tier_stats"] = round(time.monotonic() - t1, 3)
+    t1 = time.monotonic()
+    if cfg.compute_beyond:
+        feats_pd = attach_beyond_pd(feats_pd, points, cfg.n_std, cfg)
+        phases["beyond"] = round(time.monotonic() - t1, 3)
+    else:
+        for df in feats_pd.values():
+            df["beyond_1_std"] = np.nan
+    rollup_df = pd.concat([feats_pd[t] for t in cfg.tiers],
+                          ignore_index=True)
+    t1 = time.monotonic()
+    if cfg.gapfill:
+        rollup_df = (
+            rollup_df.groupby(["lang", "domain", "tier"], sort=False,
+                              group_keys=False)
+            .apply(gapfill_group)
+            .reset_index(drop=True)
+        )
+    phases["gapfill"] = round(time.monotonic() - t1, 3)
+    t1 = time.monotonic()
+    series_df = None
+    if cfg.gorilla:
+        series_df = (
+            rollup_df.groupby(["lang", "domain", "tier"], sort=False,
+                              group_keys=False)
+            .apply(gorilla_group)
+            .reset_index(drop=True)
+        )
+    phases["gorilla"] = round(time.monotonic() - t1, 3)
+    phases["tail_mode"] = "driver"
+    rollup = rd.from_pandas(rollup_df)
+    series = rd.from_pandas(series_df) if series_df is not None else None
+    out_paths = None
+    if cfg.out_dir:
+        rollup_dir = f"{cfg.out_dir}/rollup"
+        rollup.write_parquet(rollup_dir, partition_cols=["tier"])
+        out_paths = {"rollup": rollup_dir}
+        if series is not None:
+            series_dir = f"{cfg.out_dir}/series"
+            series.write_parquet(series_dir, partition_cols=["tier"])
+            out_paths["series"] = series_dir
+    return {
+        "rollup": rollup,
+        "series": series,
+        "wall_time_s": time.monotonic() - t0,
+        "phases": phases,
+        "out": out_paths,
+    }
+
+
 def run_rollup(cfg: RollupConfig) -> dict:
     """Full pipeline; returns {'rollup': Dataset, 'series': Dataset|None,
     'wall_time_s': float, 'out': paths|None}."""
     t0 = time.monotonic()
+    phases = {}
     points = points_dataset(cfg)
     if cfg.compute_beyond:
         # points are consumed by two passes (stats + beyond); materialize the
@@ -238,10 +393,45 @@ def run_rollup(cfg: RollupConfig) -> dict:
         # scale this would be a parquet checkpoint (state/manifest.py); in
         # object-store terms points are ~1000x smaller than raw pages.
         points = points.materialize()
-    stats = tier_stats(points, cfg.tiers)
+    phases["points"] = round(time.monotonic() - t0, 3)
+    hot = None
+    if cfg.salt_hot_domains:
+        from ..stages.aggregate import detect_hot_domains
+
+        hot = detect_hot_domains(points)
+    # fine-tier partials + merge: THE distributed all-to-all, always
+    ordered = sorted(cfg.tiers, key=lambda t: TIER_STEP_US[t])
+    fine = ordered[0]
+    t1 = time.monotonic()
+    fine_partials = points.map_batches(
+        make_partial_stats_fn(TIER_STEP_US[fine], hot_domains=hot,
+                              n_salt=cfg.n_salt),
+        batch_format="pyarrow", batch_size=cfg.points_batch_size,
+        zero_copy_batch=True,
+    )
+    fine_stats = merge_partials(fine_partials, salted=bool(hot)).materialize()
+    phases["fine_merge"] = round(time.monotonic() - t1, 3)
+    if 0 < fine_stats.count() <= cfg.small_rollup_limit:
+        return _small_tail(cfg, fine_stats, points, ordered, phases, t0)
+
+    # distributed tail: cascade + finalize + beyond + gapfill + gorilla
+    t1 = time.monotonic()
+    stats = {fine: fine_stats}
+    for tier in ordered[1:]:
+        step = TIER_STEP_US[tier]
+
+        def _shift(batch: pa.Table, _step=step) -> pa.Table:
+            return shift_stats(batch, _step)
+
+        shifted = fine_stats.map_batches(
+            _shift, batch_format="pyarrow", zero_copy_batch=True)
+        stats[tier] = merge_partials(shifted)
+    phases["tier_stats"] = round(time.monotonic() - t1, 3)
     features = finalize_tiers(stats)
+    t1 = time.monotonic()
     if cfg.compute_beyond:
         features = attach_beyond(features, points, cfg.n_std, cfg)
+        phases["beyond"] = round(time.monotonic() - t1, 3)
     else:
         import ray.data as rd
 
@@ -257,6 +447,7 @@ def run_rollup(cfg: RollupConfig) -> dict:
     rollup = features[cfg.tiers[0]]
     for tier in cfg.tiers[1:]:
         rollup = rollup.union(features[tier])
+    t1 = time.monotonic()
     if cfg.gapfill:
         rollup = gapfilled(rollup)
     if cfg.gorilla or cfg.out_dir:
@@ -264,7 +455,10 @@ def run_rollup(cfg: RollupConfig) -> dict:
         # rollup-scale result so the gap-fill chain executes once, not per
         # consumer (lazy Datasets re-execute shared upstream otherwise)
         rollup = rollup.materialize()
-    series = gorilla_series(rollup) if cfg.gorilla else None
+    phases["gapfill"] = round(time.monotonic() - t1, 3)
+    t1 = time.monotonic()
+    series = gorilla_series(rollup).materialize() if cfg.gorilla else None
+    phases["gorilla"] = round(time.monotonic() - t1, 3)
 
     out_paths = None
     if cfg.out_dir:
@@ -279,5 +473,6 @@ def run_rollup(cfg: RollupConfig) -> dict:
         "rollup": rollup,
         "series": series,
         "wall_time_s": time.monotonic() - t0,
+        "phases": phases,
         "out": out_paths,
     }

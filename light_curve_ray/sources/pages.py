@@ -127,6 +127,7 @@ def write_pages_parquet(
     seed: int = 42,
     rows_per_file: int = 250_000,
     page_kb: float = 1.0,
+    row_group_size: int | None = None,
 ) -> list:
     """Write the pages table as multiple parquet files (shards) so Ray Data
     gets block-per-fragment parallelism.  Returns the file paths."""
@@ -140,7 +141,9 @@ def write_pages_parquet(
         tbl = generate_pages_table(n, n_domains, seed=seed + shard,
                                    page_kb=page_kb)
         path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
-        pq.write_table(tbl, path)
+        # small row groups give readers (and the fused read+extract actor
+        # stage) sub-file task granularity — less straggler quantization
+        pq.write_table(tbl, path, row_group_size=row_group_size)
         paths.append(path)
         shard += 1
     return paths

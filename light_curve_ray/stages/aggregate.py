@@ -13,10 +13,13 @@ Welford/moment accumulators").  Central-moment form is a correctness
 requirement, not a style choice: raw power sums cancel catastrophically
 when |mean| >> std (see kernels/moments.py docstring).
 
-This map-side combine is also the skew mitigation: a Zipf-hot domain
-contributes at most #blocks partial rows to its key, never #points, so no
-explicit salting is needed on this path (SURVEY §4; documented hot-key
-bound).
+Skew handling is two-layer (SURVEY §4; north rule "explicit salting for hot
+domains"): (1) the map-side combine bounds any key at #blocks partial rows,
+never #points; (2) for Zipf-head domains found by the sampling pre-pass
+(``detect_hot_domains``), partials carry an extra ``salt`` key component so
+the hot key's rows spread across n_salt sort positions at the shuffle, then
+a second rollup-scale pass collapses the salts
+(``merge_partials(salted=True)``).
 
 Tier cascade (1h -> 1d -> 30d): coarser tiers re-bucket the *hourly
 partials*, not the raw points — moment states and sums merge unchanged, and
@@ -54,9 +57,18 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 # NULL semantics line up between engine output and oracle SQL.
 _NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis", "linear_trend_slope")
 
-def make_partial_stats_fn(step_us: int):
+def make_partial_stats_fn(step_us: int, hot_domains: frozenset | None = None,
+                          n_salt: int = 16):
     """map_batches fn: points block -> per-(lang,domain,bucket) partials
-    with ALL sufficient statistics packed into the ``state`` column."""
+    with ALL sufficient statistics packed into the ``state`` column.
+
+    ``hot_domains`` (optional): domains from the skew pre-pass
+    (detect_hot_domains).  Points of a hot domain get a deterministic
+    ``salt`` in [0, n_salt) derived from t_us, splitting that key's partial
+    rows across ``n_salt`` merge keys so no single reducer position owns a
+    Zipf head; everyone else gets salt 0.  merge_partials(salted=True)
+    collapses the salts afterwards (north rule: explicit salting for hot
+    domains)."""
 
     def partial_stats(batch: pa.Table) -> pa.Table:
         # exact int64 floor-to-bucket (kernels/grid.bucket_floor semantics);
@@ -65,8 +77,20 @@ def make_partial_stats_fn(step_us: int):
         t_us = batch["t_us"].to_numpy(zero_copy_only=False)
         bucket = (t_us // step_us) * step_us
         batch = batch.append_column("bucket_ts_us", pa.array(bucket, pa.int64()))
-        stats = point_stats_arrow(batch, KEY_COLS, bucket_col="bucket_ts_us")
-        return pack_state(stats, KEY_COLS)
+        key_cols = KEY_COLS
+        if hot_domains:
+            domains = batch["domain"].to_numpy(zero_copy_only=False)
+            hot = np.isin(domains, list(hot_domains))
+            # mix t_us so salt is uniform within a bucket (t_us % n_salt
+            # would alias with regular cadences)
+            mixed = (t_us.astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            salt = np.where(hot, mixed % np.uint64(n_salt),
+                            np.uint64(0)).astype(np.int32)
+            batch = batch.append_column("salt", pa.array(salt, pa.int32()))
+            key_cols = KEY_COLS + ["salt"]
+        stats = point_stats_arrow(batch, key_cols, bucket_col="bucket_ts_us")
+        return pack_state(stats, key_cols)
 
     return partial_stats
 
@@ -114,15 +138,16 @@ class StateMerge:
         return _StateMerge()
 
 
-def _block_state_merge(batch: pa.Table) -> pa.Table:
+def _block_state_merge(batch: pa.Table, key_cols: list = None) -> pa.Table:
     """Vectorized within-block merge: one state row per key in the block,
     plus a ``boundary`` flag on each block's first/last key (the only keys
     whose partial rows can continue into a neighboring sorted block)."""
     from ..kernels.moments import _group_codes, segmented_state_merge
 
+    key_cols = key_cols or KEY_COLS
     if len(batch) == 0:
         return batch.append_column("boundary", pa.array([], pa.bool_()))
-    inv, _ = _group_codes(batch, KEY_COLS)
+    inv, _ = _group_codes(batch, key_cols)
     # rows arrive key-sorted, so equal keys are contiguous; rebuild
     # positional run codes (equal inv <-> equal key) for the segmented merge
     changed = np.empty(len(batch), dtype=bool)
@@ -133,7 +158,7 @@ def _block_state_merge(batch: pa.Table) -> pa.Table:
     merged, codes = segmented_state_merge(mat, order_codes)
     first_rows = np.nonzero(changed)[0]
     keys = {k: pc.take(batch[k], pa.array(first_rows, pa.int64()))
-            for k in KEY_COLS}
+            for k in key_cols}
     state = pa.FixedSizeListArray.from_arrays(
         pa.array(merged.ravel(), pa.float64()), STATE_WIDTH)
     g = len(first_rows)
@@ -144,7 +169,7 @@ def _block_state_merge(batch: pa.Table) -> pa.Table:
                      "boundary": pa.array(boundary, pa.bool_())})
 
 
-def merge_partials(ds):
+def merge_partials(ds, salted: bool = False):
     """Shuffle-side merge: sort by key (the one all-to-all exchange), then
     a fully VECTORIZED segmented Pébay reduce per sorted block.
 
@@ -157,9 +182,20 @@ def merge_partials(ds):
     merge stage ~3x at 45k groups.  (The single-partition residual merge
     holds to ~1e6-block jobs ≈ 300 MB; beyond that, repeat the sort-merge
     pass hierarchically.)
+
+    ``salted=True``: partials carry a ``salt`` key component (hot-domain
+    skew split, make_partial_stats_fn).  The first merge runs over
+    key+salt — spreading a hot key across n_salt sort positions — and a
+    second pass over the (rollup × n_salt)-scale result collapses the
+    salts.
     """
-    merged = ds.sort(KEY_COLS).map_batches(
-        _block_state_merge, batch_format="pyarrow", batch_size=None,
+    key_cols = KEY_COLS + ["salt"] if salted else KEY_COLS
+
+    def _block_merge(batch: pa.Table) -> pa.Table:
+        return _block_state_merge(batch, key_cols)
+
+    merged = ds.sort(key_cols).map_batches(
+        _block_merge, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     ).materialize()
 
@@ -171,7 +207,7 @@ def merge_partials(ds):
         return batch.filter(batch["boundary"]).drop_columns(["boundary"])
 
     def _final_merge(batch: pa.Table) -> pa.Table:
-        out = _block_state_merge(batch)
+        out = _block_state_merge(batch, key_cols)
         return out.drop_columns(["boundary"])
 
     interior = merged.map_batches(_interior, batch_format="pyarrow",
@@ -182,7 +218,67 @@ def merge_partials(ds):
         .repartition(1)
         .map_batches(_final_merge, batch_format="pyarrow", batch_size=None)
     )
-    return interior.union(residual)
+    out = interior.union(residual)
+    if salted:
+        out = out.map_batches(
+            lambda b: b.drop_columns(["salt"]), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = merge_partials(out, salted=False)
+    return out
+
+
+def detect_hot_domains(points_ds, top_frac: float = 0.001,
+                       min_share: float = 0.01, sample_blocks: int = 8):
+    """Skew pre-pass (SURVEY §4): sample blocks, count points per domain,
+    return domains holding more than ``min_share`` of sampled points.
+
+    Cheap by construction: reads a handful of blocks, never the full
+    dataset.  The result is a driver-side frozenset broadcast into
+    make_partial_stats_fn."""
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    total = 0
+    for batch in points_ds.limit(
+            sample_blocks * 65536).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        domains = batch["domain"].to_pylist()
+        counts.update(domains)
+        total += len(domains)
+        if total >= sample_blocks * 65536:
+            break
+    if total == 0:
+        return frozenset()
+    return frozenset(d for d, c in counts.most_common(
+        max(1, int(len(counts) * top_frac) + 8))
+        if c / total >= min_share)
+
+
+def driver_merge_states(tbl: pa.Table, key_cols: list = None) -> pa.Table:
+    """In-process vectorized merge of a (keys..., state) table.
+
+    Same segmented Pébay kernel as the distributed path; used by the
+    adaptive small-rollup tail and the single-process oracle."""
+    from ..kernels.moments import _group_codes, segmented_state_merge
+
+    key_cols = key_cols or KEY_COLS
+    if len(tbl) == 0:
+        return tbl
+    inv, _ = _group_codes(tbl, key_cols)
+    order = np.argsort(inv, kind="stable")
+    mat = state_matrix(tbl["state"])[order]
+    inv_sorted = inv[order]
+    merged, _codes = segmented_state_merge(mat, inv_sorted)
+    changed = np.empty(len(order), dtype=bool)
+    changed[0] = True
+    changed[1:] = inv_sorted[1:] != inv_sorted[:-1]
+    first_rows = order[np.nonzero(changed)[0]]
+    keys = {k: pc.take(tbl[k], pa.array(first_rows, pa.int64()))
+            for k in key_cols}
+    state = pa.FixedSizeListArray.from_arrays(
+        pa.array(merged.ravel(), pa.float64()), STATE_WIDTH)
+    return pa.table({**keys, "state": state})
 
 
 def merge_partials_agg(ds):

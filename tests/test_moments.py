@@ -128,3 +128,86 @@ def test_degenerate_constant_series():
     assert np.isnan(f["skew"][0]) and np.isnan(f["kurtosis"][0])
     assert f["std"][0] == 0.0
     assert f["amplitude"][0] == 0.0
+
+
+def test_salted_rollup_equals_unsalted(ray_session):
+    """Explicit hot-domain salting (north rule) is a pure partitioning
+    change: salted and unsalted paths produce identical features on a
+    Zipf-skewed corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.pipelines.rollup import tier_stats
+    from light_curve_ray.stages.aggregate import finalize_stats_batch
+
+    rng = np.random.RandomState(5)
+    n = 20000
+    # 90% of points on one hot domain
+    domains = np.where(rng.rand(n) < 0.9, "hot.example.org",
+                       rng.choice(["a.org", "b.org", "c.org"], n))
+    t_us = (1_700_000_000_000_000
+            + rng.randint(0, 3 * 86_400_000_000, n)).astype(np.int64)
+    pts = pa.table({
+        "lang": pa.array(["en"] * n), "domain": pa.array(domains),
+        "t_us": pa.array(t_us, pa.int64()),
+        "v": pa.array(rng.lognormal(5, 1, n), pa.float64()),
+        "w": pa.array(np.ones(n), pa.float64()),
+    })
+    ds = rd.from_arrow(pts).repartition(8).materialize()
+
+    def run(hot):
+        stats = tier_stats(ds, ("1h",), hot_domains=hot, n_salt=8)
+        out = stats["1h"].map_batches(
+            lambda b: finalize_stats_batch(b, "1h"), batch_format="pyarrow"
+        ).to_pandas()
+        return out.sort_values(["domain", "bucket_ts_us"]).reset_index(
+            drop=True)
+
+    plain = run(None)
+    salted = run(frozenset({"hot.example.org"}))
+    assert len(plain) == len(salted)
+    np.testing.assert_array_equal(plain["n"], salted["n"])
+    for col in ["mean", "std", "skew", "kurtosis", "linear_trend_slope"]:
+        g = plain[col].to_numpy(np.float64)
+        e = salted[col].to_numpy(np.float64)
+        ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) <= 1e-9 * np.maximum(1, np.abs(e)))
+        assert bool(np.all(ok)), col
+
+
+def test_statemerge_agg_matches_sort_merge(ray_session):
+    """The groupby+StateMerge fallback computes the same merged stats as
+    the primary sort-based vectorized merge."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.aggregate import (
+        make_partial_stats_fn,
+        merge_partials,
+        merge_partials_agg,
+        unpack_state,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 5000
+    pts = pa.table({
+        "lang": pa.array(rng.choice(["en", "de"], n)),
+        "domain": pa.array(rng.choice(["a.org", "b.org", "c.org"], n)),
+        "t_us": pa.array(rng.randint(0, 10 * 3_600_000_000, n), pa.int64()),
+        "v": pa.array(rng.normal(100, 10, n), pa.float64()),
+        "w": pa.array(np.ones(n), pa.float64()),
+    })
+    partials = (rd.from_arrow(pts).repartition(6)
+                .map_batches(make_partial_stats_fn(3_600_000_000),
+                             batch_format="pyarrow")
+                .materialize())
+
+    def collect(ds):
+        out = ds.map_batches(unpack_state, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["lang", "domain", "bucket_ts_us"]).reset_index(drop=True)
+
+    a = collect(merge_partials(partials))
+    b = collect(merge_partials_agg(partials))
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["n"], b["n"])
+    for c in ["mean", "M2", "M3", "M4", "vmin", "vmax", "st1", "st2", "stv"]:
+        np.testing.assert_allclose(a[c], b[c], rtol=1e-9, atol=1e-9)

@@ -115,3 +115,50 @@ def test_tier_cascade_equals_direct(ray_session, pages_dir):
         e = m[f"{col}_e"].to_numpy(dtype=np.float64)
         ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) < 1e-8 * np.maximum(1, np.abs(e)))
         assert bool(np.all(ok)), col
+
+
+def test_driver_tail_equals_distributed_tail(ray_session, pages_dir):
+    """The adaptive in-process tail (small_rollup_limit) and the forced
+    distributed tail produce identical rollups and equivalent series."""
+    d, tbl = pages_dir
+    base = dict(input_paths=d, input_kind="pages", tiers=("1h", "1d"),
+                extract_concurrency=2)
+    small = run_rollup(RollupConfig(**base))  # default: driver tail
+    assert small["phases"].get("tail_mode") == "driver"
+    dist = run_rollup(RollupConfig(**base, small_rollup_limit=0))
+    assert "tail_mode" not in dist["phases"]
+
+    a = _sorted(small["rollup"].to_pandas())
+    b = _sorted(dist["rollup"].to_pandas())
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["n"], b["n"])
+    np.testing.assert_array_equal(a["filled"], b["filled"])
+    for col in ["mean", "wmean", "std", "skew", "kurtosis", "amplitude",
+                "beyond_1_std", "linear_trend_slope"]:
+        g = a[col].to_numpy(np.float64)
+        e = b[col].to_numpy(np.float64)
+        ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) <= 1e-9 * np.maximum(1, np.abs(e)))
+        assert bool(np.all(ok)), col
+
+    sa = small["series"].to_pandas().sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
+    sb = dist["series"].to_pandas().sort_values(["lang", "domain", "tier"]).reset_index(drop=True)
+    assert list(sa["n_buckets"]) == list(sb["n_buckets"])
+
+
+def test_fused_extract_equals_split(ray_session, pages_dir):
+    """Fused read+extract+project actors produce the same points as the
+    split read -> actor-pool topology."""
+    from light_curve_ray.pipelines.rollup import points_dataset
+
+    d, tbl = pages_dir
+    split = points_dataset(RollupConfig(
+        input_paths=d, input_kind="pages", extract_concurrency=2))
+    fused = points_dataset(RollupConfig(
+        input_paths=d, input_kind="pages", extract_mode="fused",
+        extract_concurrency=2))
+    a = split.to_pandas().sort_values(["domain", "t_us", "v"]).reset_index(drop=True)
+    b = fused.to_pandas().sort_values(["domain", "t_us", "v"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["lang", "domain", "t_us"]:
+        assert list(a[c]) == list(b[c]), c
+    np.testing.assert_array_equal(a["v"], b["v"])
