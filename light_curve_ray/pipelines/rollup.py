@@ -55,6 +55,11 @@ class RollupConfig:
     weight_col: str | None = None
     read_columns: list | None = None
     tiers: tuple = ("1h", "1d", "30d")
+    # O10: drop duplicate (url, warc_ts) pages (re-crawled in overlapping
+    # dumps) before extraction.  Costs a pages-scale sort shuffle, so it is
+    # opt-in; requires the split extract path (the fused reader never
+    # materializes a pages dataset to dedup).
+    dedup_pages: bool = False
     # skew handling (north rule: explicit salting for hot domains): when
     # True, a cheap sampling pre-pass finds Zipf-head domains and their
     # points get salted partial keys (stages/aggregate.make_partial_stats_fn)
@@ -101,6 +106,9 @@ def points_dataset(cfg: RollupConfig):
         ds = rd.read_parquet(cfg.input_paths, columns=cfg.read_columns)
         return ds
     if cfg.input_kind == "pages":
+        if cfg.dedup_pages and cfg.extract_mode == "fused":
+            raise ValueError("dedup_pages requires extract_mode "
+                             "'actors' or 'tasks' (split read path)")
         if cfg.extract_mode == "fused":
             import glob as _glob
             import os as _os
@@ -139,6 +147,10 @@ def points_dataset(cfg: RollupConfig):
             )
         ds = rd.read_parquet(cfg.input_paths,
                              override_num_blocks=cfg.read_num_blocks)
+        if cfg.dedup_pages:
+            from ..stages.dedup import dedup_rows_sorted
+
+            ds = dedup_rows_sorted(ds, ["url", "warc_ts"])
         if cfg.extract_mode == "tasks":
             from ..stages.extract import extract_text_task
 

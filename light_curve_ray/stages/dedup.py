@@ -85,6 +85,60 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns([id_col, "n_copies"])
 
 
+def dedup_rows_sorted(ds, key_cols: list):
+    """Drop duplicate rows by ``key_cols``, keeping one row per key —
+    the O10 pages dedup (same (url, warc_ts) re-crawled in overlapping
+    dumps), scalable form.
+
+    Same topology as the stats merge (stages/aggregate.merge_partials):
+    sort by key (the one all-to-all), drop duplicates inside each sorted
+    block vectorized, and resolve only each block's first/last key — the
+    only keys that can straddle block boundaries — in a single tiny
+    residual partition.  No per-group Python, no full-row groupby.
+    """
+    import pyarrow.compute as pc
+
+    def _first_per_key(batch: pa.Table, mark_boundary: bool) -> pa.Table:
+        if len(batch) == 0:
+            if mark_boundary:
+                return batch.append_column("boundary",
+                                           pa.array([], pa.bool_()))
+            return batch
+        from ..kernels.moments import _group_codes
+
+        inv, _ = _group_codes(batch, key_cols)
+        changed = np.empty(len(batch), dtype=bool)
+        changed[0] = True
+        changed[1:] = inv[1:] != inv[:-1]
+        first_rows = np.nonzero(changed)[0]
+        out = batch.take(pa.array(first_rows, pa.int64()))
+        if mark_boundary:
+            boundary = np.zeros(len(first_rows), dtype=bool)
+            boundary[0] = True
+            boundary[-1] = True
+            out = out.append_column("boundary",
+                                    pa.array(boundary, pa.bool_()))
+        return out
+
+    deduped = ds.sort(key_cols).map_batches(
+        lambda b: _first_per_key(b, True), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
+    ).materialize()
+    interior = deduped.map_batches(
+        lambda b: b.filter(pc.invert(b["boundary"])).drop_columns(
+            ["boundary"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    residual = (
+        deduped.map_batches(
+            lambda b: b.filter(b["boundary"]).drop_columns(["boundary"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(lambda b: _first_per_key(b, False),
+                     batch_format="pyarrow", batch_size=None)
+    )
+    return interior.union(residual)
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHashStage:

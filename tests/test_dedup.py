@@ -118,3 +118,35 @@ def test_minhash_stage_matches_kernel(ray_session, dup_corpus):
             shingle_hashes(dup_corpus[i][1].split(), k=3), num_perm=64)
         got = np.frombuffer(out["sig"][i].as_py(), dtype=np.uint64)
         np.testing.assert_array_equal(got, expected)
+
+
+def test_pages_dedup_rows(ray_session, tmp_path):
+    """O10: duplicate (url, warc_ts) pages dropped before rollup; the
+    synthetic corpus plants ~1% duplicates."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from light_curve_ray.sources.pages import generate_pages_table
+    from light_curve_ray.stages.dedup import dedup_rows_sorted
+
+    tbl = generate_pages_table(n_rows=800, n_domains=10, seed=7,
+                               dup_frac=0.05)
+    f = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, f)
+    n_unique = len({(u, t) for u, t in
+                    zip(tbl["url"].to_pylist(), tbl["warc_ts"].to_pylist())})
+    assert n_unique < len(tbl)  # duplicates planted
+    out = dedup_rows_sorted(rd.read_parquet(f), ["url", "warc_ts"])
+    df = out.to_pandas()
+    assert len(df) == n_unique
+    assert not df.duplicated(["url", "warc_ts"]).any()
+
+    # end-to-end: rollup over deduped pages counts each page once
+    from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+
+    res = run_rollup(RollupConfig(input_paths=f, input_kind="pages",
+                                  dedup_pages=True, tiers=("30d",),
+                                  gapfill=False, gorilla=False,
+                                  extract_concurrency=2))
+    total_n = res["rollup"].to_pandas()["n"].sum()
+    assert total_n == n_unique
