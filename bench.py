@@ -163,11 +163,50 @@ def _warm_page_cache(d: str) -> None:
                 pass
 
 
+def run_extract_stage(num_cpus: int, n_pages: int) -> dict:
+    """Compute-stage-only scaling evidence: pages pre-materialized in the
+    object store (read excluded), timed extract+project through the actor
+    pool.  Isolates the parallel-compute scaling from read I/O and
+    single-box memory-bandwidth coupling."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from light_curve_ray.stages.extract import ExtractTextStage
+    from light_curve_ray.stages.project import pages_to_points
+
+    pages = _pages_dir(n_pages)
+    ds = rd.read_parquet(pages).materialize()  # untimed: input in store
+    conc = max(2, num_cpus - 2)
+    # warmup pool
+    ds.limit(2000).map_batches(ExtractTextStage, batch_format="pyarrow",
+                               batch_size=512, concurrency=conc,
+                               num_cpus=1).materialize()
+    t0 = time.monotonic()
+    pts = (ds.map_batches(ExtractTextStage, batch_format="pyarrow",
+                          batch_size=512, concurrency=conc, num_cpus=1)
+           .map_batches(pages_to_points, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .materialize())
+    wall = time.monotonic() - t0
+    return {"wall_s": round(wall, 3), "pages": n_pages,
+            "rows": pts.count(), "pages_per_s": round(n_pages / wall, 1),
+            "num_cpus": num_cpus}
+
+
 def main_scaling():
     """Fresh-process runs at 8 and 32 CPUs -> scaling efficiency."""
     d = _pages_dir(SCALE_PAGES)  # materialize input once, outside timed runs
     _warm_page_cache(d)
     results = {}
+    stage = {}
     for n in (8, 32):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-once",
@@ -175,22 +214,40 @@ def main_scaling():
             capture_output=True, text=True, timeout=3600,
             env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        results[n] = json.loads(line)
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-once",
+             str(n), str(SCALE_PAGES)],
+            capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(n)},
+        )
+        stage[n] = json.loads(proc.stdout.strip().splitlines()[-1])
     t8, t32 = results[8]["pages_per_s"], results[32]["pages_per_s"]
     eff = (t32 / t8) / 4.0
+    s8, s32 = stage[8]["pages_per_s"], stage[32]["pages_per_s"]
+    eff_stage = (s32 / s8) / 4.0
     print(json.dumps({
         "metric": "scaling efficiency (pages/s at 32 cpus / pages/s at 8 cpus) / 4",
         "value": round(eff, 3),
         "unit": "efficiency",
         "run_8": results[8],
         "run_32": results[32],
+        "extract_stage_efficiency": round(eff_stage, 3),
+        "extract_stage_8": stage[8],
+        "extract_stage_32": stage[32],
         "sf": _sf_of(SF_DIR),
     }))
 
 
 if __name__ == "__main__":
-    if "--headline-once" in sys.argv:
+    if "--extract-once" in sys.argv:
+        i = sys.argv.index("--extract-once")
+        r = run_extract_stage(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(r))
+    elif "--headline-once" in sys.argv:
         i = sys.argv.index("--headline-once")
         n_cpus, n_pages = int(sys.argv[i + 1]), int(sys.argv[i + 2])
         r = run_headline(n_cpus, n_pages)
