@@ -306,17 +306,25 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
 
 
 def gapfilled(rollup_ds):
-    """O7: densify each (lang, domain, tier) series over its bucket grid."""
-    return rollup_ds.groupby(SERIES_KEY).map_groups(
-        gapfill_group, batch_format="pandas"
-    )
+    """O7: densify each (lang, domain, tier) series over its bucket grid.
+
+    Runs via sorted_group_map (sort + in-block per-run apply + boundary
+    residual) instead of groupby().map_groups — no per-series Ray dispatch,
+    which matters when series count reaches web scale."""
+    from ..stages.gapfill import GAPFILL_SCHEMA, gapfill_group_arrow
+    from ..stages.sorted_groups import sorted_group_map
+
+    return sorted_group_map(rollup_ds, SERIES_KEY, gapfill_group_arrow,
+                            GAPFILL_SCHEMA)
 
 
 def gorilla_series(rollup_ds):
     """O8: one Gorilla blob per (lang, domain, tier) series."""
-    return rollup_ds.groupby(SERIES_KEY).map_groups(
-        gorilla_group, batch_format="pandas"
-    )
+    from ..stages.gapfill import GORILLA_SCHEMA, gorilla_group_arrow
+    from ..stages.sorted_groups import sorted_group_map
+
+    return sorted_group_map(rollup_ds, SERIES_KEY, gorilla_group_arrow,
+                            GORILLA_SCHEMA)
 
 
 def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,

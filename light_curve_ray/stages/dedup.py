@@ -175,24 +175,27 @@ class MinHashStage:
 
 def _expand_bands(batch: pa.Table, bands: int, num_perm: int,
                   id_col: str) -> pa.Table:
-    """(id, sig) -> bands rows of (band, band_key, id, sig)."""
-    ids = batch[id_col].to_pylist()
-    sigs = batch["sig"].to_pylist()
-    rows_per = num_perm // bands
-    out_band, out_key, out_id, out_sig = [], [], [], []
-    for i, blob in enumerate(sigs):
-        sig = np.frombuffer(blob, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig[b * rows_per:(b + 1) * rows_per]
-            out_band.append(b)
-            out_key.append(_U64_TO_I64(np.uint64(fnv1a64(chunk.tobytes()))))
-            out_id.append(ids[i])
-            out_sig.append(blob)
+    """(id, sig) -> bands rows of (band, band_key, id, sig), vectorized."""
+    from ..kernels.hashing import band_key_matrix
+
+    n = len(batch)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    sig_col = batch["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sig_list = sig_col.to_pylist()
+    blob = b"".join(sig_list)
+    sigs = np.frombuffer(blob, dtype=np.uint64).reshape(n, num_perm)
+    keys = band_key_matrix(sigs, bands)  # (n, bands) uint64
+    # NOTE: bytes must NOT round-trip through numpy ('S' dtype strips
+    # trailing null bytes); repeat in Python, aligned with np.repeat(ids)
+    rep_sigs = [b for b in sig_list for _ in range(bands)]
     return pa.table({
-        "band": pa.array(out_band, pa.int32()),
-        "band_key": pa.array(out_key, pa.int64()),
-        id_col: pa.array(out_id),
-        "sig": pa.array(out_sig, pa.binary()),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                         pa.int32()),
+        "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+        id_col: pa.array(np.repeat(ids, bands)),
+        "sig": pa.array(rep_sigs, pa.binary()),
     })
 
 
@@ -229,10 +232,8 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         seed: int = 42):
     """Near-duplicate candidate pairs (doc_a < doc_b, est_jaccard).
 
-    shingle -> minhash -> band -> bucket groupby -> pair emit -> pair dedupe.
+    shingle -> minhash -> band -> sorted-bucket pair emit -> pair dedupe.
     """
-    from ray.data.aggregate import Max
-
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
@@ -249,11 +250,14 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     def _pairs(group: pa.Table) -> pa.Table:
         return _bucket_pairs(group, id_col, threshold, max_bucket)
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        _pairs, batch_format="pyarrow")
-    # a pair found in k bands appears k times; keep one (est identical)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    from .sorted_groups import sorted_group_map
+
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("est_jaccard", pa.float64())])
+    pairs = sorted_group_map(banded, ["band", "band_key"], _pairs,
+                             pairs_schema, min_group_size=2)
+    # a pair found in k bands appears k times with identical est; keep one
+    return dedup_rows_sorted(pairs, ["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------------ simhash
@@ -292,8 +296,6 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Banding: 4 bands of 16 bits; any pair with d ≤ 3 shares ≥1 exact band
     (pigeonhole), so bucket-local comparison finds all such pairs.
     """
-    from ray.data.aggregate import Min
-
     sigs = simhash_dataset(ds, id_col, text_col)
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -336,10 +338,14 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "hamming": pa.array(d_out, pa.int64()),
         })
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        _pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    from .sorted_groups import sorted_group_map
+
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("hamming", pa.int64())])
+    pairs = sorted_group_map(banded, ["band", "band_key"], _pairs,
+                             pairs_schema, min_group_size=2)
+    # identical pair -> identical signatures -> identical hamming; keep one
+    return dedup_rows_sorted(pairs, ["doc_a", "doc_b"])
 
 
 # -------------------------------------------------------- jaccard verify

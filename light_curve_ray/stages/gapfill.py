@@ -33,6 +33,32 @@ ROLLUP_FEATURES = [
     "beyond_1_std", "linear_trend_slope",
 ]
 
+import pyarrow as pa
+
+GAPFILL_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("domain", pa.string()), ("tier", pa.string()),
+     ("bucket_ts_us", pa.int64()), ("n", pa.int64())]
+    + [(c, pa.float64()) for c in ROLLUP_FEATURES if c != "n"]
+    + [("filled", pa.bool_())]
+)
+
+GORILLA_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("domain", pa.string()), ("tier", pa.string()),
+    ("n_buckets", pa.int64()), ("n_filled", pa.int64()),
+    ("points_gorilla", pa.binary()),
+])
+
+
+def gapfill_group_arrow(group: pa.Table) -> pa.Table:
+    """Arrow wrapper for sorted_group_map (stages/sorted_groups)."""
+    return pa.Table.from_pandas(gapfill_group(group.to_pandas()),
+                                schema=GAPFILL_SCHEMA, preserve_index=False)
+
+
+def gorilla_group_arrow(group: pa.Table) -> pa.Table:
+    return pa.Table.from_pandas(gorilla_group(group.to_pandas()),
+                                schema=GORILLA_SCHEMA, preserve_index=False)
+
 
 def gapfill_group(g: pd.DataFrame) -> pd.DataFrame:
     """map_groups fn over (lang, domain, tier): densify the bucket grid."""
