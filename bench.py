@@ -17,7 +17,7 @@ N -> 4N-node criterion (BASELINE.md).
 
 Environment: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
 (default 32), LCR_BENCH_PAGES (headline page count, default 100000),
-LCR_SCALE_PAGES (scaling-run page count, default 600000), LCR_BENCH_PAGE_KB
+LCR_SCALE_PAGES (scaling-run page count, default 1200000; round-1 evidence used 10000000), LCR_BENCH_PAGE_KB
 (page size, default 6).  This script OWNS its Ray session (drivers that
 pre-init Ray must import __ray_entry__ instead).
 """
@@ -54,12 +54,16 @@ def _pages_dir(n_pages: int) -> str:
     d = f"/tmp/lcr_bench_pages_{n_pages}_{N_DOMAINS}_{PAGE_KB:g}kb_rg2500"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
-        from light_curve_ray.sources.pages import write_pages_parquet
-
-        write_pages_parquet(d, n_rows=n_pages, n_domains=N_DOMAINS,
-                            rows_per_file=10_000, page_kb=PAGE_KB,
-                            row_group_size=2500)
-        open(marker, "w").write("ok")
+        # parallel generation (tools/gen_corpus.py writes the identical
+        # shards the sequential writer would: per-shard seed, 10k rows,
+        # 2500-row groups)
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "gen_corpus.py"),
+             str(n_pages), f"{PAGE_KB:g}"],
+            check=True, timeout=7200,
+        )
     return d
 
 
@@ -164,10 +168,14 @@ def _warm_page_cache(d: str) -> None:
 
 
 def run_extract_stage(num_cpus: int, n_pages: int) -> dict:
-    """Compute-stage-only scaling evidence: pages pre-materialized in the
-    object store (read excluded), timed extract+project through the actor
-    pool.  Isolates the parallel-compute scaling from read I/O and
-    single-box memory-bandwidth coupling."""
+    """Points-stage scaling evidence: the fused read+extract+project actor
+    stage (the real pipeline's compute-dominant stage) timed alone on a
+    corpus slice, pool pre-warmed.  (An earlier variant measured the
+    abandoned split topology — streaming object-store-resident pages
+    through a separate extract pool — which is object-store-bandwidth
+    bound and anti-scales; that is WHY the fused path is the default.)"""
+    import glob as _glob
+
     import ray
 
     if not ray.is_initialized():
@@ -177,27 +185,28 @@ def run_extract_stage(num_cpus: int, n_pages: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    import ray.data as rd
+    from light_curve_ray.pipelines.rollup import (
+        RollupConfig,
+        points_dataset,
+    )
 
-    from light_curve_ray.stages.extract import ExtractTextStage
-    from light_curve_ray.stages.project import pages_to_points
+    cap_pages = min(n_pages, 2_000_000)
+    files = sorted(_glob.glob(os.path.join(_pages_dir(n_pages),
+                                           "*.parquet")))
+    files = files[:max(1, cap_pages // 10_000)]
+    conc = max(2, num_cpus - 1)
 
-    pages = _pages_dir(n_pages)
-    ds = rd.read_parquet(pages).materialize()  # untimed: input in store
-    conc = max(2, num_cpus - 2)
-    # warmup pool
-    ds.limit(2000).map_batches(ExtractTextStage, batch_format="pyarrow",
-                               batch_size=512, concurrency=conc,
-                               num_cpus=1).materialize()
+    def cfg(paths):
+        return RollupConfig(input_paths=paths, input_kind="pages",
+                            extract_mode="fused",
+                            extract_concurrency=conc)
+
+    points_dataset(cfg(files[:max(2, conc // 3)])).materialize()  # warm
     t0 = time.monotonic()
-    pts = (ds.map_batches(ExtractTextStage, batch_format="pyarrow",
-                          batch_size=512, concurrency=conc, num_cpus=1)
-           .map_batches(pages_to_points, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .materialize())
+    pts = points_dataset(cfg(files)).materialize()
     wall = time.monotonic() - t0
-    return {"wall_s": round(wall, 3), "pages": n_pages,
-            "rows": pts.count(), "pages_per_s": round(n_pages / wall, 1),
+    return {"wall_s": round(wall, 3), "pages": cap_pages,
+            "rows": pts.count(), "pages_per_s": round(cap_pages / wall, 1),
             "num_cpus": num_cpus}
 
 
@@ -208,6 +217,7 @@ def main_scaling():
     results = {}
     stage = {}
     for n in (8, 32):
+        time.sleep(5)  # let the previous Ray session's processes settle
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-once",
              str(n), str(SCALE_PAGES)],
@@ -232,9 +242,9 @@ def main_scaling():
         "unit": "efficiency",
         "run_8": results[8],
         "run_32": results[32],
-        "extract_stage_efficiency": round(eff_stage, 3),
-        "extract_stage_8": stage[8],
-        "extract_stage_32": stage[32],
+        "points_stage_efficiency": round(eff_stage, 3),
+        "points_stage_8": stage[8],
+        "points_stage_32": stage[32],
         "sf": _sf_of(SF_DIR),
     }))
 

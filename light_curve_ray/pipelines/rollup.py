@@ -78,7 +78,10 @@ class RollupConfig:
     # split (better throughput when stage state is cheap, like this parser).
     extract_mode: str = "actors"
     extract_batch_size: int = 512
-    points_batch_size: int = 65536
+    # map-side combine batch: the partial collapse ratio is
+    # batch_size / keys-touched-per-batch, so big batches matter when key
+    # cardinality is high (65k keys x 65k batch -> almost no collapse)
+    points_batch_size: int = 262144
     # read fan-out hint: small page shards default to one read task per
     # couple of files, serializing the parquet+html decode; raise this to
     # ~#files (or #cpus) for small-file inputs

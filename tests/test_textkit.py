@@ -127,3 +127,18 @@ class TestHashing:
         b = np.array([2, 3, 4], dtype=np.uint64)
         assert hashing.jaccard(a, b) == 0.5
         assert hashing.jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 1.0
+
+
+def test_fast_extract_equals_parser_on_corpus():
+    """The default regex kernel is byte-identical to the stdlib-parser
+    kernel across the whole synthetic corpus (well-formed pages)."""
+    from light_curve_ray.kernels.textkit import (
+        extract_text,
+        extract_text_parser,
+    )
+    from light_curve_ray.sources.pages import generate_pages_table
+
+    tbl = generate_pages_table(n_rows=500, n_domains=20, seed=123,
+                               page_kb=3.0)
+    for h in tbl["html"].to_pylist():
+        assert extract_text(h).encode() == extract_text_parser(h).encode()
