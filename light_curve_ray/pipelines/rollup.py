@@ -246,19 +246,111 @@ def finalize_tiers(stats_by_tier: dict):
 def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupConfig):
     """beyond_n_std second pass (exact by definition needs final mean/std).
 
-    Broadcast path: the per-bucket (mean, std) lookup — the SMALL side — is
-    ray.put() once and read inside every map task; points stream through a
-    partial-count map_batches, then a rollup-scale groupby-sum.  The final
-    combine is a driver-side pandas merge because both sides are rollup-scale
-    (the features table was already collected to build the broadcast).  Above
-    ``cfg.beyond_broadcast_limit`` rows the design switches to
-    Dataset.join(points, stats) — documented, not needed at sandbox scale.
-    """
+    Broadcast path (rollup fits the driver): the per-bucket (mean, std)
+    lookup — the SMALL side — is ray.put() once and read inside every map
+    task; points stream through a partial-count map_batches and the final
+    combine is a driver-side pandas merge.  Above
+    ``cfg.beyond_broadcast_limit`` rows the JOIN path engages:
+    ``attach_beyond_join`` (hash-partitioned Dataset.join of points against
+    the stats, fully distributed)."""
     import ray.data as rd
 
+    total = sum(f.count() for f in features_by_tier.values())
+    if total > cfg.beyond_broadcast_limit:
+        return attach_beyond_join(features_by_tier, points_ds, n_std, cfg)
     feats_pd = {tier: ds.to_pandas() for tier, ds in features_by_tier.items()}
     out_pd = attach_beyond_pd(feats_pd, points_ds, n_std, cfg)
     return {tier: rd.from_pandas(df) for tier, df in out_pd.items()}
+
+
+def attach_beyond_join(features_by_tier: dict, points_ds, n_std: float,
+                       cfg: RollupConfig, num_partitions: int | None = None):
+    """Scale path of the beyond pass: no driver-side materialization.
+
+    Per tier: bucket the points, hash-join them against the (rollup-scale)
+    per-bucket (mean, std) stats, count |v-mean| > n_std·std per key with a
+    vectorized map-side combine, then left-join the counts back onto the
+    feature table and finalize the fraction.  Two Dataset.join exchanges
+    per tier, both keyed on (lang, domain, bucket_ts_us)."""
+
+    if num_partitions is None:
+        # hash-join aggregators are actors; oversubscribing CPUs deadlocks
+        # small clusters, so size partitions to the cluster
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    out = {}
+    for tier, feats in features_by_tier.items():
+        step = TIER_STEP_US[tier]
+        stats_small = feats.select_columns(
+            ["lang", "domain", "bucket_ts_us", "mean", "std"])
+
+        def _bucket(batch: pa.Table, _step=step) -> pa.Table:
+            t_us = batch["t_us"].to_numpy(zero_copy_only=False)
+            bucket = (t_us // _step) * _step
+            return pa.table({
+                "lang": batch["lang"],
+                "domain": batch["domain"],
+                "bucket_ts_us": pa.array(bucket, pa.int64()),
+                "v": batch["v"],
+            })
+
+        pts = points_ds.map_batches(_bucket, batch_format="pyarrow",
+                                    batch_size=cfg.points_batch_size,
+                                    zero_copy_batch=True)
+        joined = pts.join(stats_small, "inner", num_partitions,
+                          on=("lang", "domain", "bucket_ts_us"))
+
+        def _count(batch: pa.Table) -> pa.Table:
+            from ..kernels.moments import _group_codes
+
+            if len(batch) == 0:
+                return pa.table({"lang": pa.array([], pa.string()),
+                                 "domain": pa.array([], pa.string()),
+                                 "bucket_ts_us": pa.array([], pa.int64()),
+                                 "n_beyond": pa.array([], pa.int64())})
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            mean = batch["mean"].to_numpy(zero_copy_only=False)
+            std = batch["std"].to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                beyond = (np.abs(v - mean) > n_std * std).astype(np.int64)
+            inv, first = _group_codes(
+                batch, ["lang", "domain", "bucket_ts_us"])
+            counts = np.bincount(inv, weights=beyond,
+                                 minlength=len(first)).astype(np.int64)
+            idx = pa.array(first, pa.int64())
+            return pa.table({
+                "lang": batch["lang"].take(idx),
+                "domain": batch["domain"].take(idx),
+                "bucket_ts_us": batch["bucket_ts_us"].take(idx),
+                "n_beyond": pa.array(counts, pa.int64()),
+            })
+
+        partial_counts = joined.map_batches(
+            _count, batch_format="pyarrow",
+            batch_size=cfg.points_batch_size)
+        # merge partial counts: sorted segmented sum (no per-group dispatch)
+        from ray.data.aggregate import Sum
+
+        counts = partial_counts.groupby(
+            ["lang", "domain", "bucket_ts_us"]).aggregate(
+            Sum("n_beyond", alias_name="n_beyond"))
+        merged = feats.join(counts, "left_outer", num_partitions,
+                            on=("lang", "domain", "bucket_ts_us"))
+
+        def _finalize(batch: pa.Table) -> pa.Table:
+            nb = batch["n_beyond"].to_numpy(zero_copy_only=False)
+            nb = np.nan_to_num(np.asarray(nb, dtype=np.float64), nan=0.0)
+            n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                frac = nb / n
+            out_t = batch.drop_columns(["n_beyond"])
+            return out_t.append_column(
+                "beyond_1_std", pa.array(frac, pa.float64()))
+
+        out[tier] = merged.map_batches(_finalize, batch_format="pyarrow")
+    return out
 
 
 def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,

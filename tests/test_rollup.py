@@ -162,3 +162,23 @@ def test_fused_extract_equals_split(ray_session, pages_dir):
     for c in ["lang", "domain", "t_us"]:
         assert list(a[c]) == list(b[c]), c
     np.testing.assert_array_equal(a["v"], b["v"])
+
+
+def test_beyond_join_path_equals_broadcast(ray_session, pages_dir):
+    """The Dataset.join scale path of the beyond pass matches the
+    broadcast path (forced via beyond_broadcast_limit=0)."""
+    d, tbl = pages_dir
+    base = dict(input_paths=d, input_kind="pages", tiers=("1d",),
+                gapfill=False, gorilla=False, extract_concurrency=2,
+                small_rollup_limit=0)
+    bc = run_rollup(RollupConfig(**base))
+    jn = run_rollup(RollupConfig(**base, beyond_broadcast_limit=0))
+    key = ["lang", "domain", "tier", "bucket_ts_us"]
+    a = bc["rollup"].to_pandas().sort_values(key).reset_index(drop=True)
+    b = jn["rollup"].to_pandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["n"], b["n"])
+    ga = a["beyond_1_std"].to_numpy(np.float64)
+    gb = b["beyond_1_std"].to_numpy(np.float64)
+    ok = (np.isnan(ga) & np.isnan(gb)) | (np.abs(ga - gb) < 1e-12)
+    assert bool(np.all(ok))
