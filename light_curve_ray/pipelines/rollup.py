@@ -86,10 +86,10 @@ class RollupConfig:
     # couple of files, serializing the parquet+html decode; raise this to
     # ~#files (or #cpus) for small-file inputs
     read_num_blocks: int | None = None
-    # broadcast threshold for the beyond pass: above this many rollup rows
-    # the stats lookup table should switch to a hash-partitioned Dataset.join
-    # of points with stats instead of a driver broadcast (documented scale
-    # path; the sandbox datasets stay far below it).
+    # beyond-pass path switch: at or below this many rollup rows the
+    # (mean, std) lookup is broadcast (ray.put once, driver-side combine);
+    # above it attach_beyond_join runs the fully distributed
+    # hash-partitioned Dataset.join path (0 forces the join path in tests)
     beyond_broadcast_limit: int = 5_000_000
     # adaptive tail: once the POINTS have been aggregated, the rollup is
     # ~10^3-10^4x smaller.  When the merged fine-tier stats are under this
