@@ -374,9 +374,15 @@ def q_events_by_type(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
-    ds = ds.filter(
-        lambda r: r["ts"] is not None and r["value"] is not None
-        and r["event_type"] is not None)
+
+    def _valid(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.is_valid(batch["ts"]),
+                               pc.is_valid(batch["value"])),
+                       pc.is_valid(batch["event_type"]))
+        return batch.filter(mask)
+
+    ds = ds.map_batches(_valid, batch_format="pyarrow",
+                        zero_copy_batch=True)
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n_events"),
         Sum("value", alias_name="sum_value"),
