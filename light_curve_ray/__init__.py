@@ -10,7 +10,10 @@ absolute-tolerance comparison; see /root/reference) re-expressed Ray-Data-first:
 - ``stages``    — ``map_batches`` / ``map_groups`` stage implementations.
 - ``pipelines`` — end-to-end rollup pipeline + driver-facing queries.
 - ``state``     — checkpoint manifests / lineage for mid-rollup resume.
-- ``functions`` — web-scale text / dedup / similarity operator library.
+
+The web-scale text / dedup / similarity operators live in ``stages``
+(dedup, similarity, textstats, multimodal) over kernels in ``kernels``
+(hashing, textkit).
 
 Nothing in this package calls ``ray.init()`` — sessions are owned by the
 caller (driver, bench.py, or the pytest fixture).

@@ -25,22 +25,32 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 def token_hashes(tokens: list) -> np.ndarray:
     """Deterministic 64-bit hash per token -> uint64 array, VECTORIZED.
 
-    FNV-1a over the token's first 16 bytes zero-padded, with the true byte
-    length folded in as a final round — one numpy pass per byte COLUMN
-    (16 fixed iterations for the whole batch) instead of a Python loop per
-    byte.  Not byte-identical to streaming fnv1a64 (by design: this is the
-    shingle/simhash token hash, a self-contained deterministic function);
-    document-level fingerprints keep exact FNV-1a (textkit.fingerprint).
+    FNV-1a fold over the token's FIRST 8 and LAST 8 utf-8 bytes
+    (zero-padded halves) plus the byte length as a final round — one numpy
+    pass per byte COLUMN (16 fixed iterations for the whole batch) instead
+    of a Python loop per byte.  Sampling head+tail (not a 16-byte prefix)
+    means long tokens differing anywhere in their first or last 8 bytes
+    hash apart — the practically relevant case for web text (URLs,
+    identifiers: tails differ).  Residual collision class, by design:
+    tokens >16 bytes sharing first 8 + last 8 bytes + byte length and
+    differing only in MIDDLE bytes collide.  Not byte-identical to
+    streaming fnv1a64 (this is the shingle/simhash token hash, a
+    self-contained deterministic function); document-level fingerprints
+    hash every byte (textkit.fingerprint, blake2b).
     """
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
+    half = _TOKEN_HASH_WIDTH // 2
     mat = np.zeros((n, _TOKEN_HASH_WIDTH), dtype=np.uint8)
     lens = np.empty(n, dtype=np.uint64)
     for i, t in enumerate(tokens):
-        b = t.encode("utf-8")[:_TOKEN_HASH_WIDTH]
-        mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-        lens[i] = len(t)
+        b = t.encode("utf-8")
+        head = b[:half]
+        tail = b[-half:]
+        mat[i, :len(head)] = np.frombuffer(head, dtype=np.uint8)
+        mat[i, half:half + len(tail)] = np.frombuffer(tail, dtype=np.uint8)
+        lens[i] = len(b)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(_TOKEN_HASH_WIDTH):
@@ -147,6 +157,26 @@ def simhash64(tokens: list) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)],
+                         dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape) via a byte LUT —
+    numpy 1.x has no bitwise_count; 8 LUT gathers + a sum replace the
+    per-element Python ``bin(x).count`` loop."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    bytes_view = x.view(np.uint8).reshape(x.shape + (8,))
+    return _POPCOUNT_LUT[bytes_view].sum(axis=-1, dtype=np.int64)
+
+
+def hamming_matrix64(sh: np.ndarray) -> np.ndarray:
+    """All-pairs Hamming distances of a uint64 signature vector ->
+    (n, n) int64 — one xor outer product + vectorized popcount."""
+    x = np.bitwise_xor.outer(sh.astype(np.uint64), sh.astype(np.uint64))
+    return popcount64(x)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

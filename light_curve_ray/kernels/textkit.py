@@ -229,13 +229,27 @@ _MASK64 = (1 << 64) - 1
 
 def fnv1a64(data: bytes) -> int:
     """64-bit FNV-1a hash (public-domain algorithm; deterministic across
-    platforms, unlike Python's salted ``hash``)."""
+    platforms, unlike Python's salted ``hash``).
+
+    NOTE: pure-Python per-byte loop — fine for short keys (urls, tokens);
+    document-scale payloads use ``fingerprint`` (stdlib blake2b, C speed,
+    equally deterministic) instead: per-byte Python on multi-KB docs made
+    exact dedup hash-bound in round 1."""
     h = _FNV_OFFSET
     for b in data:
         h = ((h ^ b) * _FNV_PRIME) & _MASK64
     return h
 
 
+def blake64(data: bytes) -> int:
+    """Deterministic 64-bit digest of arbitrary-length bytes via stdlib
+    blake2b (C implementation — ~GB/s vs ~MB/s for the Python FNV loop)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
 def fingerprint(text: str) -> int:
-    """Document fingerprint: FNV-1a of the whitespace-normalized text."""
-    return fnv1a64(" ".join(text.split()).encode("utf-8"))
+    """Document fingerprint: 64-bit blake2b of whitespace-normalized text."""
+    return blake64(" ".join(text.split()).encode("utf-8"))

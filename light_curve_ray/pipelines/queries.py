@@ -540,19 +540,14 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
-    """LSH candidates re-scored with EXACT n-gram Jaccard (verify stage)."""
-    import ray
-
-    from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_verify
+    """LSH candidates re-scored with n-gram Jaccard (verify stage) — the
+    join path: pairs ⋈ corpus on doc_a then doc_b, no driver-side corpus
+    materialization (the round-1 broadcast-dict wiring did not scale)."""
+    from ..stages.dedup import minhash_dedup_pairs, ngram_jaccard_verify_join
 
     ds = _augmented_documents(sf_dir)
-    docs = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        docs.update(zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()))
-    lookup_ref = ray.put(docs)
     cand = minhash_dedup_pairs(ds, threshold=0.5)
-    verified = ngram_jaccard_verify(cand, lookup_ref, min_jaccard=0.5)
+    verified = ngram_jaccard_verify_join(cand, ds, min_jaccard=0.5)
     return _collect(verified)
 
 

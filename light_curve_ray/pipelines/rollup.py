@@ -76,6 +76,11 @@ class RollupConfig:
     # map_batches with a once-per-worker-process cached stage — lets reads
     # and extraction share the whole CPU budget instead of a static slot
     # split (better throughput when stage state is cheap, like this parser).
+    # "fused"/"fused_tasks": read+extract+project fused into one stage over
+    # row-group spans (only points enter the object store); fused_tasks
+    # runs it on reusable workers — actor pools respawn per execution,
+    # which costs seconds of spawn+import at 31 actors (measured; see
+    # BASELINE.md) — so fused_tasks is the headline/bench topology.
     extract_mode: str = "actors"
     extract_batch_size: int = 512
     # map-side combine batch: the partial collapse ratio is
@@ -86,6 +91,13 @@ class RollupConfig:
     # couple of files, serializing the parquet+html decode; raise this to
     # ~#files (or #cpus) for small-file inputs
     read_num_blocks: int | None = None
+    # fused-path task sizing: tasks ≈ pool_slots * fused_tasks_per_slot,
+    # each task a span of ≤ fused_max_span contiguous row groups (streamed
+    # one row group at a time, so span length ≠ heap usage).  Driver
+    # bookkeeping is ~30-40 ms/task and does NOT shrink with cluster size,
+    # so task count must track the POOL, not the input.
+    fused_tasks_per_slot: int = 3
+    fused_max_span: int = 32
     # beyond-pass path switch: at or below this many rollup rows the
     # (mean, std) lookup is broadcast (ray.put once, driver-side combine);
     # above it attach_beyond_join runs the fully distributed
@@ -109,10 +121,10 @@ def points_dataset(cfg: RollupConfig):
         ds = rd.read_parquet(cfg.input_paths, columns=cfg.read_columns)
         return ds
     if cfg.input_kind == "pages":
-        if cfg.dedup_pages and cfg.extract_mode == "fused":
+        if cfg.dedup_pages and cfg.extract_mode.startswith("fused"):
             raise ValueError("dedup_pages requires extract_mode "
                              "'actors' or 'tasks' (split read path)")
-        if cfg.extract_mode == "fused":
+        if cfg.extract_mode in ("fused", "fused_tasks"):
             import glob as _glob
             import os as _os
 
@@ -128,23 +140,65 @@ def points_dataset(cfg: RollupConfig):
             conc = cfg.extract_concurrency
             if isinstance(conc, int):
                 conc = max(2, conc)
-            # one work item per ROW GROUP (sub-file granularity -> smooth
-            # task waves across the pool; falls back to whole files)
+            # Work items are SPANS of contiguous row groups.  One item per
+            # row group (round 1) made the driver the bottleneck at scale:
+            # ~4000 tasks x 30-40 ms of serial scheduling bookkeeping is
+            # minutes of driver wall, and it grows with input size but NOT
+            # with cluster size — the measured 8->32-cpu efficiency ceiling.
+            # Spans are sized so the task count tracks the POOL (~tasks_per
+            # _slot waves per actor), capped so a single span stays a
+            # sub-file unit (tail load-balance + per-task read granularity).
+            # The stage streams one row group at a time inside the span, so
+            # span length does not change worker heap usage.
             import pyarrow.parquet as _pq
 
+            # footer scan parallelized: at 100 TB this is thousands of
+            # S3/posix footer reads — serial enumeration was a driver-side
+            # serial tail in round 1
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _n_rg(p):
+                return _pq.ParquetFile(p).metadata.num_row_groups
+
+            if len(paths) > 4:
+                with ThreadPoolExecutor(max_workers=16) as ex:
+                    metas = list(zip(paths, ex.map(_n_rg, paths)))
+            else:
+                metas = [(p, _n_rg(p)) for p in paths]
+            total_rg = sum(max(1, n) for _, n in metas)
+            if cfg.extract_mode == "fused_tasks":
+                import ray
+
+                pool_slots = max(
+                    2, int(ray.cluster_resources().get("CPU", 8)) - 1)
+            else:
+                pool_slots = conc if isinstance(conc, int) else conc[1]
+            target_tasks = max(1, pool_slots * cfg.fused_tasks_per_slot)
+            span = min(cfg.fused_max_span,
+                       max(1, total_rg // target_tasks))
             items = []
-            for p in paths:
-                n_rg = _pq.ParquetFile(p).metadata.num_row_groups
-                if n_rg > 1:
-                    items.extend({"path": p, "rg": i} for i in range(n_rg))
+            for p, n_rg in metas:
+                if n_rg <= 1:
+                    items.append({"path": p, "rg_start": 0, "rg_end": -1})
                 else:
-                    items.append({"path": p, "rg": -1})
-            return rd.from_items(
-                items, override_num_blocks=len(items),
-            ).map_batches(
+                    for s in range(0, n_rg, span):
+                        items.append({"path": p, "rg_start": s,
+                                      "rg_end": min(s + span, n_rg)})
+            src = rd.from_items(items, override_num_blocks=len(items))
+            if cfg.extract_mode == "fused_tasks":
+                # reusable-worker tasks: no per-execution actor spawn
+                from ..stages.extract import fused_pages_to_points_task
+
+                return src.map_batches(
+                    fused_pages_to_points_task,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    num_cpus=1,
+                )
+            return src.map_batches(
                 FusedPagesToPointsStage,
                 batch_format="pyarrow",
-                batch_size=1,
+                batch_size=None,
                 concurrency=conc,
                 num_cpus=1,
             )
@@ -255,6 +309,11 @@ def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupCo
     the stats, fully distributed)."""
     import ray.data as rd
 
+    # pin the rollup-scale feature chains before counting: count() executes
+    # the lazy chain, and the un-pinned chain would re-execute when the
+    # chosen path consumes it again (lazy Datasets re-run shared upstream)
+    features_by_tier = {t: f.materialize()
+                        for t, f in features_by_tier.items()}
     total = sum(f.count() for f in features_by_tier.values())
     if total > cfg.beyond_broadcast_limit:
         return attach_beyond_join(features_by_tier, points_ds, n_std, cfg)

@@ -8,7 +8,7 @@ Scale design notes (the part the reference cannot seed — it is single
 process — so this is engine design, SURVEY §2b "not built from reference"):
 
 - **Exact dedup** is hash-partition + keyed aggregate: fingerprint each text
-  (FNV-1a, 64-bit) in a stateless ``map_batches``, then
+  (blake2b, 64-bit, C-speed) in a stateless ``map_batches``, then
   ``groupby(fp).aggregate(Min(id), Count())`` — the shuffle moves only
   (fp, id) pairs, never the text.  One all-to-all on a uniform 64-bit key:
   no skew by construction.
@@ -25,11 +25,13 @@ process — so this is engine design, SURVEY §2b "not built from reference"):
 - **SimHash** mirrors the MinHash topology with 16-bit bands of the 64-bit
   signature (any pair within Hamming distance d collides in ≥1 of 4 bands
   when d ≤ 3 by pigeonhole).
-- **n-gram Jaccard verify** re-scores candidate pairs with exact shingle-set
-  Jaccard.  The shingle sets are re-derived from a broadcast id → text
-  lookup (``ray.put`` once, read per task) — valid while the *candidate*
-  corpus slice fits the object store; the documented scale path is a
-  hash-partitioned join of pairs against the corpus on doc id.
+- **n-gram Jaccard verify** re-scores candidate pairs with shingle-set
+  Jaccard (exact over the token-hash shingle sets; token hashes sample
+  head+tail bytes — kernels/hashing.token_hashes documents the residual
+  collision class).  Default/scale path: two hash-partitioned
+  ``Dataset.join`` exchanges of the slim pairs against the corpus on doc
+  id (``ngram_jaccard_verify_join``); a broadcast id → text variant
+  remains for small corpus slices.
 """
 
 from __future__ import annotations
@@ -38,13 +40,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..kernels.hashing import (
-    hamming64,
     jaccard,
     minhash_signatures_batch,
     shingle_hashes,
     simhash64,
 )
-from ..kernels.textkit import fnv1a64
+from ..kernels.textkit import fingerprint
 
 _U64_TO_I64 = np.int64  # bitcast view for Arrow int64 keys
 
@@ -57,10 +58,12 @@ def _as_i64(u: np.ndarray) -> np.ndarray:
 
 def add_fingerprint(batch: pa.Table, id_col: str = "doc_id",
                     text_col: str = "text") -> pa.Table:
-    """(id, text, ...) -> (id, fp) — FNV-1a of whitespace-normalized text."""
+    """(id, text, ...) -> (id, fp) — blake2b-64 of whitespace-normalized
+    text (kernels/textkit.fingerprint; C-speed digest, so the stage is
+    text-normalization-bound, not hash-bound)."""
     texts = batch[text_col].to_pylist()
     fp = np.fromiter(
-        (fnv1a64(" ".join((t or "").split()).encode("utf-8")) for t in texts),
+        (fingerprint(t or "") for t in texts),
         dtype=np.uint64, count=len(texts),
     )
     return pa.table({id_col: batch[id_col],
@@ -317,25 +320,24 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
     def _pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_pylist())
+        from ..kernels.hashing import hamming_matrix64
+
+        ids = group[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        sh = np.asarray(group["simhash"].to_pylist(), dtype=np.int64)[order]
+        sh = group["simhash"].to_numpy(zero_copy_only=False)[order]
         if len(ids) > max_bucket:
             ids, sh = ids[:max_bucket], sh[:max_bucket]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids) - 1):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = hamming64(int(sh[i]) & (2**64 - 1),
-                              int(sh[j]) & (2**64 - 1))
-                if d <= max_hamming:
-                    a_out.append(ids[i]); b_out.append(ids[j]); d_out.append(d)
+        # all-pairs Hamming in one xor outer + LUT popcount (the round-1
+        # per-pair Python loop was O(m²) interpreter iterations per bucket)
+        d = hamming_matrix64(sh.view(np.uint64))
+        ai, bj = np.triu_indices(len(ids), k=1)
+        keep = (d[ai, bj] <= max_hamming) & (ids[ai] != ids[bj])
+        ai, bj = ai[keep], bj[keep]
         return pa.table({
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "hamming": pa.array(d_out, pa.int64()),
+            "doc_a": pa.array(ids[ai], pa.int64()),
+            "doc_b": pa.array(ids[bj], pa.int64()),
+            "hamming": pa.array(d[ai, bj], pa.int64()),
         })
 
     from .sorted_groups import sorted_group_map
@@ -350,13 +352,82 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 # -------------------------------------------------------- jaccard verify
 
+def _score_pair_texts(batch: pa.Table, shingle_k: int,
+                      min_jaccard: float) -> pa.Table:
+    """(doc_a, doc_b, text_a, text_b) -> (doc_a, doc_b, jaccard).
+
+    Jaccard is exact over the token-hash shingle sets (token hashes are
+    head+tail sampled — see kernels/hashing.token_hashes for the residual
+    collision class).  Shingle sets are cached per doc within the batch:
+    a doc in many candidate pairs is shingled once."""
+    a_ids = batch["doc_a"].to_pylist()
+    b_ids = batch["doc_b"].to_pylist()
+    a_tx = batch["text_a"].to_pylist()
+    b_tx = batch["text_b"].to_pylist()
+    jc = np.empty(len(a_ids), dtype=np.float64)
+    cache: dict = {}
+
+    def _sh(doc_id, text):
+        if doc_id not in cache:
+            cache[doc_id] = shingle_hashes((text or "").split(), k=shingle_k)
+        return cache[doc_id]
+
+    for i in range(len(a_ids)):
+        jc[i] = jaccard(_sh(a_ids[i], a_tx[i]), _sh(b_ids[i], b_tx[i]))
+    out = batch.select(["doc_a", "doc_b"]).append_column(
+        "jaccard", pa.array(jc, pa.float64()))
+    if min_jaccard > 0.0:
+        import pyarrow.compute as pc
+        out = out.filter(pc.greater_equal(out["jaccard"], min_jaccard))
+    return out
+
+
+def ngram_jaccard_verify_join(pairs_ds, docs_ds, id_col: str = "doc_id",
+                              text_col: str = "text", shingle_k: int = 3,
+                              min_jaccard: float = 0.0,
+                              num_partitions: int | None = None):
+    """Re-score candidate pairs with n-gram-set Jaccard — the SCALE path.
+
+    Two hash-partitioned ``Dataset.join`` exchanges attach each side's text
+    to the (slim) pairs rows: pairs ⋈ corpus on doc_a, then on doc_b.  No
+    driver-side corpus materialization, no broadcast — the corpus streams
+    through the join shuffle keyed on doc id (uniform by construction).
+    Aggregator count is sized to the cluster (oversubscribed hash-join
+    actor pools deadlock small clusters — pipelines/rollup.py note).
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def _as_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch[id_col], "text_a": batch[text_col]})
+
+    def _as_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_b": batch[id_col], "text_b": batch[text_col]})
+
+    docs_a = docs_ds.map_batches(_as_a, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    docs_b = docs_ds.map_batches(_as_b, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = pairs_ds.join(docs_a, "inner", num_partitions, on=("doc_a",))
+    joined = joined.join(docs_b, "inner", num_partitions, on=("doc_b",))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        return _score_pair_texts(batch, shingle_k, min_jaccard)
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
 def ngram_jaccard_verify(pairs_ds, docs_lookup_ref, shingle_k: int = 3,
                          min_jaccard: float = 0.0):
-    """Re-score candidate pairs with EXACT n-gram-set Jaccard.
+    """Broadcast variant of the jaccard verify (small corpus slices).
 
     ``docs_lookup_ref``: ray.ObjectRef of {doc_id: text} — broadcast once
-    (ray.put), read zero-copy per task.  Scale path (corpus slice too big to
-    broadcast): hash-partitioned join of pairs to the corpus on doc id.
+    (ray.put), read zero-copy per task.  Valid while the candidate corpus
+    slice fits the object store; ``ngram_jaccard_verify_join`` is the
+    scale path (and the default in pipelines/queries.py).
     """
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -364,22 +435,11 @@ def ngram_jaccard_verify(pairs_ds, docs_lookup_ref, shingle_k: int = 3,
         lookup = ray.get(docs_lookup_ref)
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        jc = np.empty(len(a), dtype=np.float64)
-        cache: dict = {}
-
-        def _sh(d):
-            if d not in cache:
-                cache[d] = shingle_hashes((lookup.get(d) or "").split(),
-                                          k=shingle_k)
-            return cache[d]
-
-        for i in range(len(a)):
-            jc[i] = jaccard(_sh(a[i]), _sh(b[i]))
-        out = batch.select(["doc_a", "doc_b"]).append_column(
-            "jaccard", pa.array(jc, pa.float64()))
-        if min_jaccard > 0.0:
-            import pyarrow.compute as pc
-            out = out.filter(pc.greater_equal(out["jaccard"], min_jaccard))
-        return out
+        withtext = batch.select(["doc_a", "doc_b"])
+        withtext = withtext.append_column(
+            "text_a", pa.array([lookup.get(x) for x in a], pa.string()))
+        withtext = withtext.append_column(
+            "text_b", pa.array([lookup.get(x) for x in b], pa.string()))
+        return _score_pair_texts(withtext, shingle_k, min_jaccard)
 
     return pairs_ds.map_batches(_verify, batch_format="pyarrow")

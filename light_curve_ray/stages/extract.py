@@ -4,7 +4,7 @@ Stateful actor-pool stage: pass the CLASS to ``map_batches`` so Ray builds an
 actor pool — parser state (compiled regexes, tag tables) is built once per
 actor in ``__init__``, batches flow through ``__call__``.  The same kernel
 function (kernels/textkit.extract_text) is callable single-process, which is
-how the byte-identical-per-url invariant is verified (tests/test_pages_pipeline.py).
+how the byte-identical-per-url invariant is verified (tests/test_textkit.py).
 
 Construct-once / apply-many mirrors the reference's Interpolator lifecycle
 (struct built once, applied per series — /root/reference/light-curve-interpol/
@@ -94,17 +94,46 @@ class FusedPagesToPointsStage:
         from .project import pages_to_points
 
         outs = []
-        rgs = (batch["rg"].to_pylist() if "rg" in batch.column_names
-               else [-1] * len(batch))
-        for path, rg in zip(batch["path"].to_pylist(), rgs):
-            if rg is None or rg < 0:
+        names = batch.column_names
+        n = len(batch)
+        starts = (batch["rg_start"].to_pylist() if "rg_start" in names
+                  else [-1] * n)
+        ends = (batch["rg_end"].to_pylist() if "rg_end" in names
+                else [-1] * n)
+        for path, s, e in zip(batch["path"].to_pylist(), starts, ends):
+            if s is None or e is None or e < 0:
                 pages = pq.read_table(path, columns=self.columns,
                                       use_threads=False)
-            else:  # row-group granularity: sub-file task sizing
-                pages = pq.ParquetFile(path).read_row_group(
-                    rg, columns=self.columns)
-            outs.append(pages_to_points(self.extract(pages)))
+                outs.append(pages_to_points(self.extract(pages)))
+            else:
+                # span of contiguous row groups, streamed ONE AT A TIME:
+                # heap holds a single decoded row group of pages plus the
+                # ~1000x smaller accumulated points, regardless of span
+                pf = pq.ParquetFile(path)
+                for rg in range(s, e):
+                    pages = pf.read_row_group(rg, columns=self.columns)
+                    outs.append(pages_to_points(self.extract(pages)))
         return pa.concat_tables(outs)
+
+
+_FUSED_STAGE: FusedPagesToPointsStage | None = None
+
+
+def fused_pages_to_points_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of the fused stage (extract_mode='fused_tasks').
+
+    Scheduled as plain map_batches tasks on Ray's long-lived REUSABLE
+    worker processes (cached stage, construct-once per process) instead of
+    a per-execution actor pool.  An actor pool spawns fresh processes on
+    EVERY dataset execution — at 31 actors that is seconds of spawn+import
+    inside the measured run and between pipeline phases; reusable workers
+    persist across executions, so a warmed cluster stays warm.  Use the
+    actor-pool class only when stage state is expensive (models, indexes).
+    """
+    global _FUSED_STAGE
+    if _FUSED_STAGE is None:
+        _FUSED_STAGE = FusedPagesToPointsStage()
+    return _FUSED_STAGE(batch)
 
 
 def extract_text_oracle(tbl: pa.Table) -> pa.Table:

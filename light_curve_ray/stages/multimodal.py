@@ -18,7 +18,7 @@ in this container.  ``PayloadDecodeStage`` ships two modes:
   real features (dims, byte-mean/std, a fixed-stride byte histogram).  All
   of the Ray-side plumbing (schema, batch sizing, actor signature, output
   layout, column drop) is identical to what a real decoder needs, and is
-  exercised by tests/test_multimodal.py.
+  exercised by tests/test_textstats_multimodal.py.
 """
 
 from __future__ import annotations

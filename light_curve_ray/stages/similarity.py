@@ -112,14 +112,29 @@ def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
 
 
 def embedding_pairs(ds, tau: float, id_col: str = "vec_id",
-                    emb_col: str = "embedding"):
+                    emb_col: str = "embedding",
+                    broadcast_limit: int = 200_000, nbits: int = 8,
+                    bands: int = 8, seed: int = 42):
     """Near-duplicate pairs by cosine ≥ tau: (vec_a < vec_b, cos_sim).
 
-    The full corpus is the broadcast side here — valid at the sandbox scale
-    and for sub-million-row dedup sides generally; the scale path is
-    LSH-bucket → within-bucket pairs (same topology as stages/dedup.py
-    minhash banding).
+    Explicit path switch (mirrors rollup's beyond_broadcast_limit): at or
+    under ``broadcast_limit`` rows the EXACT all-pairs path runs (corpus
+    broadcast + block×corpus matmul — O(N²/block) compute, fine for small
+    dedup sides and the correctness oracle); above it the LSH-banded path
+    (``embedding_pairs_lsh``) engages — bucketed pair emission with no
+    all-pairs matmul and no whole-corpus broadcast.
     """
+    if ds.count() <= broadcast_limit:
+        return _embedding_pairs_broadcast(ds, tau, id_col, emb_col)
+    return embedding_pairs_lsh(ds, tau, id_col, emb_col, nbits=nbits,
+                               bands=bands, seed=seed)
+
+
+def _embedding_pairs_broadcast(ds, tau: float, id_col: str = "vec_id",
+                               emb_col: str = "embedding"):
+    """Exact all-pairs path (small corpora): corpus broadcast once via
+    ray.put, each block matmuls against it, pairs emitted where the block
+    side holds the smaller id (each unordered pair exactly once)."""
     import ray
 
     corpus_ids, corpus_mat = load_corpus(ds, id_col, emb_col)
@@ -140,6 +155,89 @@ def embedding_pairs(ds, tau: float, id_col: str = "vec_id",
 
     return ds.map_batches(_pairs, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+_PLANE_CACHE: dict = {}
+
+
+def _band_planes(dim: int, nbits: int, band: int, seed: int) -> np.ndarray:
+    """Per-band hyperplanes, deterministic in (dim, nbits, band, seed);
+    cached per process (construct-once/apply-many)."""
+    key = (dim, nbits, band, seed)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = _hyperplanes(dim, nbits, seed * 1000 + band)
+    return _PLANE_CACHE[key]
+
+
+def embedding_pairs_lsh(ds, tau: float, id_col: str = "vec_id",
+                        emb_col: str = "embedding", nbits: int = 8,
+                        bands: int = 8, seed: int = 42,
+                        max_bucket: int = 2000):
+    """Scale path for embedding near-dup: LSH-banded bucketing, the same
+    topology as minhash banding (stages/dedup.py).
+
+    Each row lands in ``bands`` buckets (one per independent hyperplane
+    band); candidate pairs are emitted ONLY within buckets via
+    sorted_group_map (no all-pairs matmul, no corpus broadcast), scored
+    with exact cosine on the bucket-local rows, and multi-band duplicates
+    collapse in a slim pair-keyed dedup.  Recall < 1 by design (the classic
+    ANN trade; pinned by tests/test_similarity.py against the exact path).
+    Cost note: the normalized embedding rides along as an 8·d-byte blob per
+    banded row — bands × 8·d bytes/doc through the shuffle, the same
+    carry-the-payload trade as the minhash signature, trading shuffle bytes
+    for a join back to the corpus.  Hot buckets cap at ``max_bucket`` rows
+    (deterministic min-id subset) to bound the m² bucket matmul.
+    """
+    from .dedup import dedup_rows_sorted
+    from .sorted_groups import sorted_group_map
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_emb_matrix(batch, emb_col))
+        n, d = mat.shape
+        blobs = [mat[i].tobytes() for i in range(n)]
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_bucket = np.empty(bands * n, dtype=np.int64)
+        for b in range(bands):
+            planes = _band_planes(d, nbits, b, seed)
+            out_bucket[b * n:(b + 1) * n] = _bucket_of(mat, planes)
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(out_bucket, pa.int64()),
+            id_col: pa.array(np.tile(ids, bands), pa.int64()),
+            "emb": pa.array(blobs * bands, pa.binary()),
+        })
+
+    banded = ds.map_batches(_band_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        blobs = group["emb"].to_pylist()
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+            order = order[:max_bucket]
+        mat = np.frombuffer(
+            b"".join(blobs[i] for i in order), dtype=np.float64,
+        ).reshape(len(ids), -1)
+        sims = mat @ mat.T
+        ai, bj = np.triu_indices(len(ids), k=1)
+        keep = (sims[ai, bj] >= tau) & (ids[ai] != ids[bj])
+        ai, bj = ai[keep], bj[keep]
+        return pa.table({
+            "vec_a": pa.array(ids[ai], pa.int64()),
+            "vec_b": pa.array(ids[bj], pa.int64()),
+            "cos_sim": pa.array(sims[ai, bj], pa.float64()),
+        })
+
+    pairs_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                              ("cos_sim", pa.float64())])
+    pairs = sorted_group_map(banded, ["band", "bucket"], _pairs,
+                             pairs_schema, min_group_size=2)
+    # a pair colliding in k bands appears k times with identical cos; keep 1
+    return dedup_rows_sorted(pairs, ["vec_a", "vec_b"])
 
 
 # ------------------------------------------------------------------ LSH path
