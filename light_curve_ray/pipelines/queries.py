@@ -180,6 +180,30 @@ EVENTS_POINTS_SQL = """
   WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
 """
 
+# The pages-path oracle (O1 read -> O2 extract -> O3 project -> O6 rollup):
+# the Ray side runs the REAL pages pipeline over a deterministic pages
+# fixture derived from `documents` (url/warc_ts/lang derived from doc_id;
+# every doc_id % 3 == 0 row ships as html-only with text NULL, so the
+# actor-pool extract stage must reconstruct the text); the oracle derives
+# the SAME points directly from `documents` in SQL — extraction is pinned
+# because v = LENGTH(extracted text) must equal LENGTH(documents.text)
+# for every row (corpus texts are whitespace-normalized and entity-free,
+# so extract_text(<p>text</p>) == text byte-for-byte; the byte-identity
+# of the extractor itself is additionally pinned by tests/test_textkit.py).
+_PAGES_FIXTURE_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_PAGES_FIXTURE_DOMAINS = 40
+_PAGES_FIXTURE_STEP_US = 3_600_000_000  # one hour per doc_id
+
+PAGES_POINTS_SQL = f"""
+  SELECT lang,
+         'd' || CAST(doc_id % {_PAGES_FIXTURE_DOMAINS} AS VARCHAR)
+             || '.example.com' AS domain,
+         {_PAGES_FIXTURE_BASE_US} + doc_id * {_PAGES_FIXTURE_STEP_US}
+           AS t_us,
+         CAST(LENGTH(text) AS DOUBLE) AS v, 1.0 AS w
+  FROM documents
+"""
+
 LINEITEM_POINTS_SQL = """
   SELECT l_returnflag AS lang, l_linestatus AS domain,
          epoch_us(l_shipdate) AS t_us, l_extendedprice AS v, l_quantity AS w
@@ -472,6 +496,75 @@ def q_interp_grid(sf_dir: str):
     return _collect(out)
 
 
+def _pages_fixture(sf_dir: str) -> str:
+    """Deterministic pages parquet derived from documents (cached in /tmp).
+
+    Schema = the north-star input_hint: (url: string, warc_ts:
+    timestamp[us], html: binary, text: string, lang: string).  Rows with
+    doc_id % 3 == 0 carry ONLY html (text NULL) and must round-trip
+    byte-identically through the extract stage; the rest carry text."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = hashlib.blake2b(
+        os.path.abspath(src).encode(), digest_size=8).hexdigest()
+    out_dir = f"/tmp/lcr_pages_fixture_{tag}"
+    marker = os.path.join(out_dir, "_DONE")
+    path = os.path.join(out_dir, "pages.parquet")
+    if os.path.exists(marker):
+        return path
+    docs = pq.read_table(src, columns=["doc_id", "text", "lang"])
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    urls, ts, htmls, out_text = [], [], [], []
+    for i, t in zip(ids, texts):
+        urls.append(
+            f"https://d{i % _PAGES_FIXTURE_DOMAINS}.example.com/doc/{i}")
+        ts.append(_PAGES_FIXTURE_BASE_US + i * _PAGES_FIXTURE_STEP_US)
+        if i % 3 == 0:
+            htmls.append(
+                ("<html><head><title>skip me</title>"
+                 "<script>var x = 1;</script></head><body>"
+                 f"<p>{t}</p><!-- comment --></body></html>").encode())
+            out_text.append(None)
+        else:
+            htmls.append(None)
+            out_text.append(t)
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(htmls, pa.binary()),
+        "text": pa.array(out_text, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tbl, path, row_group_size=2048)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
+def q_pages_rollup_1d(sf_dir: str):
+    """Flagship pages path, oracle-checked end-to-end: parquet pages ->
+    actor-pool extract (O2) -> projection (O3-O5) -> 1d feature rollup
+    (O6) — the first driver-oracle query to exercise the extract stage."""
+    cfg = RollupConfig(
+        input_paths=_pages_fixture(sf_dir),
+        input_kind="pages",
+        tiers=("1d",),
+        extract_mode="actors",
+        extract_concurrency=(2, 4),
+        read_num_blocks=4,
+    )
+    ds = _rollup_tier(cfg, "1d")
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return _round6(tbl.select(ROLLUP_COLS))
+
+
 def q_hot_keys(sf_dir: str):
     """Skew pre-pass (SURVEY §4): per-key point counts — the hot-list input
     for salting decisions."""
@@ -663,6 +756,7 @@ def build_queries() -> dict:
         "gapfill_1d": q_gapfill_1d,
         "interp_grid": q_interp_grid,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
+        "pages_rollup_1d": q_pages_rollup_1d,
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -687,6 +781,7 @@ def build_oracle_sql() -> dict:
         "gapfill_1d": _gapfill_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
+        "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "hot_keys": HOT_KEYS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
