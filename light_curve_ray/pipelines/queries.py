@@ -613,7 +613,10 @@ def _augmented_documents(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                          "text": pa.array(out_tx, pa.string())})
 
-    return ds.map_batches(_augment, batch_format="pyarrow")
+    # materialized: the dedup queries consume this fixture 1-3 times
+    # (pairs stage + both join sides); it is corpus-scale-SMALL test input,
+    # not a production pages table
+    return ds.map_batches(_augment, batch_format="pyarrow").materialize()
 
 
 def q_dedup_minhash(sf_dir: str):

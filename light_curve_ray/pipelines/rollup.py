@@ -205,9 +205,11 @@ def points_dataset(cfg: RollupConfig):
         ds = rd.read_parquet(cfg.input_paths,
                              override_num_blocks=cfg.read_num_blocks)
         if cfg.dedup_pages:
-            from ..stages.dedup import dedup_rows_sorted
+            # slim two-pass dedup: fat html rows never shuffle unless the
+            # key is actually duplicated (stages/dedup.dedup_pages_slim)
+            from ..stages.dedup import dedup_pages_slim
 
-            ds = dedup_rows_sorted(ds, ["url", "warc_ts"])
+            ds = dedup_pages_slim(ds, ["url", "warc_ts"])
         if cfg.extract_mode == "tasks":
             from ..stages.extract import extract_text_task
 

@@ -88,9 +88,9 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns([id_col, "n_copies"])
 
 
-def dedup_rows_sorted(ds, key_cols: list):
+def dedup_rows_sorted(ds, key_cols: list, tiebreak_cols: list | None = None):
     """Drop duplicate rows by ``key_cols``, keeping one row per key —
-    the O10 pages dedup (same (url, warc_ts) re-crawled in overlapping
+    the O10 row dedup (same (url, warc_ts) re-crawled in overlapping
     dumps), scalable form.
 
     Same topology as the stats merge (stages/aggregate.merge_partials):
@@ -98,8 +98,15 @@ def dedup_rows_sorted(ds, key_cols: list):
     block vectorized, and resolve only each block's first/last key — the
     only keys that can straddle block boundaries — in a single tiny
     residual partition.  No per-group Python, no full-row groupby.
+
+    ``tiebreak_cols``: extra sort columns appended to the key, making the
+    SURVIVING row deterministic when duplicate keys carry differing
+    payloads (kept = min by tiebreak).  Without them, Ray's sort order
+    among equal keys — and therefore the survivor — is run-dependent.
     """
     import pyarrow.compute as pc
+
+    sort_cols = key_cols + list(tiebreak_cols or [])
 
     def _first_per_key(batch: pa.Table, mark_boundary: bool) -> pa.Table:
         if len(batch) == 0:
@@ -123,7 +130,7 @@ def dedup_rows_sorted(ds, key_cols: list):
                                     pa.array(boundary, pa.bool_()))
         return out
 
-    deduped = ds.sort(key_cols).map_batches(
+    deduped = ds.sort(sort_cols).map_batches(
         lambda b: _first_per_key(b, True), batch_format="pyarrow",
         batch_size=None, zero_copy_batch=True,
     ).materialize()
@@ -142,64 +149,180 @@ def dedup_rows_sorted(ds, key_cols: list):
     return interior.union(residual)
 
 
+def _key_fps(batch: pa.Table, key_cols: list) -> np.ndarray:
+    """Deterministic 64-bit fingerprint per row over ``key_cols`` (blake2b
+    of the concatenated field reprs; C-speed digest per row)."""
+    import hashlib
+
+    cols = [batch[c].to_pylist() for c in key_cols]
+    n = len(batch)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = hashlib.blake2b(digest_size=8)
+        for c in cols:
+            h.update(repr(c[i]).encode("utf-8"))
+            h.update(b"\x1f")
+        out[i] = int.from_bytes(h.digest(), "big")
+    return out
+
+
+def _content_fps(batch: pa.Table, content_cols: tuple) -> np.ndarray:
+    """64-bit content fingerprint per row (payload bytes, blake2b)."""
+    import hashlib
+
+    cols = [batch[c].to_pylist() for c in content_cols
+            if c in batch.column_names]
+    n = len(batch)
+    out = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        h = hashlib.blake2b(digest_size=8)
+        for c in cols:
+            v = c[i]
+            if isinstance(v, str):
+                v = v.encode("utf-8")
+            h.update(v if v is not None else b"\x00")
+            h.update(b"\x1f")
+        out[i] = int.from_bytes(h.digest(), "big")
+    return out
+
+
+def dedup_pages_slim(ds, key_cols: list | None = None,
+                     content_cols: tuple = ("html", "text"),
+                     stats_out: dict | None = None):
+    """O10 pages dedup WITHOUT shuffling fat rows: two-pass semi-join.
+
+    Round 1 sorted the full pages table — ~7 KB of html per row through
+    the all-to-all — to drop re-crawled (url, warc_ts) duplicates.  The
+    scale form exploits that the duplicate FRACTION of a crawl is small:
+
+    1. **Slim count pass**: stream only 8-byte key fingerprints into a
+       map-side-combined count, ``groupby(kfp).sum`` — the only full
+       all-to-all, at ~16 B/row.  Keys seen more than once (plus any
+       64-bit fp collisions — harmless: they just route extra rows to
+       pass 2b) come back to the driver and broadcast via ``ray.put``
+       as a sorted array (np.searchsorted membership per batch).
+    2. **Split pass**: rows whose key is NOT in the duplicate set stream
+       straight through — no shuffle at all.  Only the duplicate-keyed
+       minority (2a) is sorted, with a deterministic min-content-hash
+       tie-break, so the survivor among differing re-crawled payloads is
+       run-independent.
+
+    Documented assumption: the duplicated-key set fits the object store
+    (dup_fraction ≪ 1).  A crawl where MOST keys are duplicated should
+    use ``dedup_rows_sorted`` on a projected slim table + join instead.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    if key_cols is None:
+        key_cols = ["url", "warc_ts"]
+
+    def _partial_counts(batch: pa.Table) -> pa.Table:
+        fp = _key_fps(batch, key_cols).view(np.int64)
+        uniq, counts = np.unique(fp, return_counts=True)
+        return pa.table({"kfp": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    counts = ds.map_batches(_partial_counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    merged = counts.groupby("kfp").aggregate(Sum("n", alias_name="n"))
+
+    import pyarrow.compute as pc
+
+    dup_tbls = [
+        b.filter(pc.greater(b["n"], 1))
+        for b in merged.iter_batches(batch_format="pyarrow")
+    ]
+    dup_fps = np.sort(np.concatenate(
+        [t["kfp"].to_numpy(zero_copy_only=False) for t in dup_tbls]
+        or [np.empty(0, dtype=np.int64)]))
+    if stats_out is not None:
+        stats_out["dup_keys"] = int(len(dup_fps))
+    if len(dup_fps) == 0:
+        return ds
+    ref = ray.put(dup_fps)
+
+    def _split(batch: pa.Table, keep_dups: bool) -> pa.Table:
+        dup = ray.get(ref)
+        fp = _key_fps(batch, key_cols).view(np.int64)
+        idx = np.searchsorted(dup, fp)
+        idx[idx >= len(dup)] = len(dup) - 1
+        isdup = dup[idx] == fp
+        out = batch.filter(pa.array(isdup if keep_dups else ~isdup))
+        if keep_dups:
+            cfp = _content_fps(out, content_cols)
+            # uint64 column: the sort tie-break must order UNSIGNED hashes
+            out = out.append_column("_cfp", pa.array(cfp, pa.uint64()))
+        return out
+
+    uniques = ds.map_batches(lambda b: _split(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    dups = ds.map_batches(lambda b: _split(b, True),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    winners = dedup_rows_sorted(dups, key_cols, tiebreak_cols=["_cfp"])
+    winners = winners.map_batches(lambda b: b.drop_columns(["_cfp"]),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return uniques.union(winners)
+
+
 # ------------------------------------------------------------------ minhash
 
 class MinHashStage:
-    """documents batch -> (doc_id, sig: fixed 8*num_perm bytes).
+    """documents batch -> (doc_id, sig: fixed 8*num_perm bytes), or — when
+    ``bands`` is set — directly the banded LSH rows
+    (band, band_key, doc_id, sig), fusing signature + band expansion into
+    ONE stage (a separate band map_batches pass was pure fixed cost in the
+    round-1 five-stage chain).
 
     Permutation parameters (a_i, b_i) are derived from ``seed`` once per
     actor in ``__init__`` — construct-once / apply-many.
     """
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
-                 num_perm: int = 128, shingle_k: int = 3, seed: int = 42):
+                 num_perm: int = 128, shingle_k: int = 3, seed: int = 42,
+                 bands: int | None = None):
         self.id_col = id_col
         self.text_col = text_col
         self.num_perm = num_perm
         self.shingle_k = shingle_k
         self.seed = seed
+        self.bands = bands
         # warm the parameter cache (kernels derive a,b from seed each call;
         # cheap, but touching it here keeps first-batch latency flat)
         minhash_signatures_batch([np.array([1], dtype=np.uint64)],
                                  num_perm=num_perm, seed=seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.hashing import band_key_matrix
+
         texts = batch[self.text_col].to_pylist()
         hash_sets = [shingle_hashes((t or "").split(), k=self.shingle_k)
                      for t in texts]
         sigs = minhash_signatures_batch(hash_sets, num_perm=self.num_perm,
                                         seed=self.seed)
         blobs = [sigs[i].tobytes() for i in range(len(texts))]
+        if self.bands is None:
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "sig": pa.array(blobs, pa.binary()),
+            })
+        n = len(texts)
+        bands = self.bands
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        keys = band_key_matrix(sigs, bands)  # (n, bands) uint64
+        # NOTE: bytes must NOT round-trip through numpy ('S' dtype strips
+        # trailing null bytes); repeat in Python, aligned with np.repeat
+        rep_sigs = [b for b in blobs for _ in range(bands)]
         return pa.table({
-            self.id_col: batch[self.id_col],
-            "sig": pa.array(blobs, pa.binary()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                             pa.int32()),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64),
+                                 pa.int64()),
+            self.id_col: pa.array(np.repeat(ids, bands)),
+            "sig": pa.array(rep_sigs, pa.binary()),
         })
-
-
-def _expand_bands(batch: pa.Table, bands: int, num_perm: int,
-                  id_col: str) -> pa.Table:
-    """(id, sig) -> bands rows of (band, band_key, id, sig), vectorized."""
-    from ..kernels.hashing import band_key_matrix
-
-    n = len(batch)
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
-    sig_col = batch["sig"]
-    if isinstance(sig_col, pa.ChunkedArray):
-        sig_col = sig_col.combine_chunks()
-    sig_list = sig_col.to_pylist()
-    blob = b"".join(sig_list)
-    sigs = np.frombuffer(blob, dtype=np.uint64).reshape(n, num_perm)
-    keys = band_key_matrix(sigs, bands)  # (n, bands) uint64
-    # NOTE: bytes must NOT round-trip through numpy ('S' dtype strips
-    # trailing null bytes); repeat in Python, aligned with np.repeat(ids)
-    rep_sigs = [b for b in sig_list for _ in range(bands)]
-    return pa.table({
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
-                         pa.int32()),
-        "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
-        id_col: pa.array(np.repeat(ids, bands)),
-        "sig": pa.array(rep_sigs, pa.binary()),
-    })
 
 
 def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
@@ -229,6 +352,22 @@ def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
     })
 
 
+_TASK_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls, **kwargs):
+    """Per-worker-process stage cache: lets cheap-state stages run as plain
+    map_batches TASKS on Ray's reusable workers (construct-once per
+    process) instead of an actor pool, which respawns processes on every
+    dataset execution — ~2 s of spawn+import ahead of each query at pool
+    size 8.  Expensive-state stages (models, big indexes) should still use
+    the actor-pool class form."""
+    key = (cls.__name__, tuple(sorted(kwargs.items())))
+    if key not in _TASK_STAGE_CACHE:
+        _TASK_STAGE_CACHE[key] = cls(**kwargs)
+    return _TASK_STAGE_CACHE[key]
+
+
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         num_perm: int = 128, bands: int = 16,
                         threshold: float = 0.5, max_bucket: int = 1000,
@@ -237,18 +376,15 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     shingle -> minhash -> band -> sorted-bucket pair emit -> pair dedupe.
     """
-    sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_perm=num_perm, seed=seed),
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=(2, 8), num_cpus=1,
-    )
+    # fused signature+banding on reusable-worker tasks (cached stage)
+    def _sig_bands(batch: pa.Table) -> pa.Table:
+        stage = _cached_stage(MinHashStage, id_col=id_col,
+                              text_col=text_col, num_perm=num_perm,
+                              seed=seed, bands=bands)
+        return stage(batch)
 
-    def _bands(batch: pa.Table) -> pa.Table:
-        return _expand_bands(batch, bands, num_perm, id_col)
-
-    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+    banded = ds.map_batches(_sig_bands, batch_format="pyarrow",
+                            batch_size=1024)
 
     def _pairs(group: pa.Table) -> pa.Table:
         return _bucket_pairs(group, id_col, threshold, max_bucket)
@@ -283,13 +419,21 @@ class SimHashStage:
         })
 
 
-def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text"):
-    return ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=(2, 8), num_cpus=1,
-    )
+def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text",
+                    mode: str = "tasks"):
+    if mode == "actors":
+        return ds.map_batches(
+            SimHashStage,
+            fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+            batch_format="pyarrow", batch_size=1024,
+            concurrency=(2, 8), num_cpus=1,
+        )
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        return _cached_stage(SimHashStage, id_col=id_col,
+                             text_col=text_col)(batch)
+
+    return ds.map_batches(_sig, batch_format="pyarrow", batch_size=1024)
 
 
 def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -299,11 +443,13 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Banding: 4 bands of 16 bits; any pair with d ≤ 3 shares ≥1 exact band
     (pigeonhole), so bucket-local comparison finds all such pairs.
     """
-    sigs = simhash_dataset(ds, id_col, text_col)
-
-    def _bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    def _sig_bands(batch: pa.Table) -> pa.Table:
+        # fused signature+banding (one reusable-worker task stage)
+        sig_tbl = _cached_stage(SimHashStage, id_col=id_col,
+                                text_col=text_col)(batch)
+        ids = sig_tbl[id_col].to_numpy(zero_copy_only=False)
+        sh = sig_tbl["simhash"].to_numpy(
+            zero_copy_only=False).view(np.uint64)
         n = len(ids)
         out_band = np.repeat(np.arange(4, dtype=np.int32), n)
         out_key = np.empty(4 * n, dtype=np.int64)
@@ -317,7 +463,8 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "simhash": pa.array(np.tile(sh.view(np.int64), 4), pa.int64()),
         })
 
-    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+    banded = ds.map_batches(_sig_bands, batch_format="pyarrow",
+                            batch_size=1024)
 
     def _pairs(group: pa.Table) -> pa.Table:
         from ..kernels.hashing import hamming_matrix64

@@ -150,3 +150,130 @@ def test_pages_dedup_rows(ray_session, tmp_path):
                                   extract_concurrency=2))
     total_n = res["rollup"].to_pandas()["n"].sum()
     assert total_n == n_unique
+
+
+def test_dedup_pages_slim(ray_session, tmp_path):
+    """Slim two-pass pages dedup: fat rows only shuffle when duplicated,
+    survivor among differing payloads is the deterministic min-content-
+    hash row, and non-duplicated rows stream through untouched."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import dedup_pages_slim
+
+    n = 400
+    urls = [f"https://d{i % 7}.example.com/p/{i}" for i in range(n)]
+    ts = list(range(n))
+    html = [(f"<p>page {i} " + "x" * 6000 + "</p>").encode()
+            for i in range(n)]
+    # plant dups: 10 keys duplicated, with DIFFERING payloads (re-crawl)
+    dup_ids = list(range(0, 50, 5))
+    for i in dup_ids:
+        urls.append(urls[i])
+        ts.append(ts[i])
+        html.append((f"<p>page {i} RECRAWLED " + "y" * 6000 + "</p>").encode())
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(ts, pa.int64()),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array([None] * len(urls), pa.string()),
+        "lang": pa.array(["en"] * len(urls), pa.string()),
+    })
+    f = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, f, row_group_size=100)
+
+    stats = {}
+    out = dedup_pages_slim(rd.read_parquet(f), ["url", "warc_ts"],
+                           stats_out=stats).to_pandas()
+    assert len(out) == n
+    assert not out.duplicated(["url", "warc_ts"]).any()
+    # only the planted keys were routed into the sort path (slim shuffle)
+    assert stats["dup_keys"] == len(dup_ids)
+    # deterministic winner: min content hash among the duplicate payloads
+    import hashlib
+
+    def cfp(h, t):
+        d = hashlib.blake2b(digest_size=8)
+        d.update(h if h is not None else b"\x00")
+        d.update(b"\x1f")
+        d.update(t.encode() if isinstance(t, str) else (t or b"\x00"))
+        d.update(b"\x1f")
+        return int.from_bytes(d.digest(), "big")
+
+    for i in dup_ids:
+        cands = [(cfp(html[i], None), html[i]),
+                 (cfp(html[n + dup_ids.index(i)], None),
+                  html[n + dup_ids.index(i)])]
+        want = min(cands)[1]
+        got = out[out.url == urls[i]]["html"].iloc[0]
+        assert bytes(got) == want
+    # run twice -> identical survivors (determinism)
+    out2 = dedup_pages_slim(rd.read_parquet(f),
+                            ["url", "warc_ts"]).to_pandas()
+    a = out.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    b = out2.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    assert a[["url", "warc_ts"]].equals(b[["url", "warc_ts"]])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.html, b.html))
+
+
+def test_dedup_pages_slim_no_dups(ray_session, tmp_path):
+    """No duplicates -> pure pass-through (no sort stage at all)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import dedup_pages_slim
+
+    tbl = pa.table({
+        "url": pa.array([f"u{i}" for i in range(100)], pa.string()),
+        "warc_ts": pa.array(list(range(100)), pa.int64()),
+        "html": pa.array([b"<p>x</p>"] * 100, pa.binary()),
+    })
+    f = str(tmp_path / "p.parquet")
+    pq.write_table(tbl, f)
+    stats = {}
+    out = dedup_pages_slim(rd.read_parquet(f), ["url", "warc_ts"],
+                           content_cols=("html",),
+                           stats_out=stats).to_pandas()
+    assert len(out) == 100
+    assert stats["dup_keys"] == 0
+
+
+def test_ngram_jaccard_join_matches_broadcast(ray_session, dup_corpus):
+    """T5 scale path: the two-join verify produces the SAME scored pairs
+    as the broadcast-lookup variant."""
+    import ray
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_verify,
+        ngram_jaccard_verify_join,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in dup_corpus], pa.int64()),
+        "text": pa.array([r[1] for r in dup_corpus], pa.string()),
+    })).materialize()
+    cand = minhash_dedup_pairs(docs, threshold=0.4).materialize()
+    assert cand.count() > 0
+    joined = ngram_jaccard_verify_join(cand, docs).to_pandas()
+    lookup = {r[0]: r[1] for r in dup_corpus}
+    bcast = ngram_jaccard_verify(cand, ray.put(lookup)).to_pandas()
+    a = sorted(map(tuple, joined[["doc_a", "doc_b", "jaccard"]].to_numpy()))
+    b = sorted(map(tuple, bcast[["doc_a", "doc_b", "jaccard"]].to_numpy()))
+    assert a == b
+
+
+def test_token_hashes_tail_sensitive():
+    """Long tokens differing only in their TAIL must hash apart (the
+    round-1 16-byte-prefix scheme collided URLs sharing a long prefix)."""
+    from light_curve_ray.kernels.hashing import token_hashes
+
+    a = "https://example.com/very/long/path/page1"
+    b = "https://example.com/very/long/path/page2"
+    ha, hb = token_hashes([a, b])
+    assert ha != hb
+    # equal-length tokens sharing first+last 8 bytes but differing in the
+    # middle are the documented residual collision class -- must be EQUAL
+    # hashes only when genuinely identical
+    assert token_hashes([a])[0] == token_hashes([a])[0]

@@ -112,3 +112,47 @@ def test_embedding_pairs_complete(ray_session, emb_corpus):
     assert {(a, b) for a, b in zip(got["vec_a"], got["vec_b"])} == expected
     assert len(got) == len(expected)  # once each
     assert (got["vec_a"] < got["vec_b"]).all()
+
+
+def test_embedding_pairs_lsh_recall(ray_session, emb_corpus):
+    """T6 scale path: LSH-banded pairs are a SUBSET of the exact pairs
+    (no false positives — cosine is scored exactly within buckets) and
+    recall the planted near-duplicates (cos ~ 0.9999 -> same bucket in
+    every band with overwhelming probability)."""
+    from light_curve_ray.stages.similarity import (
+        _embedding_pairs_broadcast,
+        embedding_pairs_lsh,
+    )
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat)
+    exact = _embedding_pairs_broadcast(ds, tau=0.9).to_pandas()
+    lsh = embedding_pairs_lsh(ds, tau=0.9, nbits=8, bands=8).to_pandas()
+    ex = set(zip(exact["vec_a"], exact["vec_b"]))
+    ls = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert ls <= ex  # exact-cos scoring in buckets: no false positives
+    planted = {(i, 290 + i) for i in range(10)} & ex
+    assert planted <= ls  # near-identical vectors collide in some band
+    assert len(ls) / max(1, len(ex)) >= 0.8
+    assert (lsh["vec_a"] < lsh["vec_b"]).all()
+    assert not lsh.duplicated(["vec_a", "vec_b"]).any()  # multi-band dedup
+
+
+def test_embedding_pairs_dispatch(ray_session, emb_corpus):
+    """The explicit path switch: small corpus -> exact path; tiny
+    broadcast_limit forces the LSH path."""
+    from light_curve_ray.stages.similarity import (
+        _embedding_pairs_broadcast,
+        embedding_pairs,
+    )
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat)
+    exact = _embedding_pairs_broadcast(ds, tau=0.9).to_pandas()
+    small = embedding_pairs(ds, tau=0.9).to_pandas()
+    assert set(zip(small["vec_a"], small["vec_b"])) == set(
+        zip(exact["vec_a"], exact["vec_b"]))
+    forced = embedding_pairs(ds, tau=0.9, broadcast_limit=10,
+                             nbits=8, bands=8).to_pandas()
+    assert set(zip(forced["vec_a"], forced["vec_b"])) <= set(
+        zip(exact["vec_a"], exact["vec_b"]))
