@@ -117,6 +117,7 @@ def run_headline(num_cpus: int, n_pages: int) -> dict:
         "pages_per_s": round(n_pages / wall, 1),
         "num_cpus": num_cpus,
         "phases": res.get("phases", {}),
+        "metrics": res.get("metrics", {}),
     }
 
 

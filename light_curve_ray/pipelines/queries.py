@@ -5,12 +5,15 @@ check passes.
 
 Float parity discipline: the engine and DuckDB sum doubles in different
 orders, so raw float aggregates differ in the last ulps.  Both sides
-therefore ROUND every float output to 6 decimals as the final step (and both
-sides express the feature algebra over the SAME raw power sums — see
-kernels/moments.py for why power sums instead of Welford merges: the merge
-is a plain SUM, expressible identically in Ray aggregates and ANSI SQL).
-NaN/undefined values are Arrow NULLs on the Ray side and SQL NULLs on the
-oracle side (kernels/moments._NULLABLE_FEATURES).
+therefore ROUND every float output to 6 decimals as the final step
+(half-away rounding on both sides — kernels/rounding.py), and both sides
+compute CENTRAL moments: the engine streams them with Pébay pairwise
+merges (kernels/moments.py — raw power sums catastrophically cancel when
+|mean| >> std, e.g. lineitem prices), while the oracle SQL uses a
+two-pass centered-sum join (_rollup_sql's `c` CTE) — numerically
+equivalent to 6 dp on the same data.  NaN/undefined values are Arrow
+NULLs on the Ray side and SQL NULLs on the oracle side
+(kernels/moments._NULLABLE_FEATURES).
 
 Queries without an oracle entry (minhash/simhash/LSH/gorilla/multimodal —
 genuinely non-SQL-expressible) get the driver's rows-only check and are

@@ -85,8 +85,28 @@ def checkpoint_points(cfg: RollupConfig, ckpt_dir: str,
 
         n_rows = sum(pq.ParquetFile(p).metadata.num_rows
                      for p in glob.glob(os.path.join(tmp_dir, "*.parquet")))
+        # durability before visibility: fsync every data file and the temp
+        # dir so the subsequently-committed manifest can never point at
+        # non-durable bytes after a power loss (rename alone only orders
+        # the NAMESPACE, not the data)
+        for p in glob.glob(os.path.join(tmp_dir, "*.parquet")):
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        dfd = os.open(tmp_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         shutil.rmtree(final_dir, ignore_errors=True)
         os.rename(tmp_dir, final_dir)  # atomic commit of the data...
+        pfd = os.open(points_root, os.O_RDONLY)
+        try:
+            os.fsync(pfd)  # persist the rename before the manifest
+        finally:
+            os.close(pfd)
         write_manifest(manifest_dir, Manifest(  # ...then the manifest
             partition_id=pid,
             input_fragments=shard,

@@ -109,8 +109,10 @@ class RollupConfig:
     # in-process (same kernels) instead of as 6+ distributed stages whose
     # scheduling overhead (~7 s) dwarfs their sub-second compute.  A
     # 10^12-doc crawl produces >> this many series-buckets and takes the
-    # distributed tail.  0 forces the distributed tail (tests).
-    small_rollup_limit: int = 2_000_000
+    # distributed tail.  0 forces the distributed tail (tests).  Sized so
+    # the driver tail's per-series pandas applies stay ~seconds — beyond
+    # this the distributed tail's scheduling cost is the cheaper side.
+    small_rollup_limit: int = 150_000
 
 
 def points_dataset(cfg: RollupConfig):
@@ -483,6 +485,52 @@ def gorilla_series(rollup_ds):
                             GORILLA_SCHEMA)
 
 
+def _skew_metrics_pd(df) -> dict:
+    """Per-partition skew metrics (north rule): point share of the hottest
+    domains, from a frame with (domain, n)."""
+    if len(df) == 0:
+        return {"n_domains": 0, "top_domain_share": 0.0,
+                "top5_domain_share": 0.0}
+    per = df.groupby("domain", sort=False)["n"].sum().sort_values(
+        ascending=False)
+    total = float(per.sum()) or 1.0
+    return {
+        "n_domains": int(per.size),
+        "top_domain_share": round(float(per.iloc[0]) / total, 6),
+        "top5_domain_share": round(float(per.head(5).sum()) / total, 6),
+    }
+
+
+def _build_metrics(cfg: RollupConfig, phases: dict, rows: dict,
+                   skew: dict) -> dict:
+    """O12 stage metrics: rows in/out per stage, throughput, skew share.
+    Returned with the result and persisted next to the sink output."""
+    pts = rows.get("points", 0)
+    m = {
+        "rows": rows,
+        "phase_wall_s": {k: v for k, v in phases.items()
+                        if isinstance(v, (int, float))},
+        "points_per_s": round(pts / phases["points"], 1)
+        if phases.get("points") else None,
+        "reduction_points_to_rollup": round(
+            pts / rows["rollup"], 1) if rows.get("rollup") else None,
+        "skew": skew,
+        "tail_mode": phases.get("tail_mode", "distributed"),
+    }
+    return m
+
+
+def _persist_metrics(out_dir: str | None, metrics: dict) -> None:
+    if not out_dir:
+        return
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, sort_keys=True)
+
+
 def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,
                 phases: dict, t0: float) -> dict:
     """Adaptive in-process tail (cfg.small_rollup_limit): cascade,
@@ -548,11 +596,20 @@ def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,
             series_dir = f"{cfg.out_dir}/series"
             series.write_parquet(series_dir, partition_cols=["tier"])
             out_paths["series"] = series_dir
+    metrics = _build_metrics(
+        cfg, phases,
+        rows={"points": points.count(), "fine_stats": len(fine_tbl),
+              "rollup": len(rollup_df),
+              "series": len(series_df) if series_df is not None else 0},
+        skew=_skew_metrics_pd(rollup_df[rollup_df.tier == ordered[0]]
+                              [["domain", "n"]]))
+    _persist_metrics(cfg.out_dir, metrics)
     return {
         "rollup": rollup,
         "series": series,
         "wall_time_s": time.monotonic() - t0,
         "phases": phases,
+        "metrics": metrics,
         "out": out_paths,
     }
 
@@ -645,10 +702,38 @@ def run_rollup(cfg: RollupConfig) -> dict:
             series_dir = f"{cfg.out_dir}/series"
             series.write_parquet(series_dir, partition_cols=["tier"])
             out_paths["series"] = series_dir
+    # O12 metrics: counts only touch PINNED datasets (points, fine_stats,
+    # and rollup when materialized above) — never re-execute a lazy chain.
+    rows = {"points": points.count(), "fine_stats": fine_stats.count()}
+    skew = {}
+    if cfg.gorilla or cfg.out_dir:  # rollup is materialized
+        rows["rollup"] = rollup.count()
+        rows["series"] = series.count() if series is not None else 0
+
+        def _dom_n(batch: pa.Table) -> pa.Table:
+            from ..kernels.moments import _group_codes
+
+            if len(batch) == 0:
+                return pa.table({"domain": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            inv, first = _group_codes(batch, ["domain"])
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            sums = np.bincount(inv, weights=n,
+                               minlength=len(first)).astype(np.int64)
+            return pa.table({
+                "domain": batch["domain"].take(pa.array(first, pa.int64())),
+                "n": pa.array(sums, pa.int64())})
+
+        per_dom = rollup.map_batches(
+            _dom_n, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        skew = _skew_metrics_pd(per_dom)
+    metrics = _build_metrics(cfg, phases, rows=rows, skew=skew)
+    _persist_metrics(cfg.out_dir, metrics)
     return {
         "rollup": rollup,
         "series": series,
         "wall_time_s": time.monotonic() - t0,
         "phases": phases,
+        "metrics": metrics,
         "out": out_paths,
     }

@@ -230,23 +230,40 @@ def merge_partials(ds, salted: bool = False):
 
 def detect_hot_domains(points_ds, top_frac: float = 0.001,
                        min_share: float = 0.01, sample_blocks: int = 8):
-    """Skew pre-pass (SURVEY §4): sample blocks, count points per domain,
-    return domains holding more than ``min_share`` of sampled points.
+    """Skew pre-pass (SURVEY §4): sample SPREAD-OUT blocks, count points
+    per domain, return domains holding more than ``min_share`` of sampled
+    points.
 
-    Cheap by construction: reads a handful of blocks, never the full
-    dataset.  The result is a driver-side frozenset broadcast into
+    Blocks are taken evenly spaced across the whole dataset, not from the
+    head: input parquet clustered by domain (common for re-sharded crawls)
+    would make a prefix 'sample' see only a few domains and silently
+    disable salting.  Cheap by construction on the materialized points
+    table run_rollup passes in (block refs already exist; only the sampled
+    blocks are fetched); on a lazy dataset it falls back to a head scan.
+    The result is a driver-side frozenset broadcast into
     make_partial_stats_fn."""
     import collections
 
     counts: collections.Counter = collections.Counter()
     total = 0
-    for batch in points_ds.limit(
-            sample_blocks * 65536).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
+    batches = None
+    try:
+        import ray
+
+        refs = points_ds.to_arrow_refs()
+        if len(refs) > sample_blocks:
+            idx = np.linspace(0, len(refs) - 1, sample_blocks,
+                              dtype=np.int64)
+            refs = [refs[i] for i in dict.fromkeys(idx.tolist())]
+        batches = ray.get(refs)
+    except Exception:  # non-materialized input: head scan fallback
+        batches = points_ds.limit(sample_blocks * 65536).iter_batches(
+            batch_format="pyarrow", batch_size=65536)
+    for batch in batches:
         domains = batch["domain"].to_pylist()
         counts.update(domains)
         total += len(domains)
-        if total >= sample_blocks * 65536:
+        if total >= sample_blocks * 65536 * 4:
             break
     if total == 0:
         return frozenset()

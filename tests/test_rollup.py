@@ -182,3 +182,30 @@ def test_beyond_join_path_equals_broadcast(ray_session, pages_dir):
     gb = b["beyond_1_std"].to_numpy(np.float64)
     ok = (np.isnan(ga) & np.isnan(gb)) | (np.abs(ga - gb) < 1e-12)
     assert bool(np.all(ok))
+
+
+def test_rollup_metrics_present(ray_session, pages_dir):
+    """O12: run_rollup surfaces per-stage rows, throughput and skew
+    metrics in BOTH tail modes, and persists them next to the sink."""
+    import json
+    import os
+
+    from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+
+    d, _tbl = pages_dir
+    for limit, mode in ((10**9, "driver"), (0, "distributed")):
+        out_dir = f"/tmp/lcr_test_metrics_{mode}"
+        res = run_rollup(RollupConfig(
+            input_paths=d, input_kind="pages", tiers=("1d",),
+            small_rollup_limit=limit, out_dir=out_dir,
+            extract_concurrency=2))
+        m = res["metrics"]
+        assert m["tail_mode"] == mode
+        assert m["rows"]["points"] > 0
+        assert m["rows"]["rollup"] > 0
+        assert m["points_per_s"] and m["points_per_s"] > 0
+        assert 0 < m["skew"]["top_domain_share"] <= 1
+        assert m["skew"]["n_domains"] > 0
+        assert "points" in m["phase_wall_s"]
+        with open(os.path.join(out_dir, "metrics.json")) as f:
+            assert json.load(f)["rows"]["rollup"] == m["rows"]["rollup"]
