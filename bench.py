@@ -35,7 +35,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("LCR_BENCH_PAGES", "100000"))
 # scaling runs need a compute-bound job so fixed Ray overheads (~5 s)
 # amortize: bigger corpus, generated once and cached
-SCALE_PAGES = int(os.environ.get("LCR_SCALE_PAGES", "1200000"))
+SCALE_PAGES = int(os.environ.get("LCR_SCALE_PAGES", "10000000"))
 PAGE_KB = float(os.environ.get("LCR_BENCH_PAGE_KB", "6"))
 N_DOMAINS = 200
 

@@ -727,23 +727,34 @@ def q_series_gorilla(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing: synthesize deterministic binary payloads keyed
-    by doc_id, decode via the actor-pool stage (fake LCRF codec — the real
-    image/audio libs are stubbed, see stages/multimodal.py)."""
+    """Multimodal decode: deterministic binary payloads keyed by doc_id in
+    three REAL formats — RIFF/WAVE PCM audio and binary PPM images decoded
+    for real by the stdlib codecs, plus the LCRF video-stand-in container
+    (compressed formats remain the marked codec='real' integration point,
+    see stages/multimodal.py)."""
     import ray.data as rd
 
-    from ..stages.multimodal import decode_payloads, fake_payload
+    from ..stages.multimodal import (
+        decode_payloads,
+        fake_payload,
+        synth_ppm,
+        synth_wav,
+    )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def _payloads(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        kinds = ["image", "audio", "video"]
-        payloads = [
-            fake_payload(kinds[i % 3], 64 + i % 64, 48 + i % 16,
-                         1 + i % 5, seed=i)
-            for i in ids
-        ]
+        payloads = []
+        for i in ids:
+            if i % 3 == 0:
+                payloads.append(synth_wav(800 + i % 400, 100.0 + i % 300,
+                                          seed=i))
+            elif i % 3 == 1:
+                payloads.append(synth_ppm(16 + i % 48, 12 + i % 16, seed=i))
+            else:
+                payloads.append(fake_payload("video", 64 + i % 64,
+                                             48 + i % 16, 1 + i % 5, seed=i))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "payload": pa.array(payloads, pa.binary())})
 

@@ -169,19 +169,23 @@ def _block_state_merge(batch: pa.Table, key_cols: list = None) -> pa.Table:
                      "boundary": pa.array(boundary, pa.bool_())})
 
 
-def merge_partials(ds, salted: bool = False):
+def merge_partials(ds, salted: bool = False, residual_cap: int = 65536):
     """Shuffle-side merge: sort by key (the one all-to-all exchange), then
     a fully VECTORIZED segmented Pébay reduce per sorted block.
 
     Sorted order makes every key's partial rows contiguous, so a key that
     is not its block's first or last key is completely merged inside that
     block (exact, no cross-block traffic).  Only the ≤2 boundary keys per
-    block need resolution; that residual is ~2 rows/block — collapsed in a
-    single partition with the same vectorized kernel.  This avoids Ray's
-    per-group Python dispatch in groupby().aggregate(), which dominated the
-    merge stage ~3x at 45k groups.  (The single-partition residual merge
-    holds to ~1e6-block jobs ≈ 300 MB; beyond that, repeat the sort-merge
-    pass hierarchically.)
+    block need resolution; that residual is ~2 rows/block.  While the
+    residual stays under ``residual_cap`` rows it collapses in a single
+    partition with the same vectorized kernel; beyond that (≈ >32k input
+    blocks — the round-1 cliff at ~1e6 blocks) the SAME sort-merge pass
+    repeats HIERARCHICALLY: repartition the still-sorted boundary rows
+    into residual/residual_cap blocks, merge interiors, and recurse on
+    the (~blocks×2) rows that remain — O(log) levels, each a narrow
+    order-preserving repartition, no extra sort.  This avoids Ray's
+    per-group Python dispatch in groupby().aggregate(), which dominated
+    the merge stage ~3x at 45k groups.
 
     ``salted=True``: partials carry a ``salt`` key component (hot-domain
     skew split, make_partial_stats_fn).  The first merge runs over
@@ -210,15 +214,27 @@ def merge_partials(ds, salted: bool = False):
         out = _block_state_merge(batch, key_cols)
         return out.drop_columns(["boundary"])
 
-    interior = merged.map_batches(_interior, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-    residual = (
-        merged.map_batches(_boundary, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(_final_merge, batch_format="pyarrow", batch_size=None)
-    )
-    out = interior.union(residual)
+    outputs = [merged.map_batches(_interior, batch_format="pyarrow",
+                                  zero_copy_batch=True)]
+    res = merged.map_batches(_boundary, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    rows_est = 2 * merged.num_blocks()
+    while rows_est > residual_cap:
+        k = max(2, -(-rows_est // residual_cap))
+        level = res.repartition(k).map_batches(
+            _block_merge, batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        outputs.append(level.map_batches(_interior, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+        res = level.map_batches(_boundary, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        rows_est = 2 * k
+    outputs.append(
+        res.repartition(1).map_batches(_final_merge, batch_format="pyarrow",
+                                       batch_size=None))
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
     if salted:
         out = out.map_batches(
             lambda b: b.drop_columns(["salt"]), batch_format="pyarrow",

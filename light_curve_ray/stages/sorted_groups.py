@@ -41,13 +41,21 @@ def _runs(batch: pa.Table, key_cols: list):
 
 
 def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
-                     min_group_size: int = 1):
+                     min_group_size: int = 1,
+                     residual_block_cap: int = 16384):
     """Distributed per-group apply without per-group Ray dispatch.
 
     ``fn(group: pa.Table) -> pa.Table`` with schema ``out_schema``.
     ``min_group_size``: skip groups smaller than this without calling
     ``fn`` (e.g. 2 for pair-emission over LSH buckets, where singleton
     buckets — the vast majority — can produce nothing).
+
+    Residual scale path: boundary rows are ≤2 groups per sorted block, so
+    up to ``residual_block_cap`` blocks they collapse into ONE partition
+    (cheapest).  Beyond that (web-scale block counts) the residual groups
+    go through ``groupby(key).map_groups`` instead — Ray's per-group
+    dispatch is acceptable there because the residual is a vanishing
+    fraction of the groups, and a single partition would not be.
     """
     sorted_ds = ds.sort(key_cols).materialize()  # one exchange, two readers
 
@@ -85,10 +93,17 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
     interior = sorted_ds.map_batches(
         _interior, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True)
-    residual = (
-        sorted_ds.map_batches(_boundary_rows, batch_format="pyarrow",
-                              batch_size=None, zero_copy_batch=True)
-        .repartition(1)
-        .map_batches(_residual, batch_format="pyarrow", batch_size=None)
-    )
+    boundary = sorted_ds.map_batches(_boundary_rows, batch_format="pyarrow",
+                                     batch_size=None, zero_copy_batch=True)
+    if sorted_ds.num_blocks() <= residual_block_cap:
+        residual = boundary.repartition(1).map_batches(
+            _residual, batch_format="pyarrow", batch_size=None)
+    else:
+        def _one_group(g: pa.Table) -> pa.Table:
+            if len(g) < min_group_size:
+                return out_schema.empty_table()
+            return fn(g)
+
+        residual = boundary.groupby(key_cols).map_groups(
+            _one_group, batch_format="pyarrow")
     return interior.union(residual)

@@ -211,3 +211,46 @@ def test_statemerge_agg_matches_sort_merge(ray_session):
     np.testing.assert_array_equal(a["n"], b["n"])
     for c in ["mean", "M2", "M3", "M4", "vmin", "vmax", "st1", "st2", "stv"]:
         np.testing.assert_allclose(a[c], b[c], rtol=1e-9, atol=1e-9)
+
+
+def test_hierarchical_residual_merge(ray_session):
+    """Forcing residual_cap below the residual size engages the
+    hierarchical level(s); output must be identical to the direct merge
+    (the ~1e6-block scale path, exercised here with a tiny cap)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.aggregate import (
+        make_partial_stats_fn,
+        merge_partials,
+        unpack_state,
+    )
+
+    rng = np.random.RandomState(13)
+    n = 8000
+    pts = pa.table({
+        "lang": pa.array(rng.choice(["en", "de"], n)),
+        "domain": pa.array(rng.choice([f"d{i}.org" for i in range(20)], n)),
+        "t_us": pa.array(rng.randint(0, 20 * 3_600_000_000, n), pa.int64()),
+        "v": pa.array(rng.normal(50, 5, n), pa.float64()),
+        "w": pa.array(np.ones(n), pa.float64()),
+    })
+    # many small input blocks -> many boundary keys in the residual
+    partials = (rd.from_arrow(pts).repartition(64)
+                .map_batches(make_partial_stats_fn(3_600_000_000),
+                             batch_format="pyarrow")
+                .materialize())
+
+    def collect(ds):
+        out = ds.map_batches(unpack_state,
+                             batch_format="pyarrow").to_pandas()
+        return out.sort_values(
+            ["lang", "domain", "bucket_ts_us"]).reset_index(drop=True)
+
+    direct = collect(merge_partials(partials))
+    hier = collect(merge_partials(partials, residual_cap=8))
+    assert len(direct) == len(hier)
+    np.testing.assert_array_equal(direct["n"], hier["n"])
+    for c in ["mean", "M2", "M3", "M4", "vmin", "vmax", "st1", "st2",
+              "stv"]:
+        np.testing.assert_allclose(direct[c], hier[c], rtol=0, atol=0)

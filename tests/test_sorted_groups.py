@@ -64,3 +64,39 @@ def test_sorted_group_map_min_group_size(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == [2, 3]  # singleton key 1 skipped
     assert list(got["n"]) == [2, 3]
+
+
+def test_residual_groupby_path_matches(ray_session):
+    """Forcing residual_block_cap=0 routes boundary groups through
+    groupby().map_groups; output must equal the single-partition path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.sorted_groups import sorted_group_map
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    tbl = pa.table({
+        "k": pa.array(rng.randint(0, 50, n), pa.int64()),
+        "v": pa.array(rng.normal(0, 1, n), pa.float64()),
+    })
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                        ("s", pa.float64())])
+
+    def agg(g):
+        return pa.table({
+            "k": pa.array([g["k"][0].as_py()], pa.int64()),
+            "n": pa.array([len(g)], pa.int64()),
+            "s": pa.array([float(np.sort(
+                g["v"].to_numpy(zero_copy_only=False)).sum())],
+                pa.float64()),
+        })
+
+    ds = rd.from_arrow(tbl).repartition(16)
+    a = sorted_group_map(ds, ["k"], agg, schema).to_pandas()
+    b = sorted_group_map(ds, ["k"], agg, schema,
+                         residual_block_cap=0).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["n"].sum() == n

@@ -78,3 +78,66 @@ def test_multimodal_real_codec_is_marked_stub():
 
     with pytest.raises(NotImplementedError):
         PayloadDecodeStage(codec="real")
+
+
+def test_stdlib_wav_codec_roundtrip():
+    """REAL RIFF/WAVE PCM decode: synthesized params come back exactly."""
+    from light_curve_ray.stages.multimodal import decode_wav, synth_wav
+
+    p = synth_wav(n_samples=1234, freq_hz=220.0, rate=8000, seed=3)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    d = decode_wav(p)
+    assert d["kind"] == "audio"
+    assert d["n_frames"] == 1234
+    assert d["width"] == 1      # channels
+    assert d["height"] == 16    # bit depth
+    assert d["n_bytes"] == 1234 * 2
+    # a sine + small noise: near-zero mean, std ~ 0.6*32767/sqrt(2)
+    assert abs(d["byte_mean"]) < 500
+    assert 10000 < d["byte_std"] < 20000
+
+
+def test_stdlib_pnm_codec_roundtrip():
+    """REAL binary PPM decode incl. header comments."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import decode_pnm, synth_ppm
+
+    p = synth_ppm(20, 10, seed=5)
+    d = decode_pnm(p)
+    assert (d["kind"], d["width"], d["height"]) == ("image", 20, 10)
+    assert d["n_bytes"] == 20 * 10 * 3
+    body = np.frombuffer(p.split(b"255\n", 1)[1], dtype=np.uint8)
+    assert abs(d["byte_mean"] - float(body.mean())) < 1e-9
+    # PGM (P5), with a comment line
+    pgm = b"P5\n# c\n4 2\n255\n" + bytes(range(8))
+    d5 = decode_pnm(pgm)
+    assert (d5["width"], d5["height"], d5["n_bytes"]) == (4, 2, 8)
+    assert d5["byte_mean"] == 3.5
+
+
+def test_auto_codec_dispatch(ray_session):
+    """auto codec: wav/ppm/LCRF all decode, garbage -> decode_ok=false."""
+    import ray.data as rd
+
+    from light_curve_ray.stages.multimodal import (
+        decode_payloads,
+        fake_payload,
+        synth_ppm,
+        synth_wav,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array([
+            synth_wav(100, 50.0, seed=0),
+            synth_ppm(8, 8, seed=1),
+            fake_payload("video", 32, 32, 3, seed=2),
+            b"\x00garbage",
+        ], pa.binary()),
+    })
+    out = decode_payloads(rd.from_arrow(tbl), batch_size=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["kind"]) == ["audio", "image", "video", ""]
+    assert list(out["decode_ok"]) == [True, True, True, False]
+    assert "payload" not in out.columns  # fat column dropped in-stage
