@@ -49,15 +49,80 @@ GORILLA_SCHEMA = pa.schema([
 ])
 
 
+def _f64(arr: np.ndarray) -> pa.Array:
+    """float64 numpy -> Arrow with NaN mapped to NULL (schema parity with
+    the pandas path, where NaN became null via from_pandas)."""
+    return pa.array(arr, pa.float64(), mask=~np.isfinite(arr))
+
+
 def gapfill_group_arrow(group: pa.Table) -> pa.Table:
-    """Arrow wrapper for sorted_group_map (stages/sorted_groups)."""
-    return pa.Table.from_pandas(gapfill_group(group.to_pandas()),
-                                schema=GAPFILL_SCHEMA, preserve_index=False)
+    """Numpy-native per-group gap-fill for sorted_group_map — no pandas
+    round-trip per series (per-group overhead matters at web-scale series
+    counts; pinned equal to the pandas kernel by tests/test_rollup.py)."""
+    tier = group["tier"][0].as_py()
+    step = TIER_STEP_US[tier]
+    ts = group["bucket_ts_us"].to_numpy(zero_copy_only=False)
+    order = argsort_time(ts)
+    have = ts[order]
+    grid = bucket_grid(have[0], have[-1], step)
+    n_out = grid.size
+    feats = {c: group[c].to_numpy(zero_copy_only=False).astype(
+        np.float64)[order] for c in ROLLUP_FEATURES if c != "n"}
+    n_col = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    if n_out == have.size:  # dense already
+        filled = np.zeros(n_out, dtype=bool)
+        out_ts, out_n = have, n_col
+        out_feats = feats
+    else:
+        pos = ((have - grid[0]) // step).astype(np.int64)
+        out_feats = {}
+        for c, v in feats.items():
+            full = np.full(n_out, np.nan)
+            full[pos] = v
+            out_feats[c] = full
+        out_n = np.zeros(n_out, dtype=np.int64)
+        out_n[pos] = n_col
+        filled = np.ones(n_out, dtype=bool)
+        filled[pos] = False
+        mean_on_grid = interpolate(
+            have.astype(np.float64), feats["mean"],
+            grid.astype(np.float64), left=np.nan, right=np.nan)
+        out_feats["mean"] = np.where(filled, mean_on_grid,
+                                     out_feats["mean"])
+        out_ts = grid
+    cols = {
+        "lang": pa.array([group["lang"][0].as_py()] * n_out, pa.string()),
+        "domain": pa.array([group["domain"][0].as_py()] * n_out,
+                           pa.string()),
+        "tier": pa.array([tier] * n_out, pa.string()),
+        "bucket_ts_us": pa.array(out_ts, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+    }
+    for c in ROLLUP_FEATURES:
+        if c != "n":
+            cols[c] = _f64(out_feats[c])
+    cols["filled"] = pa.array(filled, pa.bool_())
+    return pa.table(cols).cast(GAPFILL_SCHEMA)
 
 
 def gorilla_group_arrow(group: pa.Table) -> pa.Table:
-    return pa.Table.from_pandas(gorilla_group(group.to_pandas()),
-                                schema=GORILLA_SCHEMA, preserve_index=False)
+    """Numpy-native per-group Gorilla encode (no pandas round-trip)."""
+    ts = group["bucket_ts_us"].to_numpy(zero_copy_only=False)
+    order = argsort_time(ts)
+    mean = group["mean"].to_numpy(zero_copy_only=False).astype(np.float64)
+    blob = gorilla_encode(ts[order], mean[order])
+    n_filled = 0
+    if "filled" in group.column_names:
+        f = group["filled"].to_numpy(zero_copy_only=False)
+        n_filled = int(np.nansum(np.asarray(f, dtype=np.float64)))
+    return pa.table({
+        "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+        "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+        "tier": pa.array([group["tier"][0].as_py()], pa.string()),
+        "n_buckets": pa.array([len(group)], pa.int64()),
+        "n_filled": pa.array([n_filled], pa.int64()),
+        "points_gorilla": pa.array([blob], pa.binary()),
+    }).cast(GORILLA_SCHEMA)
 
 
 def gapfill_group(g: pd.DataFrame) -> pd.DataFrame:
