@@ -499,13 +499,16 @@ def q_interp_grid(sf_dir: str):
     return _collect(out)
 
 
-def _pages_fixture(sf_dir: str) -> str:
+def _pages_fixture(sf_dir: str, with_dups: bool = False) -> str:
     """Deterministic pages parquet derived from documents (cached in /tmp).
 
     Schema = the north-star input_hint: (url: string, warc_ts:
     timestamp[us], html: binary, text: string, lang: string).  Rows with
     doc_id % 3 == 0 carry ONLY html (text NULL) and must round-trip
-    byte-identically through the extract stage; the rest carry text."""
+    byte-identically through the extract stage; the rest carry text.
+    ``with_dups``: re-append every doc_id % 10 == 0 row (same url, same
+    warc_ts — a re-crawl), so the O10 dedup stage must drop exactly those
+    for the shared SQL oracle (one point per doc) to match."""
     import hashlib
     import os
 
@@ -514,6 +517,8 @@ def _pages_fixture(sf_dir: str) -> str:
     src = f"{sf_dir}/documents.parquet"
     tag = hashlib.blake2b(
         os.path.abspath(src).encode(), digest_size=8).hexdigest()
+    if with_dups:
+        tag += "_dup"
     out_dir = f"/tmp/lcr_pages_fixture_{tag}"
     marker = os.path.join(out_dir, "_DONE")
     path = os.path.join(out_dir, "pages.parquet")
@@ -544,6 +549,10 @@ def _pages_fixture(sf_dir: str) -> str:
         "text": pa.array(out_text, pa.string()),
         "lang": pa.array(langs, pa.string()),
     })
+    if with_dups:
+        dup_idx = [j for j, i in enumerate(ids) if i % 10 == 0]
+        tbl = pa.concat_tables([tbl, tbl.take(pa.array(dup_idx,
+                                                       pa.int64()))])
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(tbl, path, row_group_size=2048)
     with open(marker, "w") as f:
@@ -561,6 +570,24 @@ def q_pages_rollup_1d(sf_dir: str):
         tiers=("1d",),
         extract_mode="actors",
         extract_concurrency=(2, 4),
+        read_num_blocks=4,
+    )
+    ds = _rollup_tier(cfg, "1d")
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return _round6(tbl.select(ROLLUP_COLS))
+
+
+def q_pages_dedup_rollup_1d(sf_dir: str):
+    """O10 oracle end-to-end: the pages fixture with re-crawled duplicate
+    (url, warc_ts) rows planted, run with dedup_pages=True (slim two-pass
+    dedup) — the SQL oracle counts each document exactly once, so any
+    missed or over-dropped duplicate breaks the value hash."""
+    cfg = RollupConfig(
+        input_paths=_pages_fixture(sf_dir, with_dups=True),
+        input_kind="pages",
+        tiers=("1d",),
+        dedup_pages=True,
+        extract_mode="tasks",
         read_num_blocks=4,
     )
     ds = _rollup_tier(cfg, "1d")
@@ -774,6 +801,7 @@ def build_queries() -> dict:
         "interp_grid": q_interp_grid,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
+        "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -799,6 +827,7 @@ def build_oracle_sql() -> dict:
         "interp_grid": INTERP_GRID_SQL,
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
+        "pages_dedup_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "hot_keys": HOT_KEYS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,

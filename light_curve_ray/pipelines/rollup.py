@@ -37,7 +37,6 @@ from ..stages.aggregate import (
     shift_stats,
 )
 from ..stages.extract import ExtractTextStage
-from ..stages.gapfill import gapfill_group, gorilla_group
 from ..stages.project import pages_to_points, table_to_points
 
 ROLLUP_KEY = ["lang", "domain", "tier", "bucket_ts_us"]
@@ -85,8 +84,10 @@ class RollupConfig:
     extract_batch_size: int = 512
     # map-side combine batch: the partial collapse ratio is
     # batch_size / keys-touched-per-batch, so big batches matter when key
-    # cardinality is high (65k keys x 65k batch -> almost no collapse)
-    points_batch_size: int = 262144
+    # cardinality is high (65k keys x 65k batch -> almost no collapse).
+    # 1M rows x ~40 B/row x n_workers comfortably fits worker heaps and
+    # quarters the partial-row count entering the merge sort vs 256k.
+    points_batch_size: int = 1_048_576
     # read fan-out hint: small page shards default to one read task per
     # couple of files, serializing the parquet+html decode; raise this to
     # ~#files (or #cpus) for small-file inputs
@@ -360,7 +361,8 @@ def attach_beyond_join(features_by_tier: dict, points_ds, n_std: float,
             })
 
         pts = points_ds.map_batches(_bucket, batch_format="pyarrow",
-                                    batch_size=cfg.points_batch_size,
+                                    batch_size=min(262144,
+                                                   cfg.points_batch_size),
                                     zero_copy_batch=True)
         joined = pts.join(stats_small, "inner", num_partitions,
                           on=("lang", "domain", "bucket_ts_us"))
@@ -392,7 +394,7 @@ def attach_beyond_join(features_by_tier: dict, points_ds, n_std: float,
 
         partial_counts = joined.map_batches(
             _count, batch_format="pyarrow",
-            batch_size=cfg.points_batch_size)
+            batch_size=min(262144, cfg.points_batch_size))
         # merge partial counts: sorted segmented sum (no per-group dispatch)
         from ray.data.aggregate import Sum
 
@@ -433,10 +435,14 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
         for tier, df in feats_pd.items()
     }
     ref = ray.put(stats_small)
+    # smaller batches than the combine pass: the beyond scan is a cheap
+    # per-row compare whose collapse ratio doesn't improve past ~256k rows,
+    # while task-count (parallelism) does — 1M batches left a 31-worker
+    # pool 2/3 idle on the 10M-row proxy corpus (measured +3 s)
     beyond = points_ds.map_batches(
         make_beyond_partial_fn(ref, n_std=n_std),
         batch_format="pyarrow",
-        batch_size=cfg.points_batch_size,
+        batch_size=min(262144, cfg.points_batch_size),
         zero_copy_batch=True,
     )
     # The partial counts are ≤ one row per (key, tier) per block — the same
@@ -565,24 +571,36 @@ def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,
             df["beyond_1_std"] = np.nan
     rollup_df = pd.concat([feats_pd[t] for t in cfg.tiers],
                           ignore_index=True)
+
+    def _per_series(df: pd.DataFrame, group_fn) -> pd.DataFrame:
+        # driver-side run-sliced apply: one stable sort + contiguous-run
+        # slices through the NUMPY group kernels — replaces pandas
+        # groupby.apply (a per-group merge + frame construction that
+        # dominated the driver tail at high series counts)
+        from ..kernels.moments import _group_codes
+        from ..stages.sorted_groups import _runs
+
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        inv, _ = _group_codes(tbl, SERIES_KEY)
+        order = np.argsort(inv, kind="stable")
+        tbl = tbl.take(pa.array(order, pa.int64())).combine_chunks()
+        starts, ends = _runs(tbl, SERIES_KEY)
+        outs = [group_fn(tbl.slice(s, e - s))
+                for s, e in zip(starts, ends)]
+        return pa.concat_tables(outs).to_pandas()
+
     t1 = time.monotonic()
     if cfg.gapfill:
-        rollup_df = (
-            rollup_df.groupby(["lang", "domain", "tier"], sort=False,
-                              group_keys=False)
-            .apply(gapfill_group)
-            .reset_index(drop=True)
-        )
+        from ..stages.gapfill import gapfill_group_arrow
+
+        rollup_df = _per_series(rollup_df, gapfill_group_arrow)
     phases["gapfill"] = round(time.monotonic() - t1, 3)
     t1 = time.monotonic()
     series_df = None
     if cfg.gorilla:
-        series_df = (
-            rollup_df.groupby(["lang", "domain", "tier"], sort=False,
-                              group_keys=False)
-            .apply(gorilla_group)
-            .reset_index(drop=True)
-        )
+        from ..stages.gapfill import gorilla_group_arrow
+
+        series_df = _per_series(rollup_df, gorilla_group_arrow)
     phases["gorilla"] = round(time.monotonic() - t1, 3)
     phases["tail_mode"] = "driver"
     rollup = rd.from_pandas(rollup_df)
