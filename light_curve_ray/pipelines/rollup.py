@@ -114,6 +114,11 @@ class RollupConfig:
     # the driver tail's per-series pandas applies stay ~seconds — beyond
     # this the distributed tail's scheduling cost is the cheaper side.
     small_rollup_limit: int = 150_000
+    # adaptive merge: under this many map-side-combined partial rows the
+    # fine merge runs in-process (same vectorized kernel) instead of as a
+    # distributed sort whose fixed cost (~3 s) dwarfs the work; 0 forces
+    # the distributed sort-merge (tests)
+    driver_merge_limit: int = 2_000_000
 
 
 def points_dataset(cfg: RollupConfig):
@@ -537,23 +542,21 @@ def _persist_metrics(out_dir: str | None, metrics: dict) -> None:
         json.dump(metrics, f, indent=1, sort_keys=True)
 
 
-def _small_tail(cfg: RollupConfig, fine_stats, points, ordered: list,
-                phases: dict, t0: float) -> dict:
+def _small_tail(cfg: RollupConfig, fine_tbl: pa.Table, points,
+                ordered: list, phases: dict, t0: float) -> dict:
     """Adaptive in-process tail (cfg.small_rollup_limit): cascade,
     finalize, beyond, gap-fill and Gorilla run vectorized on the driver
     with the SAME kernels as the distributed tail — the merged rollup is
     orders of magnitude smaller than the input, and six sub-second
     distributed stages otherwise cost ~7 s of pure scheduling.  The
     distributed tail (forced with small_rollup_limit=0) is pinned equal by
-    tests/test_rollup.py."""
-    import ray
+    tests/test_rollup.py.  ``fine_tbl``: the merged fine-tier stats,
+    already driver-side."""
     import ray.data as rd
 
     from ..stages.aggregate import driver_merge_states
 
     t1 = time.monotonic()
-    tables = [t for t in ray.get(fine_stats.to_arrow_refs()) if len(t)]
-    fine_tbl = pa.concat_tables(tables).combine_chunks()
     fine = ordered[0]
     stats_tbl = {fine: fine_tbl}
     for tier in ordered[1:]:
@@ -659,11 +662,41 @@ def run_rollup(cfg: RollupConfig) -> dict:
                               n_salt=cfg.n_salt),
         batch_format="pyarrow", batch_size=cfg.points_batch_size,
         zero_copy_batch=True,
-    )
-    fine_stats = merge_partials(fine_partials, salted=bool(hot)).materialize()
-    phases["fine_merge"] = round(time.monotonic() - t1, 3)
-    if 0 < fine_stats.count() <= cfg.small_rollup_limit:
-        return _small_tail(cfg, fine_stats, points, ordered, phases, t0)
+    ).materialize()
+    # Adaptive merge: the map-side combine already collapsed each batch to
+    # ≤ |keys| rows, so the partial table is blocks × keys — usually 10³-
+    # 10⁴× smaller than points.  Under driver_merge_limit rows the
+    # distributed sort (fixed ~3 s of sampling + 2-stage exchange) costs
+    # more than pulling the slim partials and running the SAME vectorized
+    # segmented Pébay kernel in-process; above it (real cluster scale) the
+    # sort-merge path runs.  Salted partials skip the driver path only
+    # because salting implies a scale where it would never apply.
+    import ray
+
+    n_partials = fine_partials.count()
+    if not hot and 0 < n_partials <= cfg.driver_merge_limit:
+        from ..stages.aggregate import driver_merge_states
+
+        tables = [t for t in ray.get(fine_partials.to_arrow_refs())
+                  if len(t)]
+        fine_tbl = driver_merge_states(
+            pa.concat_tables(tables).combine_chunks())
+        phases["fine_merge"] = round(time.monotonic() - t1, 3)
+        if len(fine_tbl) <= cfg.small_rollup_limit:
+            return _small_tail(cfg, fine_tbl, points, ordered, phases, t0)
+        import ray.data as rd
+
+        fine_stats = rd.from_arrow(fine_tbl).materialize()
+    else:
+        fine_stats = merge_partials(
+            fine_partials, salted=bool(hot)).materialize()
+        phases["fine_merge"] = round(time.monotonic() - t1, 3)
+        n_fine = fine_stats.count()
+        if 0 < n_fine <= cfg.small_rollup_limit:
+            tables = [t for t in ray.get(fine_stats.to_arrow_refs())
+                      if len(t)]
+            fine_tbl = pa.concat_tables(tables).combine_chunks()
+            return _small_tail(cfg, fine_tbl, points, ordered, phases, t0)
 
     # distributed tail: cascade + finalize + beyond + gapfill + gorilla
     t1 = time.monotonic()

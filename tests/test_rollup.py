@@ -125,7 +125,9 @@ def test_driver_tail_equals_distributed_tail(ray_session, pages_dir):
                 extract_concurrency=2)
     small = run_rollup(RollupConfig(**base))  # default: driver tail
     assert small["phases"].get("tail_mode") == "driver"
-    dist = run_rollup(RollupConfig(**base, small_rollup_limit=0))
+    # force BOTH scale paths: distributed sort-merge AND distributed tail
+    dist = run_rollup(RollupConfig(**base, small_rollup_limit=0,
+                                   driver_merge_limit=0))
     assert "tail_mode" not in dist["phases"]
 
     a = _sorted(small["rollup"].to_pandas())
