@@ -714,6 +714,20 @@ def q_ann_topk_lsh(sf_dir: str):
     return _collect(out)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.similarity import ann_topk_ivf, load_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = load_corpus(ds)
+    nq = min(10, len(ids))
+    out = ann_topk_ivf(ds, ids[:nq], mat[:nq], k=5, n_centroids=16,
+                       nprobe=4)
+    return _collect(out)
+
+
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -810,6 +824,7 @@ def build_queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "lang_fingerprint": q_lang_fingerprint,
         "series_gorilla": q_series_gorilla,

@@ -624,6 +624,10 @@ def _small_tail(cfg: RollupConfig, fine_tbl: pa.Table, points,
               "series": len(series_df) if series_df is not None else 0},
         skew=_skew_metrics_pd(rollup_df[rollup_df.tier == ordered[0]]
                               [["domain", "n"]]))
+    try:
+        metrics["ray_data_stats"] = {"points": points.stats()}
+    except Exception:
+        pass
     _persist_metrics(cfg.out_dir, metrics)
     return {
         "rollup": rollup,
@@ -779,6 +783,15 @@ def run_rollup(cfg: RollupConfig) -> dict:
             _dom_n, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
         skew = _skew_metrics_pd(per_dom)
     metrics = _build_metrics(cfg, phases, rows=rows, skew=skew)
+    # Ray Data's own per-operator stats (wall / cpu / rows / object-store
+    # bytes per stage) for the pinned datasets — the O12 "per-stage
+    # metrics" surface in Ray-native form
+    try:
+        metrics["ray_data_stats"] = {"points": points.stats()}
+        if cfg.gorilla or cfg.out_dir:
+            metrics["ray_data_stats"]["rollup"] = rollup.stats()
+    except Exception:
+        pass
     _persist_metrics(cfg.out_dir, metrics)
     return {
         "rollup": rollup,

@@ -545,8 +545,15 @@ def ngram_jaccard_verify_join(pairs_ds, docs_ds, id_col: str = "doc_id",
     import ray
 
     if num_partitions is None:
-        num_partitions = max(
-            2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        # aggregator actors spawn per join; cap them by the cluster AND by
+        # the candidate-pair volume (a handful of partitions moves tens of
+        # thousands of slim pair rows fine — 16 actors × 2 joins of spawn
+        # cost dominated the sf0.1 wall).  Pinning the pairs also keeps
+        # the minhash chain from re-executing for the second join input.
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+        cpu_cap = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        num_partitions = int(min(cpu_cap, max(2, n_pairs // 25_000 + 2)))
 
     def _as_a(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_a": batch[id_col], "text_a": batch[text_col]})

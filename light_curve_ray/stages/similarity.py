@@ -240,6 +240,122 @@ def embedding_pairs_lsh(ds, tau: float, id_col: str = "vec_id",
     return dedup_rows_sorted(pairs, ["vec_a", "vec_b"])
 
 
+# ------------------------------------------------------------------ IVF path
+
+def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 10,
+                   seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on an L2-normalized sample
+    (driver-side; the sample is small by construction).  Standard IVF
+    coarse quantizer (Jégou et al., "Product Quantization", TPAMI 2011 —
+    the inverted-file part, not PQ)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sample))
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[j] = m / norm
+    return cent
+
+
+def train_ivf_centroids(ds, n_centroids: int = 16, sample_size: int = 4096,
+                        iters: int = 10, seed: int = 42,
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Train the IVF coarse quantizer on a corpus sample (streamed until
+    ``sample_size`` rows; the corpus itself is never materialized)."""
+    rows = []
+    seen = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=2048):
+        rows.append(_emb_matrix(batch, emb_col))
+        seen += len(batch)
+        if seen >= sample_size:
+            break
+    sample = _normalize(np.vstack(rows)[:sample_size])
+    return _kmeans_cosine(sample, n_centroids, iters=iters, seed=seed)
+
+
+def ann_topk_ivf(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+                 sample_size: int = 4096, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 exclude_self: bool = True):
+    """IVF approximate top-k: corpus vectors are assigned to their nearest
+    spherical-k-means centroid (the inverted file); each query scans only
+    its ``nprobe`` nearest cells, ~nprobe/n_centroids of the corpus.
+
+    Same broadcast-small-side / stream-big-side topology as ann_topk:
+    centroids + per-cell query lists are ray.put once; corpus batches
+    assign themselves vectorized (one matmul vs centroids) and emit
+    block-local partial top-k only for (cell, query) matches.  Recall is
+    pinned vs the exact path by tests, not guaranteed — the IVF trade.
+    """
+    import ray
+
+    qids = np.asarray(query_ids)
+    qmat = np.asarray(query_mat)
+    cent = train_ivf_centroids(ds, n_centroids, sample_size, seed=seed,
+                               emb_col=emb_col)
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probes: dict = {}
+    for qi, cells in enumerate(qcells):
+        for c in cells:
+            probes.setdefault(int(c), []).append(qi)
+    qref = ray.put((qids, qmat, cent, probes))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _qids, _qmat, _cent, _probes = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        vcells = np.argmax(bmat @ _cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for cell in np.unique(vcells):
+            qidx = _probes.get(int(cell))
+            if not qidx:
+                continue
+            sel = vcells == cell
+            sims = _qmat[qidx] @ bmat[sel].T
+            svids = vids[sel]
+            for r, qi in enumerate(qidx):
+                srow = sims[r]
+                if exclude_self:
+                    srow = np.where(svids == _qids[qi], -np.inf, srow)
+                kk = min(k, len(srow))
+                top = np.argpartition(-srow, kk - 1)[:kk]
+                for t in top:
+                    if np.isfinite(srow[t]):
+                        out_q.append(_qids[qi])
+                        out_v.append(svids[t])
+                        out_s.append(srow[t])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(np.asarray(out_s, dtype=np.float64),
+                                pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        s = group["cos_sim"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "cos_sim": pa.array(s[order], pa.float64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ LSH path
 
 def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:

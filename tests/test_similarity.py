@@ -156,3 +156,31 @@ def test_embedding_pairs_dispatch(ray_session, emb_corpus):
                              nbits=8, bands=8).to_pandas()
     assert set(zip(forced["vec_a"], forced["vec_b"])) <= set(
         zip(exact["vec_a"], exact["vec_b"]))
+
+
+def test_ann_topk_ivf_recall(ray_session, emb_corpus):
+    """IVF top-k: recall vs the exact baseline, and planted near-identical
+    vectors (same cell with overwhelming probability) always found."""
+    from light_curve_ray.stages.similarity import (
+        ann_topk,
+        ann_topk_ivf,
+        load_corpus,
+    )
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat)
+    cids, cmat = load_corpus(ds)
+    nq = 20
+    exact = ann_topk(ds, cids[:nq], cmat[:nq], k=5).to_pandas()
+    approx = ann_topk_ivf(ds, cids[:nq], cmat[:nq], k=5, n_centroids=8,
+                          nprobe=3).to_pandas()
+    hits = total = 0
+    for q in range(nq):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, hits / total
+    for i in range(10):
+        a = approx[approx["query_id"] == i]["vec_id"]
+        assert len(a) > 0 and a.iloc[0] == 290 + i
