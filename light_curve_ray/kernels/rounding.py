@@ -23,3 +23,18 @@ def round_decimals_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
     with np.errstate(invalid="ignore"):
         out = np.where(x >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / p
     return np.where(np.isfinite(x), out, x)
+
+
+def round6_tie_robust(x: np.ndarray) -> np.ndarray:
+    """Two-step 9-dp→6-dp half-away rounding, mirrored by the oracle SQL's
+    ROUND(ROUND(x, 9), 6).
+
+    The engine and the SQL oracle sum doubles in different orders, so a
+    value can land a last-ulp APART across an exact 6-dp tie boundary
+    (x.xxxxxx5): half-away rounding then flips the 6th digit on one side
+    only — observed on real data (price-like values, ~1 cell in 10⁵ at
+    sf0.1).  Rounding to 9 dp first collapses any ≤5e-10 discrepancy onto
+    the same representative on BOTH sides before the 6-dp round, shrinking
+    the exposure window by ~10³ (now only exact 9-dp ties — none observed
+    — remain sensitive)."""
+    return round_decimals_away(round_decimals_away(x, 9), 6)

@@ -46,9 +46,11 @@ ROLLUP_COLS = [
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
-    """Final normalization: float cols rounded to 6 dp (half-away, matching
-    DuckDB ROUND bit-for-bit — kernels/rounding.py), non-finite -> NULL."""
-    from ..kernels.rounding import round_decimals_away
+    """Final normalization: float cols rounded 9-dp-then-6-dp (half-away,
+    matching the oracle's ROUND(ROUND(x,9),6) bit-for-bit and collapsing
+    last-ulp merge-order differences across 6-dp tie boundaries —
+    kernels/rounding.round6_tie_robust), non-finite -> NULL."""
+    from ..kernels.rounding import round6_tie_robust
 
     cols = {}
     for name in tbl.column_names:
@@ -57,7 +59,7 @@ def _round6(tbl: pa.Table) -> pa.Table:
             col = pc.cast(col, pa.float64())
             vals = col.to_numpy(zero_copy_only=False)
             mask = ~np.isfinite(vals)
-            cols[name] = pa.array(round_decimals_away(vals), pa.float64(),
+            cols[name] = pa.array(round6_tie_robust(vals), pa.float64(),
                                   mask=mask)
         else:
             cols[name] = col
@@ -832,8 +834,17 @@ def build_queries() -> dict:
     }
 
 
+def _tie_robust_sql(sql: str) -> str:
+    """ROUND(x, 6) -> ROUND(ROUND(x, 9), 6) throughout an oracle query —
+    the SQL half of the two-step rounding contract (see
+    kernels/rounding.round6_tie_robust; _round6 applies the Ray half).
+    Purely mechanical: every ROUND in the oracle strings is a 6-dp final
+    round (audited), so the paired replace below rewrites exactly those."""
+    return sql.replace("ROUND(", "ROUND(ROUND(").replace(", 6)", ", 9), 6)")
+
+
 def build_oracle_sql() -> dict:
-    return {
+    base = {
         "events_by_type": EVENTS_BY_TYPE_SQL,
         "rollup_1h": _rollup_sql(EVENTS_POINTS_SQL, "1h"),
         "rollup_1d": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
@@ -848,6 +859,7 @@ def build_oracle_sql() -> dict:
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,
-        # minhash/simhash/ngram-jaccard/lsh/gorilla/multimodal/lang_id:
+        # minhash/simhash/ngram-jaccard/lsh/ivf/gorilla/multimodal/lang_id:
         # not SQL-expressible -> rows-only driver check + unit-test oracles
     }
+    return {name: _tie_robust_sql(sql) for name, sql in base.items()}

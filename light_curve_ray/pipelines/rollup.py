@@ -542,6 +542,26 @@ def _persist_metrics(out_dir: str | None, metrics: dict) -> None:
         json.dump(metrics, f, indent=1, sort_keys=True)
 
 
+def _empty_result(cfg: RollupConfig, phases: dict, t0: float) -> dict:
+    """Zero valid input points: a well-typed empty result (the gap-filled
+    rollup schema, which is a superset of the plain one)."""
+    import ray.data as rd
+
+    from ..stages.gapfill import GAPFILL_SCHEMA, GORILLA_SCHEMA
+
+    rollup = rd.from_arrow(GAPFILL_SCHEMA.empty_table())
+    series = (rd.from_arrow(GORILLA_SCHEMA.empty_table())
+              if cfg.gorilla else None)
+    metrics = _build_metrics(
+        cfg, phases, rows={"points": 0, "fine_stats": 0, "rollup": 0,
+                           "series": 0},
+        skew=_skew_metrics_pd(pd.DataFrame(columns=["domain", "n"])))
+    _persist_metrics(cfg.out_dir, metrics)
+    return {"rollup": rollup, "series": series,
+            "wall_time_s": time.monotonic() - t0, "phases": phases,
+            "metrics": metrics, "out": None}
+
+
 def _small_tail(cfg: RollupConfig, fine_tbl: pa.Table, points,
                 ordered: list, phases: dict, t0: float) -> dict:
     """Adaptive in-process tail (cfg.small_rollup_limit): cascade,
@@ -678,6 +698,9 @@ def run_rollup(cfg: RollupConfig) -> dict:
     import ray
 
     n_partials = fine_partials.count()
+    if n_partials == 0:
+        phases["fine_merge"] = round(time.monotonic() - t1, 3)
+        return _empty_result(cfg, phases, t0)
     if not hot and 0 < n_partials <= cfg.driver_merge_limit:
         from ..stages.aggregate import driver_merge_states
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.rounding import round_decimals_away
+from ..kernels.rounding import round6_tie_robust
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -100,7 +100,7 @@ def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5,
         s = group["cos_sim"].to_numpy(zero_copy_only=False)
         q = group["query_id"].to_numpy(zero_copy_only=False)
         # deterministic: rounded cos desc, then vec_id asc
-        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        order = np.lexsort((v, -round6_tie_robust(s)))[:k]
         return pa.table({
             "query_id": pa.array(q[order], pa.int64()),
             "vec_id": pa.array(v[order], pa.int64()),
@@ -345,7 +345,7 @@ def ann_topk_ivf(ds, query_ids: np.ndarray, query_mat: np.ndarray,
         v = group["vec_id"].to_numpy(zero_copy_only=False)
         s = group["cos_sim"].to_numpy(zero_copy_only=False)
         q = group["query_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        order = np.lexsort((v, -round6_tie_robust(s)))[:k]
         return pa.table({
             "query_id": pa.array(q[order], pa.int64()),
             "vec_id": pa.array(v[order], pa.int64()),
@@ -428,7 +428,7 @@ def ann_topk_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray,
         v = group["vec_id"].to_numpy(zero_copy_only=False)
         s = group["cos_sim"].to_numpy(zero_copy_only=False)
         q = group["query_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, -round_decimals_away(s, 6)))[:k]
+        order = np.lexsort((v, -round6_tie_robust(s)))[:k]
         return pa.table({
             "query_id": pa.array(q[order], pa.int64()),
             "vec_id": pa.array(v[order], pa.int64()),

@@ -211,3 +211,27 @@ def test_rollup_metrics_present(ray_session, pages_dir):
         assert "points" in m["phase_wall_s"]
         with open(os.path.join(out_dir, "metrics.json")) as f:
             assert json.load(f)["rows"]["rollup"] == m["rows"]["rollup"]
+
+
+def test_rollup_empty_input(ray_session, tmp_path):
+    """Degenerate inputs must not crash: pages table with zero valid rows
+    yields an empty rollup in both tail modes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from light_curve_ray.pipelines.rollup import RollupConfig, run_rollup
+
+    tbl = pa.table({
+        "url": pa.array([None, None], pa.string()),
+        "warc_ts": pa.array([None, None], pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>", b"<p>y</p>"], pa.binary()),
+        "text": pa.array([None, None], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+    })
+    f = str(tmp_path / "empty.parquet")
+    pq.write_table(tbl, f)
+    for limit in (10**9, 0):
+        res = run_rollup(RollupConfig(
+            input_paths=f, input_kind="pages", tiers=("1d",),
+            small_rollup_limit=limit, extract_concurrency=2))
+        assert res["rollup"].count() == 0
