@@ -753,6 +753,39 @@ def q_lang_fingerprint(sf_dir: str):
     return _collect(out)
 
 
+def _series_grid_sql(points_sql: str, tiers: tuple) -> str:
+    """Per-series dense-grid stats SQL: for each (lang, domain, tier) the
+    inclusive bucket-grid length and the number of gap-filled buckets —
+    the SQL-expressible projection of the run_rollup series output."""
+    parts = []
+    for tier in tiers:
+        step = TIER_STEP_US[tier]
+        parts.append(f"""
+SELECT lang, domain, '{tier}' AS tier,
+  CAST((MAX(b) - MIN(b)) / {step} + 1 AS BIGINT) AS n_buckets,
+  CAST((MAX(b) - MIN(b)) / {step} + 1 - COUNT(DISTINCT b) AS BIGINT)
+    AS n_filled
+FROM (SELECT lang, domain, (t_us // {step}) * {step} AS b
+      FROM pts) GROUP BY lang, domain""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH pts AS ({points_sql})\n{body}"
+
+
+def q_series_grid_stats(sf_dir: str):
+    """Oracle-checked series assembly: full rollup -> gap-fill -> one row
+    per (lang, domain, tier) with grid length + filled count, pinned
+    against a direct SQL derivation from raw points (the dense-grid and
+    fill semantics of O7, end-to-end through run_rollup)."""
+    from .rollup import run_rollup
+
+    cfg = _events_cfg(sf_dir, ("1h", "1d", "30d"))
+    res = run_rollup(cfg)
+    tbl = pa.Table.from_pandas(res["series"].to_pandas(),
+                               preserve_index=False)
+    return _round6(tbl.select(
+        ["lang", "domain", "tier", "n_buckets", "n_filled"]))
+
+
 def q_series_gorilla(sf_dir: str):
     """Flagship tail: tiered rollup -> gap-fill -> one Gorilla blob per
     series (rows-only check; byte-exactness pinned by tests/test_gorilla.py
@@ -829,6 +862,7 @@ def build_queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "lang_fingerprint": q_lang_fingerprint,
+        "series_grid_stats": q_series_grid_stats,
         "series_gorilla": q_series_gorilla,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -859,6 +893,8 @@ def build_oracle_sql() -> dict:
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "series_grid_stats": _series_grid_sql(EVENTS_POINTS_SQL,
+                                              ("1h", "1d", "30d")),
         # minhash/simhash/ngram-jaccard/lsh/ivf/gorilla/multimodal/lang_id:
         # not SQL-expressible -> rows-only driver check + unit-test oracles
     }
