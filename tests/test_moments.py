@@ -254,3 +254,47 @@ def test_hierarchical_residual_merge(ray_session):
     for c in ["mean", "M2", "M3", "M4", "vmin", "vmax", "st1", "st2",
               "stv"]:
         np.testing.assert_allclose(direct[c], hier[c], rtol=0, atol=0)
+
+
+def test_merge_split_invariance_property():
+    """Hypothesis: for RANDOM values and RANDOM block splits, the merged
+    Pébay features equal the direct single-pass computation — the algebra
+    the whole distributed merge rests on (any block partition a scheduler
+    produces must yield the same rollup)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=2, max_value=400),
+           st.integers(min_value=0, max_value=2**31 - 1),
+           st.integers(min_value=1, max_value=6))
+    def prop(n, seed, n_splits):
+        rng = np.random.RandomState(seed)
+        bucket = 0
+        t = np.sort(rng.randint(0, 10**9, n)).astype(np.int64)
+        # mix of scales incl. |mean| >> std (the cancellation regime)
+        v = rng.normal(rng.choice([0.0, 1e5]), rng.uniform(0.1, 100.0), n)
+        w = rng.choice([1.0, 2.0], n)
+        tbl = _points_table(["k"] * n, t, v, w, [bucket] * n)
+        splits = np.unique(
+            np.concatenate([[0, n], rng.randint(0, n + 1, n_splits)]))
+        partials = [
+            point_stats_arrow(tbl.slice(a, b - a), ["key", "bucket_ts_us"])
+            for a, b in zip(splits, splits[1:]) if b > a
+        ]
+        allp = pa.concat_tables(partials)
+        stats = {c: allp[c].to_numpy(zero_copy_only=False)
+                 for c in POINT_STAT_COLUMNS}
+        merged = merge_stats_numpy(
+            stats, np.zeros(len(allp), dtype=np.int64), 1)
+        feats = finalize_features(merged)
+        expected = _direct_features(t, v, w, bucket)
+        for k, exp in expected.items():
+            got = feats[k][0]
+            if np.isnan(exp):
+                assert np.isnan(got), k
+            else:
+                assert abs(got - exp) < 1e-7 * max(1.0, abs(exp)), (
+                    k, got, exp, n, seed)
+
+    prop()

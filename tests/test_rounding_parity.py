@@ -1,0 +1,70 @@
+"""Property tests for the DuckDB rounding-parity contract
+(kernels/rounding): the driver's value-hash comparison requires the
+engine's final rounding to agree with the oracle SQL's ROUND on every
+digit, including exact binary ties at the 6th decimal — the class of
+values that actually flipped a hash at sf0.1 (BASELINE.md round-2 notes).
+"""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from light_curve_ray.kernels.rounding import (
+    round6_tie_robust,
+    round_decimals_away,
+)
+
+
+def _duck_round(vals, expr):
+    con = duckdb.connect()
+    out = con.execute(
+        f"SELECT {expr} FROM (SELECT UNNEST(?::DOUBLE[]) AS x)",
+        [list(map(float, vals))],
+    ).fetchnumpy()
+    con.close()
+    return next(iter(out.values()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e8, max_value=1e8,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_round_away_matches_duckdb(vals):
+    got = round_decimals_away(np.asarray(vals), 6)
+    want = _duck_round(vals, "ROUND(x, 6)")
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e8, max_value=1e8,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_tie_robust_matches_duckdb_double_round(vals):
+    got = round6_tie_robust(np.asarray(vals))
+    want = _duck_round(vals, "ROUND(ROUND(x, 9), 6)")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_tie_values():
+    """Representable 6-dp half-ties (the adversarial class): parity with
+    DuckDB on both the single and double rounding."""
+    ties = [4675.4140625, -4675.4140625, 0.0000005, -0.0000005,
+            52633.7203125, 1.5e-6, 2.5e-6, 123.4567895]
+    for expr, fn in (("ROUND(x, 6)",
+                      lambda v: round_decimals_away(v, 6)),
+                     ("ROUND(ROUND(x, 9), 6)", round6_tie_robust)):
+        got = fn(np.asarray(ties))
+        want = _duck_round(ties, expr)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tie_robust_collapses_ulp_neighbours():
+    """Values a few ulps apart across a 6-dp tie boundary round the SAME
+    way after the 9-dp pre-round — the property that fixed the sf0.1
+    lineitem hash mismatch."""
+    base = 52633.7203125  # exact 6-dp tie
+    lo = np.nextafter(base, -np.inf)  # a hair below the tie
+    hi = np.nextafter(base, np.inf)
+    got = round6_tie_robust(np.array([lo, base, hi]))
+    assert got[0] == got[1] == got[2] == 52633.720313
