@@ -651,6 +651,69 @@ def _augmented_documents(sf_dir: str):
     return ds.map_batches(_augment, batch_format="pyarrow").materialize()
 
 
+DEDUP_FILTER_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+w AS (SELECT MIN(doc_id) AS doc_id FROM aug GROUP BY text)
+SELECT a.doc_id, a.text FROM aug a JOIN w USING (doc_id)
+"""
+
+
+def q_dedup_filter(sf_dir: str):
+    """Corpus-level exact dedup (T1 as a FILTER): documents ∪ exact copies
+    reduced back to one canonical min-id row per distinct text, via the
+    winners hash-join — output is the deduped corpus itself."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        tx = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids + [i + 100_000 for i in ids], pa.int64()),
+            "text": pa.array(tx + tx, pa.string()),
+        })
+
+    aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    return _collect(exact_dedup_filter(aug))
+
+
+QUALITY_FILTER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+    CASE WHEN TRIM(text) = '' THEN 0
+         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_words,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))
+      AS n_punct
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words
+FROM t
+WHERE n_words >= 15 AND n_chars >= 80
+  AND CAST(n_punct AS DOUBLE) / n_chars <= 0.1
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """T10 as a GATE: documents surviving length/punctuation thresholds
+    (unrounded integer/ratio comparisons — boundary-exact vs SQL)."""
+    import ray.data as rd
+
+    from ..stages.textstats import quality_filter_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(quality_filter_dataset(ds))
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
@@ -853,6 +916,8 @@ def build_queries() -> dict:
         "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
+        "dedup_filter": q_dedup_filter,
+        "quality_filter": q_quality_filter,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -890,6 +955,8 @@ def build_oracle_sql() -> dict:
         "pages_dedup_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "hot_keys": HOT_KEYS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_filter": DEDUP_FILTER_SQL,
+        "quality_filter": QUALITY_FILTER_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "ann_topk": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,

@@ -88,6 +88,25 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns([id_col, "n_copies"])
 
 
+def exact_dedup_filter(ds, id_col: str = "doc_id", text_col: str = "text",
+                       num_partitions: int | None = None):
+    """Corpus-level dedup: the corpus restricted to each distinct text's
+    canonical (min-id) representative — what a training-data pipeline
+    actually feeds downstream.
+
+    Winners come from ``exact_dedup`` (16-byte-row shuffle); the corpus is
+    then hash-joined to the slim winner-id set, so full documents move
+    through exactly one partitioned exchange keyed on the uniform doc id.
+    """
+    import ray
+
+    winners = exact_dedup(ds, id_col, text_col).select_columns([id_col])
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return ds.join(winners, "inner", num_partitions, on=(id_col,))
+
+
 def dedup_rows_sorted(ds, key_cols: list, tiebreak_cols: list | None = None):
     """Drop duplicate rows by ``key_cols``, keeping one row per key —
     the O10 row dedup (same (url, warc_ts) re-crawled in overlapping

@@ -110,6 +110,33 @@ def text_stats_dataset(ds, **kwargs):
     )
 
 
+def quality_filter_dataset(ds, min_words: int = 15, min_chars: int = 80,
+                           max_punct_ratio: float = 0.1,
+                           id_col: str = "doc_id", **kwargs):
+    """Quality gate: documents surviving the length/punctuation thresholds
+    -> (doc_id, n_chars, n_words).
+
+    Thresholds are applied to the UNROUNDED stats: every operand is an
+    exact integer or a single integer-ratio division, so the engine and
+    the SQL oracle compute bit-identical doubles and agree at the
+    boundary (no rounding hazard).  Stacks in front of dedup/tokenize in
+    a real pipeline; here it is its own oracle-checked operator."""
+    import pyarrow.compute as pc
+
+    stats = text_stats_dataset(ds, id_col=id_col, with_lang=False,
+                               with_fingerprint=False, **kwargs)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["n_words"], min_words),
+                    pc.greater_equal(batch["n_chars"], min_chars)),
+            pc.less_equal(batch["punct_ratio"], max_punct_ratio))
+        return batch.filter(mask).select([id_col, "n_chars", "n_words"])
+
+    return stats.map_batches(_keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def token_count_oracle(texts: list) -> dict:
     """Single-process oracle for tests: same kernels, sequential."""
     return {

@@ -277,3 +277,20 @@ def test_token_hashes_tail_sensitive():
     # middle are the documented residual collision class -- must be EQUAL
     # hashes only when genuinely identical
     assert token_hashes([a])[0] == token_hashes([a])[0]
+
+
+def test_exact_dedup_filter(ray_session):
+    """Corpus filter: one canonical min-id row per distinct text, full
+    row (text preserved) in the output."""
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import exact_dedup_filter
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["aa", "bb", "aa", "cc", "bb", "aa"], pa.string()),
+    })
+    out = exact_dedup_filter(rd.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 4]
+    assert list(out["text"]) == ["aa", "bb", "cc"]
