@@ -682,7 +682,14 @@ def q_dedup_filter(sf_dir: str):
         })
 
     aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
-    return _collect(exact_dedup_filter(aug))
+    # corpus is pinned -> size join aggregators to its row count (actor
+    # spawn is the fixed cost at small scale; CPU cap governs at scale)
+    import ray
+
+    nparts = int(min(
+        max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+        max(2, aug.count() // 25_000 + 2)))
+    return _collect(exact_dedup_filter(aug, num_partitions=nparts))
 
 
 QUALITY_FILTER_SQL = r"""
