@@ -117,8 +117,29 @@ def run_headline(num_cpus: int, n_pages: int) -> dict:
         "pages_per_s": round(n_pages / wall, 1),
         "num_cpus": num_cpus,
         "phases": res.get("phases", {}),
-        "metrics": res.get("metrics", {}),
+        # Scalars ONLY on the printed line: the driver captures a bounded
+        # tail of stdout, and round 2's multi-KB ray_data_stats strings made
+        # BENCH_r02.json unparseable.  Full metrics (incl. ray_data_stats)
+        # stay in run_rollup's out_dir/metrics.json when out_dir is set.
+        "metrics": _scalar_metrics(res.get("metrics", {})),
     }
+
+
+def _scalar_metrics(m):
+    """Keep only bounded scalars (recursively) for the printed JSON line —
+    drops ray_data_stats and any other unbounded string."""
+    if isinstance(m, dict):
+        out = {}
+        for k, v in m.items():
+            sv = _scalar_metrics(v)
+            if sv is not None:
+                out[k] = sv
+        return out
+    if isinstance(m, (int, float, bool)) or m is None:
+        return m
+    if isinstance(m, str) and len(m) <= 120:
+        return m
+    return None
 
 
 def run_queries() -> dict:

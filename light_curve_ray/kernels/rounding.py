@@ -22,6 +22,12 @@ def round_decimals_away(x: np.ndarray, ndigits: int = 6) -> np.ndarray:
     y = x * p
     with np.errstate(invalid="ignore"):
         out = np.where(x >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / p
+    # Normalize -0.0 -> +0.0: a tiny-negative value rounds to -0.0, which is
+    # ==-equal but BYTE-different from +0.0, so the driver's value hash
+    # diverges from the oracle unless both sides collapse the sign (the
+    # oracle SQL appends `+ 0.0` for the same reason, see
+    # pipelines/queries._tie_robust_sql).
+    out = out + 0.0
     return np.where(np.isfinite(x), out, x)
 
 

@@ -945,8 +945,17 @@ def _tie_robust_sql(sql: str) -> str:
     the SQL half of the two-step rounding contract (see
     kernels/rounding.round6_tie_robust; _round6 applies the Ray half).
     Purely mechanical: every ROUND in the oracle strings is a 6-dp final
-    round (audited), so the paired replace below rewrites exactly those."""
-    return sql.replace("ROUND(", "ROUND(ROUND(").replace(", 6)", ", 9), 6)")
+    round (audited), so the paired replace below rewrites exactly those.
+
+    The trailing `+ 0.0` collapses -0.0 -> +0.0: DuckDB's ROUND of a
+    tiny-negative value (e.g. cm3/POWER(m2,1.5) where symmetric deltas
+    cancel to ~-1e-18) preserves the sign and emits -0.0, while the
+    engine's merged moments cancel to exact +0.0 — value-equal but
+    byte-different, so the driver's value hash fails (round-2 regression
+    on rollup_1h/rollup_lineitem_1d).  kernels/rounding.round_decimals_away
+    applies the same normalization on the Ray side."""
+    return (sql.replace("ROUND(", "(ROUND(ROUND(")
+               .replace(", 6)", ", 9), 6) + 0.0)"))
 
 
 def build_oracle_sql() -> dict:

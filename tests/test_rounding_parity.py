@@ -68,3 +68,27 @@ def test_tie_robust_collapses_ulp_neighbours():
     hi = np.nextafter(base, np.inf)
     got = round6_tie_robust(np.array([lo, base, hi]))
     assert got[0] == got[1] == got[2] == 52633.720313
+
+
+def test_no_negative_zero_on_either_side():
+    """Tiny-negative inputs (e.g. skew = cm3/m2^1.5 where symmetric deltas
+    cancel to ~-1e-18) must round to +0.0 — not -0.0 — on BOTH the engine
+    and the oracle side, or the driver's byte-level value hash diverges
+    (round-2 regression on rollup_1h / rollup_lineitem_1d)."""
+    tiny = np.array([-1e-18, -5e-10, -0.0, 0.0, -4.9e-7, 1e-18])
+    got = round6_tie_robust(tiny)
+    assert not np.signbit(got).any(), got
+    got_single = round_decimals_away(tiny, 6)
+    assert not np.signbit(got_single).any(), got_single
+    # Oracle side: the mechanical rewrite appends `+ 0.0` to the final round.
+    want = _duck_round(tiny, "(ROUND(ROUND(x, 9), 6) + 0.0)")
+    assert not np.signbit(want).any(), want
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tie_robust_sql_rewrite_normalizes_zero_sign():
+    """The _tie_robust_sql rewrite must emit the `+ 0.0` wrapper (the SQL
+    half of the -0.0 contract)."""
+    from light_curve_ray.pipelines.queries import _tie_robust_sql
+    out = _tie_robust_sql("SELECT ROUND(x / y, 6) AS skew FROM t")
+    assert out == "SELECT (ROUND(ROUND(x / y, 9), 6) + 0.0) AS skew FROM t"

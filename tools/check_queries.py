@@ -48,8 +48,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f":
-            eq = (np.isnan(av.astype(float)) & np.isnan(bv.astype(float))) | (
-                av == bv)
+            af, bf = av.astype(float), bv.astype(float)
+            # Byte-level equality, like the driver's value hash: -0.0 != +0.0.
+            eq = ((np.isnan(af) & np.isnan(bf)) |
+                  ((af == bf) & (np.signbit(af) == np.signbit(bf))))
         else:
             eq = av == bv
         if not np.all(eq):
