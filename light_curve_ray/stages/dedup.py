@@ -169,40 +169,23 @@ def dedup_rows_sorted(ds, key_cols: list, tiebreak_cols: list | None = None):
 
 
 def _key_fps(batch: pa.Table, key_cols: list) -> np.ndarray:
-    """Deterministic 64-bit fingerprint per row over ``key_cols`` (blake2b
-    of the concatenated field reprs; C-speed digest per row)."""
-    import hashlib
+    """Deterministic 64-bit fingerprint per row over ``key_cols`` — fully
+    vectorized for short keys (kernels/hashing.hash_columns_u64: pyarrow
+    concat + column-wise FNV-1a, no per-row Python).  Equal keys always
+    hash equal, so dedup routing stays exact; 64-bit collisions only send
+    extra rows to the sorted minority path."""
+    from ..kernels.hashing import hash_columns_u64
 
-    cols = [batch[c].to_pylist() for c in key_cols]
-    n = len(batch)
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        h = hashlib.blake2b(digest_size=8)
-        for c in cols:
-            h.update(repr(c[i]).encode("utf-8"))
-            h.update(b"\x1f")
-        out[i] = int.from_bytes(h.digest(), "big")
-    return out
+    return hash_columns_u64(batch, key_cols)
 
 
 def _content_fps(batch: pa.Table, content_cols: tuple) -> np.ndarray:
-    """64-bit content fingerprint per row (payload bytes, blake2b)."""
-    import hashlib
+    """64-bit content fingerprint per row (payload bytes, blake2b over the
+    pyarrow-concatenated columns — deterministic survivor tie-break)."""
+    from ..kernels.hashing import hash_columns_blake2b
 
-    cols = [batch[c].to_pylist() for c in content_cols
-            if c in batch.column_names]
-    n = len(batch)
-    out = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        h = hashlib.blake2b(digest_size=8)
-        for c in cols:
-            v = c[i]
-            if isinstance(v, str):
-                v = v.encode("utf-8")
-            h.update(v if v is not None else b"\x00")
-            h.update(b"\x1f")
-        out[i] = int.from_bytes(h.digest(), "big")
-    return out
+    cols = [c for c in content_cols if c in batch.column_names]
+    return hash_columns_blake2b(batch, cols)
 
 
 def dedup_pages_slim(ds, key_cols: list | None = None,
@@ -249,10 +232,15 @@ def dedup_pages_slim(ds, key_cols: list | None = None,
 
     import pyarrow.compute as pc
 
-    dup_tbls = [
-        b.filter(pc.greater(b["n"], 1))
-        for b in merged.iter_batches(batch_format="pyarrow")
-    ]
+    # Filter n>1 DISTRIBUTED (map_batches on the merged counts) so only the
+    # duplicate-key minority streams through the driver — not every distinct
+    # key in the crawl (round-2 ADVICE: the full distinct-key table through
+    # one process defeats the dup_fraction<<1 design).
+    dup_tbls = list(
+        merged.map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow"))
     dup_fps = np.sort(np.concatenate(
         [t["kfp"].to_numpy(zero_copy_only=False) for t in dup_tbls]
         or [np.empty(0, dtype=np.int64)]))

@@ -193,11 +193,12 @@ def test_dedup_pages_slim(ray_session, tmp_path):
     import hashlib
 
     def cfp(h, t):
+        # mirrors kernels/hashing.hash_columns_blake2b: fields joined with
+        # \x1f BETWEEN them (binary_join_element_wise), nulls -> \x00
         d = hashlib.blake2b(digest_size=8)
         d.update(h if h is not None else b"\x00")
         d.update(b"\x1f")
         d.update(t.encode() if isinstance(t, str) else (t or b"\x00"))
-        d.update(b"\x1f")
         return int.from_bytes(d.digest(), "big")
 
     for i in dup_ids:
@@ -273,10 +274,22 @@ def test_token_hashes_tail_sensitive():
     b = "https://example.com/very/long/path/page2"
     ha, hb = token_hashes([a, b])
     assert ha != hb
-    # equal-length tokens sharing first+last 8 bytes but differing in the
-    # middle are the documented residual collision class -- must be EQUAL
-    # hashes only when genuinely identical
-    assert token_hashes([a])[0] == token_hashes([a])[0]
+    # determinism: same token hashes identically across separate calls
+    h1 = token_hashes(["deterministic-token"])[0]
+    h2 = token_hashes(["deterministic-token"])[0]
+    assert h1 == h2
+    # the documented residual collision class: >16-byte tokens sharing
+    # first 8 + last 8 bytes + byte length and differing ONLY in middle
+    # bytes DO collide (by design -- head+tail sampling)
+    mid_a = "ABCDEFGHxxxxxxxxSTUVWXYZ"
+    mid_b = "ABCDEFGHyyyyyyyySTUVWXYZ"
+    assert len(mid_a) == len(mid_b) > 16
+    ca, cb = token_hashes([mid_a, mid_b])
+    assert ca == cb
+    # while distinct SHORT tokens (fully covered by the 16-byte window)
+    # must hash apart
+    sa, sb = token_hashes(["shortA", "shortB"])
+    assert sa != sb
 
 
 def test_exact_dedup_filter(ray_session):
