@@ -12,16 +12,18 @@ process — so this is engine design, SURVEY §2b "not built from reference"):
   ``groupby(fp).aggregate(Min(id), Count())`` — the shuffle moves only
   (fp, id) pairs, never the text.  One all-to-all on a uniform 64-bit key:
   no skew by construction.
-- **MinHash LSH** is shingle → signature (actor pool; the permutation
-  parameters are built once per actor) → band-key expansion (×``bands``
-  rows, each carrying the 8·num_perm-byte signature so candidate scoring
-  needs NO join back to the corpus — the signature payload is ~1KB/row,
-  orders of magnitude under the document payload it replaces) → groupby
-  band key → emit candidate pairs with signature-estimated Jaccard →
-  groupby pair to dedupe multi-band hits.  Hot buckets (m docs in one
-  bucket → m²/2 pairs) are capped at ``max_bucket`` docs with a
-  deterministic min-id selection; at web scale an all-equal boilerplate
-  cluster otherwise explodes quadratically.
+- **MinHash LSH** is shingle → signature table, PINNED once (the
+  permutation parameters are built once per worker process) → SLIM band-row
+  expansion (×``bands`` rows of band, band_key, doc_id + the 8·bands-byte
+  band-key vector — ~148 B/row; the round-2 design carried the full 1 KB
+  signature per banded row, ~16 KB/doc of shuffle weight) → sort by band
+  key → vectorized bucket pair emit in the LOWEST matching band only (so
+  multi-band duplicate pairs never exist and no pair-dedupe exchange is
+  needed) → est_jaccard attached from the pinned signature table
+  (broadcast gather small / two partitioned joins at scale).  Hot buckets
+  (m docs in one bucket → m²/2 pairs) are capped at ``max_bucket`` docs
+  with a deterministic min-id selection; at web scale an all-equal
+  boilerplate cluster otherwise explodes quadratically.
 - **SimHash** mirrors the MinHash topology with 16-bit bands of the 64-bit
   signature (any pair within Hamming distance d collides in ≥1 of 4 bands
   when d ≤ 3 by pigeonhole).
@@ -332,31 +334,145 @@ class MinHashStage:
         })
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, threshold: float,
-                  max_bucket: int) -> pa.Table:
-    """One LSH bucket -> candidate pairs with signature-estimated Jaccard."""
-    ids = np.asarray(group[id_col].to_pylist())
+def _keys_matrix(col, bands: int) -> np.ndarray:
+    """Fixed-size-binary band-key-vector column -> (n, bands) uint64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, bands), dtype=np.uint64)
+    data = col.buffers()[1]
+    return np.frombuffer(data, dtype=np.uint64, count=n * bands,
+                         offset=col.offset * bands * 8).reshape(n, bands)
+
+
+def _bucket_pairs_slim(group: pa.Table, id_col: str, bands: int,
+                       max_bucket: int) -> pa.Table:
+    """One LSH bucket -> candidate id pairs (doc_a < doc_b), VECTORIZED
+    (one triu_indices + one (pairs, bands) equality matrix per bucket — no
+    per-row Python, no signature payload).
+
+    Each banded row carries its doc's full band-key VECTOR (8*bands B), so
+    the bucket can emit a pair ONLY in the lowest band where the two docs
+    collide — multi-band duplicate pairs never exist, removing the
+    pair-dedupe exchange entirely (round-2 chain: emit per band -> global
+    sort to dedupe).  Trade, documented: a pair truncated out of its
+    lowest-band bucket by the hot-bucket cap is dropped rather than
+    rescued by a later band (hot buckets are near-identical boilerplate
+    clusters where the cap already sheds pairs by design)."""
+    ids = group[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    sig_list = group["sig"].to_pylist()
-    sigs = np.stack([np.frombuffer(sig_list[i], dtype=np.uint64)
-                     for i in order])
+    keys = _keys_matrix(group["keys"], bands)[order]
+    band = int(group["band"][0].as_py())
     if len(ids) > max_bucket:  # hot-bucket cap: deterministic min-id subset
-        ids, sigs = ids[:max_bucket], sigs[:max_bucket]
-    a_out, b_out, est_out = [], [], []
-    for i in range(len(ids) - 1):
-        est = (sigs[i + 1:] == sigs[i][None, :]).mean(axis=1)
-        keep = est >= threshold
-        for j in np.nonzero(keep)[0]:
-            a_out.append(ids[i])
-            b_out.append(ids[i + 1 + j])
-            est_out.append(est[i + 1 + j - (i + 1)])
+        ids, keys = ids[:max_bucket], keys[:max_bucket]
+    ai, bj = np.triu_indices(len(ids), k=1)
+    keep = ids[ai] != ids[bj]
+    ai, bj = ai[keep], bj[keep]
+    if band > 0 and len(ai):
+        # drop pairs that already collided in an earlier band
+        earlier = (keys[ai, :band] == keys[bj, :band]).any(axis=1)
+        ai, bj = ai[~earlier], bj[~earlier]
     return pa.table({
-        "doc_a": pa.array(a_out, pa.int64()),
-        "doc_b": pa.array(b_out, pa.int64()),
-        "est_jaccard": pa.array(np.asarray(est_out, dtype=np.float64),
-                                pa.float64()),
+        "doc_a": pa.array(ids[ai], pa.int64()),
+        "doc_b": pa.array(ids[bj], pa.int64()),
     })
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Fixed-width binary signature column -> (n, num_perm) uint64 matrix,
+    zero-copy from the Arrow data buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    import pyarrow.compute as pc
+
+    col = pc.cast(col, pa.large_binary())
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                         offset=col.offset * 8)
+    width = 8 * num_perm
+    if not ((np.diff(offs) == width).all()):
+        raise ValueError("signature column is not fixed-width")
+    return np.frombuffer(bufs[2], dtype=np.uint64, count=n * num_perm,
+                         offset=int(offs[0])).reshape(n, num_perm)
+
+
+def _attach_est_jaccard(pairs_ds, sigs_ds, id_col: str, num_perm: int,
+                        threshold: float, n_docs: int,
+                        broadcast_limit: int = 200_000,
+                        num_partitions: int | None = None):
+    """Attach est_jaccard = mean-equal-positions of the two docs'
+    signatures to candidate pairs, fully vectorized.
+
+    Path switch (same pattern as stages/similarity.embedding_pairs):
+
+    - ``n_docs <= broadcast_limit``: the pinned sig table is broadcast
+      ONCE via ray.put as (sorted ids, (n, num_perm) uint64 matrix) —
+      ~8*num_perm B/doc, 200 MB at the 200k default cap — and each pair
+      batch scores with two searchsorted gathers + one matrix
+      equality-mean.  No join, no extra shuffle.
+    - beyond: two hash-partitioned joins attach sig_a/sig_b to the slim
+      pairs (the corpus-scale sig table streams through the join keyed on
+      the uniform doc id; pairs are the small side), then the same matrix
+      scoring.
+    """
+    import ray
+
+    if n_docs <= broadcast_limit:
+        ids_list, mats = [], []
+        for b in sigs_ds.iter_batches(batch_format="pyarrow"):
+            ids_list.append(b[id_col].to_numpy(zero_copy_only=False))
+            mats.append(_sig_matrix(b["sig"], num_perm))
+        ids = np.concatenate(ids_list) if ids_list else np.empty(0, np.int64)
+        mat = (np.vstack(mats) if mats
+               else np.empty((0, num_perm), np.uint64))
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], mat[order]))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            s_ids, s_mat = ray.get(ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(s_ids, a)
+            ib = np.searchsorted(s_ids, b)
+            est = (s_mat[ia] == s_mat[ib]).mean(axis=1)
+            out = batch.append_column("est_jaccard",
+                                      pa.array(est, pa.float64()))
+            return out.filter(pa.array(est >= threshold))
+
+        return pairs_ds.map_batches(_score, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    if num_partitions is None:
+        num_partitions = max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+
+    def _as_side(batch: pa.Table, side: str) -> pa.Table:
+        return pa.table({f"doc_{side}": batch[id_col],
+                         f"sig_{side}": batch["sig"]})
+
+    sigs_a = sigs_ds.map_batches(lambda b: _as_side(b, "a"),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    sigs_b = sigs_ds.map_batches(lambda b: _as_side(b, "b"),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = pairs_ds.join(sigs_a, "inner", num_partitions, on=("doc_a",))
+    joined = joined.join(sigs_b, "inner", num_partitions, on=("doc_b",))
+
+    def _score_joined(batch: pa.Table) -> pa.Table:
+        ma = _sig_matrix(batch["sig_a"], num_perm)
+        mb = _sig_matrix(batch["sig_b"], num_perm)
+        est = (ma == mb).mean(axis=1) if len(batch) else np.empty(0)
+        out = batch.select(["doc_a", "doc_b"]).append_column(
+            "est_jaccard", pa.array(est, pa.float64()))
+        return out.filter(pa.array(est >= threshold))
+
+    return joined.map_batches(_score_joined, batch_format="pyarrow")
 
 
 _TASK_STAGE_CACHE: dict = {}
@@ -378,32 +494,66 @@ def _cached_stage(cls, **kwargs):
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         num_perm: int = 128, bands: int = 16,
                         threshold: float = 0.5, max_bucket: int = 1000,
-                        seed: int = 42):
+                        seed: int = 42, broadcast_limit: int = 200_000):
     """Near-duplicate candidate pairs (doc_a < doc_b, est_jaccard).
 
-    shingle -> minhash -> band -> sorted-bucket pair emit -> pair dedupe.
+    shingle -> signature table (PINNED once: doc_id + 8*num_perm-byte sig)
+    -> SLIM band rows (band, band_key, doc_id, 8*bands-byte key vector —
+    ~148 B/row; round 2 carried the full 1 KB sig x ``bands`` rows through
+    the sort, ~16 KB/doc of pure shuffle weight) -> sorted-bucket pair
+    emit (one vectorized triu per bucket, lowest-matching-band only so
+    multi-band duplicates never exist and no pair-dedupe exchange is
+    needed) -> est_jaccard attach from the pinned sig table (broadcast
+    gather under ``broadcast_limit`` docs, hash-partitioned joins beyond —
+    ``_attach_est_jaccard``) -> threshold filter.
     """
-    # fused signature+banding on reusable-worker tasks (cached stage)
-    def _sig_bands(batch: pa.Table) -> pa.Table:
+    # signatures once, on reusable-worker tasks (cached stage)
+    def _sig(batch: pa.Table) -> pa.Table:
         stage = _cached_stage(MinHashStage, id_col=id_col,
                               text_col=text_col, num_perm=num_perm,
-                              seed=seed, bands=bands)
+                              seed=seed, bands=None)
         return stage(batch)
 
-    banded = ds.map_batches(_sig_bands, batch_format="pyarrow",
-                            batch_size=1024)
+    sigs = ds.map_batches(_sig, batch_format="pyarrow",
+                          batch_size=1024).materialize()
+    n_docs = sigs.count()
+
+    from ..kernels.hashing import band_key_matrix
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sig_mat = _sig_matrix(batch["sig"], num_perm)
+        keys = band_key_matrix(sig_mat, bands)  # (n, bands) uint64
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # each row also carries its doc's full key vector (fixed binary,
+        # 8*bands B) so buckets can suppress non-lowest-band pairs locally
+        key_rows = np.repeat(keys.view(np.uint8).reshape(n, bands * 8),
+                             bands, axis=0)
+        keys_arr = pa.Array.from_buffers(
+            pa.binary(bands * 8), n * bands,
+            [None, pa.py_buffer(np.ascontiguousarray(key_rows).tobytes())])
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                             pa.int32()),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64),
+                                 pa.int64()),
+            id_col: pa.array(np.repeat(ids, bands)),
+            "keys": keys_arr,
+        })
+
+    banded = sigs.map_batches(_band_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def _pairs(group: pa.Table) -> pa.Table:
-        return _bucket_pairs(group, id_col, threshold, max_bucket)
+        return _bucket_pairs_slim(group, id_col, bands, max_bucket)
 
     from .sorted_groups import sorted_group_map
 
-    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                              ("est_jaccard", pa.float64())])
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     pairs = sorted_group_map(banded, ["band", "band_key"], _pairs,
                              pairs_schema, min_group_size=2)
-    # a pair found in k bands appears k times with identical est; keep one
-    return dedup_rows_sorted(pairs, ["doc_a", "doc_b"])
+    return _attach_est_jaccard(pairs, sigs, id_col, num_perm, threshold,
+                               n_docs, broadcast_limit=broadcast_limit)
 
 
 # ------------------------------------------------------------------ simhash
@@ -604,3 +754,47 @@ def ngram_jaccard_verify(pairs_ds, docs_lookup_ref, shingle_k: int = 3,
         return _score_pair_texts(withtext, shingle_k, min_jaccard)
 
     return pairs_ds.map_batches(_verify, batch_format="pyarrow")
+
+
+def exact_dup_pair_floor(pairs_ds, docs_ds, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         num_partitions: int | None = None):
+    """LSH recall-floor surface: candidate pairs whose two texts are
+    BYTE-IDENTICAL — the subset of the LSH output that a SQL text-equality
+    self-join can compute exactly.
+
+    Exact duplicates have identical MinHash signatures, so a correct LSH
+    chain must surface EVERY equal-text pair (hot-bucket-cap caveat in
+    ``_bucket_pairs_slim``); equality with the oracle therefore pins the
+    chain's recall floor — a dropped exact pair fails the row-count check,
+    a phantom pair fails the hash check.  Same two-join topology as
+    ``ngram_jaccard_verify_join`` (slim pairs x corpus on the uniform doc
+    id; no driver-side corpus)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if num_partitions is None:
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+        cpu_cap = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        num_partitions = int(min(cpu_cap, max(2, n_pairs // 25_000 + 2)))
+
+    def _as_a(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch[id_col], "text_a": batch[text_col]})
+
+    def _as_b(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_b": batch[id_col], "text_b": batch[text_col]})
+
+    docs_a = docs_ds.map_batches(_as_a, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    docs_b = docs_ds.map_batches(_as_b, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = pairs_ds.join(docs_a, "inner", num_partitions, on=("doc_a",))
+    joined = joined.join(docs_b, "inner", num_partitions, on=("doc_b",))
+
+    def _eq(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["text_a"], batch["text_b"])
+        return batch.filter(keep).select(["doc_a", "doc_b"])
+
+    return joined.map_batches(_eq, batch_format="pyarrow")

@@ -307,3 +307,19 @@ def test_exact_dedup_filter(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert list(out["doc_id"]) == [1, 2, 4]
     assert list(out["text"]) == ["aa", "bb", "cc"]
+
+
+def test_minhash_est_attach_paths_equal(ray_session, dup_corpus):
+    """The broadcast-gather and join est_jaccard attach paths must produce
+    identical pair sets and estimates (the scale path is the join; the
+    broadcast path is the small-corpus fast path)."""
+    from light_curve_ray.stages.dedup import minhash_dedup_pairs
+
+    a = minhash_dedup_pairs(_docs_ds(dup_corpus), threshold=0.5,
+                            broadcast_limit=200_000).to_pandas()
+    b = minhash_dedup_pairs(_docs_ds(dup_corpus), threshold=0.5,
+                            broadcast_limit=0).to_pandas()
+    key = ["doc_a", "doc_b", "est_jaccard"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
