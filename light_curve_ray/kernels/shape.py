@@ -1,0 +1,87 @@
+"""Order-dependent whole-series shape features (Cusum, Eta, MaximumSlope,
+percentile features) — the light-curve-feature extractor family the
+reference README delegates to (/root/reference/README.md:17-18; public
+definitions: Malanchev et al. 2021, MNRAS 502:5147, Table 1).
+
+These features depend on the TIME ORDER of the observations, so they are
+not mergeable from the packed per-bucket moment state
+(kernels/moments.py): an unordered block's partial cannot know which
+points are adjacent in time.  The engine therefore computes them on the
+sorted-series path (one all-to-all sort co-locating each series, the same
+exchange the gap-fill/Gorilla tail already pays), with each group's rows
+re-ordered in-kernel by (t, v) so the result is independent of Ray's
+block order.  Everything below is vectorized numpy per series — no Python
+per-point loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SHAPE_FEATURES = (
+    "n",
+    "cusum",
+    "eta",
+    "maximum_slope",
+    "median",
+    "percent_amplitude",
+    "inter_percentile_range_10",
+)
+
+
+def shape_features(t_us: np.ndarray, v: np.ndarray) -> dict:
+    """Whole-series shape features over one series' points.
+
+    Input need not be sorted; points are ordered by (t_us, v) internally
+    (the v tie-break makes equal-timestamp series deterministic).  Returns
+    a dict of python floats (NaN where undefined, converted to NULL by the
+    caller):
+
+    - ``cusum``: max-min range of standardized cumulative sums
+      S_m = (sum_{i<=m} v_i - m*mean) / (n*sigma), sample sigma
+      (Kim et al. 2014 via Malanchev et al. 2021).  NULL when n < 2 or
+      sigma == 0.
+    - ``eta``: von Neumann ratio  sum (v_{i+1}-v_i)^2 / ((n-1) sigma^2).
+      NULL when n < 2 or sigma == 0.
+    - ``maximum_slope``: max |dv/dt| over time-consecutive points, dt in
+      seconds; equal-timestamp pairs are skipped (dt == 0).  NULL when no
+      valid pair exists.
+    - ``median``, ``inter_percentile_range_10`` (q90 - q10) and
+      ``percent_amplitude`` (max(vmax - median, median - vmin)): linear-
+      interpolation quantiles (numpy default == SQL QUANTILE_CONT).
+    """
+    t_us = np.asarray(t_us, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    order = np.lexsort((v, t_us))
+    ts = t_us[order]
+    x = v[order]
+    n = len(x)
+    mean = x.mean()
+    med, q10, q90 = np.percentile(x, [50.0, 10.0, 90.0])
+    out = {
+        "n": int(n),
+        "median": float(med),
+        "inter_percentile_range_10": float(q90 - q10),
+        "percent_amplitude": float(max(x.max() - med, med - x.min())),
+        "cusum": np.nan,
+        "eta": np.nan,
+        "maximum_slope": np.nan,
+    }
+    if n < 2:
+        return out
+    var = x.var(ddof=1)
+    sigma = np.sqrt(var)
+    if sigma > 0.0:
+        cum = np.cumsum(x) - np.arange(1, n + 1) * mean
+        out["cusum"] = float((cum.max() - cum.min()) / (n * sigma))
+        dv = np.diff(x)
+        out["eta"] = float((dv * dv).sum() / ((n - 1) * var))
+    # dt from INTEGER microsecond diffs, divided once — same algebra as
+    # the SQL (t_us - pt)/1e6; converting each t to float seconds first
+    # rounds the operands and shifts the slope in the 5th decimal
+    dt = np.diff(ts).astype(np.float64) / 1e6
+    dv = np.diff(x)
+    valid = dt > 0.0
+    if valid.any():
+        out["maximum_slope"] = float(np.abs(dv[valid] / dt[valid]).max())
+    return out

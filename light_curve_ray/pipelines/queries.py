@@ -458,6 +458,100 @@ def q_gapfill_1d(sf_dir: str):
     return _round6(tbl.select(ROLLUP_COLS + ["filled"]))
 
 
+SHAPE_FEATURES_SQL = """
+WITH pts AS ({points}),
+m AS (
+  SELECT lang, domain, COUNT(*) AS n, AVG(v) AS mean,
+         VAR_SAMP(v) AS var, STDDEV_SAMP(v) AS sd,
+         MIN(v) AS vmin, MAX(v) AS vmax,
+         QUANTILE_CONT(v, 0.5) AS med,
+         QUANTILE_CONT(v, 0.1) AS q10,
+         QUANTILE_CONT(v, 0.9) AS q90
+  FROM pts GROUP BY 1, 2
+),
+s AS (
+  SELECT lang, domain, v, t_us,
+    SUM(v) OVER (PARTITION BY lang, domain ORDER BY t_us, v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    ROW_NUMBER() OVER (PARTITION BY lang, domain
+                       ORDER BY t_us, v) AS rn,
+    LAG(v) OVER (PARTITION BY lang, domain ORDER BY t_us, v) AS pv,
+    LAG(t_us) OVER (PARTITION BY lang, domain ORDER BY t_us, v) AS pt
+  FROM pts
+),
+a AS (
+  SELECT s.lang, s.domain,
+    MAX(cum - rn * m.mean) AS cmax,
+    MIN(cum - rn * m.mean) AS cmin,
+    SUM(CASE WHEN pv IS NULL THEN 0.0 ELSE (v - pv) * (v - pv) END)
+      AS sq_diff,
+    MAX(CASE WHEN pt IS NOT NULL AND t_us != pt
+             THEN ABS((v - pv) / (CAST(t_us - pt AS DOUBLE) / 1e6)) END)
+      AS max_slope
+  FROM s JOIN m USING (lang, domain) GROUP BY 1, 2
+)
+SELECT m.lang, m.domain, m.n,
+  CASE WHEN m.n < 2 OR m.sd <= 0 THEN NULL
+       ELSE ROUND((a.cmax - a.cmin) / (m.n * m.sd), 6) END AS cusum,
+  CASE WHEN m.n < 2 OR m.sd <= 0 THEN NULL
+       ELSE ROUND(a.sq_diff / ((m.n - 1) * m.var), 6) END AS eta,
+  ROUND(a.max_slope, 6) AS maximum_slope,
+  ROUND(m.med, 6) AS median,
+  ROUND(GREATEST(m.vmax - m.med, m.med - m.vmin), 6)
+    AS percent_amplitude,
+  ROUND(m.q90 - m.q10, 6) AS inter_percentile_range_10
+FROM m JOIN a USING (lang, domain)
+"""
+
+
+def q_shape_features(sf_dir: str):
+    """Order-dependent whole-series features (Cusum, Eta, MaximumSlope,
+    median/percentile features — the light-curve-feature extractor family
+    the reference README points at, kernels/shape.py) over the events
+    series, ORACLE-CHECKED against a window-function SQL derivation.
+
+    Topology: these features need each series co-located and time-ordered,
+    so they ride the sorted-series exchange (sorted_group_map on the
+    series key — the same one all-to-all the gap-fill tail pays), with the
+    in-kernel (t, v) ordering making the result independent of block
+    order.  They are deliberately NOT forced into the packed mergeable
+    state: an unordered block partial cannot know point adjacency."""
+    from ..kernels.shape import shape_features
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()), ("n", pa.int64()),
+        ("cusum", pa.float64()), ("eta", pa.float64()),
+        ("maximum_slope", pa.float64()), ("median", pa.float64()),
+        ("percent_amplitude", pa.float64()),
+        ("inter_percentile_range_10", pa.float64()),
+    ])
+
+    def _one(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = shape_features(
+            group["t_us"].to_numpy(zero_copy_only=False),
+            group["v"].to_numpy(zero_copy_only=False))
+        cols = {"lang": group["lang"][0].as_py(),
+                "domain": group["domain"][0].as_py()}
+        arrays = {k: pa.array([v_], pa.string()) for k, v_ in cols.items()}
+        arrays["n"] = pa.array([feats["n"]], pa.int64())
+        for f in ("cusum", "eta", "maximum_slope", "median",
+                  "percent_amplitude", "inter_percentile_range_10"):
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
     per-series uniform linspace grid + reference-exact interpolation."""
@@ -970,6 +1064,7 @@ def build_queries() -> dict:
         "rollup_30d": q_rollup("30d"),
         "gapfill_1d": q_gapfill_1d,
         "interp_grid": q_interp_grid,
+        "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
         "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,
@@ -1019,6 +1114,7 @@ def build_oracle_sql() -> dict:
         "rollup_30d": _rollup_sql(EVENTS_POINTS_SQL, "30d"),
         "gapfill_1d": _gapfill_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
+        "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "pages_dedup_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
