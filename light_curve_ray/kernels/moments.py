@@ -73,6 +73,7 @@ FEATURE_COLUMNS = (
     "kurtosis",
     "amplitude",
     "linear_trend_slope",
+    "mean_variance",
 )
 
 
@@ -392,6 +393,11 @@ def finalize_features(stats: dict) -> dict:
         slope = np.where(
             flat_t, np.nan,
             (n * stv - st1 * s1) / np.where(flat_t, 1.0, denom))
+        # MeanVariance (Malanchev et al. 2021 catalog): std / mean;
+        # undefined for n < 2 (std is NaN) or mean == 0 (exact compare,
+        # mirrored by the oracle's CASE WHEN mean = 0)
+        mean_variance = np.where(mean == 0.0, np.nan,
+                                 std / np.where(mean == 0.0, 1.0, mean))
 
     return {
         "n": np.asarray(stats["n"], dtype=np.int64),
@@ -402,6 +408,7 @@ def finalize_features(stats: dict) -> dict:
         "kurtosis": kurt,
         "amplitude": amplitude,
         "linear_trend_slope": slope,
+        "mean_variance": mean_variance,
     }
 
 

@@ -58,16 +58,30 @@ def oracle_rollup(
         pts = pdf.assign(bucket_ts_us=(pdf["t_us"] // step) * step).merge(
             df[key + ["mean", "std"]], on=key, how="left"
         )
+        absdev = np.abs(pts["v"] - pts["mean"])
         beyond = (
-            (np.abs(pts["v"] - pts["mean"]) > n_std * pts["std"])
+            pd.DataFrame(
+                {
+                    "n_beyond": (absdev > n_std * pts["std"]).astype(np.int64),
+                    "sum_abs_dev": absdev,
+                }
+            )
             .groupby([pts["lang"], pts["domain"], pts["bucket_ts_us"]], sort=False)
             .sum()
-            .rename("n_beyond")
             .reset_index()
         )
         df = df.merge(beyond, on=key, how="left")
         df["beyond_1_std"] = df["n_beyond"].fillna(0) / df["n"]
-        df = df.drop(columns=["n_beyond"])
+        from .rollup import _stetson_k
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = _stetson_k(
+                df["sum_abs_dev"].fillna(0).to_numpy(dtype=np.float64),
+                df["n"].to_numpy(dtype=np.float64),
+                df["std"].to_numpy(dtype=np.float64),
+            )
+        df["stetson_k"] = np.where(np.isfinite(k), k, np.nan)
+        df = df.drop(columns=["n_beyond", "sum_abs_dev"])
         if gapfill:
             df = (
                 df.groupby(["lang", "domain"], sort=False, group_keys=False)

@@ -42,6 +42,7 @@ from .rollup import (
 ROLLUP_COLS = [
     "lang", "domain", "tier", "bucket_ts_us", "n", "mean", "wmean", "std",
     "skew", "kurtosis", "amplitude", "beyond_1_std", "linear_trend_slope",
+    "mean_variance", "stetson_k",
 ]
 
 
@@ -109,7 +110,12 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
   ROUND(amplitude, 6) AS amplitude,
   ROUND(CAST(COALESCE(n_beyond, 0) AS DOUBLE) / n, 6) AS beyond_1_std,
   CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
-       ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope
+       ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope,
+  CASE WHEN std IS NULL OR mean = 0.0 THEN NULL
+       ELSE ROUND(std / mean, 6) END AS mean_variance,
+  CASE WHEN std IS NULL OR std <= 0.0 THEN NULL
+       ELSE ROUND((COALESCE(sum_abs_dev, 0.0) / n)
+                  / (std * SQRT((n - 1.0) / n)), 6) END AS stetson_k
 FROM f LEFT JOIN bc USING (lang, domain, bucket_ts_us)
 """
 
@@ -167,11 +173,13 @@ f AS (
 ),
 pb AS (
   SELECT b.lang, b.domain, b.bucket_ts_us,
-         CASE WHEN ABS(b.v - f.mean) > {n_std} * f.std THEN 1 ELSE 0 END AS beyond
+         CASE WHEN ABS(b.v - f.mean) > {n_std} * f.std THEN 1 ELSE 0 END AS beyond,
+         ABS(b.v - f.mean) AS abs_dev
   FROM b JOIN f USING (lang, domain, bucket_ts_us)
 ),
 bc AS (
-  SELECT lang, domain, bucket_ts_us, SUM(beyond) AS n_beyond
+  SELECT lang, domain, bucket_ts_us, SUM(beyond) AS n_beyond,
+         SUM(abs_dev) AS sum_abs_dev
   FROM pb GROUP BY 1, 2, 3
 )
 {_FEATURE_SQL_TAIL.format(tier=tier)}
@@ -238,7 +246,7 @@ grid AS (
 j AS (
   SELECT g.lang, g.domain, g.bucket_ts_us,
          r.n, r.mean, r.wmean, r.std, r.skew, r.kurtosis, r.amplitude,
-         r.beyond_1_std, r.linear_trend_slope
+         r.beyond_1_std, r.linear_trend_slope, r.mean_variance, r.stetson_k
   FROM grid g LEFT JOIN r USING (lang, domain, bucket_ts_us)
 ),
 w AS (
@@ -267,6 +275,7 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us,
             / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE))) * next_v, 6)
   END AS mean,
   wmean, std, skew, kurtosis, amplitude, beyond_1_std, linear_trend_slope,
+  mean_variance, stetson_k,
   (n IS NULL) AS filled
 FROM w
 """

@@ -307,6 +307,17 @@ def finalize_tiers(stats_by_tier: dict):
     return out
 
 
+def _stetson_k(sad: np.ndarray, n: np.ndarray, std: np.ndarray) -> np.ndarray:
+    """StetsonK (Malanchev et al. 2021 catalog; Stetson 1996):
+    (mean |v - mean|) / sqrt(population variance), computed here as
+    (sad/n) / (std * sqrt((n-1)/n)) from the SAMPLE std already finalized —
+    the oracle SQL mirrors this exact expression.  NaN (-> NULL) when
+    std is NULL (n < 2) or zero."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = (sad / n) / (std * np.sqrt((n - 1.0) / n))
+    return np.where(std > 0.0, k, np.nan)
+
+
 def attach_beyond(features_by_tier: dict, points_ds, n_std: float, cfg: RollupConfig):
     """beyond_n_std second pass (exact by definition needs final mean/std).
 
@@ -379,22 +390,26 @@ def attach_beyond_join(features_by_tier: dict, points_ds, n_std: float,
                 return pa.table({"lang": pa.array([], pa.string()),
                                  "domain": pa.array([], pa.string()),
                                  "bucket_ts_us": pa.array([], pa.int64()),
-                                 "n_beyond": pa.array([], pa.int64())})
+                                 "n_beyond": pa.array([], pa.int64()),
+                                 "sum_abs_dev": pa.array([], pa.float64())})
             v = batch["v"].to_numpy(zero_copy_only=False)
             mean = batch["mean"].to_numpy(zero_copy_only=False)
             std = batch["std"].to_numpy(zero_copy_only=False)
             with np.errstate(invalid="ignore"):
-                beyond = (np.abs(v - mean) > n_std * std).astype(np.int64)
+                absdev = np.abs(v - mean)
+                beyond = (absdev > n_std * std).astype(np.int64)
             inv, first = _group_codes(
                 batch, ["lang", "domain", "bucket_ts_us"])
             counts = np.bincount(inv, weights=beyond,
                                  minlength=len(first)).astype(np.int64)
+            sad = np.bincount(inv, weights=absdev, minlength=len(first))
             idx = pa.array(first, pa.int64())
             return pa.table({
                 "lang": batch["lang"].take(idx),
                 "domain": batch["domain"].take(idx),
                 "bucket_ts_us": batch["bucket_ts_us"].take(idx),
                 "n_beyond": pa.array(counts, pa.int64()),
+                "sum_abs_dev": pa.array(sad, pa.float64()),
             })
 
         partial_counts = joined.map_batches(
@@ -405,19 +420,27 @@ def attach_beyond_join(features_by_tier: dict, points_ds, n_std: float,
 
         counts = partial_counts.groupby(
             ["lang", "domain", "bucket_ts_us"]).aggregate(
-            Sum("n_beyond", alias_name="n_beyond"))
+            Sum("n_beyond", alias_name="n_beyond"),
+            Sum("sum_abs_dev", alias_name="sum_abs_dev"))
         merged = feats.join(counts, "left_outer", num_partitions,
                             on=("lang", "domain", "bucket_ts_us"))
 
         def _finalize(batch: pa.Table) -> pa.Table:
             nb = batch["n_beyond"].to_numpy(zero_copy_only=False)
             nb = np.nan_to_num(np.asarray(nb, dtype=np.float64), nan=0.0)
+            sad = batch["sum_abs_dev"].to_numpy(zero_copy_only=False)
+            sad = np.nan_to_num(np.asarray(sad, dtype=np.float64), nan=0.0)
             n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            std = batch["std"].to_numpy(zero_copy_only=False)
             with np.errstate(invalid="ignore", divide="ignore"):
                 frac = nb / n
-            out_t = batch.drop_columns(["n_beyond"])
-            return out_t.append_column(
+                k = _stetson_k(sad, n, std)
+            out_t = batch.drop_columns(["n_beyond", "sum_abs_dev"])
+            out_t = out_t.append_column(
                 "beyond_1_std", pa.array(frac, pa.float64()))
+            return out_t.append_column(
+                "stetson_k", pa.array(k, pa.float64(),
+                                      mask=~np.isfinite(k)))
 
         out[tier] = merged.map_batches(_finalize, batch_format="pyarrow")
     return out
@@ -458,7 +481,7 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
     counts = (
         beyond.to_pandas()
         .groupby(["lang", "domain", "tier", "bucket_ts_us"], sort=False,
-                 as_index=False)["n_beyond"]
+                 as_index=False)[["n_beyond", "sum_abs_dev"]]
         .sum()
     )
     out = {}
@@ -466,10 +489,15 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
         c = counts[counts["tier"] == tier].drop(columns=["tier"])
         m = df.merge(c, on=["lang", "domain", "bucket_ts_us"], how="left")
         nb = m["n_beyond"].fillna(0).to_numpy(dtype=np.float64)
+        sad = m["sum_abs_dev"].fillna(0).to_numpy(dtype=np.float64)
+        n = m["n"].to_numpy(dtype=np.float64)
+        std = m["std"].to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore"):
-            frac = nb / m["n"].to_numpy(dtype=np.float64)
+            frac = nb / n
+            k = _stetson_k(sad, n, std)
         m["beyond_1_std"] = frac
-        m = m.drop(columns=["n_beyond"])
+        m["stetson_k"] = np.where(np.isfinite(k), k, np.nan)
+        m = m.drop(columns=["n_beyond", "sum_abs_dev"])
         out[tier] = m
     return out
 

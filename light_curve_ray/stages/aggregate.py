@@ -55,7 +55,8 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 
 # Columns finalized to NULL (not NaN) when undefined, so Arrow/parquet/DuckDB
 # NULL semantics line up between engine output and oracle SQL.
-_NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis", "linear_trend_slope")
+_NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis",
+                      "linear_trend_slope", "mean_variance")
 
 def make_partial_stats_fn(step_us: int, hot_domains: frozenset | None = None,
                           n_salt: int = 16):
@@ -403,14 +404,15 @@ def make_beyond_partial_fn(stats_by_tier_ref, n_std: float = 1.0):
                 {"lang": lang, "domain": domain, "bucket_ts_us": bucket, "v": v}
             )
             m = df.merge(stats_df, on=["lang", "domain", "bucket_ts_us"], how="left")
-            beyond = (
-                (np.abs(m["v"].to_numpy() - m["mean"].to_numpy())
-                 > n_std * m["std"].to_numpy())
-                .astype(np.int64)
-            )
+            absdev = np.abs(m["v"].to_numpy() - m["mean"].to_numpy())
+            beyond = (absdev > n_std * m["std"].to_numpy()).astype(np.int64)
             df["n_beyond"] = beyond  # NaN std (n<2) compares False -> 0
+            # StetsonK numerator rides the same pass: sum |v - mean| with
+            # the FINAL per-bucket mean (not streamable in one pass)
+            df["sum_abs_dev"] = absdev
             g = (
-                df.groupby(["lang", "domain", "bucket_ts_us"], sort=False)["n_beyond"]
+                df.groupby(["lang", "domain", "bucket_ts_us"],
+                           sort=False)[["n_beyond", "sum_abs_dev"]]
                 .sum()
                 .reset_index()
             )

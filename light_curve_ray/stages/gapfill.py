@@ -30,7 +30,7 @@ from ..kernels.interp import interpolate
 
 ROLLUP_FEATURES = [
     "n", "mean", "wmean", "std", "skew", "kurtosis", "amplitude",
-    "beyond_1_std", "linear_trend_slope",
+    "beyond_1_std", "linear_trend_slope", "mean_variance", "stetson_k",
 ]
 
 import pyarrow as pa
