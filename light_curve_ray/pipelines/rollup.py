@@ -619,7 +619,9 @@ def _small_tail(cfg: RollupConfig, fine_tbl: pa.Table, points,
         phases["beyond"] = round(time.monotonic() - t1, 3)
     else:
         for df in feats_pd.values():
+            # both beyond-pass outputs are absent when the pass is skipped
             df["beyond_1_std"] = np.nan
+            df["stetson_k"] = np.nan
     rollup_df = pd.concat([feats_pd[t] for t in cfg.tiers],
                           ignore_index=True)
 
@@ -665,9 +667,18 @@ def _small_tail(cfg: RollupConfig, fine_tbl: pa.Table, points,
             series_dir = f"{cfg.out_dir}/series"
             series.write_parquet(series_dir, partition_cols=["tier"])
             out_paths["series"] = series_dir
+    # point count derives from the merged fine states (sum of the packed
+    # state's n component): every point lands in exactly one fine bucket,
+    # and fine_tbl is already in hand — points.count() would re-execute the
+    # read/extract chain when compute_beyond=False left it lazy.
+    from ..kernels.moments import N_, state_matrix
+
+    n_points = int(state_matrix(fine_tbl["state"])[:, N_].sum()) \
+        if len(fine_tbl) else 0
     metrics = _build_metrics(
         cfg, phases,
-        rows={"points": points.count(), "fine_stats": len(fine_tbl),
+        rows={"points": n_points,
+              "fine_stats": len(fine_tbl),
               "rollup": len(rollup_df),
               "series": len(series_df) if series_df is not None else 0},
         skew=_skew_metrics_pd(rollup_df[rollup_df.tier == ordered[0]]
@@ -774,13 +785,14 @@ def run_rollup(cfg: RollupConfig) -> dict:
     else:
         import ray.data as rd
 
+        def _null_beyond_cols(b: pa.Table) -> pa.Table:
+            # both beyond-pass outputs are absent when the pass is skipped
+            nulls = pa.array([None] * len(b), pa.float64())
+            return b.append_column("beyond_1_std", nulls) \
+                    .append_column("stetson_k", nulls)
+
         features = {
-            tier: ds.map_batches(
-                lambda b: b.append_column(
-                    "beyond_1_std", pa.array([None] * len(b), pa.float64())
-                ),
-                batch_format="pyarrow",
-            )
+            tier: ds.map_batches(_null_beyond_cols, batch_format="pyarrow")
             for tier, ds in features.items()
         }
     rollup = features[cfg.tiers[0]]
@@ -810,7 +822,20 @@ def run_rollup(cfg: RollupConfig) -> dict:
             out_paths["series"] = series_dir
     # O12 metrics: counts only touch PINNED datasets (points, fine_stats,
     # and rollup when materialized above) — never re-execute a lazy chain.
-    rows = {"points": points.count(), "fine_stats": fine_stats.count()}
+    # point count = sum of per-bucket n over the MATERIALIZED fine states —
+    # points.count() would re-run the read/extract chain when
+    # compute_beyond=False left points lazy (every point is in exactly one
+    # fine bucket, so the sums agree by construction).
+    def _state_nsum(batch: pa.Table) -> pa.Table:
+        from ..kernels.moments import N_, state_matrix
+
+        tot = float(state_matrix(batch["state"])[:, N_].sum()) \
+            if len(batch) else 0.0
+        return pa.table({"pn": pa.array([tot], pa.float64())})
+
+    rows = {"points": int(fine_stats.map_batches(
+                _state_nsum, batch_format="pyarrow").sum("pn") or 0),
+            "fine_stats": fine_stats.count()}
     skew = {}
     if cfg.gorilla or cfg.out_dir:  # rollup is materialized
         rows["rollup"] = rollup.count()

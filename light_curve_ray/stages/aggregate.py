@@ -256,15 +256,19 @@ def detect_hot_domains(points_ds, top_frac: float = 0.001,
     would make a prefix 'sample' see only a few domains and silently
     disable salting.  Cheap by construction on the materialized points
     table run_rollup passes in (block refs already exist; only the sampled
-    blocks are fetched); on a lazy dataset it falls back to a head scan.
+    blocks are fetched); on a LAZY dataset the spread sample is unavailable
+    without executing the whole chain (``to_arrow_refs`` on a lazy Dataset
+    triggers full execution, it does not raise), so materialization is
+    detected EXPLICITLY and lazy inputs take a bounded head scan instead.
     The result is a driver-side frozenset broadcast into
     make_partial_stats_fn."""
     import collections
 
+    from ray.data.dataset import MaterializedDataset
+
     counts: collections.Counter = collections.Counter()
     total = 0
-    batches = None
-    try:
+    if isinstance(points_ds, MaterializedDataset):
         import ray
 
         refs = points_ds.to_arrow_refs()
@@ -273,7 +277,7 @@ def detect_hot_domains(points_ds, top_frac: float = 0.001,
                               dtype=np.int64)
             refs = [refs[i] for i in dict.fromkeys(idx.tolist())]
         batches = ray.get(refs)
-    except Exception:  # non-materialized input: head scan fallback
+    else:  # lazy input: bounded head scan, never full execution
         batches = points_ds.limit(sample_blocks * 65536).iter_batches(
             batch_format="pyarrow", batch_size=65536)
     for batch in batches:
