@@ -455,6 +455,38 @@ def q_rollup_lineitem_1d(sf_dir: str):
     return _round6(tbl.select(ROLLUP_COLS))
 
 
+def q_rollup_roundtrip(sf_dir: str):
+    """O9 sink verification: run the FULL ``run_rollup`` pipeline with an
+    ``out_dir``, then read the tier-partitioned parquet it wrote BACK from
+    disk and hand those bytes to the driver's oracle (same SQL as
+    rollup_1d).  A pass pins the sink end-to-end: partition layout, schema
+    fidelity through the hive round-trip, and value fidelity of the
+    written files — not just of the in-memory Dataset."""
+    import shutil
+    import tempfile
+    from dataclasses import replace
+
+    import ray.data as rd
+
+    from .rollup import run_rollup
+
+    out = tempfile.mkdtemp(prefix="lcr_roundtrip_", dir="/tmp")
+    try:
+        cfg = replace(_events_cfg(sf_dir, ("1d",)),
+                      gapfill=False, gorilla=False, out_dir=out)
+        run_rollup(cfg)
+        tbl = pa.Table.from_pandas(
+            rd.read_parquet(f"{out}/rollup").to_pandas(),
+            preserve_index=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    # the hive partition column comes back dictionary-encoded; restore the
+    # plain string type the in-memory rollup (and the oracle) carries
+    idx = tbl.schema.get_field_index("tier")
+    tbl = tbl.set_column(idx, "tier", pc.cast(tbl["tier"], pa.string()))
+    return _round6(tbl.select(ROLLUP_COLS))
+
+
 def q_gapfill_1d(sf_dir: str):
     cfg = _events_cfg(sf_dir, ("1d",))
     feats = _rollup_tier(cfg, "1d")
@@ -946,8 +978,11 @@ def q_ann_topk_ivf(sf_dir: str):
 
     from ..stages.similarity import ann_topk_ivf, load_corpus
 
+    # materialized: consumed twice (quantizer training + the IVF scan),
+    # and a MaterializedDataset lets train_ivf_centroids spread-sample
+    # blocks across the whole corpus instead of a head window
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).materialize()
     ids, mat = load_corpus(ds)
     nq = min(10, len(ids))
     out = ann_topk_ivf(ds, ids[:nq], mat[:nq], k=5, n_centroids=16,
@@ -1072,6 +1107,7 @@ def build_queries() -> dict:
         "rollup_1d": q_rollup("1d"),
         "rollup_30d": q_rollup("30d"),
         "gapfill_1d": q_gapfill_1d,
+        "rollup_roundtrip": q_rollup_roundtrip,
         "interp_grid": q_interp_grid,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1122,6 +1158,7 @@ def build_oracle_sql() -> dict:
         "rollup_1d": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "rollup_30d": _rollup_sql(EVENTS_POINTS_SQL, "30d"),
         "gapfill_1d": _gapfill_sql(EVENTS_POINTS_SQL, "1d"),
+        "rollup_roundtrip": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),

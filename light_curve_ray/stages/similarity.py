@@ -265,17 +265,55 @@ def _kmeans_cosine(sample: np.ndarray, k: int, iters: int = 10,
 
 def train_ivf_centroids(ds, n_centroids: int = 16, sample_size: int = 4096,
                         iters: int = 10, seed: int = 42,
-                        emb_col: str = "embedding") -> np.ndarray:
-    """Train the IVF coarse quantizer on a corpus sample (streamed until
-    ``sample_size`` rows; the corpus itself is never materialized)."""
+                        emb_col: str = "embedding",
+                        sample_blocks: int = 16) -> np.ndarray:
+    """Train the IVF coarse quantizer on a SPREAD corpus sample.
+
+    Embedding corpora are routinely written in clustered order (domain
+    shards, topic batches), so a head sample sees a few clusters and the
+    quantizer packs all centroids there — the same hazard fixed for
+    ``detect_hot_domains`` with spread-block sampling, reused here: on a
+    MaterializedDataset pick evenly spaced block refs across the whole
+    corpus and evenly spaced rows inside each (only the sampled blocks are
+    fetched); on a lazy dataset ``to_arrow_refs`` would trigger full
+    execution, so take a bounded streamed scan thinned by striding —
+    8x the sample window, keeping every 8th row — which still spans far
+    more of the corpus than a contiguous head."""
+    from ray.data.dataset import MaterializedDataset
+
     rows = []
-    seen = 0
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=2048):
-        rows.append(_emb_matrix(batch, emb_col))
-        seen += len(batch)
-        if seen >= sample_size:
-            break
-    sample = _normalize(np.vstack(rows)[:sample_size])
+    if isinstance(ds, MaterializedDataset):
+        import ray
+
+        refs = ds.to_arrow_refs()
+        if len(refs) > sample_blocks:
+            idx = np.linspace(0, len(refs) - 1, sample_blocks,
+                              dtype=np.int64)
+            refs = [refs[i] for i in dict.fromkeys(idx.tolist())]
+        per_block = max(1, sample_size // max(1, len(refs)))
+        for tbl in ray.get(refs):
+            if not len(tbl):
+                continue
+            pos = np.unique(np.linspace(0, len(tbl) - 1,
+                                        min(per_block, len(tbl)),
+                                        dtype=np.int64))
+            rows.append(_emb_matrix(
+                tbl.take(pa.array(pos, pa.int64())), emb_col))
+    else:
+        stride, seen = 8, 0
+        for batch in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=2048):
+            mat = _emb_matrix(batch, emb_col)
+            rows.append(mat[(np.arange(len(mat)) + seen) % stride == 0])
+            seen += len(batch)
+            if seen >= sample_size * stride:
+                break
+    sample = np.vstack(rows)
+    if len(sample) > sample_size:
+        pos = np.unique(np.linspace(0, len(sample) - 1, sample_size,
+                                    dtype=np.int64))
+        sample = sample[pos]
+    sample = _normalize(sample)
     return _kmeans_cosine(sample, n_centroids, iters=iters, seed=seed)
 
 
