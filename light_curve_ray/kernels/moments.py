@@ -289,6 +289,58 @@ def segmented_state_merge(mat: np.ndarray, inv: np.ndarray):
     return mat, inv
 
 
+def segmented_state_merge_kway(mat: np.ndarray, inv: np.ndarray):
+    """One-pass k-way reduce of state rows by group code.
+
+    Same contract as ``segmented_state_merge`` (``inv`` sorted so equal
+    codes are contiguous) but a single pass of segmented sums
+    (np.add.reduceat) instead of O(log multiplicity) pairwise sweeps:
+    compute each group's combined weighted mean, shift every partial's
+    central moments to that grand mean with the standard k-way combination
+    identities (Chan, Golub & LeVeque 1982 / Pébay 2008 §3 — deltas are
+    taken against the grand mean, never raw power sums, so the
+    |mean| >> std stability of the pairwise form is preserved), and sum.
+    Bit-for-bit it differs from the pairwise sweep in final ulps only; the
+    tie-robust 9dp->6dp rounding contract absorbs that (tests pin both
+    kernels against each other and the pandas oracle)."""
+    inv = np.asarray(inv)
+    k = len(inv)
+    if k == 0:
+        return np.empty((0, STATE_WIDTH), dtype=np.float64), inv
+    starts_mask = np.empty(k, dtype=bool)
+    starts_mask[0] = True
+    starts_mask[1:] = inv[1:] != inv[:-1]
+    starts = np.nonzero(starts_mask)[0]
+    mat = np.asarray(mat, dtype=np.float64)
+    n = mat[:, N_]
+
+    def seg(col):
+        return np.add.reduceat(col, starts)
+
+    N = seg(n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gmean = np.where(N > 0, seg(n * mat[:, MEAN_]) / np.where(
+            N > 0, N, 1.0), 0.0)
+    counts = np.diff(np.append(starts, k))
+    d = mat[:, MEAN_] - np.repeat(gmean, counts)
+    # rows with n == 0 are empty accumulators (mean/M* all zero): their
+    # delta terms must not contribute
+    d = np.where(n > 0, d, 0.0)
+    d2 = d * d
+    M2p, M3p, M4p = mat[:, M2_], mat[:, M3_], mat[:, M4_]
+    out = np.empty((len(starts), STATE_WIDTH), dtype=np.float64)
+    out[:, N_] = N
+    out[:, MEAN_] = gmean
+    out[:, M2_] = seg(M2p + n * d2)
+    out[:, M3_] = seg(M3p + 3.0 * d * M2p + n * d2 * d)
+    out[:, M4_] = seg(M4p + 4.0 * d * M3p + 6.0 * d2 * M2p + n * d2 * d2)
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+        out[:, j] = seg(mat[:, j])
+    out[:, VMIN_] = np.minimum.reduceat(mat[:, VMIN_], starts)
+    out[:, VMAX_] = np.maximum.reduceat(mat[:, VMAX_], starts)
+    return out, inv[starts]
+
+
 def merge_state_rows(mat: np.ndarray) -> np.ndarray:
     """Reduce a (k, 12) state matrix to one vector.
 

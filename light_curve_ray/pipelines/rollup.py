@@ -192,7 +192,17 @@ def points_dataset(cfg: RollupConfig):
                     for s in range(0, n_rg, span):
                         items.append({"path": p, "rg_start": s,
                                       "rg_end": min(s + span, n_rg)})
-            src = rd.from_items(items, override_num_blocks=len(items))
+            # Blocks = TASKS here (batch_size=None): pack multiple file
+            # spans per block so the task count tracks target_tasks even
+            # when files are small — one block per item meant >=1 task per
+            # FILE (a 1000-shard corpus ran 1000 tasks at any cluster
+            # size; at ~35 ms driver bookkeeping each that serial cost was
+            # the measured 32-cpu e2e scaling ceiling).  Items stay in
+            # path order, so a packed block is a time-contiguous span —
+            # the map-side combine keeps its collapse ratio.
+            src = rd.from_items(
+                items,
+                override_num_blocks=min(len(items), target_tasks))
             if cfg.extract_mode == "fused_tasks":
                 # reusable-worker tasks: no per-execution actor spawn
                 from ..stages.extract import fused_pages_to_points_task
@@ -458,11 +468,9 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
             "rollup table too large for broadcast beyond-pass; "
             "switch to the Dataset.join scale path"
         )
-    stats_small = {
-        tier: df[["lang", "domain", "bucket_ts_us", "mean", "std"]]
-        for tier, df in feats_pd.items()
-    }
-    ref = ray.put(stats_small)
+    from ..stages.aggregate import build_beyond_lookup
+
+    ref = ray.put(build_beyond_lookup(feats_pd))
     # smaller batches than the combine pass: the beyond scan is a cheap
     # per-row compare whose collapse ratio doesn't improve past ~256k rows,
     # while task-count (parallelism) does — 1M batches left a 31-worker
@@ -473,31 +481,37 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
         batch_size=min(262144, cfg.points_batch_size),
         zero_copy_batch=True,
     )
-    # The partial counts are ≤ one row per (key, tier) per block — the same
-    # rollup scale as the feature table that is ALREADY driver-side for the
-    # broadcast (guarded by beyond_broadcast_limit above), so the final
-    # integer-sum combine is a driver-side pandas groupby: a distributed
-    # groupby here would pay Ray's per-group dispatch for a plain int sum.
-    counts = (
-        beyond.to_pandas()
-        .groupby(["lang", "domain", "tier", "bucket_ts_us"], sort=False,
-                 as_index=False)[["n_beyond", "sum_abs_dev"]]
-        .sum()
-    )
+    # Partials are keyed (tier, rollup-row-index): the final combine is a
+    # bincount per tier aligned to the feature frame — no string groupby,
+    # no merge.  Partial volume is ≤ one row per (rollup row, block) — the
+    # same rollup scale already driver-side for the broadcast (guarded by
+    # beyond_broadcast_limit above).
+    tbls = [t for t in ray.get(beyond.to_arrow_refs()) if len(t)]
+    if tbls:  # all-empty partials (every point equals its bucket mean)
+        parts = pa.concat_tables(tbls).combine_chunks()
+        tier_arr = parts["tier"].to_numpy(zero_copy_only=False)
+        idx_arr = parts["idx"].to_numpy(zero_copy_only=False)
+        nb_arr = parts["n_beyond"].to_numpy(zero_copy_only=False)
+        sad_arr = parts["sum_abs_dev"].to_numpy(zero_copy_only=False)
+    else:
+        tier_arr = np.empty(0, dtype=object)
+        idx_arr = np.empty(0, dtype=np.int64)
+        nb_arr = sad_arr = np.empty(0, dtype=np.float64)
     out = {}
     for tier, df in feats_pd.items():
-        c = counts[counts["tier"] == tier].drop(columns=["tier"])
-        m = df.merge(c, on=["lang", "domain", "bucket_ts_us"], how="left")
-        nb = m["n_beyond"].fillna(0).to_numpy(dtype=np.float64)
-        sad = m["sum_abs_dev"].fillna(0).to_numpy(dtype=np.float64)
-        n = m["n"].to_numpy(dtype=np.float64)
-        std = m["std"].to_numpy(dtype=np.float64)
+        sel = tier_arr == tier
+        nb = np.bincount(idx_arr[sel], weights=nb_arr[sel],
+                         minlength=len(df))
+        sad = np.bincount(idx_arr[sel], weights=sad_arr[sel],
+                          minlength=len(df))
+        n = df["n"].to_numpy(dtype=np.float64)
+        std = df["std"].to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore"):
             frac = nb / n
             k = _stetson_k(sad, n, std)
+        m = df.copy()
         m["beyond_1_std"] = frac
         m["stetson_k"] = np.where(np.isfinite(k), k, np.nan)
-        m = m.drop(columns=["n_beyond", "sum_abs_dev"])
         out[tier] = m
     return out
 
@@ -720,10 +734,26 @@ def run_rollup(cfg: RollupConfig) -> dict:
     ordered = sorted(cfg.tiers, key=lambda t: TIER_STEP_US[t])
     fine = ordered[0]
     t1 = time.monotonic()
+    # Combine batch sizing: points_batch_size is the collapse-ratio CAP;
+    # when the materialized point count is known (count() is metadata-only
+    # there), shrink batches so the combine pass fans out to one wave
+    # across the pool — a fixed 1M batch ran ~10 tasks on 10M points and
+    # left a 31-slot pool two-thirds idle (fine_merge barely scaled 8->32).
+    # More tasks do multiply partial rows when every shard spans the full
+    # time range (partials ≈ tasks × keys), but the k-way reduceat merge
+    # clears ~6M rows/s single-threaded, so one-wave parallelism wins.
+    combine_bs = cfg.points_batch_size
+    if cfg.compute_beyond:  # materialized above
+        import ray as _ray
+
+        slots = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 1)
+        combine_bs = int(max(65536, min(
+            cfg.points_batch_size,
+            -(-points.count() // slots))))
     fine_partials = points.map_batches(
         make_partial_stats_fn(TIER_STEP_US[fine], hot_domains=hot,
                               n_salt=cfg.n_salt),
-        batch_format="pyarrow", batch_size=cfg.points_batch_size,
+        batch_format="pyarrow", batch_size=combine_bs,
         zero_copy_batch=True,
     ).materialize()
     # Adaptive merge: the map-side combine already collapsed each batch to
@@ -743,6 +773,16 @@ def run_rollup(cfg: RollupConfig) -> dict:
     if not hot and 0 < n_partials <= cfg.driver_merge_limit:
         from ..stages.aggregate import driver_merge_states
 
+        if n_partials > 262144:
+            # distributed pre-merge: collapse the ~slots partial blocks to
+            # ≤8 key-complete states in parallel (same kernel, warm
+            # workers) so the driver's serial final merge touches 8×keys
+            # rows, not tasks×keys — the cold driver-side merge of >1M
+            # partial rows was ~2-3 s of the fine_merge phase at 10M pages
+            fine_partials = fine_partials.map_batches(
+                driver_merge_states, batch_format="pyarrow",
+                batch_size=-(-n_partials // 8), zero_copy_batch=True,
+            ).materialize()
         tables = [t for t in ray.get(fine_partials.to_arrow_refs())
                   if len(t)]
         fine_tbl = driver_merge_states(

@@ -143,7 +143,10 @@ def _block_state_merge(batch: pa.Table, key_cols: list = None) -> pa.Table:
     """Vectorized within-block merge: one state row per key in the block,
     plus a ``boundary`` flag on each block's first/last key (the only keys
     whose partial rows can continue into a neighboring sorted block)."""
-    from ..kernels.moments import _group_codes, segmented_state_merge
+    from ..kernels.moments import (
+        _group_codes,
+        segmented_state_merge_kway,
+    )
 
     key_cols = key_cols or KEY_COLS
     if len(batch) == 0:
@@ -156,7 +159,7 @@ def _block_state_merge(batch: pa.Table, key_cols: list = None) -> pa.Table:
     changed[1:] = inv[1:] != inv[:-1]
     order_codes = np.cumsum(changed) - 1
     mat = state_matrix(batch["state"])
-    merged, codes = segmented_state_merge(mat, order_codes)
+    merged, codes = segmented_state_merge_kway(mat, order_codes)
     first_rows = np.nonzero(changed)[0]
     keys = {k: pc.take(batch[k], pa.array(first_rows, pa.int64()))
             for k in key_cols}
@@ -298,7 +301,10 @@ def driver_merge_states(tbl: pa.Table, key_cols: list = None) -> pa.Table:
 
     Same segmented Pébay kernel as the distributed path; used by the
     adaptive small-rollup tail and the single-process oracle."""
-    from ..kernels.moments import _group_codes, segmented_state_merge
+    from ..kernels.moments import (
+        _group_codes,
+        segmented_state_merge_kway,
+    )
 
     key_cols = key_cols or KEY_COLS
     if len(tbl) == 0:
@@ -307,7 +313,7 @@ def driver_merge_states(tbl: pa.Table, key_cols: list = None) -> pa.Table:
     order = np.argsort(inv, kind="stable")
     mat = state_matrix(tbl["state"])[order]
     inv_sorted = inv[order]
-    merged, _codes = segmented_state_merge(mat, inv_sorted)
+    merged, _codes = segmented_state_merge_kway(mat, inv_sorted)
     changed = np.empty(len(order), dtype=bool)
     changed[0] = True
     changed[1:] = inv_sorted[1:] != inv_sorted[:-1]
@@ -378,50 +384,108 @@ def finalize_stats_batch(batch: pa.Table, tier: str) -> pa.Table:
     return pa.table(cols)
 
 
-def make_beyond_partial_fn(stats_by_tier_ref, n_std: float = 1.0):
-    """map_batches fn for the beyond_1_std second pass (SURVEY §2b-O6).
+def build_beyond_lookup(feats_pd: dict) -> dict:
+    """Per-tier vectorized lookup for the beyond pass, built once on the
+    driver from the finalized feature frames and broadcast via ray.put.
 
-    ``stats_by_tier_ref``: ray.ObjectRef of {tier: pandas DataFrame with
-    (lang, domain, bucket_ts_us, mean, std)} — the small side, broadcast via
-    ray.put once and read zero-copy in every task (never re-shipped per
-    batch).  Emits partial beyond-counts per (lang, domain, tier, bucket);
-    the follow-up groupby sums them.  Uses the final per-bucket mean/std, so
-    the fraction is exact (not streamable in one pass by definition).
-    """
+    Each tier maps to (skeys, step-agnostic composite key machinery): the
+    rollup row's series is dictionary-encoded as "lang\\x1fdomain", the
+    bucket index is rebased, and (series_id * stride + bucket_idx) gives a
+    single int64 per rollup row — sorted so worker batches resolve their
+    points with ONE np.searchsorted instead of a pandas string merge
+    (which dominated the beyond phase wall).  ``rows`` maps a sorted
+    position back to the tier frame's row index, so partials are emitted
+    keyed by ROW INDEX and the final combine is a plain bincount."""
     from ..kernels.grid import TIER_STEP_US
 
+    out = {}
+    for tier, df in feats_pd.items():
+        step = TIER_STEP_US[tier]
+        ser = pa.array((df["lang"] + "\x1f" + df["domain"]).to_numpy(),
+                       pa.string())
+        enc = ser.dictionary_encode()
+        sid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bidx = df["bucket_ts_us"].to_numpy() // step
+        base = int(bidx.min()) if len(bidx) else 0
+        stride = int(bidx.max()) - base + 1 if len(bidx) else 1
+        comp = sid * stride + (bidx - base)
+        order = np.argsort(comp)
+        out[tier] = {
+            "skeys": enc.dictionary,
+            "step": step,
+            "base": base,
+            "stride": stride,
+            "comp": comp[order],
+            "mean": df["mean"].to_numpy(dtype=np.float64)[order],
+            "std": df["std"].to_numpy(dtype=np.float64)[order],
+            "rows": np.asarray(order, dtype=np.int64),
+            "n_rows": len(df),
+        }
+    return out
+
+
+def make_beyond_partial_fn(lookup_ref, n_std: float = 1.0):
+    """map_batches fn for the beyond_1_std second pass (SURVEY §2b-O6).
+
+    ``lookup_ref``: ray.ObjectRef of build_beyond_lookup's dict — the
+    small side, broadcast via ray.put once and read zero-copy in every
+    task (never re-shipped per batch).  Fully vectorized per batch: arrow
+    index_in for the series id, one searchsorted per tier for the
+    (series, bucket) composite, numpy bincount partial sums.  Emits
+    partial (tier, rollup-row-index, n_beyond, sum_abs_dev) rows; the
+    driver's final combine is a bincount per tier.  Uses the final
+    per-bucket mean/std, so the fraction is exact (not streamable in one
+    pass by definition)."""
+
     def beyond_partials(batch: pa.Table) -> pa.Table:
-        import pandas as pd
         import ray
 
-        stats_by_tier = ray.get(stats_by_tier_ref)
-        lang = batch["lang"].to_numpy(zero_copy_only=False)
-        domain = batch["domain"].to_numpy(zero_copy_only=False)
+        lookup = ray.get(lookup_ref)
+        series = pc.binary_join_element_wise(
+            pc.cast(batch["lang"], pa.string()),
+            pc.cast(batch["domain"], pa.string()), "\x1f")
         t_us = batch["t_us"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
 
-        outs = []
-        for tier, stats_df in stats_by_tier.items():
-            step = TIER_STEP_US[tier]
-            bucket = (t_us // step) * step
-            df = pd.DataFrame(
-                {"lang": lang, "domain": domain, "bucket_ts_us": bucket, "v": v}
-            )
-            m = df.merge(stats_df, on=["lang", "domain", "bucket_ts_us"], how="left")
-            absdev = np.abs(m["v"].to_numpy() - m["mean"].to_numpy())
-            beyond = (absdev > n_std * m["std"].to_numpy()).astype(np.int64)
-            df["n_beyond"] = beyond  # NaN std (n<2) compares False -> 0
-            # StetsonK numerator rides the same pass: sum |v - mean| with
-            # the FINAL per-bucket mean (not streamable in one pass)
-            df["sum_abs_dev"] = absdev
-            g = (
-                df.groupby(["lang", "domain", "bucket_ts_us"],
-                           sort=False)[["n_beyond", "sum_abs_dev"]]
-                .sum()
-                .reset_index()
-            )
-            g.insert(2, "tier", tier)
-            outs.append(pa.Table.from_pandas(g, preserve_index=False))
-        return pa.concat_tables(outs)
+        tiers, idxs, nbs, sads = [], [], [], []
+        for tier, lk in lookup.items():
+            sid = pc.index_in(series, value_set=lk["skeys"]) \
+                .fill_null(-1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            bidx = t_us // lk["step"] - lk["base"]
+            in_range = (sid >= 0) & (bidx >= 0) & (bidx < lk["stride"])
+            comp = np.where(in_range, sid * lk["stride"] + bidx, -1)
+            pos = np.searchsorted(lk["comp"], comp)
+            pos_c = np.minimum(pos, len(lk["comp"]) - 1)
+            valid = in_range & (lk["comp"][pos_c] == comp)
+            mean = lk["mean"][pos_c]
+            std = lk["std"][pos_c]
+            absdev = np.abs(v - mean)
+            with np.errstate(invalid="ignore"):
+                beyond = (absdev > n_std * std)  # NaN std -> False
+            rows = lk["rows"][pos_c]
+            nb = np.bincount(rows[valid],
+                             weights=beyond[valid].astype(np.float64),
+                             minlength=lk["n_rows"])
+            sad = np.bincount(rows[valid], weights=absdev[valid],
+                              minlength=lk["n_rows"])
+            nz = np.nonzero(sad)[0]
+            # rows whose points all matched but absdev==0 still need the
+            # count row when beyond>0 (can't happen: beyond>0 => absdev>0),
+            # and rows with n>0 but sad==0 contribute zeros anyway
+            tiers.append(np.full(len(nz), tier, dtype=object))
+            idxs.append(nz)
+            nbs.append(nb[nz])
+            sads.append(sad[nz])
+        return pa.table({
+            "tier": pa.array(np.concatenate(tiers) if tiers else [],
+                             pa.string()),
+            "idx": pa.array(np.concatenate(idxs) if idxs else [],
+                            pa.int64()),
+            "n_beyond": pa.array(np.concatenate(nbs) if nbs else [],
+                                 pa.float64()),
+            "sum_abs_dev": pa.array(np.concatenate(sads) if sads else [],
+                                    pa.float64()),
+        })
 
     return beyond_partials

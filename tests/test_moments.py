@@ -298,3 +298,51 @@ def test_merge_split_invariance_property():
                     k, got, exp, n, seed)
 
     prop()
+
+
+def test_kway_merge_matches_pairwise():
+    """The one-pass k-way reduceat merge must agree with the pairwise
+    Pébay sweep to float noise on every state component, including the
+    |mean| >> std cancellation regime and empty (n=0) accumulator rows."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from light_curve_ray.kernels.moments import (
+        STATE_WIDTH,
+        N_,
+        MEAN_,
+        segmented_state_merge,
+        segmented_state_merge_kway,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=1, max_value=300),
+           st.integers(min_value=0, max_value=2**31 - 1),
+           st.integers(min_value=1, max_value=20))
+    def prop(rows, seed, n_groups):
+        rng = np.random.RandomState(seed)
+        inv = np.sort(rng.randint(0, n_groups, rows))
+        base = rng.choice([0.0, 1e5])
+        mat = np.zeros((rows, STATE_WIDTH))
+        for i in range(rows):
+            n = rng.randint(0, 5)
+            if n == 0:
+                continue
+            v = rng.normal(base, rng.uniform(0.1, 50.0), n)
+            mat[i, N_] = n
+            mat[i, MEAN_] = v.mean()
+            d = v - v.mean()
+            mat[i, 4:7] = [(d**2).sum(), (d**3).sum(), (d**4).sum()]
+            mat[i, 1] = n * 1.0
+            mat[i, 2] = v.sum()
+            mat[i, 7], mat[i, 8] = v.min(), v.max()
+            mat[i, 9:12] = rng.uniform(-10, 10, 3)
+        pw, codes_pw = segmented_state_merge(mat.copy(), inv.copy())
+        kw, codes_kw = segmented_state_merge_kway(mat, inv)
+        np.testing.assert_array_equal(codes_pw, codes_kw)
+        assert pw.shape == kw.shape
+        scale = np.maximum(1.0, np.abs(pw))
+        assert (np.abs(pw - kw) <= 1e-9 * scale).all(), (
+            np.abs((pw - kw) / scale).max())
+
+    prop()
