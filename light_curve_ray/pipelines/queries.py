@@ -990,6 +990,25 @@ def q_ann_topk_ivf(sf_dir: str):
     return _collect(out)
 
 
+def q_ann_topk_ivf_full(sf_dir: str):
+    """IVF with nprobe == n_centroids: every query scans every cell, so
+    the result is EXACT by construction and the brute-force SQL oracle
+    applies — this oracle-checks the whole IVF machinery (quantizer
+    training, cell assignment, per-cell scan, partial top-k, final merge);
+    the approximate-nprobe variant stays rows-only + recall-pinned."""
+    import ray.data as rd
+
+    from ..stages.similarity import ann_topk_ivf, load_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    ids, mat = load_corpus(ds)
+    nq = min(10, len(ids))
+    out = ann_topk_ivf(ds, ids[:nq], mat[:nq], k=5, n_centroids=16,
+                       nprobe=16)
+    return _collect(out)
+
+
 def q_text_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1047,19 +1066,44 @@ def q_series_grid_stats(sf_dir: str):
 
 
 def q_series_gorilla(sf_dir: str):
-    """Flagship tail: tiered rollup -> gap-fill -> one Gorilla blob per
-    series (rows-only check; byte-exactness pinned by tests/test_gorilla.py
-    encode->decode==identity)."""
-    from .rollup import run_rollup
+    """Flagship tail, ORACLE-CHECKED THROUGH THE BLOB: tiered rollup ->
+    gap-fill -> one Gorilla blob per series -> gorilla_decode, and every
+    compared value is computed FROM THE DECODED ARRAYS (grid size, first/
+    last timestamp, 6-dp value sum).  The SQL oracle recomputes the same
+    aggregates from the raw events via the gap-fill SQL, so a single
+    corrupted bit in encode/decode breaks the hash.  Rounding discipline
+    as q_gapfill_1d: knots rounded before interpolation AND values rounded
+    before encode, so both sides sum identical 6-dp values."""
+    from ..kernels.gorilla import gorilla_decode
+    from ..kernels.rounding import round6_tie_robust
+    from .rollup import gapfilled, gorilla_series
 
-    cfg = _events_cfg(sf_dir, ("1h", "1d", "30d"))
-    res = run_rollup(cfg)
-    tbl = pa.Table.from_pandas(res["series"].to_pandas(),
-                               preserve_index=False)
-    lens = pc.binary_length(tbl["points_gorilla"])
-    tbl = tbl.append_column("blob_len", pc.cast(lens, pa.int64()))
-    return _round6(tbl.select(
-        ["lang", "domain", "tier", "n_buckets", "n_filled", "blob_len"]))
+    parts = []
+    for tier in ("1h", "1d", "30d"):
+        cfg = _events_cfg(sf_dir, (tier,))
+        feats = _rollup_tier(cfg, tier)
+        feats = feats.map_batches(_round6, batch_format="pyarrow")
+        dense = gapfilled(feats).map_batches(_round6,
+                                             batch_format="pyarrow")
+        series = pa.Table.from_pandas(
+            gorilla_series(dense).to_pandas(), preserve_index=False)
+        t_min, t_max, v_sum, n_dec = [], [], [], []
+        for blob in series["points_gorilla"].to_pylist():
+            t, v = gorilla_decode(blob)
+            n_dec.append(len(t))
+            t_min.append(int(t[0]) if len(t) else 0)
+            t_max.append(int(t[-1]) if len(t) else 0)
+            v_sum.append(float(np.nansum(v)))
+        out = series.select(["lang", "domain", "tier", "n_buckets",
+                             "n_filled"])
+        out = out.append_column("n_decoded", pa.array(n_dec, pa.int64()))
+        out = out.append_column("t_min_us", pa.array(t_min, pa.int64()))
+        out = out.append_column("t_max_us", pa.array(t_max, pa.int64()))
+        out = out.append_column(
+            "v_sum", pa.array(round6_tie_robust(np.array(v_sum)),
+                              pa.float64()))
+        parts.append(out)
+    return pa.concat_tables(parts)
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -1125,12 +1169,32 @@ def build_queries() -> dict:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "text_stats": q_text_stats,
         "lang_fingerprint": q_lang_fingerprint,
         "series_grid_stats": q_series_grid_stats,
         "series_gorilla": q_series_gorilla,
         "multimodal_decode": q_multimodal_decode,
     }
+
+
+def _series_gorilla_sql(points_sql: str) -> str:
+    """Per-series aggregates of the gap-filled grid, one arm per tier —
+    the oracle for q_series_gorilla, whose engine-side numbers are decoded
+    back OUT of the Gorilla blobs."""
+    arms = []
+    for tier in ("1h", "1d", "30d"):
+        g = _gapfill_sql(points_sql, tier)
+        arms.append(f"""
+SELECT lang, domain, tier,
+  COUNT(*) AS n_buckets,
+  CAST(SUM(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+  COUNT(*) AS n_decoded,
+  MIN(bucket_ts_us) AS t_min_us,
+  MAX(bucket_ts_us) AS t_max_us,
+  ROUND(SUM(mean), 6) AS v_sum
+FROM ({g}) GROUP BY 1, 2, 3""")
+    return " UNION ALL ".join(arms)
 
 
 def _tie_robust_sql(sql: str) -> str:
@@ -1171,10 +1235,14 @@ def build_oracle_sql() -> dict:
         "dedup_lsh_recall_floor": LSH_RECALL_FLOOR_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "ann_topk": ANN_TOPK_SQL,
+        # exhaustive-probe IVF is exact, so the brute-force oracle applies
+        "ann_topk_ivf_full": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,
         "series_grid_stats": _series_grid_sql(EVENTS_POINTS_SQL,
                                               ("1h", "1d", "30d")),
-        # minhash/simhash/ngram-jaccard/lsh/ivf/gorilla/multimodal/lang_id:
+        # every compared value decoded back OUT of the Gorilla blobs
+        "series_gorilla": _series_gorilla_sql(EVENTS_POINTS_SQL),
+        # minhash/simhash/ngram-jaccard/approx-lsh-ivf/multimodal/lang_id:
         # not SQL-expressible -> rows-only driver check + unit-test oracles
     }
     return {name: _tie_robust_sql(sql) for name, sql in base.items()}
