@@ -22,6 +22,7 @@ the shuffle-side merge for them is Ray's built-in vectorized Sum/Min/Max:
 
     sum_w   Σw                 (weights)
     sum_wv  Σw·v
+    sum_invw Σ(1/w)            (w = 1/σ² convention: Σσ², for ExcessVariance)
     vmin/vmax
     st1     Σt'    where t' = (t_us - bucket_ts_us)/1e6 seconds — shifting
     st2     Σt'²   by the bucket start is deterministic per group, needs no
@@ -38,6 +39,24 @@ Finalized features (nine, north_star list):
     beyond_1_std  second pass (needs final mean/std; stages/aggregate.py)
     linear_trend_slope  OLS slope of v over t' seconds
     (count n is the ninth)
+
+Weighted second moment (round 3, closes "weights flow only to wmean"):
+``wM2 = Σw·(v - μw)²`` about the *weighted* mean streams exactly like the
+unweighted Pébay state — per-block about the block's own weighted mean,
+merged with the weight-frequency form of the pairwise update (West 1979 /
+Chan-Golub-LeVeque 1982 with n→W):
+
+    W = Wa + Wb,  δ = μw_b − μw_a,  wM2 = wM2_a + wM2_b + δ²·Wa·Wb/W
+
+Raw Σw·v² is again avoided for the |mean| >> std cancellation reason.
+Finalized weighted features (w carries the 1/σ² inverse-variance
+convention of the light-curve ecosystem):
+
+    reduced_chi2     wM2/(n−1)  — Malanchev et al. 2021 ReducedChi2
+                     (χ²_red of the constant-wmean model), NULL n < 2
+    excess_variance  (s² − ⟨σ²⟩)/mean², s² = M2/(n−1), ⟨σ²⟩ = sum_invw/n
+                     (Nandra et al. 1997 normalized excess variance),
+                     NULL when n < 2 or mean == 0
 """
 
 from __future__ import annotations
@@ -59,6 +78,8 @@ POINT_STAT_COLUMNS = (
     "st1",
     "st2",
     "stv",
+    "wM2",
+    "sum_invw",
 )
 
 # packed layout of the Pébay accumulator (the custom-aggregate payload)
@@ -74,6 +95,8 @@ FEATURE_COLUMNS = (
     "amplitude",
     "linear_trend_slope",
     "mean_variance",
+    "reduced_chi2",
+    "excess_variance",
 )
 
 
@@ -133,6 +156,14 @@ def point_stats_arrow(
     M4 = np.bincount(inv, weights=d2 * d2, minlength=g)
     sum_w = np.bincount(inv, weights=w, minlength=g)
     sum_wv = np.bincount(inv, weights=w * v, minlength=g)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # weighted central M2 about the block's own weighted mean (exact;
+        # merges via the weight-frequency Pébay update — see module doc)
+        wmean_blk = np.where(sum_w > 0, sum_wv / np.where(sum_w > 0, sum_w,
+                                                          1.0), 0.0)
+        dw = v - wmean_blk[inv]
+        wM2 = np.bincount(inv, weights=w * dw * dw, minlength=g)
+        sum_invw = np.bincount(inv, weights=1.0 / w, minlength=g)
     st1 = np.bincount(inv, weights=tp, minlength=g)
     st2 = np.bincount(inv, weights=tp * tp, minlength=g)
     stv = np.bincount(inv, weights=tp * v, minlength=g)
@@ -147,21 +178,21 @@ def point_stats_arrow(
     for name, arr in (("sum_w", sum_w), ("sum_wv", sum_wv), ("mean", mean),
                       ("M2", M2), ("M3", M3), ("M4", M4), ("vmin", vmin),
                       ("vmax", vmax), ("st1", st1), ("st2", st2),
-                      ("stv", stv)):
+                      ("stv", stv), ("wM2", wM2), ("sum_invw", sum_invw)):
         cols[name] = pa.array(arr, pa.float64())
     return pa.table(cols)
 
 
 # state-vector layout == POINT_STAT_COLUMNS order; named indices:
-N_, SUM_W_, SUM_WV_, MEAN_, M2_, M3_, M4_, VMIN_, VMAX_, ST1_, ST2_, STV_ = \
-    range(12)
+(N_, SUM_W_, SUM_WV_, MEAN_, M2_, M3_, M4_, VMIN_, VMAX_, ST1_, ST2_, STV_,
+ WM2_, SUM_INVW_) = range(14)
 
 STATE_WIDTH = len(POINT_STAT_COLUMNS)
 
 
 def pack_state(tbl: pa.Table, key_cols: list) -> pa.Table:
-    """Pack ALL 12 sufficient statistics into one
-    fixed_size_list<double, 12> column ``state``.
+    """Pack ALL 14 sufficient statistics into one
+    fixed_size_list<double, 14> column ``state``.
 
     One packed column -> ONE custom aggregate at the shuffle merge (one
     Python-level call per group instead of ten separate aggregate objects)
@@ -198,17 +229,25 @@ def unpack_state(tbl: pa.Table) -> pa.Table:
 
 
 def merge_state_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Merge two 12-wide state vectors: plain sums + min/max + Pébay."""
+    """Merge two 14-wide state vectors: plain sums + min/max + Pébay."""
     na, nb = a[N_], b[N_]
     if na == 0:
         return np.array(b, dtype=np.float64)
     if nb == 0:
         return np.array(a, dtype=np.float64)
     out = np.empty(STATE_WIDTH, dtype=np.float64)
-    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_, SUM_INVW_):
         out[j] = a[j] + b[j]
     out[VMIN_] = min(a[VMIN_], b[VMIN_])
     out[VMAX_] = max(a[VMAX_], b[VMAX_])
+    # weighted M2: weight-frequency Pébay (module doc); zero-weight side
+    # contributes no delta term
+    Wa, Wb = a[SUM_W_], b[SUM_W_]
+    if Wa > 0 and Wb > 0:
+        dw = b[SUM_WV_] / Wb - a[SUM_WV_] / Wa
+        out[WM2_] = a[WM2_] + b[WM2_] + dw * dw * (Wa * Wb / (Wa + Wb))
+    else:
+        out[WM2_] = a[WM2_] + b[WM2_]
     n, mean, M2, M3, M4 = merge_moments_pair(
         (na, a[MEAN_], a[M2_], a[M3_], a[M4_]),
         (nb, b[MEAN_], b[M2_], b[M3_], b[M4_]),
@@ -225,10 +264,17 @@ def merge_state_pairs_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     out = np.empty_like(a)
-    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_, SUM_INVW_):
         out[:, j] = a[:, j] + b[:, j]
     out[:, VMIN_] = np.minimum(a[:, VMIN_], b[:, VMIN_])
     out[:, VMAX_] = np.maximum(a[:, VMAX_], b[:, VMAX_])
+    Wa, Wb = a[:, SUM_W_], b[:, SUM_W_]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dw = b[:, SUM_WV_] / Wb - a[:, SUM_WV_] / Wa
+        wm2_merged = (a[:, WM2_] + b[:, WM2_]
+                      + dw * dw * (Wa * Wb / (Wa + Wb)))
+    out[:, WM2_] = np.where((Wa > 0) & (Wb > 0), wm2_merged,
+                            a[:, WM2_] + b[:, WM2_])
     na, nb = a[:, N_], b[:, N_]
     ma, mb = a[:, MEAN_], b[:, MEAN_]
     M2a, M2b = a[:, M2_], b[:, M2_]
@@ -334,8 +380,18 @@ def segmented_state_merge_kway(mat: np.ndarray, inv: np.ndarray):
     out[:, M2_] = seg(M2p + n * d2)
     out[:, M3_] = seg(M3p + 3.0 * d * M2p + n * d2 * d)
     out[:, M4_] = seg(M4p + 4.0 * d * M3p + 6.0 * d2 * M2p + n * d2 * d2)
-    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+    for j in (SUM_W_, SUM_WV_, ST1_, ST2_, STV_, SUM_INVW_):
         out[:, j] = seg(mat[:, j])
+    # weighted M2, k-way: shift each partial to the grand WEIGHTED mean
+    # (same Chan/Pébay identity with n→W), then sum
+    W = out[:, SUM_W_]
+    w_row = mat[:, SUM_W_]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gwmean = np.where(W > 0, out[:, SUM_WV_] / np.where(W > 0, W, 1.0),
+                          0.0)
+        dwm = mat[:, SUM_WV_] / w_row - np.repeat(gwmean, counts)
+    dwm = np.where(w_row > 0, dwm, 0.0)
+    out[:, WM2_] = seg(mat[:, WM2_] + w_row * dwm * dwm)
     out[:, VMIN_] = np.minimum.reduceat(mat[:, VMIN_], starts)
     out[:, VMAX_] = np.maximum.reduceat(mat[:, VMAX_], starts)
     return out, inv[starts]
@@ -349,7 +405,7 @@ def merge_state_rows(mat: np.ndarray) -> np.ndarray:
     if mat.shape[0] == 1:
         return mat[0].astype(np.float64, copy=True)
     out = np.empty(STATE_WIDTH, dtype=np.float64)
-    for j in (N_, SUM_W_, SUM_WV_, ST1_, ST2_, STV_):
+    for j in (N_, SUM_W_, SUM_WV_, ST1_, ST2_, STV_, SUM_INVW_):
         out[j] = mat[:, j].sum()
     out[VMIN_] = mat[:, VMIN_].min()
     out[VMAX_] = mat[:, VMAX_].max()
@@ -359,6 +415,17 @@ def merge_state_rows(mat: np.ndarray) -> np.ndarray:
             acc, (mat[i, N_], mat[i, MEAN_], mat[i, M2_], mat[i, M3_],
                   mat[i, M4_]))
     out[N_], out[MEAN_], out[M2_], out[M3_], out[M4_] = acc
+    # weighted M2: shift partials to the grand weighted mean (k-way form)
+    W = out[SUM_W_]
+    w_row = mat[:, SUM_W_]
+    if W > 0:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dwm = np.where(w_row > 0,
+                           mat[:, SUM_WV_] / np.where(w_row > 0, w_row, 1.0)
+                           - out[SUM_WV_] / W, 0.0)
+        out[WM2_] = (mat[:, WM2_] + w_row * dwm * dwm).sum()
+    else:
+        out[WM2_] = mat[:, WM2_].sum()
     return out
 
 
@@ -450,6 +517,18 @@ def finalize_features(stats: dict) -> dict:
         # mirrored by the oracle's CASE WHEN mean = 0)
         mean_variance = np.where(mean == 0.0, np.nan,
                                  std / np.where(mean == 0.0, 1.0, mean))
+        wM2 = np.asarray(stats["wM2"], dtype=np.float64)
+        sum_invw = np.asarray(stats["sum_invw"], dtype=np.float64)
+        # ReducedChi2: χ²_red of the constant-wmean model, w = 1/σ²
+        reduced_chi2 = np.where((n > 1) & (sum_w > 0),
+                                np.maximum(wM2, 0.0) / np.maximum(n - 1, 1),
+                                np.nan)
+        # normalized excess variance (s² − ⟨σ²⟩)/mean², σ² = 1/w
+        s2 = M2c / np.maximum(n - 1, 1)
+        excess_variance = np.where(
+            (n > 1) & (mean != 0.0),
+            (s2 - sum_invw / n) / np.where(mean == 0.0, 1.0, mean * mean),
+            np.nan)
 
     return {
         "n": np.asarray(stats["n"], dtype=np.int64),
@@ -461,6 +540,8 @@ def finalize_features(stats: dict) -> dict:
         "amplitude": amplitude,
         "linear_trend_slope": slope,
         "mean_variance": mean_variance,
+        "reduced_chi2": reduced_chi2,
+        "excess_variance": excess_variance,
     }
 
 
@@ -473,11 +554,25 @@ def merge_stats_numpy(stats: dict, group_codes: np.ndarray, n_groups: int) -> di
     aggregate (stages/aggregate.py) computing the same algebra.
     """
     out = {}
-    for col in ("n", "sum_w", "sum_wv", "st1", "st2", "stv"):
+    for col in ("n", "sum_w", "sum_wv", "st1", "st2", "stv", "sum_invw"):
         arr = np.asarray(stats[col], dtype=np.float64)
         acc = np.zeros(n_groups)
         np.add.at(acc, group_codes, arr)
         out[col] = acc
+    # weighted M2: shift each partial to its group's grand weighted mean
+    w_row = np.asarray(stats["sum_w"], dtype=np.float64)
+    wv_row = np.asarray(stats["sum_wv"], dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        gwmean = np.where(out["sum_w"] > 0,
+                          out["sum_wv"] / np.where(out["sum_w"] > 0,
+                                                   out["sum_w"], 1.0), 0.0)
+        dwm = np.where(w_row > 0,
+                       wv_row / np.where(w_row > 0, w_row, 1.0)
+                       - gwmean[group_codes], 0.0)
+    wm2_acc = np.zeros(n_groups)
+    np.add.at(wm2_acc, group_codes,
+              np.asarray(stats["wM2"], dtype=np.float64) + w_row * dwm * dwm)
+    out["wM2"] = wm2_acc
     for col, init, fn in (("vmin", np.inf, np.minimum),
                           ("vmax", -np.inf, np.maximum)):
         arr = np.asarray(stats[col], dtype=np.float64)

@@ -42,8 +42,14 @@ from .rollup import (
 ROLLUP_COLS = [
     "lang", "domain", "tier", "bucket_ts_us", "n", "mean", "wmean", "std",
     "skew", "kurtosis", "amplitude", "beyond_1_std", "linear_trend_slope",
-    "mean_variance", "stetson_k",
+    "mean_variance", "reduced_chi2", "excess_variance", "stetson_k",
 ]
+
+
+# float columns whose magnitude is data-unbounded (χ² of a huge-w fixture
+# reaches 1e10): rounded at 6 SIGNIFICANT digits instead of 6 decimals so
+# the engine-vs-oracle agreement requirement stays within double precision
+_SIG_ROUND_COLS = frozenset({"reduced_chi2"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -51,7 +57,7 @@ def _round6(tbl: pa.Table) -> pa.Table:
     matching the oracle's ROUND(ROUND(x,9),6) bit-for-bit and collapsing
     last-ulp merge-order differences across 6-dp tie boundaries —
     kernels/rounding.round6_tie_robust), non-finite -> NULL."""
-    from ..kernels.rounding import round6_tie_robust
+    from ..kernels.rounding import round6_tie_robust, round_sig6_tie_robust
 
     cols = {}
     for name in tbl.column_names:
@@ -60,8 +66,11 @@ def _round6(tbl: pa.Table) -> pa.Table:
             col = pc.cast(col, pa.float64())
             vals = col.to_numpy(zero_copy_only=False)
             mask = ~np.isfinite(vals)
-            cols[name] = pa.array(round6_tie_robust(vals), pa.float64(),
-                                  mask=mask)
+            # unbounded-magnitude columns round at significant digits
+            # (relative granularity); see kernels/rounding.round_sig_away
+            rounder = (round_sig6_tie_robust if name in _SIG_ROUND_COLS
+                       else round6_tie_robust)
+            cols[name] = pa.array(rounder(vals), pa.float64(), mask=mask)
         else:
             cols[name] = col
     return pa.table(cols)
@@ -113,11 +122,29 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
        ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope,
   CASE WHEN std IS NULL OR mean = 0.0 THEN NULL
        ELSE ROUND(std / mean, 6) END AS mean_variance,
+  {sig6_rc9} AS reduced_chi2,
+  CASE WHEN n < 2 OR mean = 0.0 THEN NULL
+       ELSE ROUND((GREATEST(cm2, 0.0) / (n - 1.0) - sum_invw / n)
+                  / (mean * mean), 6) END AS excess_variance,
   CASE WHEN std IS NULL OR std <= 0.0 THEN NULL
        ELSE ROUND((COALESCE(sum_abs_dev, 0.0) / n)
                   / (std * SQRT((n - 1.0) / n)), 6) END AS stetson_k
 FROM f LEFT JOIN bc USING (lang, domain, bucket_ts_us)
 """
+
+
+def _sig_round_sql(x: str, digits: int) -> str:
+    """Half-away rounding of ``x`` at ``digits`` SIGNIFICANT digits — the
+    SQL mirror of kernels/rounding.round_sig_away, operation-for-operation
+    (FLOOR/CEIL/POWER/LOG10 resolve to the same libm calls the numpy
+    kernel makes on this host, so both sides produce identical doubles).
+    Deliberately avoids the ``ROUND(`` token: _tie_robust_sql mechanically
+    rewrites every ROUND(x, 6) in the oracle strings, and these
+    expressions must not be touched by that rewrite."""
+    p = f"POWER(10.0, FLOOR(LOG10(ABS({x}))) - {digits - 1})"
+    return (f"CASE WHEN {x} = 0.0 THEN {x} + 0.0 "
+            f"WHEN {x} >= 0.0 THEN FLOOR({x} / {p} + 0.5) * {p} + 0.0 "
+            f"ELSE CEIL({x} / {p} - 0.5) * {p} + 0.0 END")
 
 
 def _rollup_sql(points_sql: str, tier: str, n_std: float = 1.0) -> str:
@@ -142,6 +169,7 @@ m AS (
   SELECT lang, domain, bucket_ts_us,
          COUNT(*) AS n, AVG(v) AS mean,
          SUM(w) AS sum_w, SUM(w * v) AS sum_wv,
+         SUM(1.0 / w) AS sum_invw,
          MIN(v) AS vmin, MAX(v) AS vmax,
          SUM(tp) AS st1, SUM(tp * tp) AS st2, SUM(tp * v) AS stv
   FROM b GROUP BY 1, 2, 3
@@ -151,12 +179,18 @@ c AS (
          SUM((b.v - m.mean) * (b.v - m.mean)) AS cm2,
          SUM((b.v - m.mean) * (b.v - m.mean) * (b.v - m.mean)) AS cm3,
          SUM((b.v - m.mean) * (b.v - m.mean) * (b.v - m.mean)
-             * (b.v - m.mean)) AS cm4
+             * (b.v - m.mean)) AS cm4,
+         SUM(b.w * (b.v - m.sum_wv / m.sum_w)
+                 * (b.v - m.sum_wv / m.sum_w)) AS wcm2
   FROM b JOIN m USING (lang, domain, bucket_ts_us)
   GROUP BY 1, 2, 3
 ),
 f AS (
   SELECT lang, domain, bucket_ts_us, n, st1, st2, stv,
+    sum_w, sum_invw, cm2, wcm2,
+    CASE WHEN n > 1 AND sum_w > 0.0
+         THEN GREATEST(wcm2, 0.0) / (n - 1.0) END AS rc0,
+    {_sig_round_sql("rc0", 9)} AS rc9,
     mean,
     mean * n AS s1,
     CASE WHEN sum_w > 0 THEN sum_wv / sum_w END AS wmean,
@@ -182,7 +216,7 @@ bc AS (
          SUM(abs_dev) AS sum_abs_dev
   FROM pb GROUP BY 1, 2, 3
 )
-{_FEATURE_SQL_TAIL.format(tier=tier)}
+{_FEATURE_SQL_TAIL.format(tier=tier, sig6_rc9=_sig_round_sql("rc9", 6))}
 """
 
 
@@ -246,7 +280,8 @@ grid AS (
 j AS (
   SELECT g.lang, g.domain, g.bucket_ts_us,
          r.n, r.mean, r.wmean, r.std, r.skew, r.kurtosis, r.amplitude,
-         r.beyond_1_std, r.linear_trend_slope, r.mean_variance, r.stetson_k
+         r.beyond_1_std, r.linear_trend_slope, r.mean_variance,
+         r.reduced_chi2, r.excess_variance, r.stetson_k
   FROM grid g LEFT JOIN r USING (lang, domain, bucket_ts_us)
 ),
 w AS (
@@ -275,7 +310,7 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us,
             / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE))) * next_v, 6)
   END AS mean,
   wmean, std, skew, kurtosis, amplitude, beyond_1_std, linear_trend_slope,
-  mean_variance, stetson_k,
+  mean_variance, reduced_chi2, excess_variance, stetson_k,
   (n IS NULL) AS filled
 FROM w
 """

@@ -5,8 +5,8 @@ Scale design: a bare ``groupby().aggregate()`` shuffles every point row.
 Here every block first collapses to one row per (lang, domain, bucket) via
 vectorized segmented reduction (kernels/moments.point_stats_arrow), so the
 all-to-all exchange moves partial-stat rows (≤ one per key per block), each
-carrying ALL 12 sufficient statistics packed into one
-fixed_size_list<double,12> ``state`` column.  The shuffle-side merge is ONE
+carrying ALL 14 sufficient statistics packed into one
+fixed_size_list<double,14> ``state`` column.  The shuffle-side merge is ONE
 custom mergeable aggregate — ``StateMerge``, plain sums + min/max + the
 streaming Welford/Pébay central-moment combiner (north_star: "streaming
 Welford/moment accumulators").  Central-moment form is a correctness
@@ -56,7 +56,8 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 # Columns finalized to NULL (not NaN) when undefined, so Arrow/parquet/DuckDB
 # NULL semantics line up between engine output and oracle SQL.
 _NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis",
-                      "linear_trend_slope", "mean_variance")
+                      "linear_trend_slope", "mean_variance",
+                      "reduced_chi2", "excess_variance")
 
 def make_partial_stats_fn(step_us: int, hot_domains: frozenset | None = None,
                           n_salt: int = 16):

@@ -92,3 +92,42 @@ def test_tie_robust_sql_rewrite_normalizes_zero_sign():
     from light_curve_ray.pipelines.queries import _tie_robust_sql
     out = _tie_robust_sql("SELECT ROUND(x / y, 6) AS skew FROM t")
     assert out == "SELECT (ROUND(ROUND(x / y, 9), 6) + 0.0) AS skew FROM t"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e12, max_value=1e12,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50))
+def test_sig_round_matches_duckdb(vals):
+    """Significant-digit rounding (reduced_chi2's relative-granularity
+    contract) must match the oracle's FLOOR/CEIL/POWER/LOG10 mirror
+    bit-for-bit — including the np.power-vs-libm-pow one-ulp trap on
+    integer exponents (kernels/rounding.round_sig_away docstring)."""
+    from light_curve_ray.kernels.rounding import (
+        round_sig6_tie_robust,
+        round_sig_away,
+    )
+    from light_curve_ray.pipelines.queries import _sig_round_sql
+
+    got9 = round_sig_away(np.asarray(vals), 9)
+    want9 = _duck_round(vals, _sig_round_sql("x", 9))
+    np.testing.assert_array_equal(got9, want9)
+    got = round_sig6_tie_robust(np.asarray(vals))
+    want = _duck_round(vals, _sig_round_sql(_sig_round_sql("x", 9), 6))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sig_round_adversarial():
+    """Powers of ten, near-boundary values, half-ties at the 6th
+    significant digit, zeros and sign symmetry."""
+    from light_curve_ray.kernels.rounding import round_sig6_tie_robust
+    from light_curve_ray.pipelines.queries import _sig_round_sql
+
+    vals = [1e10, -1e10, 9.999999999e9, 1.0000000001e10, 13.67645,
+            -13.67645, 3314.6082000000006, 1e-7, 123456.5, -123456.5,
+            0.0, -0.0, 7.6303925e9, 1.0, 10.0, 999999.5]
+    got = round_sig6_tie_robust(np.asarray(vals))
+    want = _duck_round(vals, _sig_round_sql(_sig_round_sql("x", 9), 6))
+    np.testing.assert_array_equal(got, want)
+    # -0.0 must normalize to +0.0 on the engine side
+    assert not np.signbit(got[vals.index(-0.0)])
