@@ -630,12 +630,17 @@ def q_shape_features(sf_dir: str):
 
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
-    per-series uniform linspace grid + reference-exact interpolation."""
-    import pandas as pd
+    per-series uniform linspace grid + reference-exact interpolation.
+
+    Per-series apply goes through stages/sorted_groups.sorted_group_map
+    (one sort + in-block run dispatch) like every other per-group kernel
+    in the repo — not ``groupby().map_groups`` (one Ray task per group,
+    pathological at millions of series)."""
     import ray.data as rd
 
     from ..kernels.grid import linspace
     from ..kernels.interp import interpolate
+    from ..stages.sorted_groups import sorted_group_map
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
@@ -653,22 +658,34 @@ def q_interp_grid(sf_dir: str):
     pts = ds.map_batches(_points, batch_format="pyarrow",
                          zero_copy_batch=True)
 
-    def _interp(g: pd.DataFrame) -> pd.DataFrame:
-        # dedupe knots at identical t (mean), sort, 101-point linspace grid
-        k = g.groupby("t", sort=True)["v"].mean().reset_index()
-        x = k["t"].to_numpy()
-        y = k["v"].to_numpy()
+    out_schema = pa.schema([("series", pa.string()), ("i", pa.int64()),
+                            ("v", pa.float64())])
+
+    def _interp(g: pa.Table) -> pa.Table:
+        # dedupe knots at identical t (mean), sort, 101-point linspace
+        # grid.  Stable sort keeps equal-t values in row order, so the
+        # per-knot sequential sum visits them in the same order the
+        # oracle's AVG does.
+        t = g["t"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        ts, vs = t[order], v[order]
+        x, starts = np.unique(ts, return_index=True)
+        sums = np.add.reduceat(vs, starts)
+        counts = np.diff(np.append(starts, len(ts)))
+        y = sums / counts
         grid = linspace(x[0], x[-1], 101)
         out = interpolate(x, y, grid, left=0.0, right=0.0)
         # output the grid INDEX, not raw t: at epoch-second magnitude the
         # 6-dp rounding of t sits below one float64 ulp, so numpy/DuckDB
         # half-even vs half-away tie-breaking flips the last digit
-        return pd.DataFrame(
-            {"series": g["series"].iloc[0],
-             "i": np.arange(101, dtype=np.int64), "v": out})
+        return pa.table({
+            "series": pa.array([g["series"][0].as_py()] * 101, pa.string()),
+            "i": pa.array(np.arange(101, dtype=np.int64)),
+            "v": pa.array(out, pa.float64()),
+        })
 
-    out = pts.groupby("series").map_groups(_interp, batch_format="pandas")
-    return _collect(out)
+    return _collect(sorted_group_map(pts, ["series"], _interp, out_schema))
 
 
 def _pages_fixture(sf_dir: str, with_dups: bool = False) -> str:
