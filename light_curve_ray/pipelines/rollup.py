@@ -119,6 +119,17 @@ class RollupConfig:
     # distributed sort whose fixed cost (~3 s) dwarfs the work; 0 forces
     # the distributed sort-merge (tests)
     driver_merge_limit: int = 2_000_000
+    # O11 rollup-stage checkpoint tier: parquet files holding ALREADY
+    # map-side-combined fine-tier partial states (KEY_COLS + packed
+    # ``state``), written per shard by pipelines/resume.checkpoint_points.
+    # When set, run_rollup skips the points -> fine-partials scan entirely
+    # (the dominant cost of the tail re-run at crawl scale) and merges
+    # these instead; ``points`` (input_kind="points" checkpoint parquet)
+    # is then consumed lazily only by the beyond pass.  Skew salting is
+    # unnecessary on this path: each shard contributes at most one partial
+    # row per key, so merge fan-in per key is bounded by the SHARD count,
+    # not the point count.
+    partials_paths: list | None = None
 
 
 def points_dataset(cfg: RollupConfig):
@@ -718,15 +729,18 @@ def run_rollup(cfg: RollupConfig) -> dict:
     t0 = time.monotonic()
     phases = {}
     points = points_dataset(cfg)
-    if cfg.compute_beyond:
+    if cfg.compute_beyond and not cfg.partials_paths:
         # points are consumed by two passes (stats + beyond); materialize the
         # compact points table so extraction/projection run once.  At cluster
         # scale this would be a parquet checkpoint (state/manifest.py); in
         # object-store terms points are ~1000x smaller than raw pages.
+        # With a partials checkpoint the stats pass is already done, so
+        # points stay a lazy parquet read consumed only by the beyond pass
+        # (re-reading the points checkpoint beats pinning it in the store).
         points = points.materialize()
     phases["points"] = round(time.monotonic() - t0, 3)
     hot = None
-    if cfg.salt_hot_domains:
+    if cfg.salt_hot_domains and not cfg.partials_paths:
         from ..stages.aggregate import detect_hot_domains
 
         hot = detect_hot_domains(points)
@@ -742,20 +756,29 @@ def run_rollup(cfg: RollupConfig) -> dict:
     # More tasks do multiply partial rows when every shard spans the full
     # time range (partials ≈ tasks × keys), but the k-way reduceat merge
     # clears ~6M rows/s single-threaded, so one-wave parallelism wins.
-    combine_bs = cfg.points_batch_size
-    if cfg.compute_beyond:  # materialized above
-        import ray as _ray
+    if cfg.partials_paths:
+        # resume fast path: fine-tier partial states were checkpointed per
+        # shard (pipelines/resume) — merge them directly, skipping the
+        # points-scale partial scan
+        import ray.data as rd
 
-        slots = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 1)
-        combine_bs = int(max(65536, min(
-            cfg.points_batch_size,
-            -(-points.count() // slots))))
-    fine_partials = points.map_batches(
-        make_partial_stats_fn(TIER_STEP_US[fine], hot_domains=hot,
-                              n_salt=cfg.n_salt),
-        batch_format="pyarrow", batch_size=combine_bs,
-        zero_copy_batch=True,
-    ).materialize()
+        fine_partials = rd.read_parquet(
+            list(cfg.partials_paths)).materialize()
+    else:
+        combine_bs = cfg.points_batch_size
+        if cfg.compute_beyond:  # materialized above
+            import ray as _ray
+
+            slots = max(2, int(_ray.cluster_resources().get("CPU", 8)) - 1)
+            combine_bs = int(max(65536, min(
+                cfg.points_batch_size,
+                -(-points.count() // slots))))
+        fine_partials = points.map_batches(
+            make_partial_stats_fn(TIER_STEP_US[fine], hot_domains=hot,
+                                  n_salt=cfg.n_salt),
+            batch_format="pyarrow", batch_size=combine_bs,
+            zero_copy_batch=True,
+        ).materialize()
     # Adaptive merge: the map-side combine already collapsed each batch to
     # ≤ |keys| rows, so the partial table is blocks × keys — usually 10³-
     # 10⁴× smaller than points.  Under driver_merge_limit rows the

@@ -81,3 +81,58 @@ def test_resume_skips_done_shards(ray_session, sharded_pages, tmp_path):
     run_rollup_resumable(_cfg(sharded_pages), ckpt, shard_size=2,
                          on_shard=calls2.append)
     assert calls2 == []  # nothing re-extracted
+
+
+def test_partials_checkpoint_tier(ray_session, sharded_pages, tmp_path,
+                                  monkeypatch):
+    """Rollup-stage checkpoint tier: once every shard committed its
+    fine-partials table, the resumed tail must never rescan points into
+    partials — and must match the direct run exactly."""
+    import light_curve_ray.pipelines.rollup as rollup_mod
+
+    ckpt = str(tmp_path / "ckpt3")
+    run_rollup_resumable(_cfg(sharded_pages), ckpt, shard_size=2)
+    # the partials tier exists, one dir per shard, named by the fine tier
+    proots = os.listdir(os.path.join(ckpt, "partials_1h"))
+    assert len([p for p in proots if not p.endswith(".tmp")]) == 2
+
+    def _must_not_scan(*a, **k):
+        raise AssertionError("points->partials scan ran despite checkpoint")
+
+    monkeypatch.setattr(rollup_mod, "make_partial_stats_fn", _must_not_scan)
+    res = run_rollup_resumable(_cfg(sharded_pages), ckpt, shard_size=2)
+    monkeypatch.undo()
+    direct = run_rollup(_cfg(sharded_pages))
+    got = _sorted(res["rollup"].to_pandas())
+    exp = _sorted(direct["rollup"].to_pandas())
+    assert len(got) == len(exp)
+    for c in KEY + ["n", "filled"]:
+        assert list(got[c]) == list(exp[c]), c
+    for c in ["mean", "std", "skew", "beyond_1_std", "stetson_k",
+              "reduced_chi2"]:
+        g = got[c].to_numpy(np.float64)
+        e = exp[c].to_numpy(np.float64)
+        ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) < 1e-9)
+        assert bool(np.all(ok)), c
+
+
+def test_partials_missing_falls_back(ray_session, sharded_pages, tmp_path):
+    """A checkpoint whose partials tier is incomplete (older run /
+    partials=False) must still resume correctly from points alone."""
+    import shutil as _shutil
+
+    ckpt = str(tmp_path / "ckpt4")
+    run_rollup_resumable(_cfg(sharded_pages), ckpt, shard_size=2)
+    proot = os.path.join(ckpt, "partials_1h")
+    victim = sorted(os.listdir(proot))[0]
+    _shutil.rmtree(os.path.join(proot, victim))
+    res = run_rollup_resumable(_cfg(sharded_pages), ckpt, shard_size=2)
+    direct = run_rollup(_cfg(sharded_pages))
+    got = _sorted(res["rollup"].to_pandas())
+    exp = _sorted(direct["rollup"].to_pandas())
+    assert len(got) == len(exp)
+    for c in ["n", "mean"]:
+        g = got[c].to_numpy(np.float64)
+        e = exp[c].to_numpy(np.float64)
+        ok = (np.isnan(g) & np.isnan(e)) | (np.abs(g - e) < 1e-9)
+        assert bool(np.all(ok)), c
