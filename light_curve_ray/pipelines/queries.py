@@ -988,6 +988,35 @@ def q_dedup_lsh_recall_floor(sf_dir: str):
     return _collect(exact_dup_pair_floor(cand, aug))
 
 
+def q_dedup_simhash_recall_floor(sf_dir: str):
+    """Recall floor of the SimHash chain, ORACLE-CHECKED — the SimHash
+    twin of q_dedup_lsh_recall_floor: byte-identical texts have Hamming
+    distance 0, within any ``max_hamming``, so the banded chain must
+    surface every equal-text pair; filtered to text-equality the engine
+    pair set must EQUAL the SQL self-join."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dup_pair_floor, simhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _dup(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        tx = batch["text"].to_pylist()
+        if ids and max(ids) >= 100_000:
+            raise ValueError(
+                "recall-floor fixture assumes doc_id < 100000")
+        return pa.table({
+            "doc_id": pa.array(ids + [i + 100_000 for i in ids], pa.int64()),
+            "text": pa.array(tx + tx, pa.string()),
+        })
+
+    aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    cand = simhash_dedup_pairs(aug, max_hamming=3)
+    return _collect(exact_dup_pair_floor(cand, aug))
+
+
 def q_dedup_embedding(sf_dir: str):
     import ray.data as rd
 
@@ -1217,6 +1246,7 @@ def build_queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
+        "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -1285,6 +1315,8 @@ def build_oracle_sql() -> dict:
         "dedup_filter": DEDUP_FILTER_SQL,
         "quality_filter": QUALITY_FILTER_SQL,
         "dedup_lsh_recall_floor": LSH_RECALL_FLOOR_SQL,
+        # same equal-text self-join: Hamming(identical texts) = 0
+        "dedup_simhash_recall_floor": LSH_RECALL_FLOOR_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
         "ann_topk": ANN_TOPK_SQL,
         # exhaustive-probe IVF is exact, so the brute-force oracle applies
