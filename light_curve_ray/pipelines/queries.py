@@ -806,12 +806,24 @@ def q_dedup_exact(sf_dir: str):
     return _collect(exact_dedup(ds))
 
 
+_AUG_DOCS_CACHE: dict = {}
+
+
 def _augmented_documents(sf_dir: str):
     """documents ∪ exact copies (+100000) ∪ perturbed copies (+200000, every
     7th word dropped, doc_id % 5 == 0) — a deterministic near-dup corpus so
     the minhash/simhash/jaccard queries have non-trivial output on testdata
-    (which itself contains no duplicate texts)."""
+    (which itself contains no duplicate texts).
+
+    Memoized per sf_dir: three dedup queries consume the identical
+    materialized fixture in one driver session; rebuilding it cost ~2 s
+    per query at sf0.1 (fixture construction, not the operator under
+    measurement)."""
     import ray.data as rd
+
+    cached = _AUG_DOCS_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -842,7 +854,9 @@ def _augmented_documents(sf_dir: str):
     # materialized: the dedup queries consume this fixture 1-3 times
     # (pairs stage + both join sides); it is corpus-scale-SMALL test input,
     # not a production pages table
-    return ds.map_batches(_augment, batch_format="pyarrow").materialize()
+    out = ds.map_batches(_augment, batch_format="pyarrow").materialize()
+    _AUG_DOCS_CACHE[sf_dir] = out
+    return out
 
 
 DEDUP_FILTER_SQL = """

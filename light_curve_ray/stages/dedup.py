@@ -689,18 +689,35 @@ def _score_pair_texts(batch: pa.Table, shingle_k: int,
 def ngram_jaccard_verify_join(pairs_ds, docs_ds, id_col: str = "doc_id",
                               text_col: str = "text", shingle_k: int = 3,
                               min_jaccard: float = 0.0,
-                              num_partitions: int | None = None):
-    """Re-score candidate pairs with n-gram-set Jaccard — the SCALE path.
+                              num_partitions: int | None = None,
+                              broadcast_limit: int = 200_000):
+    """Re-score candidate pairs with n-gram-set Jaccard.
 
-    Two hash-partitioned ``Dataset.join`` exchanges attach each side's text
-    to the (slim) pairs rows: pairs ⋈ corpus on doc_a, then on doc_b.  No
-    driver-side corpus materialization, no broadcast — the corpus streams
-    through the join shuffle keyed on doc id (uniform by construction).
-    Aggregator count is sized to the cluster (oversubscribed hash-join
-    actor pools deadlock small clusters — pipelines/rollup.py note).
+    Path switch on corpus size (same discipline as
+    ``beyond_broadcast_limit`` / ``_attach_est_jaccard``): at or below
+    ``broadcast_limit`` docs the {id: text} lookup is broadcast once
+    (``ray.put``, zero-copy read per task) and scoring is a single
+    map_batches — the two join exchanges cost ~4 s of fixed aggregator
+    spawn at toy scale.  Beyond it, the SCALE path: two hash-partitioned
+    ``Dataset.join`` exchanges attach each side's text to the (slim)
+    pairs rows — no driver-side corpus materialization, the corpus
+    streams through the join shuffle keyed on doc id (uniform by
+    construction).  ``broadcast_limit=0`` forces the join path (the
+    parity test pins the two equal).  Aggregator count is sized to the
+    cluster (oversubscribed hash-join actor pools deadlock small
+    clusters — pipelines/rollup.py note).
     """
     import ray
 
+    if broadcast_limit:
+        docs_ds = docs_ds.materialize()  # consumed 1-2x below either way
+        if docs_ds.count() <= broadcast_limit:
+            lookup = {}
+            for t in ray.get(docs_ds.to_arrow_refs()):
+                lookup.update(zip(t[id_col].to_pylist(),
+                                  t[text_col].to_pylist()))
+            return ngram_jaccard_verify(pairs_ds, ray.put(lookup),
+                                        shingle_k, min_jaccard)
     if num_partitions is None:
         # aggregator actors spawn per join; cap them by the cluster AND by
         # the candidate-pair volume (a handful of partitions moves tens of

@@ -42,7 +42,9 @@ def _runs(batch: pa.Table, key_cols: list):
 
 def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
                      min_group_size: int = 1,
-                     residual_block_cap: int = 16384):
+                     residual_block_cap: int = 16384,
+                     driver_limit_rows: int = 2_000_000,
+                     driver_limit_bytes: int = 256 << 20):
     """Distributed per-group apply without per-group Ray dispatch.
 
     ``fn(group: pa.Table) -> pa.Table`` with schema ``out_schema``.
@@ -50,13 +52,66 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
     ``fn`` (e.g. 2 for pair-emission over LSH buckets, where singleton
     buckets — the vast majority — can produce nothing).
 
-    Residual scale path: boundary rows are ≤2 groups per sorted block, so
-    up to ``residual_block_cap`` blocks they collapse into ONE partition
-    (cheapest).  Beyond that (web-scale block counts) the residual groups
-    go through ``groupby(key).map_groups`` instead — Ray's per-group
-    dispatch is acceptable there because the residual is a vanishing
-    fraction of the groups, and a single partition would not be.
+    ``fn`` must not depend on row order WITHIN a group (sort internally if
+    order matters — shape/interp kernels do): neither the distributed sort
+    nor the in-process path guarantees non-key column order.
+
+    Adaptive small-input path (same discipline as RollupConfig's
+    driver_merge_limit / small_rollup_limit): at or below
+    ``driver_limit_rows`` rows AND ``driver_limit_bytes`` bytes the SORT
+    runs in-process — the distributed sort's fixed ~2 s of sampling +
+    two-stage exchange dwarfs the work there (measured: the sf0.1 LSH
+    chains spend ~40% of wall in it).  The per-group ``fn`` dispatch
+    stays DISTRIBUTED either way: the sorted table is split into
+    pool-sized chunks at group boundaries and applied via map_batches
+    (an in-process fn loop serialized ~90k bucket calls the workers
+    previously ran in parallel — measured 4× slower, not faster).  A
+    web-scale input exceeds the gate and takes the sort path below.
+    ``driver_limit_rows=0`` forces the distributed sort (tests pin the
+    two paths equal).
     """
+    if driver_limit_rows:
+        import ray
+        import ray.data as rd
+
+        ds = ds.materialize()
+        if (ds.count() <= driver_limit_rows
+                and (ds.size_bytes() or 0) <= driver_limit_bytes):
+            tables = [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+            if not tables:
+                return rd.from_arrow(out_schema.empty_table())
+            tbl = pa.concat_tables(tables).combine_chunks()
+            tbl = tbl.sort_by([(c, "ascending") for c in key_cols])
+            starts, _ = _runs(tbl, key_cols)
+            slots = max(1, int(ray.cluster_resources().get("CPU", 8)) - 1)
+            n_chunks = int(min(len(starts), 2 * slots))
+            total = len(tbl)
+            bounds = [0]
+            for c in range(1, n_chunks):
+                i = np.searchsorted(starts, c * total // n_chunks)
+                if i >= len(starts):
+                    break
+                s = int(starts[i])
+                if s > bounds[-1]:
+                    bounds.append(s)
+            bounds.append(total)
+            pieces = [tbl.slice(b, e - b)
+                      for b, e in zip(bounds[:-1], bounds[1:]) if e > b]
+
+            def _apply_runs(batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    return out_schema.empty_table()
+                s_, e_ = _runs(batch, key_cols)
+                outs = [fn(batch.slice(s, e - s))
+                        for s, e in zip(s_, e_)
+                        if e - s >= min_group_size]
+                if not outs:
+                    return out_schema.empty_table()
+                return pa.concat_tables(outs)
+
+            return rd.from_arrow(pieces).map_batches(
+                _apply_runs, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
     sorted_ds = ds.sort(key_cols).materialize()  # one exchange, two readers
 
     def _interior(batch: pa.Table) -> pa.Table:

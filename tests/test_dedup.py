@@ -257,7 +257,10 @@ def test_ngram_jaccard_join_matches_broadcast(ray_session, dup_corpus):
     })).materialize()
     cand = minhash_dedup_pairs(docs, threshold=0.4).materialize()
     assert cand.count() > 0
-    joined = ngram_jaccard_verify_join(cand, docs).to_pandas()
+    # broadcast_limit=0 forces the two-join scale path (the adaptive
+    # default would take the broadcast branch at this corpus size)
+    joined = ngram_jaccard_verify_join(cand, docs,
+                                       broadcast_limit=0).to_pandas()
     lookup = {r[0]: r[1] for r in dup_corpus}
     bcast = ngram_jaccard_verify(cand, ray.put(lookup)).to_pandas()
     a = sorted(map(tuple, joined[["doc_a", "doc_b", "jaccard"]].to_numpy()))

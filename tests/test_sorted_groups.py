@@ -30,18 +30,21 @@ def test_sorted_group_map_exact_over_many_blocks(ray_session):
             "s": pa.array([float(v.sum())], pa.float64()),
         })
 
-    got = sorted_group_map(ds, ["k"], per_group, out_schema).to_pandas()
-    got = got.sort_values("k").reset_index(drop=True)
-    # every group appears exactly once with the full count/sum
     import pandas as pd
 
     exp = (pd.DataFrame({"k": keys, "v": vals})
            .groupby("k").agg(n=("v", "size"), s=("v", "sum"))
            .reset_index())
-    assert len(got) == len(exp)
-    np.testing.assert_array_equal(got["k"], exp["k"])
-    np.testing.assert_array_equal(got["n"], exp["n"])
-    np.testing.assert_allclose(got["s"], exp["s"], rtol=1e-9)
+    # both paths — in-process (default gate admits 20k rows) and forced
+    # distributed — must be exact; every group exactly once, full count/sum
+    for limit in (2_000_000, 0):
+        got = sorted_group_map(ds, ["k"], per_group, out_schema,
+                               driver_limit_rows=limit).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        assert len(got) == len(exp)
+        np.testing.assert_array_equal(got["k"], exp["k"])
+        np.testing.assert_array_equal(got["n"], exp["n"])
+        np.testing.assert_allclose(got["s"], exp["s"], rtol=1e-9)
 
 
 def test_sorted_group_map_min_group_size(ray_session):
@@ -59,11 +62,13 @@ def test_sorted_group_map_min_group_size(ray_session):
         return pa.table({"k": pa.array([g["k"][0].as_py()], pa.int64()),
                          "n": pa.array([len(g)], pa.int64())})
 
-    got = sorted_group_map(ds, ["k"], per_group, out_schema,
-                           min_group_size=2).to_pandas()
-    got = got.sort_values("k").reset_index(drop=True)
-    assert list(got["k"]) == [2, 3]  # singleton key 1 skipped
-    assert list(got["n"]) == [2, 3]
+    for limit in (2_000_000, 0):  # in-process and distributed paths
+        got = sorted_group_map(ds, ["k"], per_group, out_schema,
+                               min_group_size=2,
+                               driver_limit_rows=limit).to_pandas()
+        got = got.sort_values("k").reset_index(drop=True)
+        assert list(got["k"]) == [2, 3]  # singleton key 1 skipped
+        assert list(got["n"]) == [2, 3]
 
 
 def test_residual_groupby_path_matches(ray_session):
@@ -93,9 +98,10 @@ def test_residual_groupby_path_matches(ray_session):
         })
 
     ds = rd.from_arrow(tbl).repartition(16)
-    a = sorted_group_map(ds, ["k"], agg, schema).to_pandas()
-    b = sorted_group_map(ds, ["k"], agg, schema,
-                         residual_block_cap=0).to_pandas()
+    a = sorted_group_map(ds, ["k"], agg, schema,
+                         driver_limit_rows=0).to_pandas()
+    b = sorted_group_map(ds, ["k"], agg, schema, residual_block_cap=0,
+                         driver_limit_rows=0).to_pandas()
     a = a.sort_values("k").reset_index(drop=True)
     b = b.sort_values("k").reset_index(drop=True)
     assert a.equals(b)
