@@ -530,14 +530,21 @@ def attach_beyond_pd(feats_pd: dict, points_ds, n_std: float,
 def gapfilled(rollup_ds):
     """O7: densify each (lang, domain, tier) series over its bucket grid.
 
-    Runs via sorted_group_map (sort + in-block per-run apply + boundary
-    residual) instead of groupby().map_groups — no per-series Ray dispatch,
-    which matters when series count reaches web scale."""
-    from ..stages.gapfill import GAPFILL_SCHEMA, gapfill_group_arrow
+    Runs via sorted_group_map (sort + in-block apply + boundary residual)
+    instead of groupby().map_groups — no per-series Ray dispatch — with
+    the VECTORIZED whole-block kernel (gapfill_block_arrow: one Python
+    call + O(1) numpy ops per block, not per series; parity-pinned
+    against the per-group kernel), which matters when series count
+    reaches web scale."""
+    from ..stages.gapfill import (
+        GAPFILL_SCHEMA,
+        gapfill_block_arrow,
+        gapfill_group_arrow,
+    )
     from ..stages.sorted_groups import sorted_group_map
 
     return sorted_group_map(rollup_ds, SERIES_KEY, gapfill_group_arrow,
-                            GAPFILL_SCHEMA)
+                            GAPFILL_SCHEMA, block_fn=gapfill_block_arrow)
 
 
 def gorilla_series(rollup_ds):

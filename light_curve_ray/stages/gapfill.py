@@ -106,6 +106,103 @@ def gapfill_group_arrow(group: pa.Table) -> pa.Table:
     return pa.table(cols).cast(GAPFILL_SCHEMA)
 
 
+def gapfill_block_arrow(batch: pa.Table) -> pa.Table:
+    """ALL series of a key-sorted block in ONE vectorized pass — the
+    block_fn form of gapfill_group_arrow for sorted_group_map.
+
+    At web-scale series counts the per-series dispatch (one Python call +
+    ~15 numpy ops per series) dominates gap-fill wall; here the whole
+    block is processed with O(1) numpy calls: one lexsort by (series,
+    ts), cumsum run offsets, one scatter per feature, and the linear
+    interpolation of ``mean`` at every filled position of every series at
+    once via prefix/suffix max/min present-index propagation (each run's
+    first and last grid point is present by construction, so propagation
+    never crosses a series boundary).  Numerically IDENTICAL to the
+    per-group kernel: same grid arithmetic (kernels/grid.bucket_grid
+    floor semantics), same interpolation formula and operand order as
+    kernels/interp.interpolate's interior branch (pinned by
+    tests/test_rollup.py parity test)."""
+    from ..kernels.moments import _group_codes
+
+    n = len(batch)
+    if n == 0:
+        return GAPFILL_SCHEMA.empty_table()
+    inv, _first = _group_codes(batch, ["lang", "domain", "tier"])
+    ts_all = batch["bucket_ts_us"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ts_all, inv))
+    inv_s, ts_s = inv[order], ts_all[order]
+    changed = np.empty(n, dtype=bool)
+    changed[0] = True
+    changed[1:] = inv_s[1:] != inv_s[:-1]
+    starts = np.nonzero(changed)[0]
+    ends = np.append(starts[1:], n)
+    r = starts.size
+    run_of_row = np.cumsum(changed) - 1
+    first_rows = pa.array(order[starts], pa.int64())
+    tiers = batch["tier"].take(first_rows).to_pylist()
+    steps = np.array([TIER_STEP_US[t] for t in tiers], dtype=np.int64)
+    lo = (ts_s[starts] // steps) * steps      # bucket_grid floor contract
+    hi = (ts_s[ends - 1] // steps) * steps
+    n_out_r = (hi - lo) // steps + 1
+    off = np.zeros(r + 1, dtype=np.int64)
+    np.cumsum(n_out_r, out=off[1:])
+    total = int(off[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], n_out_r)
+    out_ts = np.repeat(lo, n_out_r) + within * np.repeat(steps, n_out_r)
+    pos = off[run_of_row] + (ts_s - lo[run_of_row]) // steps[run_of_row]
+    # per-group parity: a DENSE run (grid size == row count) emits its
+    # ORIGINAL timestamps (gapfill_group_arrow's dense shortcut), which
+    # differ from the floored grid only when bucket ts are not step
+    # multiples (never in production, pinned by the parity test)
+    dense_rows = (n_out_r == (ends - starts))[run_of_row]
+    if dense_rows.any():
+        out_ts[pos[dense_rows]] = ts_s[dense_rows]
+    filled = np.ones(total, dtype=bool)
+    filled[pos] = False
+    out_n = np.zeros(total, dtype=np.int64)
+    out_n[pos] = batch["n"].to_numpy(
+        zero_copy_only=False).astype(np.int64)[order]
+    out_feats = {}
+    for c in ROLLUP_FEATURES:
+        if c == "n":
+            continue
+        v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        full = np.full(total, np.nan)
+        full[pos] = v
+        out_feats[c] = full
+    if filled.any():
+        gidx = np.arange(total, dtype=np.int64)
+        prev = np.maximum.accumulate(np.where(~filled, gidx, -1))
+        nxt = np.minimum.accumulate(
+            np.where(~filled, gidx, total)[::-1])[::-1]
+        f = filled
+        # knot x = ORIGINAL present ts (what the per-group kernel passes
+        # to interpolate), target x = grid ts; identical arrays when
+        # buckets are step multiples
+        x_knot = np.full(total, np.nan)
+        x_knot[pos] = ts_s.astype(np.float64)
+        xp, xn = x_knot[prev[f]], x_knot[nxt[f]]
+        tt = out_ts[f].astype(np.float64)
+        mean = out_feats["mean"]
+        # interp.interpolate interior branch, operand-for-operand
+        alpha = (xn - tt) / (xn - xp)
+        mean[f] = alpha * mean[prev[f]] + (1.0 - alpha) * mean[nxt[f]]
+    rep_idx = pa.array(np.repeat(order[starts], n_out_r), pa.int64())
+    cols = {
+        "lang": batch["lang"].take(rep_idx),
+        "domain": batch["domain"].take(rep_idx),
+        "tier": batch["tier"].take(rep_idx),
+        "bucket_ts_us": pa.array(out_ts, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+    }
+    for c in ROLLUP_FEATURES:
+        if c != "n":
+            cols[c] = _f64(out_feats[c])
+    cols["filled"] = pa.array(filled, pa.bool_())
+    return pa.table(cols).cast(GAPFILL_SCHEMA)
+
+
 def gorilla_group_arrow(group: pa.Table) -> pa.Table:
     """Numpy-native per-group Gorilla encode (no pandas round-trip)."""
     ts = group["bucket_ts_us"].to_numpy(zero_copy_only=False)

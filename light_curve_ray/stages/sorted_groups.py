@@ -44,13 +44,21 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
                      min_group_size: int = 1,
                      residual_block_cap: int = 16384,
                      driver_limit_rows: int = 2_000_000,
-                     driver_limit_bytes: int = 256 << 20):
+                     driver_limit_bytes: int = 256 << 20,
+                     block_fn=None):
     """Distributed per-group apply without per-group Ray dispatch.
 
     ``fn(group: pa.Table) -> pa.Table`` with schema ``out_schema``.
     ``min_group_size``: skip groups smaller than this without calling
     ``fn`` (e.g. 2 for pair-emission over LSH buckets, where singleton
     buckets — the vast majority — can produce nothing).
+
+    ``block_fn(batch: pa.Table) -> pa.Table`` (optional): a VECTORIZED
+    whole-batch kernel applied to a key-sorted batch containing only
+    whole groups, replacing the per-run ``fn`` loop entirely (one Python
+    call per block instead of one per group — the gap-fill stage's
+    multi-series kernel).  The kernel re-derives its own group runs and
+    filtering; ``min_group_size`` must stay 1 with it.
 
     ``fn`` must not depend on row order WITHIN a group (sort internally if
     order matters — shape/interp kernels do): neither the distributed sort
@@ -70,6 +78,24 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
     ``driver_limit_rows=0`` forces the distributed sort (tests pin the
     two paths equal).
     """
+    if block_fn is not None and min_group_size != 1:
+        raise ValueError("block_fn kernels implement their own group "
+                         "filtering; min_group_size must be 1")
+
+    def _apply_whole(batch: pa.Table) -> pa.Table:
+        """Apply over a key-sorted batch containing only WHOLE groups."""
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        if block_fn is not None:
+            return block_fn(batch)
+        s_, e_ = _runs(batch, key_cols)
+        outs = [fn(batch.slice(s, e - s))
+                for s, e in zip(s_, e_)
+                if e - s >= min_group_size]
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
     if driver_limit_rows:
         import ray
         import ray.data as rd
@@ -97,20 +123,8 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
             bounds.append(total)
             pieces = [tbl.slice(b, e - b)
                       for b, e in zip(bounds[:-1], bounds[1:]) if e > b]
-
-            def _apply_runs(batch: pa.Table) -> pa.Table:
-                if len(batch) == 0:
-                    return out_schema.empty_table()
-                s_, e_ = _runs(batch, key_cols)
-                outs = [fn(batch.slice(s, e - s))
-                        for s, e in zip(s_, e_)
-                        if e - s >= min_group_size]
-                if not outs:
-                    return out_schema.empty_table()
-                return pa.concat_tables(outs)
-
             return rd.from_arrow(pieces).map_batches(
-                _apply_runs, batch_format="pyarrow", batch_size=None,
+                _apply_whole, batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True)
     sorted_ds = ds.sort(key_cols).materialize()  # one exchange, two readers
 
@@ -119,12 +133,11 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
             return out_schema.empty_table()
         starts, ends = _runs(batch, key_cols)
         g = len(starts)
-        outs = [fn(batch.slice(starts[i], ends[i] - starts[i]))
-                for i in range(g)
-                if 0 < i < g - 1 and ends[i] - starts[i] >= min_group_size]
-        if not outs:
+        if g <= 2:  # every run touches a block edge -> all residual
             return out_schema.empty_table()
-        return pa.concat_tables(outs)
+        # interior rows = the contiguous whole-group span between the
+        # first run's end and the last run's start
+        return _apply_whole(batch.slice(ends[0], starts[g - 1] - ends[0]))
 
     def _boundary_rows(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -136,14 +149,7 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
         return pa.concat_tables(pieces)
 
     def _residual(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return out_schema.empty_table()
-        starts, ends = _runs(batch, key_cols)
-        outs = [fn(batch.slice(s, e - s)) for s, e in zip(starts, ends)
-                if e - s >= min_group_size]
-        if not outs:
-            return out_schema.empty_table()
-        return pa.concat_tables(outs)
+        return _apply_whole(batch)
 
     interior = sorted_ds.map_batches(
         _interior, batch_format="pyarrow", batch_size=None,
@@ -157,7 +163,7 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
         def _one_group(g: pa.Table) -> pa.Table:
             if len(g) < min_group_size:
                 return out_schema.empty_table()
-            return fn(g)
+            return block_fn(g) if block_fn is not None else fn(g)
 
         residual = boundary.groupby(key_cols).map_groups(
             _one_group, batch_format="pyarrow")

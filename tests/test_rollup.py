@@ -235,3 +235,64 @@ def test_rollup_empty_input(ray_session, tmp_path):
             input_paths=f, input_kind="pages", tiers=("1d",),
             small_rollup_limit=limit, extract_concurrency=2))
         assert res["rollup"].count() == 0
+
+
+def test_gapfill_block_kernel_matches_per_group():
+    """gapfill_block_arrow (vectorized all-series) must be BIT-IDENTICAL
+    to per-series gapfill_group_arrow on a key-sorted multi-series block
+    with interior gaps, dense series, and single-bucket series."""
+    import numpy as np
+    import pyarrow as pa
+
+    from light_curve_ray.kernels.grid import TIER_STEP_US
+    from light_curve_ray.stages.gapfill import (
+        ROLLUP_FEATURES,
+        gapfill_block_arrow,
+        gapfill_group_arrow,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    base = 1_700_000_000_000_000
+    series = [("en", "a.com", "1h", 24, 0.4), ("en", "b.com", "1h", 1, 0.0),
+              ("de", "a.com", "1d", 10, 0.5), ("de", "c.com", "1h", 16, 0.0)]
+    for lang, dom, tier, n_b, drop in series:
+        step = TIER_STEP_US[tier]
+        keep = [i for i in range(n_b) if i in (0, n_b - 1)
+                or rng.uniform() >= drop]
+        for i in keep:
+            row = {"lang": lang, "domain": dom, "tier": tier,
+                   "bucket_ts_us": base + i * step,
+                   "n": int(rng.randint(1, 9))}
+            for c in ROLLUP_FEATURES:
+                if c != "n":
+                    row[c] = (float(rng.normal(50, 20))
+                              if rng.uniform() > 0.1 else float("nan"))
+            rows.append(row)
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    tbl = pa.table(cols).sort_by([("lang", "ascending"),
+                                  ("domain", "ascending"),
+                                  ("tier", "ascending")])
+    got = gapfill_block_arrow(tbl)
+    # per-group reference over the same runs
+    import pandas as pd
+
+    key = ["lang", "domain", "tier"]
+    pieces = []
+    df = tbl.to_pandas()
+    for _, g in df.groupby(key, sort=True):
+        pieces.append(gapfill_group_arrow(
+            pa.Table.from_pandas(g, preserve_index=False).cast(tbl.schema)))
+    want = pa.concat_tables(pieces)
+    sort_keys = [(c, "ascending") for c in key + ["bucket_ts_us"]]
+    got_pd = got.sort_by(sort_keys).to_pandas()
+    want_pd = want.sort_by(sort_keys).to_pandas()
+    assert len(got_pd) == len(want_pd)
+    for c in got_pd.columns:
+        a, b = got_pd[c].to_numpy(), want_pd[c].to_numpy()
+        if a.dtype.kind == "f":
+            af, bf = a.astype(float), b.astype(float)
+            ok = (np.isnan(af) & np.isnan(bf)) | (af == bf)
+            assert bool(np.all(ok)), c  # bit-exact incl. interpolated mean
+        else:
+            assert list(a) == list(b), c
