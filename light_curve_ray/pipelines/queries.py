@@ -870,14 +870,19 @@ SELECT a.doc_id, a.text FROM aug a JOIN w USING (doc_id)
 """
 
 
-def q_dedup_filter(sf_dir: str):
-    """Corpus-level exact dedup (T1 as a FILTER): documents ∪ exact copies
-    reduced back to one canonical min-id row per distinct text, via the
-    winners hash-join — output is the deduped corpus itself."""
+_EXACT_DUP_CACHE: dict = {}
+
+
+def _exact_dup_documents(sf_dir: str):
+    """documents ∪ exact copies (+100000) — the shared fixture of
+    dedup_filter and both LSH recall-floor queries (their oracle SQL
+    hard-codes the same offset).  Memoized per sf_dir like
+    _augmented_documents."""
     import ray.data as rd
 
-    from ..stages.dedup import exact_dedup_filter
-
+    cached = _EXACT_DUP_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
@@ -886,13 +891,24 @@ def q_dedup_filter(sf_dir: str):
         tx = batch["text"].to_pylist()
         if ids and max(ids) >= 100_000:
             raise ValueError(
-                "dedup_filter fixture assumes doc_id < 100000")
+                "exact-dup fixture assumes doc_id < 100000")
         return pa.table({
             "doc_id": pa.array(ids + [i + 100_000 for i in ids], pa.int64()),
             "text": pa.array(tx + tx, pa.string()),
         })
 
-    aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    out = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    _EXACT_DUP_CACHE[sf_dir] = out
+    return out
+
+
+def q_dedup_filter(sf_dir: str):
+    """Corpus-level exact dedup (T1 as a FILTER): documents ∪ exact copies
+    reduced back to one canonical min-id row per distinct text, via the
+    winners hash-join — output is the deduped corpus itself."""
+    from ..stages.dedup import exact_dedup_filter
+
+    aug = _exact_dup_documents(sf_dir)
     # corpus is pinned -> size join aggregators to its row count (actor
     # spawn is the fixed cost at small scale; CPU cap governs at scale)
     import ray
@@ -979,25 +995,9 @@ def q_dedup_lsh_recall_floor(sf_dir: str):
     same documents ∪ exact-copies fixture.  A dropped exact pair fails
     rows, a phantom pair fails the hash (round-2 VERDICT item 8: the LSH
     family was rows-only)."""
-    import ray.data as rd
-
     from ..stages.dedup import exact_dup_pair_floor, minhash_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def _dup(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        tx = batch["text"].to_pylist()
-        if ids and max(ids) >= 100_000:
-            raise ValueError(
-                "recall-floor fixture assumes doc_id < 100000")
-        return pa.table({
-            "doc_id": pa.array(ids + [i + 100_000 for i in ids], pa.int64()),
-            "text": pa.array(tx + tx, pa.string()),
-        })
-
-    aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    aug = _exact_dup_documents(sf_dir)
     cand = minhash_dedup_pairs(aug, threshold=0.5)
     return _collect(exact_dup_pair_floor(cand, aug))
 
@@ -1008,25 +1008,9 @@ def q_dedup_simhash_recall_floor(sf_dir: str):
     distance 0, within any ``max_hamming``, so the banded chain must
     surface every equal-text pair; filtered to text-equality the engine
     pair set must EQUAL the SQL self-join."""
-    import ray.data as rd
-
     from ..stages.dedup import exact_dup_pair_floor, simhash_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def _dup(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        tx = batch["text"].to_pylist()
-        if ids and max(ids) >= 100_000:
-            raise ValueError(
-                "recall-floor fixture assumes doc_id < 100000")
-        return pa.table({
-            "doc_id": pa.array(ids + [i + 100_000 for i in ids], pa.int64()),
-            "text": pa.array(tx + tx, pa.string()),
-        })
-
-    aug = ds.map_batches(_dup, batch_format="pyarrow").materialize()
+    aug = _exact_dup_documents(sf_dir)
     cand = simhash_dedup_pairs(aug, max_hamming=3)
     return _collect(exact_dup_pair_floor(cand, aug))
 
