@@ -127,7 +127,8 @@ def embedding_pairs(ds, tau: float, id_col: str = "vec_id",
     if ds.count() <= broadcast_limit:
         return _embedding_pairs_broadcast(ds, tau, id_col, emb_col)
     return embedding_pairs_lsh(ds, tau, id_col, emb_col, nbits=nbits,
-                               bands=bands, seed=seed)
+                               bands=bands, seed=seed,
+                               broadcast_limit=broadcast_limit)
 
 
 def _embedding_pairs_broadcast(ds, tau: float, id_col: str = "vec_id",
@@ -172,72 +173,169 @@ def _band_planes(dim: int, nbits: int, band: int, seed: int) -> np.ndarray:
 def embedding_pairs_lsh(ds, tau: float, id_col: str = "vec_id",
                         emb_col: str = "embedding", nbits: int = 8,
                         bands: int = 8, seed: int = 42,
-                        max_bucket: int = 2000):
+                        max_bucket: int = 2000,
+                        broadcast_limit: int = 200_000):
     """Scale path for embedding near-dup: LSH-banded bucketing, the same
-    topology as minhash banding (stages/dedup.py).
+    SLIM topology as minhash banding (stages/dedup._bucket_pairs_slim).
 
-    Each row lands in ``bands`` buckets (one per independent hyperplane
-    band); candidate pairs are emitted ONLY within buckets via
-    sorted_group_map (no all-pairs matmul, no corpus broadcast), scored
-    with exact cosine on the bucket-local rows, and multi-band duplicates
-    collapse in a slim pair-keyed dedup.  Recall < 1 by design (the classic
-    ANN trade; pinned by tests/test_similarity.py against the exact path).
-    Cost note: the normalized embedding rides along as an 8·d-byte blob per
-    banded row — bands × 8·d bytes/doc through the shuffle, the same
-    carry-the-payload trade as the minhash signature, trading shuffle bytes
-    for a join back to the corpus.  Hot buckets cap at ``max_bucket`` rows
-    (deterministic min-id subset) to bound the m² bucket matmul.
+    Round 2 carried the normalized embedding as an 8·d-byte blob per
+    banded row (bands × 8·d bytes/doc ≈ 49 KB/vec at d=768 through the
+    shuffle) and collapsed multi-band duplicate pairs in an extra
+    pair-keyed dedup exchange.  Now each banded row carries only its
+    8·bands-byte bucket-key VECTOR, so a bucket emits a pair ONLY in the
+    lowest band where the two vectors collide (no duplicate pairs, no
+    dedup exchange), and exact-cosine scoring joins the slim pairs back
+    to the corpus (``_attach_cosine``: corpus broadcast under
+    ``broadcast_limit``, two hash-partitioned joins beyond — embeddings
+    move once per PAIR SIDE instead of ``bands`` times per corpus row).
+    Recall < 1 by design (the classic ANN trade; pinned by
+    tests/test_similarity.py against the exact path).  Hot buckets cap
+    at ``max_bucket`` rows (deterministic min-id subset).
     """
-    from .dedup import dedup_rows_sorted
+    from .dedup import _bucket_pairs_slim
     from .sorted_groups import sorted_group_map
+
+    ds = ds.materialize()  # consumed by the band pass AND the score join
+    n_docs = ds.count()
 
     def _band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         mat = _normalize(_emb_matrix(batch, emb_col))
         n, d = mat.shape
-        blobs = [mat[i].tobytes() for i in range(n)]
-        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
-        out_bucket = np.empty(bands * n, dtype=np.int64)
+        keys = np.empty((n, bands), dtype=np.int64)
         for b in range(bands):
-            planes = _band_planes(d, nbits, b, seed)
-            out_bucket[b * n:(b + 1) * n] = _bucket_of(mat, planes)
+            keys[:, b] = _bucket_of(mat, _band_planes(d, nbits, b, seed))
+        key_rows = np.repeat(keys.view(np.uint8).reshape(n, bands * 8),
+                             bands, axis=0)
+        keys_arr = pa.Array.from_buffers(
+            pa.binary(bands * 8), n * bands,
+            [None, pa.py_buffer(np.ascontiguousarray(key_rows).tobytes())])
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.int64()),
-            id_col: pa.array(np.tile(ids, bands), pa.int64()),
-            "emb": pa.array(blobs * bands, pa.binary()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                             pa.int32()),
+            "band_key": pa.array(np.ascontiguousarray(keys.reshape(-1)),
+                                 pa.int64()),
+            id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+            "keys": keys_arr,
         })
 
     banded = ds.map_batches(_band_rows, batch_format="pyarrow",
                             zero_copy_batch=True)
 
     def _pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        blobs = group["emb"].to_pylist()
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-            order = order[:max_bucket]
-        mat = np.frombuffer(
-            b"".join(blobs[i] for i in order), dtype=np.float64,
-        ).reshape(len(ids), -1)
-        sims = mat @ mat.T
-        ai, bj = np.triu_indices(len(ids), k=1)
-        keep = (sims[ai, bj] >= tau) & (ids[ai] != ids[bj])
-        ai, bj = ai[keep], bj[keep]
+        return _bucket_pairs_slim(group, id_col, bands, max_bucket)
+
+    pairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    pairs = sorted_group_map(banded, ["band", "band_key"], _pairs,
+                             pairs_schema, min_group_size=2)
+    return _attach_cosine(pairs, ds, id_col, emb_col, tau, n_docs,
+                          broadcast_limit=broadcast_limit)
+
+
+def _blob_matrix(col) -> np.ndarray:
+    """Fixed-width float64 binary column -> (n, d) matrix, zero-copy from
+    the Arrow data buffer (the embedding twin of dedup._sig_matrix)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    import pyarrow.compute as pc
+
+    col = pc.cast(col, pa.large_binary())
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                         offset=col.offset * 8)
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all():
+        raise ValueError("embedding blob column is not fixed-width")
+    d = int(widths[0]) // 8
+    return np.frombuffer(bufs[2], dtype=np.float64, count=n * d,
+                         offset=int(offs[0])).reshape(n, d)
+
+
+def _attach_cosine(pairs_ds, corpus_ds, id_col: str, emb_col: str,
+                   tau: float, n_docs: int,
+                   broadcast_limit: int = 200_000,
+                   num_partitions: int | None = None):
+    """Exact-cosine scoring of slim (doc_a, doc_b) candidate pairs — the
+    join-back that replaces carrying embeddings through the band shuffle
+    (same path-switch pattern as dedup._attach_est_jaccard).
+
+    - ``n_docs <= broadcast_limit``: (sorted ids, normalized matrix)
+      broadcast once via ray.put; each pair batch scores with two
+      searchsorted gathers + one row-wise dot.
+    - beyond: two hash-partitioned joins attach each side's normalized
+      embedding blob (written zero-copy as large_binary), then the same
+      row-wise dot; the corpus streams through the join keyed on the
+      uniform vec id.
+    """
+    import ray
+
+    out_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                            ("cos_sim", pa.float64())])
+
+    def _emit(a, b, cos):
+        keep = cos >= tau
         return pa.table({
-            "vec_a": pa.array(ids[ai], pa.int64()),
-            "vec_b": pa.array(ids[bj], pa.int64()),
-            "cos_sim": pa.array(sims[ai, bj], pa.float64()),
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "cos_sim": pa.array(cos[keep], pa.float64()),
         })
 
-    pairs_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
-                              ("cos_sim", pa.float64())])
-    pairs = sorted_group_map(banded, ["band", "bucket"], _pairs,
-                             pairs_schema, min_group_size=2)
-    # a pair colliding in k bands appears k times with identical cos; keep 1
-    return dedup_rows_sorted(pairs, ["vec_a", "vec_b"])
+    if n_docs <= broadcast_limit:
+        sid, mat = load_corpus(corpus_ds, id_col, emb_col)
+        ref = ray.put((sid, mat))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return out_schema.empty_table()
+            ids_s, m = ray.get(ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            return _emit(a, b, np.einsum("ij,ij->i", m[ia], m[ib]))
+
+        return pairs_ds.map_batches(_score, batch_format="pyarrow")
+
+    pairs_ds = pairs_ds.materialize()
+    if num_partitions is None:
+        n_pairs = pairs_ds.count()
+        cpu_cap = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        num_partitions = int(min(cpu_cap, max(2, n_pairs // 25_000 + 2)))
+
+    def _side(side: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            mat = np.ascontiguousarray(_normalize(_emb_matrix(batch,
+                                                              emb_col)))
+            n, d = mat.shape
+            offs = np.arange(0, (n + 1) * 8 * d, 8 * d, dtype=np.int64)
+            blob = pa.Array.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(mat.tobytes())])
+            return pa.table({f"doc_{side}": batch[id_col],
+                             f"emb_{side}": blob})
+        return _m
+
+    docs_a = corpus_ds.map_batches(_side("a"), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    docs_b = corpus_ds.map_batches(_side("b"), batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    joined = pairs_ds.join(docs_a, "inner", num_partitions, on=("doc_a",))
+    joined = joined.join(docs_b, "inner", num_partitions, on=("doc_b",))
+
+    def _score_joined(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        ma = _blob_matrix(batch["emb_a"])
+        mb = _blob_matrix(batch["emb_b"])
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return _emit(a, b, np.einsum("ij,ij->i", ma, mb))
+
+    return joined.map_batches(_score_joined, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ IVF path

@@ -220,3 +220,23 @@ def test_ivf_spread_sampling_clustered(ray_session):
     ds = _emb_ds(ids, mat).repartition(32).materialize()
     cent = train_ivf_centroids(ds, n_centroids=8, sample_size=512)
     assert (coverage(cent) > 0.8).all(), coverage(cent)
+
+
+def test_attach_cosine_join_matches_broadcast(ray_session, emb_corpus):
+    """T6 scoring path switch: the two-join exact-cosine scoring must
+    produce the same scored pairs as the broadcast gather path."""
+    from light_curve_ray.stages.similarity import embedding_pairs_lsh
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat)
+    bcast = embedding_pairs_lsh(ds, tau=0.9).to_pandas()
+    joined = embedding_pairs_lsh(ds, tau=0.9,
+                                 broadcast_limit=0).to_pandas()
+    a = sorted(map(tuple, bcast[["vec_a", "vec_b"]].to_numpy()))
+    b = sorted(map(tuple, joined[["vec_a", "vec_b"]].to_numpy()))
+    assert a == b
+    sa = bcast.sort_values(["vec_a", "vec_b"])["cos_sim"].to_numpy()
+    sb = joined.sort_values(["vec_a", "vec_b"])["cos_sim"].to_numpy()
+    import numpy as np
+
+    np.testing.assert_array_equal(sa, sb)  # identical row-dot both paths
