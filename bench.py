@@ -125,6 +125,9 @@ def run_headline(num_cpus: int, n_pages: int) -> dict:
     }
 
 
+_DROP = object()  # sentinel: None is a KEPT scalar, not a drop marker
+
+
 def _scalar_metrics(m):
     """Keep only bounded scalars (recursively) for the printed JSON line —
     drops ray_data_stats and any other unbounded string."""
@@ -132,14 +135,14 @@ def _scalar_metrics(m):
         out = {}
         for k, v in m.items():
             sv = _scalar_metrics(v)
-            if sv is not None:
+            if sv is not _DROP:
                 out[k] = sv
         return out
     if isinstance(m, (int, float, bool)) or m is None:
         return m
     if isinstance(m, str) and len(m) <= 120:
         return m
-    return None
+    return _DROP
 
 
 def run_queries() -> dict:

@@ -352,34 +352,15 @@ def hash_columns_blake2b(batch, cols: list) -> np.ndarray:
     """
     import hashlib
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     n = len(batch)
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    parts = []
-    for c in cols:
-        a = batch[c]
-        if isinstance(a, pa.ChunkedArray):
-            a = a.combine_chunks()
-        t = a.type
-        if not (pa.types.is_binary(t) or pa.types.is_large_binary(t)
-                or pa.types.is_string(t) or pa.types.is_large_string(t)):
-            # numeric / temporal keys: canonical string form (equal values
-            # -> equal strings under Arrow's cast)
-            a = pc.cast(a, pa.string())
-        parts.append(pc.cast(a, pa.large_binary()))
-    joined = pc.binary_join_element_wise(
-        *parts, pa.scalar(b"\x1f", pa.large_binary()),
-        null_handling="replace", null_replacement=b"\x00")
-    if isinstance(joined, pa.ChunkedArray):
-        joined = joined.combine_chunks()
-    bufs = joined.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int64,
-                        count=n + 1, offset=joined.offset * 8)
-    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    # one shared cast/null-fill/join pipeline with the u64 path — a
+    # divergence between the two would silently break the
+    # equal-values -> equal-hash contract between key and content passes
+    off, data_arr = _join_columns_binary(batch, cols)
+    data = memoryview(data_arr)
     blake = hashlib.blake2b
     ib = int.from_bytes
     for i in range(n):

@@ -57,6 +57,17 @@ convention of the light-curve ecosystem):
     excess_variance  (s² − ⟨σ²⟩)/mean², s² = M2/(n−1), ⟨σ²⟩ = sum_invw/n
                      (Nandra et al. 1997 normalized excess variance),
                      NULL when n < 2 or mean == 0
+
+Noise budget, documented: wM2's merge delta is a DIFFERENCE OF RATIOS
+(Σwv/Σw per side), so adversarial |wmean| >> std splits can cancel to
+~1e-7 RELATIVE error (tests/test_moments.py pins 1e-7 for the k-way
+kernel) — larger than the 1e-9 collapse granularity of the two-step
+9-sig→6-sig oracle rounding.  Production merges measure 1e-9..1e-8 and
+every oracle row is green at sf0.001/0.01/0.1; a flip would need both
+the adversarial split AND a value within noise of a 6-significant-digit
+boundary.  If one ever appears, widen the first rounding step (9→8
+significant digits in kernels/rounding.round_sig6_tie_robust AND its
+SQL mirror) rather than loosening the comparison.
 """
 
 from __future__ import annotations

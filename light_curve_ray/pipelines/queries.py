@@ -47,9 +47,12 @@ ROLLUP_COLS = [
 
 
 # float columns whose magnitude is data-unbounded (χ² of a huge-w fixture
-# reaches 1e10): rounded at 6 SIGNIFICANT digits instead of 6 decimals so
-# the engine-vs-oracle agreement requirement stays within double precision
-_SIG_ROUND_COLS = frozenset({"reduced_chi2"})
+# reaches 1e10; mean_variance = std/mean and excess_variance ∝ 1/mean²
+# blow up as mean → 0): rounded at 6 SIGNIFICANT digits instead of 6
+# decimals so the engine-vs-oracle agreement requirement stays within
+# double precision at any magnitude
+_SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
+                             "excess_variance"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -120,12 +123,9 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
   ROUND(CAST(COALESCE(n_beyond, 0) AS DOUBLE) / n, 6) AS beyond_1_std,
   CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
        ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope,
-  CASE WHEN std IS NULL OR mean = 0.0 THEN NULL
-       ELSE ROUND(std / mean, 6) END AS mean_variance,
+  {sig6_mv9} AS mean_variance,
   {sig6_rc9} AS reduced_chi2,
-  CASE WHEN n < 2 OR mean = 0.0 THEN NULL
-       ELSE ROUND((GREATEST(cm2, 0.0) / (n - 1.0) - sum_invw / n)
-                  / (mean * mean), 6) END AS excess_variance,
+  {sig6_ev9} AS excess_variance,
   CASE WHEN std IS NULL OR std <= 0.0 THEN NULL
        ELSE ROUND((COALESCE(sum_abs_dev, 0.0) / n)
                   / (std * SQRT((n - 1.0) / n)), 6) END AS stetson_k
@@ -202,7 +202,14 @@ f AS (
     GREATEST(mean * mean + GREATEST(cm2, 0.0) / n, 1.0) AS scale,
     (vmax - vmin) / 2.0 AS amplitude,
     CAST(n AS DOUBLE) * st2 - st1 * st1 AS denom,
-    GREATEST(st2, 1.0) AS tscale
+    GREATEST(st2, 1.0) AS tscale,
+    CASE WHEN std IS NULL OR mean = 0.0 THEN NULL
+         ELSE std / mean END AS mv0,
+    {_sig_round_sql("mv0", 9)} AS mv9,
+    CASE WHEN n < 2 OR mean = 0.0 THEN NULL
+         ELSE (GREATEST(cm2, 0.0) / (n - 1.0) - sum_invw / n)
+              / (mean * mean) END AS ev0,
+    {_sig_round_sql("ev0", 9)} AS ev9
   FROM m JOIN c USING (lang, domain, bucket_ts_us)
 ),
 pb AS (
@@ -216,7 +223,9 @@ bc AS (
          SUM(abs_dev) AS sum_abs_dev
   FROM pb GROUP BY 1, 2, 3
 )
-{_FEATURE_SQL_TAIL.format(tier=tier, sig6_rc9=_sig_round_sql("rc9", 6))}
+{_FEATURE_SQL_TAIL.format(tier=tier, sig6_rc9=_sig_round_sql("rc9", 6),
+                          sig6_mv9=_sig_round_sql("mv9", 6),
+                          sig6_ev9=_sig_round_sql("ev9", 6))}
 """
 
 

@@ -402,7 +402,12 @@ def build_beyond_lookup(feats_pd: dict) -> dict:
     out = {}
     for tier, df in feats_pd.items():
         step = TIER_STEP_US[tier]
-        ser = pa.array((df["lang"] + "\x1f" + df["domain"]).to_numpy(),
+        # length-prefixed composite ("len(lang)\x1flang\x1fdomain"):
+        # uniquely decodable for ANY key bytes — a bare "lang\x1fdomain"
+        # concat would alias ("a\x1fb", "c") with ("a", "b\x1fc") if a key
+        # ever contained the separator (worker side mirrors this)
+        ser = pa.array((df["lang"].str.len().astype(str) + "\x1f"
+                        + df["lang"] + "\x1f" + df["domain"]).to_numpy(),
                        pa.string())
         enc = ser.dictionary_encode()
         sid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -442,8 +447,11 @@ def make_beyond_partial_fn(lookup_ref, n_std: float = 1.0):
         import ray
 
         lookup = ray.get(lookup_ref)
+        lang = pc.cast(batch["lang"], pa.string())
+        # length-prefixed composite — mirrors build_beyond_lookup exactly
+        # (utf8_length counts code points, as pandas str.len does)
         series = pc.binary_join_element_wise(
-            pc.cast(batch["lang"], pa.string()),
+            pc.cast(pc.utf8_length(lang), pa.string()), lang,
             pc.cast(batch["domain"], pa.string()), "\x1f")
         t_us = batch["t_us"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)

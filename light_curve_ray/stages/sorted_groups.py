@@ -77,6 +77,13 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
     web-scale input exceeds the gate and takes the sort path below.
     ``driver_limit_rows=0`` forces the distributed sort (tests pin the
     two paths equal).
+
+    Trade, documented: when the gate is enabled the input is materialized
+    BEFORE the size check (count/size_bytes need execution), so an
+    over-gate input is transiently pinned alongside the sort's own
+    shuffle blocks (~2× the streaming peak; the object store spills).
+    Callers that know their input is web-scale should pass
+    ``driver_limit_rows=0`` to keep the pure streaming topology.
     """
     if block_fn is not None and min_group_size != 1:
         raise ValueError("block_fn kernels implement their own group "
