@@ -49,6 +49,11 @@ def shape_features(t_us: np.ndarray, v: np.ndarray) -> dict:
     - ``median``, ``inter_percentile_range_10`` (q90 - q10) and
       ``percent_amplitude`` (max(vmax - median, median - vmin)): linear-
       interpolation quantiles (numpy default == SQL QUANTILE_CONT).
+    - ``median_abs_deviation``: median(|v - median|) (Richards et al.
+      2011 via Malanchev et al. 2021).
+    - ``median_buffer_range_percentage``: fraction of points with
+      |v - median| < 0.1 * amplitude, amplitude = (vmax - vmin)/2
+      (Richards et al. 2011); 0.0 for a constant series.
     """
     t_us = np.asarray(t_us, dtype=np.int64)
     v = np.asarray(v, dtype=np.float64)
@@ -58,11 +63,16 @@ def shape_features(t_us: np.ndarray, v: np.ndarray) -> dict:
     n = len(x)
     mean = x.mean()
     med, q10, q90 = np.percentile(x, [50.0, 10.0, 90.0])
+    absdev = np.abs(x - med)
     out = {
         "n": int(n),
         "median": float(med),
         "inter_percentile_range_10": float(q90 - q10),
         "percent_amplitude": float(max(x.max() - med, med - x.min())),
+        "median_abs_deviation": float(np.percentile(absdev, 50.0)),
+        # strict <, same float comparison the SQL mirror evaluates
+        "median_buffer_range_percentage": float(
+            np.mean(absdev < 0.1 * (x.max() - x.min()) / 2.0)),
         "cusum": np.nan,
         "eta": np.nan,
         "maximum_slope": np.nan,

@@ -572,8 +572,12 @@ a AS (
       AS sq_diff,
     MAX(CASE WHEN pt IS NOT NULL AND t_us != pt
              THEN ABS((v - pv) / (CAST(t_us - pt AS DOUBLE) / 1e6)) END)
-      AS max_slope
-  FROM s JOIN m USING (lang, domain) GROUP BY 1, 2
+      AS max_slope,
+    QUANTILE_CONT(ABS(s.v - m.med), 0.5) AS mad,
+    CAST(SUM(CASE WHEN ABS(s.v - m.med)
+                       < 0.1 * (m.vmax - m.vmin) / 2.0
+             THEN 1 ELSE 0 END) AS DOUBLE) / m.n AS mbrp
+  FROM s JOIN m USING (lang, domain) GROUP BY 1, 2, m.n
 )
 SELECT m.lang, m.domain, m.n,
   CASE WHEN m.n < 2 OR m.sd <= 0 THEN NULL
@@ -584,7 +588,9 @@ SELECT m.lang, m.domain, m.n,
   ROUND(m.med, 6) AS median,
   ROUND(GREATEST(m.vmax - m.med, m.med - m.vmin), 6)
     AS percent_amplitude,
-  ROUND(m.q90 - m.q10, 6) AS inter_percentile_range_10
+  ROUND(m.q90 - m.q10, 6) AS inter_percentile_range_10,
+  ROUND(a.mad, 6) AS median_abs_deviation,
+  ROUND(a.mbrp, 6) AS median_buffer_range_percentage
 FROM m JOIN a USING (lang, domain)
 """
 
@@ -613,6 +619,8 @@ def q_shape_features(sf_dir: str):
         ("maximum_slope", pa.float64()), ("median", pa.float64()),
         ("percent_amplitude", pa.float64()),
         ("inter_percentile_range_10", pa.float64()),
+        ("median_abs_deviation", pa.float64()),
+        ("median_buffer_range_percentage", pa.float64()),
     ])
 
     def _one(group: pa.Table) -> pa.Table:
@@ -626,7 +634,9 @@ def q_shape_features(sf_dir: str):
         arrays = {k: pa.array([v_], pa.string()) for k, v_ in cols.items()}
         arrays["n"] = pa.array([feats["n"]], pa.int64())
         for f in ("cusum", "eta", "maximum_slope", "median",
-                  "percent_amplitude", "inter_percentile_range_10"):
+                  "percent_amplitude", "inter_percentile_range_10",
+                  "median_abs_deviation",
+                  "median_buffer_range_percentage"):
             val = feats[f]
             arrays[f] = pa.array(
                 [None if (isinstance(val, float) and np.isnan(val))

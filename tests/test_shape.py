@@ -61,3 +61,19 @@ def test_equal_timestamp_tiebreak_deterministic():
     f2 = shape_features(t[::-1], v[::-1])
     for k in f1:
         np.testing.assert_equal(f1[k], f2[k])
+
+
+def test_median_features():
+    """MAD and median-buffer-range pinned on a hand-computable series."""
+    t = np.arange(5, dtype=np.int64) * 1_000_000
+    v = np.array([1.0, 2.0, 3.0, 4.0, 100.0])
+    f = shape_features(t, v)
+    # median 3, absdev [2,1,0,1,97] -> sorted [0,1,1,2,97], median 1
+    assert f["median_abs_deviation"] == 1.0
+    # amplitude (100-1)/2 = 49.5; 0.1*49.5 = 4.95 -> |v-3| < 4.95 for
+    # 1,2,3,4 (4 of 5 points)
+    assert f["median_buffer_range_percentage"] == 0.8
+    # constant series: amplitude 0, strict < never true
+    fc = shape_features(t, np.full(5, 7.0))
+    assert fc["median_abs_deviation"] == 0.0
+    assert fc["median_buffer_range_percentage"] == 0.0
