@@ -105,6 +105,7 @@ FEATURE_COLUMNS = (
     "kurtosis",
     "amplitude",
     "linear_trend_slope",
+    "linear_trend_sigma",
     "mean_variance",
     "reduced_chi2",
     "excess_variance",
@@ -523,6 +524,20 @@ def finalize_features(stats: dict) -> dict:
         slope = np.where(
             flat_t, np.nan,
             (n * stv - st1 * s1) / np.where(flat_t, 1.0, denom))
+        # LinearTrend's second output (catalog): the OLS slope's standard
+        # error.  SSres = Syy − slope²·Sxx with Syy = Σ(v−mean)² = M2c and
+        # Sxx = st2 − st1²/n (time centered); σ = √((SSres/(n−2))/Sxx).
+        # Operand order mirrors the oracle SQL exactly; NULL when n < 3
+        # or flat t (same denom guard as the slope).
+        undef_sig = flat_t | (n < 3)
+        sxx = st2 - st1 * st1 / n
+        safe_sxx = np.where(undef_sig, 1.0, sxx)
+        slope_safe = np.where(undef_sig, 0.0, slope)
+        slope_sigma = np.where(
+            undef_sig, np.nan,
+            np.sqrt(np.maximum(M2c - slope_safe * slope_safe * safe_sxx,
+                               0.0)
+                    / np.maximum(n - 2.0, 1.0) / safe_sxx))
         # MeanVariance (Malanchev et al. 2021 catalog): std / mean;
         # undefined for n < 2 (std is NaN) or mean == 0 (exact compare,
         # mirrored by the oracle's CASE WHEN mean = 0)
@@ -550,6 +565,7 @@ def finalize_features(stats: dict) -> dict:
         "kurtosis": kurt,
         "amplitude": amplitude,
         "linear_trend_slope": slope,
+        "linear_trend_sigma": slope_sigma,
         "mean_variance": mean_variance,
         "reduced_chi2": reduced_chi2,
         "excess_variance": excess_variance,

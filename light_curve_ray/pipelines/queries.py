@@ -42,7 +42,8 @@ from .rollup import (
 ROLLUP_COLS = [
     "lang", "domain", "tier", "bucket_ts_us", "n", "mean", "wmean", "std",
     "skew", "kurtosis", "amplitude", "beyond_1_std", "linear_trend_slope",
-    "mean_variance", "reduced_chi2", "excess_variance", "stetson_k",
+    "linear_trend_sigma", "mean_variance", "reduced_chi2",
+    "excess_variance", "stetson_k",
 ]
 
 
@@ -123,6 +124,11 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
   ROUND(CAST(COALESCE(n_beyond, 0) AS DOUBLE) / n, 6) AS beyond_1_std,
   CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
        ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope,
+  CASE WHEN n < 3 OR denom <= 1e-12 * n * tscale THEN NULL
+       ELSE ROUND(SQRT(GREATEST(GREATEST(cm2, 0.0)
+            - ((n * stv - st1 * s1) / denom)
+              * ((n * stv - st1 * s1) / denom) * sxx, 0.0)
+            / (n - 2.0) / sxx), 6) END AS linear_trend_sigma,
   {sig6_mv9} AS mean_variance,
   {sig6_rc9} AS reduced_chi2,
   {sig6_ev9} AS excess_variance,
@@ -202,6 +208,7 @@ f AS (
     GREATEST(mean * mean + GREATEST(cm2, 0.0) / n, 1.0) AS scale,
     (vmax - vmin) / 2.0 AS amplitude,
     CAST(n AS DOUBLE) * st2 - st1 * st1 AS denom,
+    st2 - st1 * st1 / n AS sxx,
     GREATEST(st2, 1.0) AS tscale,
     CASE WHEN std IS NULL OR mean = 0.0 THEN NULL
          ELSE std / mean END AS mv0,
@@ -289,8 +296,8 @@ grid AS (
 j AS (
   SELECT g.lang, g.domain, g.bucket_ts_us,
          r.n, r.mean, r.wmean, r.std, r.skew, r.kurtosis, r.amplitude,
-         r.beyond_1_std, r.linear_trend_slope, r.mean_variance,
-         r.reduced_chi2, r.excess_variance, r.stetson_k
+         r.beyond_1_std, r.linear_trend_slope, r.linear_trend_sigma,
+         r.mean_variance, r.reduced_chi2, r.excess_variance, r.stetson_k
   FROM grid g LEFT JOIN r USING (lang, domain, bucket_ts_us)
 ),
 w AS (
@@ -319,7 +326,8 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us,
             / (CAST(next_t AS DOUBLE) - CAST(prev_t AS DOUBLE))) * next_v, 6)
   END AS mean,
   wmean, std, skew, kurtosis, amplitude, beyond_1_std, linear_trend_slope,
-  mean_variance, reduced_chi2, excess_variance, stetson_k,
+  linear_trend_sigma, mean_variance, reduced_chi2, excess_variance,
+  stetson_k,
   (n IS NULL) AS filled
 FROM w
 """

@@ -56,7 +56,7 @@ KEY_COLS = ["lang", "domain", "bucket_ts_us"]
 # Columns finalized to NULL (not NaN) when undefined, so Arrow/parquet/DuckDB
 # NULL semantics line up between engine output and oracle SQL.
 _NULLABLE_FEATURES = ("wmean", "std", "skew", "kurtosis",
-                      "linear_trend_slope", "mean_variance",
+                      "linear_trend_slope", "linear_trend_sigma", "mean_variance",
                       "reduced_chi2", "excess_variance")
 
 def make_partial_stats_fn(step_us: int, hot_domains: frozenset | None = None,

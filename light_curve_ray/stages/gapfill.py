@@ -30,7 +30,8 @@ from ..kernels.interp import interpolate
 
 ROLLUP_FEATURES = [
     "n", "mean", "wmean", "std", "skew", "kurtosis", "amplitude",
-    "beyond_1_std", "linear_trend_slope", "mean_variance",
+    "beyond_1_std", "linear_trend_slope", "linear_trend_sigma",
+    "mean_variance",
     "reduced_chi2", "excess_variance", "stetson_k",
 ]
 
