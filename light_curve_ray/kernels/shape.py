@@ -26,6 +26,8 @@ SHAPE_FEATURES = (
     "median",
     "percent_amplitude",
     "inter_percentile_range_10",
+    "median_abs_deviation",
+    "median_buffer_range_percentage",
 )
 
 

@@ -53,7 +53,7 @@ ROLLUP_COLS = [
 # decimals so the engine-vs-oracle agreement requirement stays within
 # double precision at any magnitude
 _SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
-                             "excess_variance"})
+                             "excess_variance", "linear_trend_sigma"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -122,13 +122,8 @@ SELECT lang, domain, '{tier}' AS tier, bucket_ts_us, n,
        ELSE ROUND(m4 / (m2 * m2) - 3.0, 6) END AS kurtosis,
   ROUND(amplitude, 6) AS amplitude,
   ROUND(CAST(COALESCE(n_beyond, 0) AS DOUBLE) / n, 6) AS beyond_1_std,
-  CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
-       ELSE ROUND((n * stv - st1 * s1) / denom, 6) END AS linear_trend_slope,
-  CASE WHEN n < 3 OR denom <= 1e-12 * n * tscale THEN NULL
-       ELSE ROUND(SQRT(GREATEST(GREATEST(cm2, 0.0)
-            - ((n * stv - st1 * s1) / denom)
-              * ((n * stv - st1 * s1) / denom) * sxx, 0.0)
-            / (n - 2.0) / sxx), 6) END AS linear_trend_sigma,
+  ROUND(slope0, 6) AS linear_trend_slope,
+  {sig6_sg9} AS linear_trend_sigma,
   {sig6_mv9} AS mean_variance,
   {sig6_rc9} AS reduced_chi2,
   {sig6_ev9} AS excess_variance,
@@ -216,7 +211,14 @@ f AS (
     CASE WHEN n < 2 OR mean = 0.0 THEN NULL
          ELSE (GREATEST(cm2, 0.0) / (n - 1.0) - sum_invw / n)
               / (mean * mean) END AS ev0,
-    {_sig_round_sql("ev0", 9)} AS ev9
+    {_sig_round_sql("ev0", 9)} AS ev9,
+    CASE WHEN denom <= 1e-12 * n * tscale THEN NULL
+         ELSE (n * stv - st1 * s1) / denom END AS slope0,
+    CASE WHEN n < 3 OR slope0 IS NULL THEN NULL
+         ELSE SQRT(GREATEST(GREATEST(cm2, 0.0)
+              - slope0 * slope0 * sxx, 0.0)
+              / (n - 2.0) / sxx) END AS sg0,
+    {_sig_round_sql("sg0", 9)} AS sg9
   FROM m JOIN c USING (lang, domain, bucket_ts_us)
 ),
 pb AS (
@@ -232,7 +234,8 @@ bc AS (
 )
 {_FEATURE_SQL_TAIL.format(tier=tier, sig6_rc9=_sig_round_sql("rc9", 6),
                           sig6_mv9=_sig_round_sql("mv9", 6),
-                          sig6_ev9=_sig_round_sql("ev9", 6))}
+                          sig6_ev9=_sig_round_sql("ev9", 6),
+                          sig6_sg9=_sig_round_sql("sg9", 6))}
 """
 
 

@@ -406,8 +406,12 @@ def build_beyond_lookup(feats_pd: dict) -> dict:
         # uniquely decodable for ANY key bytes — a bare "lang\x1fdomain"
         # concat would alias ("a\x1fb", "c") with ("a", "b\x1fc") if a key
         # ever contained the separator (worker side mirrors this)
-        ser = pa.array((df["lang"].str.len().astype(str) + "\x1f"
-                        + df["lang"] + "\x1f" + df["domain"]).to_numpy(),
+        # Int64 (nullable) len: plain .astype(str) on a NaN-promoted
+        # float64 length would render "2.0" prefixes for EVERY row the
+        # moment one lang is null, corrupting all keys instead of one
+        ser = pa.array((df["lang"].str.len().astype("Int64").astype(str)
+                        + "\x1f" + df["lang"] + "\x1f"
+                        + df["domain"]).to_numpy(),
                        pa.string())
         enc = ser.dictionary_encode()
         sid = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -47,9 +47,20 @@ def _direct_features(t_us, v, w, bucket_us):
         out["skew"] = np.nan
         out["kurtosis"] = np.nan
     denom = n * np.sum(tp ** 2) - np.sum(tp) ** 2
+    slope_ok = denom > 1e-12 * n * max(np.sum(tp**2), 1.0)
     out["linear_trend_slope"] = (
-        (n * np.sum(tp * v) - np.sum(tp) * np.sum(v)) / denom if denom > 1e-12 * n * max(np.sum(tp**2), 1.0) else np.nan
+        (n * np.sum(tp * v) - np.sum(tp) * np.sum(v)) / denom if slope_ok else np.nan
     )
+    # OLS slope standard error via the independent residual form:
+    # sigma^2 = SSres / ((n-2) * Sxx) with SSres from actual residuals
+    if slope_ok and n > 2:
+        b = out["linear_trend_slope"]
+        a = mean - b * tp.mean()
+        ss_res = np.sum((v - (a + b * tp)) ** 2)
+        sxx = np.sum((tp - tp.mean()) ** 2)
+        out["linear_trend_sigma"] = np.sqrt(ss_res / (n - 2) / sxx)
+    else:
+        out["linear_trend_sigma"] = np.nan
     # weighted features (w = 1/sigma^2 convention; see kernels/moments doc)
     w = np.asarray(w, float)
     wmean = out["wmean"]
