@@ -1217,15 +1217,16 @@ def q_series_gorilla(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode: deterministic binary payloads keyed by doc_id in
-    three REAL formats — RIFF/WAVE PCM audio and binary PPM images decoded
-    for real by the stdlib codecs, plus the LCRF video-stand-in container
-    (compressed formats remain the marked codec='real' integration point,
-    see stages/multimodal.py)."""
+    four formats — RIFF/WAVE PCM audio, binary PPM images, and LZW-
+    COMPRESSED GIF images all decoded for real by the stdlib codecs, plus
+    the LCRF video-stand-in container (DCT/deflate formats remain the
+    marked codec='real' integration point, see stages/multimodal.py)."""
     import ray.data as rd
 
     from ..stages.multimodal import (
         decode_payloads,
         fake_payload,
+        synth_gif,
         synth_ppm,
         synth_wav,
     )
@@ -1236,11 +1237,14 @@ def q_multimodal_decode(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         payloads = []
         for i in ids:
-            if i % 3 == 0:
+            if i % 4 == 0:
                 payloads.append(synth_wav(800 + i % 400, 100.0 + i % 300,
                                           seed=i))
-            elif i % 3 == 1:
+            elif i % 4 == 1:
                 payloads.append(synth_ppm(16 + i % 48, 12 + i % 16, seed=i))
+            elif i % 4 == 2:
+                payloads.append(synth_gif(16 + i % 32, 12 + i % 16, seed=i,
+                                          interlaced=(i % 8 == 2)))
             else:
                 payloads.append(fake_payload("video", 64 + i % 64,
                                              48 + i % 16, 1 + i % 5, seed=i))

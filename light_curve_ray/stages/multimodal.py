@@ -10,14 +10,19 @@ are extracted so downstream shuffles never move it.
 Codec tiers (``PayloadDecodeStage``):
 
 - ``codec="auto"`` (default) dispatches on the payload's magic bytes and
-  REALLY decodes the self-describing formats implementable with the
-  stdlib: RIFF/WAVE PCM audio (``wave`` module; per-sample mean/std,
-  channel/bit-depth/frame metadata) and binary PPM/PGM images (P5/P6
-  header parsing incl. comments; per-pixel mean/std) — plus the LCRF
-  test container below.  Unknown magics come back ``decode_ok=false``.
+  REALLY decodes the formats implementable with the stdlib: RIFF/WAVE
+  PCM audio (``wave`` module; per-sample mean/std, channel/bit-depth/
+  frame metadata), binary PPM/PGM images (P5/P6 header parsing incl.
+  comments; per-pixel mean/std), and — round 3 — **GIF87a/GIF89a with a
+  full LZW decompressor** (variable code width, CLEAR/EOI, the KwKwK
+  case, interlace reordering, per-frame palettes; animated streams walk
+  every frame for ``n_frames`` and fully decode the first) — plus the
+  LCRF test container below.  Unknown magics come back
+  ``decode_ok=false``.
 - ``codec="real"`` raises NotImplementedError at actor construction —
-  the marked integration point for COMPRESSED formats (jpeg/png/mp3/
-  h264 need Pillow/libsndfile/pyav, not in this container).
+  the remaining integration point for DCT/deflate-era formats (jpeg/
+  png/mp3/h264 need Pillow/libsndfile/pyav, not in this container);
+  GIF shows the full pattern a linked codec plugs into.
 - ``codec="fake"`` parses only the deterministic LCRF container written
   by ``fake_payload`` — a 16-byte header (magic ``LCRF``, kind, width,
   height, n_frames) + raw bytes.
@@ -161,6 +166,240 @@ def decode_pnm(payload: bytes) -> dict:
     }
 
 
+# ------------------------------------- real COMPRESSED codec: GIF (LZW)
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression (LSB-first bit packing, CLEAR/EOI
+    codes, dictionary growth to 12 bits, CLEAR-reset at 4096).  Used by
+    synth_gif; the per-byte Python loop is fine for fixture synthesis —
+    the DECODER below is the production surface."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # deferred bump: the decoder's table lags one entry behind
+            # (it learns an entry's last byte from the NEXT code), so the
+            # encoder widens one code later than the naive check
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF-variant LZW decompression — the real thing: variable code
+    width, CLEAR/EOI, the code==next_code (KwKwK) case, deferred-clear
+    full-table streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    table: list = []
+    next_code = 0
+    code_size = min_code_size + 1
+    prev = b""
+
+    def reset():
+        nonlocal table, next_code, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code = eoi + 1
+        code_size = min_code_size + 1
+        prev = b""
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):  # truncated stream: return what we have
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if not prev:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def synth_gif(width: int, height: int, seed: int = 0,
+              interlaced: bool = False) -> bytes:
+    """Deterministic single-frame GIF89a with a 256-entry global palette
+    and REAL LZW-compressed pixel data (structured pixels so the
+    dictionary actually grows)."""
+    import struct
+
+    rng = np.random.RandomState(seed)
+    # structured + noisy indices: runs compress, noise exercises growth
+    grad = (np.arange(width * height, dtype=np.int64)
+            * 17 // max(width, 1)) % 256
+    noise = rng.randint(0, 8, size=width * height)
+    idx = ((grad + noise) % 256).astype(np.uint8).reshape(height, width)
+    if interlaced:
+        rows = [r for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, height, step)]
+        stored = idx[rows]
+    else:
+        stored = idx
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes((i, (i * 7) % 256, (i * 13) % 256))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # LSD + GCT
+    out += pal
+    flags = 0x40 if interlaced else 0x00
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, flags)
+    out.append(8)  # LZW min code size
+    comp = _lzw_encode_gif(stored.tobytes(), 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i:i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)     # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL GIF87a/GIF89a decode, pure stdlib+numpy: logical screen +
+    palettes parsed, extensions skipped, the FIRST frame fully
+    LZW-decompressed (incl. interlace reordering) and mapped through its
+    palette for the byte stats; remaining frames are walked block-wise
+    (no decode needed to skip) so ``n_frames`` counts every image in an
+    animated stream."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    n_frames = 0
+    stats: dict | None = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte then sub-blocks
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload,
+                                                    pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, count=3 * n,
+                                offset=pos).reshape(n, 3)
+            pos += 3 * n
+        min_code = payload[pos]
+        pos += 1
+        if n_frames == 0:
+            chunks = []
+            p = pos
+            while payload[p] != 0:
+                ln = payload[p]
+                chunks.append(payload[p + 1:p + 1 + ln])
+                p += 1 + ln
+            pos = p + 1
+            idx = _lzw_decode_gif(b"".join(chunks), min_code)[:iw * ih]
+            if iflags & 0x40:  # interlaced: restore natural row order
+                rows = [r for start, step in _GIF_INTERLACE_PASSES
+                        for r in range(start, ih, step)]
+                natural = np.empty((ih, iw), dtype=np.uint8)
+                natural[rows] = idx.reshape(ih, iw)
+                idx = natural.ravel()
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            rgb = pal[np.minimum(idx, len(pal) - 1)].astype(np.float64)
+            stats = {
+                "kind": "image",
+                "width": int(iw),
+                "height": int(ih),
+                "n_bytes": int(rgb.size),
+                "byte_mean": float(rgb.mean()) if rgb.size else 0.0,
+                "byte_std": float(rgb.std()) if rgb.size else 0.0,
+            }
+        else:
+            pos = skip_subblocks(pos)
+        n_frames += 1
+    if stats is None:
+        raise ValueError("GIF contains no image frame")
+    stats["n_frames"] = n_frames
+    return stats
+
+
 def decode_auto(payload: bytes) -> dict:
     """Magic-byte dispatch across the implemented decoders."""
     if payload[:4] == _MAGIC:
@@ -169,6 +408,8 @@ def decode_auto(payload: bytes) -> dict:
         return decode_wav(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_pnm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ValueError("unknown payload format")
 
 

@@ -141,3 +141,67 @@ def test_auto_codec_dispatch(ray_session):
     assert list(out["kind"]) == ["audio", "image", "video", ""]
     assert list(out["decode_ok"]) == [True, True, True, False]
     assert "payload" not in out.columns  # fat column dropped in-stage
+
+
+def test_gif_lzw_roundtrip():
+    """The GIF LZW pair must round-trip random, run-heavy, table-reset
+    (>4096 entries) and KwKwK streams."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randint(0, 256, 5000).astype(np.uint8).tobytes(),
+        (b"\x07" * 400 + b"\x03\x04" * 300) * 5,
+        rng.randint(0, 16, 80000).astype(np.uint8).tobytes(),  # 4096 reset
+        b"\x2a",
+        b"\x01" * 7,  # KwKwK case
+    ]
+    for data in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(data, 8), 8).tobytes() == data
+
+
+def test_gif_decode_real_compressed():
+    """decode_gif parses the container (incl. interlace) and reproduces
+    the palette-mapped pixel statistics exactly."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import decode_gif, synth_gif
+
+    for interlaced in (False, True):
+        payload = synth_gif(64, 48, seed=3, interlaced=interlaced)
+        d = decode_gif(payload)
+        rng = np.random.RandomState(3)
+        grad = (np.arange(64 * 48, dtype=np.int64) * 17 // 64) % 256
+        idx = ((grad + rng.randint(0, 8, size=64 * 48)) % 256).astype(
+            np.uint8)
+        pal = np.array([[i, (i * 7) % 256, (i * 13) % 256]
+                        for i in range(256)], dtype=np.uint8)
+        rgb = pal[idx].astype(np.float64)
+        assert (d["width"], d["height"], d["n_frames"]) == (64, 48, 1)
+        assert d["byte_mean"] == rgb.mean()
+        assert d["byte_std"] == rgb.std()
+
+
+def test_gif_via_decode_stage(ray_session):
+    """GIF payloads flow through the actor-pool decode stage end-to-end
+    (magic dispatch + payload drop + typed output)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.multimodal import decode_payloads, synth_gif
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "payload": pa.array([synth_gif(10 + i, 8 + i, seed=i)
+                             for i in range(6)], pa.binary()),
+    })
+    out = decode_payloads(rd.from_arrow(tbl), batch_size=3).to_pandas()
+    assert len(out) == 6
+    assert "payload" not in out.columns
+    assert (out["kind"] == "image").all()
+    assert list(out.sort_values("doc_id")["width"]) == list(range(10, 16))
