@@ -1217,16 +1217,18 @@ def q_series_gorilla(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode: deterministic binary payloads keyed by doc_id in
-    four formats — RIFF/WAVE PCM audio, binary PPM images, and LZW-
-    COMPRESSED GIF images all decoded for real by the stdlib codecs, plus
-    the LCRF video-stand-in container (DCT/deflate formats remain the
-    marked codec='real' integration point, see stages/multimodal.py)."""
+    five formats — RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED
+    GIF and DEFLATE-compressed PNG images all decoded for real by the
+    stdlib codecs, plus the LCRF video-stand-in container (DCT-era
+    formats remain the marked codec='real' integration point, see
+    stages/multimodal.py)."""
     import ray.data as rd
 
     from ..stages.multimodal import (
         decode_payloads,
         fake_payload,
         synth_gif,
+        synth_png,
         synth_ppm,
         synth_wav,
     )
@@ -1237,14 +1239,18 @@ def q_multimodal_decode(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         payloads = []
         for i in ids:
-            if i % 4 == 0:
+            if i % 5 == 0:
                 payloads.append(synth_wav(800 + i % 400, 100.0 + i % 300,
                                           seed=i))
-            elif i % 4 == 1:
+            elif i % 5 == 1:
                 payloads.append(synth_ppm(16 + i % 48, 12 + i % 16, seed=i))
-            elif i % 4 == 2:
+            elif i % 5 == 2:
                 payloads.append(synth_gif(16 + i % 32, 12 + i % 16, seed=i,
-                                          interlaced=(i % 8 == 2)))
+                                          interlaced=(i % 10 == 2)))
+            elif i % 5 == 3:
+                payloads.append(synth_png(12 + i % 24, 10 + i % 12, seed=i,
+                                          color_type=(2 if i % 10 == 3
+                                                      else 0)))
             else:
                 payloads.append(fake_payload("video", 64 + i % 64,
                                              48 + i % 16, 1 + i % 5, seed=i))

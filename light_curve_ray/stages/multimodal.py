@@ -16,13 +16,15 @@ Codec tiers (``PayloadDecodeStage``):
   comments; per-pixel mean/std), and — round 3 — **GIF87a/GIF89a with a
   full LZW decompressor** (variable code width, CLEAR/EOI, the KwKwK
   case, interlace reordering, per-frame palettes; animated streams walk
-  every frame for ``n_frames`` and fully decode the first) — plus the
-  LCRF test container below.  Unknown magics come back
-  ``decode_ok=false``.
+  every frame for ``n_frames`` and fully decode the first) and **PNG
+  with a full chunk/CRC/deflate/row-filter pipeline** (stdlib ``zlib``
+  inflate; all five filters reversed; gray/RGB/alpha/palette color
+  types; Adam7 rejected loudly) — plus the LCRF test container below.
+  Unknown magics come back ``decode_ok=false``.
 - ``codec="real"`` raises NotImplementedError at actor construction —
-  the remaining integration point for DCT/deflate-era formats (jpeg/
-  png/mp3/h264 need Pillow/libsndfile/pyav, not in this container);
-  GIF shows the full pattern a linked codec plugs into.
+  the remaining integration point for DCT-era formats (jpeg/mp3/h264
+  need Pillow/libsndfile/pyav, not in this container); GIF and PNG show
+  the full pattern a linked codec plugs into.
 - ``codec="fake"`` parses only the deterministic LCRF container written
   by ``fake_payload`` — a 16-byte header (magic ``LCRF``, kind, width,
   height, n_frames) + raw bytes.
@@ -400,6 +402,170 @@ def decode_gif(payload: bytes) -> dict:
     return stats
 
 
+# --------------------------------- real compressed codec: PNG (deflate)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_ = abs(p - a)
+    pb = abs(p - b)
+    pc = abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG row filters (spec §9): None/Sub/Up/Average/
+    Paeth.  Sub collapses to a strided cumulative sum and Up to one
+    vectorized add; Average/Paeth carry a left-neighbor dependency, so
+    those rows run a per-pixel loop (payload decode is actor-parallel
+    across payloads; single-image latency is not the hot path)."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 1:  # Sub: prefix sum per byte lane, stride bpp
+            lanes = row.reshape(width, bpp)
+            out[y] = np.cumsum(lanes.astype(np.int64), axis=0).astype(
+                np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            out[y] = row + prev
+        elif ftype == 3:  # Average
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                o[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            o = out[y]
+            for x in range(stride):
+                left = int(o[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                o[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def synth_png(width: int, height: int, seed: int = 0,
+              color_type: int = 2) -> bytes:
+    """Deterministic PNG (8-bit, non-interlaced) with REAL deflate
+    compression and a MIX of row filters (y % 5) so every unfilter path
+    is exercised."""
+    import zlib
+
+    nch = _PNG_CHANNELS[color_type]
+    rng = np.random.RandomState(seed)
+    base = (np.arange(width * nch, dtype=np.int64) * 3) % 251
+    img = np.empty((height, width * nch), dtype=np.uint8)
+    for y in range(height):
+        img[y] = ((base + y * 7) % 256 + rng.randint(0, 4, width * nch)) % 256
+    bpp = nch
+    raw = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        row = img[y].astype(np.int64)
+        prev = img[y - 1].astype(np.int64) if y else np.zeros(
+            width * nch, dtype=np.int64)
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            filt = (row - left) % 256
+        elif ftype == 2:
+            filt = (row - prev) % 256
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            filt = (row - ((left + prev) >> 1)) % 256
+        else:
+            filt = np.empty_like(row)
+            for x in range(width * nch):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                filt[x] = (int(row[x]) - _paeth(left, int(prev[x]), ul)) % 256
+        raw.append(ftype)
+        raw += filt.astype(np.uint8).tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", crc))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode, pure stdlib+numpy: chunk walk with CRC checks,
+    concatenated-IDAT zlib inflate, all five row filters reversed, PLTE
+    palette mapping for color type 3.  8-bit non-interlaced images (the
+    PNG baseline); Adam7 is rejected loudly."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    color_type = None
+    plte = None
+    idat = bytearray()
+    while pos < len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        crc, = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError("non-8-bit PNG left to the 'real' tier")
+            if interlace:
+                raise ValueError("Adam7 PNG left to the 'real' tier")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    img = _png_unfilter(raw, width, height, nch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        vals = plte[np.minimum(img.ravel(), len(plte) - 1)].astype(
+            np.float64)
+    else:
+        vals = img.astype(np.float64)
+    return {
+        "kind": "image",
+        "width": int(width),
+        "height": int(height),
+        "n_frames": 1,
+        "n_bytes": int(vals.size),
+        "byte_mean": float(vals.mean()) if vals.size else 0.0,
+        "byte_std": float(vals.std()) if vals.size else 0.0,
+    }
+
+
 def decode_auto(payload: bytes) -> dict:
     """Magic-byte dispatch across the implemented decoders."""
     if payload[:4] == _MAGIC:
@@ -410,6 +576,8 @@ def decode_auto(payload: bytes) -> dict:
         return decode_pnm(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError("unknown payload format")
 
 

@@ -205,3 +205,65 @@ def test_gif_via_decode_stage(ray_session):
     assert "payload" not in out.columns
     assert (out["kind"] == "image").all()
     assert list(out.sort_values("doc_id")["width"]) == list(range(10, 16))
+
+
+def test_png_roundtrip_all_color_types():
+    """decode_png reverses all five row filters (synth cycles them per
+    row) across gray/RGB/gray+alpha/RGBA, bit-exact pixel stats."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        synth_png,
+    )
+
+    for ct in (0, 2, 4, 6):
+        w, h = 37, 23
+        d = decode_png(synth_png(w, h, seed=5, color_type=ct))
+        nch = _PNG_CHANNELS[ct]
+        rng = np.random.RandomState(5)
+        base = (np.arange(w * nch, dtype=np.int64) * 3) % 251
+        img = np.empty((h, w * nch), dtype=np.uint8)
+        for y in range(h):
+            img[y] = ((base + y * 7) % 256
+                      + rng.randint(0, 4, w * nch)) % 256
+        vals = img.astype(np.float64)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["byte_mean"] == vals.mean()
+        assert d["byte_std"] == vals.std()
+
+
+def test_png_palette_and_crc():
+    """Palette (type 3) mapping works, and a corrupted chunk fails the
+    CRC check loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from light_curve_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    w, h = 8, 4
+    idx = np.arange(w * h, dtype=np.uint8).reshape(h, w) % 16
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    pal = bytes(b for i in range(16) for b in (i * 16, 255 - i * 16, i))
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (_PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    d = decode_png(png)
+    palette = np.frombuffer(pal, np.uint8).reshape(16, 3)
+    vals = palette[idx.ravel()].astype(np.float64)
+    assert d["byte_mean"] == vals.mean()
+    corrupted = bytearray(png)
+    corrupted[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
