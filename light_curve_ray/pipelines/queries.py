@@ -81,9 +81,21 @@ def _round6(tbl: pa.Table) -> pa.Table:
 
 
 def _collect(ds) -> pa.Table:
-    """Small-result collection (rollup-scale outputs only)."""
-    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
-    return _round6(tbl)
+    """Small-result collection (rollup-scale outputs only), Arrow-native:
+    a pandas round-trip would promote nullable int64 columns (e.g. the
+    asof join's matched timestamp) to float64 and the 9-dp tie-robust
+    rounding then destroys epoch-µs-magnitude integers."""
+    import ray
+
+    if isinstance(ds, pa.Table):
+        return _round6(ds)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+    if not tables:
+        return _round6(pa.Table.from_pandas(ds.to_pandas(),
+                                            preserve_index=False))
+    return _round6(pa.concat_tables(tables,
+                                    promote_options="default"
+                                    ).combine_chunks())
 
 
 def _events_cfg(sf_dir: str, tiers: tuple) -> RollupConfig:
@@ -656,6 +668,84 @@ def q_shape_features(sf_dir: str):
 
     feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
     return _collect(feats)
+
+
+EVENTS_ASOF_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+big AS (
+  SELECT event_type, t_us, MAX(v) AS big_v
+  FROM pts WHERE v > 100.0 GROUP BY 1, 2
+)
+SELECT p.event_type, p.t_us, ROUND(p.v, 6) AS v,
+       ROUND(b.big_v, 6) AS big_v_r, b.t_us AS t_us_r
+FROM pts p ASOF LEFT JOIN big b
+  ON p.event_type = b.event_type AND p.t_us >= b.t_us
+"""
+
+
+def q_events_asof(sf_dir: str):
+    """Distributed AS-OF join (stages/asof): every event aligned with the
+    latest 'significant' (v > 100) observation of ITS series at or before
+    its timestamp — the classic two-band light-curve alignment, checked
+    against DuckDB's native ASOF LEFT JOIN.  The right side is
+    pre-aggregated to one row per (series, ts) so tie resolution is
+    deterministic on both sides."""
+    import ray.data as rd
+
+    from ..stages.asof import asof_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["ts"]),
+                            pc.is_valid(batch["value"])),
+                    pc.is_valid(batch["event_type"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_pts, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()  # two readers
+
+    def _big_partial(batch: pa.Table) -> pa.Table:
+        # map-side combine BEFORE the groupby shuffle: filter + one max
+        # per (series, ts) per block
+        from ..kernels.moments import _group_codes
+
+        batch = batch.filter(pc.greater(batch["v"], 100.0))
+        if len(batch) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "t_us": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64())})
+        inv, first = _group_codes(batch, ["event_type", "t_us"])
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        mx = np.full(len(first), -np.inf)
+        np.maximum.at(mx, inv, v)
+        idx = pa.array(first, pa.int64())
+        return pa.table({"event_type": batch["event_type"].take(idx),
+                         "t_us": batch["t_us"].take(idx),
+                         "v": pa.array(mx, pa.float64())})
+
+    big = pts.map_batches(_big_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["event_type", "t_us"]).max("v")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "t_us": batch["t_us"],
+                         "big_v": batch["max(v)"]})
+
+    big = big.map_batches(_rename, batch_format="pyarrow")
+    out = asof_join(pts, big, ["event_type"], "t_us", ["big_v"])
+    return _collect(out)
 
 
 def q_interp_grid(sf_dir: str):
@@ -1272,6 +1362,7 @@ def build_queries() -> dict:
         "gapfill_1d": q_gapfill_1d,
         "rollup_roundtrip": q_rollup_roundtrip,
         "interp_grid": q_interp_grid,
+        "events_asof": q_events_asof,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
@@ -1344,6 +1435,7 @@ def build_oracle_sql() -> dict:
         "gapfill_1d": _gapfill_sql(EVENTS_POINTS_SQL, "1d"),
         "rollup_roundtrip": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
+        "events_asof": EVENTS_ASOF_SQL,
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
