@@ -670,6 +670,51 @@ def q_shape_features(sf_dir: str):
     return _collect(feats)
 
 
+def _sliding_sql(points_sql: str, step_us: int, window: int) -> str:
+    """Trailing-range window oracle: every window recomputed TWO-PASS
+    from raw points via a range join (the oracle's luxury; the engine
+    merges streamed states — same parity contract as the rollup)."""
+    back = (window - 1) * step_us
+    return f"""
+WITH pts AS ({points_sql}),
+b AS (
+  SELECT lang, domain, (t_us // {step_us}) * {step_us} AS bucket_ts_us, v
+  FROM pts
+),
+g AS (SELECT DISTINCT lang, domain, bucket_ts_us FROM b)
+SELECT g.lang, g.domain, g.bucket_ts_us,
+  COUNT(*) AS w_n,
+  ROUND(AVG(p.v), 6) AS w_mean,
+  ROUND(STDDEV_SAMP(p.v), 6) AS w_std,
+  ROUND(MIN(p.v), 6) AS w_min,
+  ROUND(MAX(p.v), 6) AS w_max
+FROM g JOIN b p ON p.lang = g.lang AND p.domain = g.domain
+  AND p.bucket_ts_us BETWEEN g.bucket_ts_us - {back} AND g.bucket_ts_us
+GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding_3h(sf_dir: str):
+    """Sliding-window aggregate (stages/window): per series, each hourly
+    bucket's stats merged with its two preceding bucket slots — the
+    trailing 3h moving aggregate, computed from the SAME mergeable
+    states the rollup streams (no second pass over points)."""
+    from ..kernels.grid import TIER_STEP_US
+    from ..stages.aggregate import make_partial_stats_fn, merge_partials
+    from ..stages.window import sliding_window_states
+    from .rollup import points_dataset
+
+    cfg = _events_cfg(sf_dir, ("1h",))
+    pts = points_dataset(cfg)
+    step = TIER_STEP_US["1h"]
+    partials = pts.map_batches(
+        make_partial_stats_fn(step), batch_format="pyarrow",
+        batch_size=cfg.points_batch_size, zero_copy_batch=True)
+    fine = merge_partials(partials)
+    out = sliding_window_states(fine, ["lang", "domain"], step, window=3)
+    return _collect(out)
+
+
 EVENTS_ASOF_SQL = """
 WITH pts AS (
   SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
@@ -1363,6 +1408,7 @@ def build_queries() -> dict:
         "rollup_roundtrip": q_rollup_roundtrip,
         "interp_grid": q_interp_grid,
         "events_asof": q_events_asof,
+        "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
@@ -1436,6 +1482,8 @@ def build_oracle_sql() -> dict:
         "rollup_roundtrip": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
         "events_asof": EVENTS_ASOF_SQL,
+        "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
+                                   3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
