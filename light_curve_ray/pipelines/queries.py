@@ -793,6 +793,69 @@ def q_events_asof(sf_dir: str):
     return _collect(out)
 
 
+EVENTS_RANGE_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+iv AS (
+  SELECT event_type, t_us AS start_us, t_us + 7200000000 AS end_us,
+         v AS iv_v
+  FROM pts WHERE v > 200.0
+)
+SELECT p.event_type, p.t_us, ROUND(p.v, 6) AS v,
+       i.start_us, i.end_us, ROUND(i.iv_v, 6) AS iv_v
+FROM pts p JOIN iv i ON p.event_type = i.event_type
+  AND p.t_us >= i.start_us AND p.t_us < i.end_us
+"""
+
+
+def q_events_range(sf_dir: str):
+    """Distributed keyed RANGE join (stages/rangejoin): every event paired
+    with each 'high-activity episode' of ITS series covering it — an
+    episode opens at any observation with v > 200 and lasts 2 hours.
+    Inner half-open semantics (start <= ts < end), checked against the
+    equivalent DuckDB non-equi join."""
+    import ray.data as rd
+
+    from ..stages.rangejoin import range_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["ts"]),
+                            pc.is_valid(batch["value"])),
+                    pc.is_valid(batch["event_type"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_pts, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()  # two readers
+
+    def _episodes(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["v"], 200.0))
+        return pa.table({
+            "event_type": batch["event_type"],
+            "start_us": batch["t_us"],
+            "end_us": pc.add(batch["t_us"],
+                             pa.scalar(7_200_000_000, pa.int64())),
+            "iv_v": batch["v"],
+        })
+
+    episodes = pts.map_batches(_episodes, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = range_join(pts, episodes, ["event_type"], "t_us",
+                     "start_us", "end_us", point_cols=["v"],
+                     interval_cols=["iv_v"])
+    return _collect(out)
+
+
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
     per-series uniform linspace grid + reference-exact interpolation.
@@ -1408,6 +1471,7 @@ def build_queries() -> dict:
         "rollup_roundtrip": q_rollup_roundtrip,
         "interp_grid": q_interp_grid,
         "events_asof": q_events_asof,
+        "events_range": q_events_range,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1482,6 +1546,7 @@ def build_oracle_sql() -> dict:
         "rollup_roundtrip": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "interp_grid": INTERP_GRID_SQL,
         "events_asof": EVENTS_ASOF_SQL,
+        "events_range": EVENTS_RANGE_SQL,
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
