@@ -856,6 +856,83 @@ def q_events_range(sf_dir: str):
     return _collect(out)
 
 
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUANTILE_EVENTS_SQL = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.25), 6) AS q25,
+  ROUND(quantile_cont(value, 0.50), 6) AS q50,
+  ROUND(quantile_cont(value, 0.90), 6) AS q90
+FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def _events_nonnull(sf_dir: str, cols: list):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = None
+        for c in cols:
+            v = pc.is_valid(batch[c])
+            m = v if m is None else pc.and_(m, v)
+        return batch.filter(m)
+
+    return ds.map_batches(_clean, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_distinct_users(sf_dir: str):
+    """EXACT distributed distinct count (stages/sketch): distinct users
+    per event series via block-level pre-distinct + one slim exchange —
+    raw rows never shuffle, only each block's distinct (key, value)
+    pairs.  ORACLE-CHECKED against COUNT(DISTINCT)."""
+    from ..stages.sketch import distinct_count_exact
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    out = distinct_count_exact(ds, ["event_type"], ["user_id"],
+                               out_col="n_users")
+    return _collect(out)
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog distinct count per event series (stages/sketch,
+    p=12 -> ~1.6% expected relative error, 4 KB registers per
+    (block, key) on the exchange).  The estimate is a deterministic pure
+    function of the input (fixed hash seed, order-free max-merge) but
+    not SQL-expressible -> rows-only driver check; the error bound and
+    merge invariance are unit-test oracles (tests/test_sketch.py)."""
+    from ..stages.sketch import hll_distinct
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    out = hll_distinct(ds, ["event_type"], ["user_id"], p=12,
+                       out_col="n_users_hll")
+    return _collect(out)
+
+
+def q_quantile_events(sf_dir: str):
+    """Mergeable distributed quantiles (stages/sketch): per-series p25/
+    p50/p90 from per-block compressed summaries merged in one slim
+    exchange.  Capacity 2^16 keeps every test-scale group uncompressed,
+    so the result is EXACTLY SQL quantile_cont (linear interpolation) —
+    ORACLE-CHECKED; beyond capacity the same operator degrades gracefully
+    to <= W/capacity rank error (property-tested)."""
+    from ..stages.sketch import quantile_by_key
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+    out = quantile_by_key(ds, ["event_type"], "value",
+                          qs=[0.25, 0.50, 0.90],
+                          names=["q25", "q50", "q90"], capacity=1 << 16)
+    return _collect(out)
+
+
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
     per-series uniform linspace grid + reference-exact interpolation.
@@ -1472,6 +1549,9 @@ def build_queries() -> dict:
         "interp_grid": q_interp_grid,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
+        "distinct_users": q_distinct_users,
+        "hll_users": q_hll_users,
+        "quantile_events": q_quantile_events,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1547,6 +1627,8 @@ def build_oracle_sql() -> dict:
         "interp_grid": INTERP_GRID_SQL,
         "events_asof": EVENTS_ASOF_SQL,
         "events_range": EVENTS_RANGE_SQL,
+        "distinct_users": DISTINCT_USERS_SQL,
+        "quantile_events": QUANTILE_EVENTS_SQL,
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
