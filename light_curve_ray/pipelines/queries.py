@@ -1492,17 +1492,19 @@ def q_series_gorilla(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode: deterministic binary payloads keyed by doc_id in
-    five formats — RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED
-    GIF and DEFLATE-compressed PNG images all decoded for real by the
-    stdlib codecs, plus the LCRF video-stand-in container (DCT-era
-    formats remain the marked codec='real' integration point, see
-    stages/multimodal.py)."""
+    six formats — RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED
+    GIF, DEFLATE-compressed PNG, and DCT-era BASELINE JPEG (4:2:0 /
+    4:4:4 / grayscale, restart markers) all decoded for real by the
+    from-scratch codecs, plus the LCRF video-stand-in container
+    (mp3/h264/progressive-JPEG remain the marked codec='real'
+    integration point, see stages/multimodal.py)."""
     import ray.data as rd
 
     from ..stages.multimodal import (
         decode_payloads,
         fake_payload,
         synth_gif,
+        synth_jpeg,
         synth_png,
         synth_ppm,
         synth_wav,
@@ -1514,18 +1516,23 @@ def q_multimodal_decode(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         payloads = []
         for i in ids:
-            if i % 5 == 0:
+            if i % 6 == 0:
                 payloads.append(synth_wav(800 + i % 400, 100.0 + i % 300,
                                           seed=i))
-            elif i % 5 == 1:
+            elif i % 6 == 1:
                 payloads.append(synth_ppm(16 + i % 48, 12 + i % 16, seed=i))
-            elif i % 5 == 2:
+            elif i % 6 == 2:
                 payloads.append(synth_gif(16 + i % 32, 12 + i % 16, seed=i,
-                                          interlaced=(i % 10 == 2)))
-            elif i % 5 == 3:
+                                          interlaced=(i % 12 == 2)))
+            elif i % 6 == 3:
                 payloads.append(synth_png(12 + i % 24, 10 + i % 12, seed=i,
-                                          color_type=(2 if i % 10 == 3
+                                          color_type=(2 if i % 12 == 3
                                                       else 0)))
+            elif i % 6 == 4:
+                payloads.append(synth_jpeg(
+                    16 + i % 33, 12 + i % 21, seed=i,
+                    mode=("gray", "444", "420")[i % 3],
+                    restart_every=(2 if i % 12 == 4 else 0)))
             else:
                 payloads.append(fake_payload("video", 64 + i % 64,
                                              48 + i % 16, 1 + i % 5, seed=i))

@@ -16,15 +16,20 @@ Codec tiers (``PayloadDecodeStage``):
   comments; per-pixel mean/std), and — round 3 — **GIF87a/GIF89a with a
   full LZW decompressor** (variable code width, CLEAR/EOI, the KwKwK
   case, interlace reordering, per-frame palettes; animated streams walk
-  every frame for ``n_frames`` and fully decode the first) and **PNG
+  every frame for ``n_frames`` and fully decode the first), **PNG
   with a full chunk/CRC/deflate/row-filter pipeline** (stdlib ``zlib``
   inflate; all five filters reversed; gray/RGB/alpha/palette color
-  types; Adam7 rejected loudly) — plus the LCRF test container below.
-  Unknown magics come back ``decode_ok=false``.
+  types; Adam7 rejected loudly), and **baseline-sequential JPEG
+  (ITU T.81) from scratch**: marker walk, table-driven DQT/DHT parsing,
+  Huffman entropy decode with byte unstuffing + restart markers, DC
+  prediction, dequantize + exact orthonormal 8x8 IDCT, chroma
+  upsampling (4:2:0/4:2:2/anything the SOF declares), JFIF YCbCr->RGB
+  — plus the LCRF test container below.  Unknown magics come back
+  ``decode_ok=false``.
 - ``codec="real"`` raises NotImplementedError at actor construction —
-  the remaining integration point for DCT-era formats (jpeg/mp3/h264
-  need Pillow/libsndfile/pyav, not in this container); GIF and PNG show
-  the full pattern a linked codec plugs into.
+  the remaining integration point for formats that genuinely need
+  external libraries (mp3/h264/progressive-JPEG); GIF, PNG and baseline
+  JPEG show the full pattern a linked codec plugs into.
 - ``codec="fake"`` parses only the deterministic LCRF container written
   by ``fake_payload`` — a 16-byte header (magic ``LCRF``, kind, width,
   height, n_frames) + raw bytes.
@@ -566,6 +571,573 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# ----------------------- real DCT-era codec: baseline JPEG (ITU T.81)
+#
+# A from-scratch baseline-sequential JPEG codec, pure stdlib+numpy —
+# public spec only (ITU-T T.81 / ISO 10918-1): marker walk, DQT/DHT
+# table parsing (the decoder is fully table-driven, so real-world
+# baseline files decode with whatever tables they carry), MCU entropy
+# decode with byte unstuffing and restart markers, DC prediction,
+# zigzag + dequantize, exact float64 8x8 IDCT (orthonormal DCT-III
+# matrix), chroma upsampling for subsampled scans, JFIF YCbCr->RGB.
+# Progressive (SOF2) and arithmetic coding are rejected loudly.  The
+# encoder exists to synthesize REAL compressed fixtures (Annex K
+# quantization + Huffman tables, 4:2:0 or 4:4:4 or grayscale).
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_JPEG_QL = np.array([  # Annex K.1 luminance quant, natural order
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_QC = np.array([  # Annex K.2 chrominance quant
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: row k = c_k * cos((2x+1)k*pi/16),
+    c_0 = 1/(2*sqrt 2), c_k = 1/2.  Its 2-D transform M @ b @ M.T equals
+    T.81's F(u,v) = 1/4 C(u)C(v) sum-sum exactly, and M.T @ F @ M is the
+    spec's IDCT."""
+    k = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * k * np.pi / 16.0) * 0.5
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_canonical(bits: list, vals: list):
+    """Canonical codes: [(code, length, symbol)] in spec order."""
+    out = []
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((code, ln, vals[i]))
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _HuffEncoder:
+    def __init__(self, bits, vals):
+        self.map = {sym: (code, ln)
+                    for code, ln, sym in _huff_canonical(bits, vals)}
+
+
+class _HuffDecoder:
+    def __init__(self, bits, vals):
+        self.by_len = {}
+        for code, ln, sym in _huff_canonical(bits, vals):
+            self.by_len.setdefault(ln, {})[code] = sym
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: caller resyncs
+                raise _RestartMarker(self.pos)
+            else:
+                raise ValueError(f"marker 0xFF{nxt:02X} inside scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: _HuffDecoder) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.by_len.get(ln, {}).get(code)
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def resync(self, pos: int):
+        """Skip the restart marker at ``pos`` and reset bit state."""
+        self.pos = pos + 2
+        self.acc = 0
+        self.n = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, pos):
+        self.pos = pos
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _magnitude(v: int):
+    """(size, code-bits) of a DC diff / AC coefficient."""
+    s = abs(v).bit_length()
+    if v < 0:
+        v += (1 << s) - 1
+    return s, v
+
+
+def synth_jpeg(width: int, height: int, seed: int = 0,
+               mode: str = "420", restart_every: int = 0) -> bytes:
+    """Deterministic REAL baseline JPEG: smooth gradient + low-freq
+    texture (so Annex-K quantization keeps it recognizable), encoded
+    from scratch.  ``mode``: '420' (subsampled color), '444', 'gray';
+    ``restart_every`` emits DRI + RSTn markers every N MCUs.  Returns
+    the compressed bytes; ``synth_jpeg_pixels`` gives the exact source
+    image for round-trip PSNR checks."""
+    img = synth_jpeg_pixels(width, height, seed, mode)
+    return _encode_jpeg(img, mode, restart_every=restart_every)
+
+
+def synth_jpeg_pixels(width: int, height: int, seed: int = 0,
+                      mode: str = "420") -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:height, 0:width].astype(np.float64)
+    base = (128 + 80 * np.sin(x / 17.0) * np.cos(y / 13.0)
+            + 40 * np.sin((x + y) / 29.0))
+    if mode == "gray":
+        img = base[:, :, None]
+    else:
+        r = base + 30 * np.sin(x / 11.0)
+        g = base
+        b = base + 30 * np.cos(y / 9.0)
+        img = np.stack([r, g, b], axis=2)
+    img += rng.normal(0, 2.0, img.shape)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """All 8x8 blocks of a padded plane -> quantized zigzag coeffs
+    (n_blocks_y, n_blocks_x, 64), vectorized over blocks."""
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = (plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+              .astype(np.float64) - 128.0)
+    # (_DCT_M / 2) is the ORTHONORMAL 8x8 DCT-II basis, whose 2-D
+    # transform equals T.81's F(u,v) = 1/4 C(u)C(v) sum-sum exactly
+    # (c(0) = 1/(2*sqrt 2) = C(0)/4-scaled); the decoder applies the
+    # orthonormal inverse, which is the spec's IDCT
+    coef = np.einsum("ij,abjk,lk->abil", _DCT_M, blocks, _DCT_M)
+    zz = coef.reshape(by, bx, 64)[:, :, _ZIGZAG]
+    return np.round(zz / q[None, None, :]).astype(np.int64)
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+                  dc: _HuffEncoder, ac: _HuffEncoder) -> int:
+    diff = int(zz[0]) - pred
+    s, bitsv = _magnitude(diff)
+    code, ln = dc.map[s]
+    w.write(code, ln)
+    if s:
+        w.write(bitsv, s)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac.map[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s, bitsv = _magnitude(v)
+        code, ln = ac.map[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bitsv, s)
+        run = 0
+    if last < 63:
+        code, ln = ac.map[0x00]  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def _encode_jpeg(img: np.ndarray, mode: str,
+                 restart_every: int = 0) -> bytes:
+    h, w = img.shape[:2]
+    gray = mode == "gray"
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        yy = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+              + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168735892 * rgb[:, :, 0] \
+            - 0.331264108 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418687589 * rgb[:, :, 1] \
+            - 0.081312411 * rgb[:, :, 2]
+        if mode == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            pad = _pad_to(yy, 2, 2)
+            cb = (_pad_to(cb, 2, 2).reshape(pad.shape[0] // 2, 2, -1, 2)
+                  .mean(axis=(1, 3)))
+            cr = (_pad_to(cr, 2, 2).reshape(pad.shape[0] // 2, 2, -1, 2)
+                  .mean(axis=(1, 3)))
+            planes = [yy, cb, cr]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [yy, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qtabs = [_JPEG_QL] + ([] if gray else [_JPEG_QC])
+    coeffs = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        q = qtabs[0 if ci == 0 else 1][_ZIGZAG]
+        # pad plane so its block grid covers ceil(mcus) * sampling
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        need_w, need_h = mcux * 8 * sh, mcuy * 8 * sv
+        ph, pw = plane.shape
+        padded = np.pad(np.round(plane),
+                        ((0, need_h - ph), (0, need_w - pw)), mode="edge")
+        coeffs.append(_fdct_quant(padded, q.astype(np.float64)))
+    enc_dc = [_HuffEncoder(*_DC_L)] + \
+        ([] if gray else [_HuffEncoder(*_DC_C)] * 2)
+    enc_ac = [_HuffEncoder(*_AC_L)] + \
+        ([] if gray else [_HuffEncoder(*_AC_C)] * 2)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    scan = bytearray()
+    n_mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_every and n_mcu and n_mcu % restart_every == 0:
+                scan += bw.flush()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            n_mcu += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        zz = coeffs[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], enc_dc[ci], enc_ac[ci])
+    scan += bw.flush()
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+
+    def seg(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(_JPEG_QL[_ZIGZAG].tolist()))
+    if not gray:
+        seg(0xDB, bytes([1]) + bytes(_JPEG_QC[_ZIGZAG].tolist()))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    seg(0xC0, sof)
+    for cls, tid, (bits, vals) in ((0, 0, _DC_L), (1, 0, _AC_L)):
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if not gray:
+        for cls, tid, (bits, vals) in ((0, 1, _DC_C), (1, 1, _AC_C)):
+            seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_every:
+        seg(0xDD, struct.pack(">H", restart_every))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(scan)
+    out.extend(b"\xFF\xD9")  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Full baseline JPEG decode -> uint8 (h, w, ncomp) pixel array."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    dc_tabs = {}
+    ac_tabs = {}
+    comps = None
+    h = w = None
+    restart = 0
+    data = payload
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln, = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + ln]
+        seg_end = pos + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq:
+                    tab = np.frombuffer(body, ">u2", 64, p).astype(np.int64)
+                    p += 128
+                else:
+                    tab = np.frombuffer(body, np.uint8, 64, p).astype(
+                        np.int64)
+                    p += 64
+                nat = np.empty(64, np.int64)
+                nat[_ZIGZAG] = tab
+                qt[tq] = nat
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append(dict(cid=cid, h=hv >> 4, v=hv & 15, tq=tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arith) "
+                             "unsupported")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                tab = _HuffDecoder(bits, vals)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                p += 17 + nv
+        elif marker == 0xDD:
+            restart, = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            ns = body[0]
+            scomp = []
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                c = next(c for c in comps if c["cid"] == cs)
+                scomp.append((c, tt >> 4, tt & 15))
+            pos = seg_end
+            return _decode_scan(data, pos, w, h, scomp, qt, dc_tabs,
+                                ac_tabs, restart)
+        pos = seg_end
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _decode_scan(data, pos, w, h, scomp, qt, dc_tabs, ac_tabs, restart):
+    hmax = max(c["h"] for c, _, _ in scomp)
+    vmax = max(c["v"] for c, _, _ in scomp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c, _, _ in scomp:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                               dtype=np.float64))
+    br = _BitReader(data, pos)
+    preds = [0] * len(scomp)
+    idct_m = _DCT_M
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                # drop the byte-alignment pad bits, then the restart
+                # marker must follow; resync and reset every DC predictor
+                br.n = 0
+                if not (br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                br.resync(br.pos)
+                preds = [0] * len(scomp)
+            n_mcu += 1
+            for ci, (c, dct, act) in enumerate(scomp):
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = br.huff(dc_tabs[dct])
+                        diff = _extend(br.receive(s), s)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = br.huff(ac_tabs[act])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[_ZIGZAG] = zz * q[_ZIGZAG]
+                        blk = idct_m.T @ nat.reshape(8, 8) @ idct_m
+                        py, px = (my * c["v"] + by) * 8, \
+                            (mx * c["h"] + bx) * 8
+                        planes[ci][py:py + 8, px:px + 8] = blk + 128.0
+    full = []
+    for (c, _, _), plane in zip(scomp, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        yy, cb, cr = full
+        r = yy + 1.402 * (cr - 128.0)
+        g = yy - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+        b = yy + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG -> feature dict (same layout as the other codecs)."""
+    px = decode_jpeg_pixels(payload).astype(np.float64)
+    h, w = px.shape[:2]
+    return {
+        "kind": "image",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "n_bytes": int(px.size),
+        "byte_mean": float(px.mean()) if px.size else 0.0,
+        "byte_std": float(px.std()) if px.size else 0.0,
+    }
+
+
 def decode_auto(payload: bytes) -> dict:
     """Magic-byte dispatch across the implemented decoders."""
     if payload[:4] == _MAGIC:
@@ -578,6 +1150,8 @@ def decode_auto(payload: bytes) -> dict:
         return decode_gif(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        return decode_jpeg(payload)
     raise ValueError("unknown payload format")
 
 
@@ -593,10 +1167,11 @@ class PayloadDecodeStage:
         self.payload_col = payload_col
         if codec == "real":
             raise NotImplementedError(
-                "compressed-format decode (jpeg/png/mp3/h264) needs "
-                "Pillow/libsndfile/pyav — not in this container; plug the "
-                "decoder here.  Self-describing formats (WAV PCM, PPM/PGM) "
-                "decode for real under codec='auto'."
+                "mp3/h264/progressive-JPEG decode needs libsndfile/pyav/"
+                "libjpeg — not in this container; plug the decoder here.  "
+                "WAV PCM, PPM/PGM, GIF (LZW), PNG (deflate) and BASELINE "
+                "JPEG (Huffman+DCT) all decode for real under "
+                "codec='auto'."
             )
         if codec not in ("fake", "auto"):
             raise ValueError(f"unknown codec {codec!r}")

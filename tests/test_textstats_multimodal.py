@@ -267,3 +267,91 @@ def test_png_palette_and_crc():
     corrupted[40] ^= 0xFF  # flip a byte inside a chunk body
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(corrupted))
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG round trip (our encoder -> our decoder) across
+    grayscale / 4:4:4 / 4:2:0, with and without restart markers: pixel
+    PSNR vs the pre-encode image must clear the quantization floor, and
+    restart segmentation must not change a single pixel."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg,
+        synth_jpeg_pixels,
+    )
+
+    for mode in ("gray", "444", "420"):
+        img = synth_jpeg_pixels(48, 40, seed=3, mode=mode)
+        for rst in (0, 3):
+            px = decode_jpeg_pixels(
+                synth_jpeg(48, 40, seed=3, mode=mode, restart_every=rst))
+            assert px.shape == img.shape
+            mse = ((px.astype(float) - img.astype(float)) ** 2).mean()
+            assert 10 * np.log10(255 ** 2 / mse) > 28, (mode, rst)
+        a = decode_jpeg_pixels(synth_jpeg(48, 40, seed=3, mode=mode))
+        b = decode_jpeg_pixels(
+            synth_jpeg(48, 40, seed=3, mode=mode, restart_every=2))
+        assert np.array_equal(a, b)
+
+
+def test_jpeg_flat_block_is_dc_exact():
+    """A solid-color image survives quantization exactly (DC-only path):
+    decode must reproduce the color within DC-quant rounding (q=16 for
+    luma DC -> max error 8 in Y, exact here because 128 shifts to 0)."""
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        _encode_jpeg,
+        decode_jpeg_pixels,
+    )
+
+    img = np.full((16, 24, 1), 128, dtype=np.uint8)
+    px = decode_jpeg_pixels(_encode_jpeg(img, "gray"))
+    assert np.array_equal(px, img)
+    img2 = np.full((16, 24, 1), 200, dtype=np.uint8)
+    px2 = decode_jpeg_pixels(_encode_jpeg(img2, "gray"))
+    assert np.abs(px2.astype(int) - 200).max() <= 8
+
+
+def test_jpeg_rejects_and_odd_dims():
+    """Progressive SOF rejected loudly; non-multiple-of-MCU dimensions
+    crop correctly; auto-dispatch routes JPEG magic."""
+    import pytest
+
+    from light_curve_ray.stages.multimodal import (
+        decode_auto,
+        decode_jpeg_pixels,
+        synth_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_pixels(b"\xFF\xD8\xFF\xC2\x00\x05aaa")
+    px = decode_jpeg_pixels(synth_jpeg(37, 23, seed=2, mode="420"))
+    assert px.shape == (23, 37, 3)
+    d = decode_auto(synth_jpeg(32, 16, seed=1, mode="444"))
+    assert (d["kind"], d["width"], d["height"]) == ("image", 32, 16)
+
+
+def test_jpeg_via_decode_stage(ray_session):
+    """JPEG payloads flow through the actor-pool decode stage end-to-end
+    alongside the other codecs (magic dispatch, payload drop)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.multimodal import decode_payloads, synth_jpeg
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "payload": pa.array(
+            [synth_jpeg(16 + i, 16, seed=i,
+                        mode=("gray", "444", "420")[i % 3])
+             for i in range(6)], pa.binary()),
+    })
+    out = decode_payloads(rd.from_arrow(tbl), batch_size=3).to_pandas()
+    assert len(out) == 6
+    assert "payload" not in out.columns
+    assert out["decode_ok"].all()
+    assert (out["kind"] == "image").all()
+    assert list(out.sort_values("doc_id")["width"]) == list(range(16, 22))
