@@ -1320,6 +1320,69 @@ def q_dedup_simhash_recall_floor(sf_dir: str):
     return _collect(exact_dup_pair_floor(cand, aug))
 
 
+PASSAGE_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+aug AS (
+  SELECT doc_id, w FROM t
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, list_slice(w, len(w)//2 + 1, len(w))
+  FROM t WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM aug)
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+dup AS (SELECT gram FROM gd GROUP BY gram HAVING COUNT(*) > 1)
+SELECT gd.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages
+FROM gd JOIN dup USING (gram)
+GROUP BY 1
+"""
+
+
+def q_passage_dedup(sf_dir: str):
+    """Passage-level dedup (stages/dedup.passage_dup_counts): per doc,
+    the number of distinct 8-word windows shared with at least one other
+    document — Lee et al. 2022's duplicated-passage detection at n-gram
+    granularity, ORACLE-CHECKED against a DuckDB gram self-join over the
+    same corpus ∪ second-half copies fixture (every 3rd doc's back half
+    re-appears under id+100000, so PARTIAL overlap is exercised, not
+    just whole-doc copies)."""
+    import ray.data as rd
+
+    from ..stages.dedup import passage_dup_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        if ids and max(ids) >= 100_000:
+            raise ValueError("passage fixture assumes doc_id < 100000")
+        out_id, out_tx = [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            out_id.append(i)
+            out_tx.append(t)
+            if i % 3 == 0:
+                # SQL list_slice(w, len//2+1, len) == python w[len//2:]
+                import re
+                w = re.split(r"[ \t\n\r\f\v]+", t)
+                out_id.append(i + 100_000)
+                out_tx.append(" ".join(w[len(w) // 2:]))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_tx, pa.string())})
+
+    aug = ds.map_batches(_aug, batch_format="pyarrow")
+    return _collect(passage_dup_counts(aug, window=8))
+
+
 def q_dedup_embedding(sf_dir: str):
     import ray.data as rd
 
@@ -1559,6 +1622,7 @@ def build_queries() -> dict:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "quantile_events": q_quantile_events,
+        "passage_dedup": q_passage_dedup,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1636,6 +1700,7 @@ def build_oracle_sql() -> dict:
         "events_range": EVENTS_RANGE_SQL,
         "distinct_users": DISTINCT_USERS_SQL,
         "quantile_events": QUANTILE_EVENTS_SQL,
+        "passage_dedup": PASSAGE_DEDUP_SQL,
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),

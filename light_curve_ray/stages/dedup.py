@@ -815,3 +815,108 @@ def exact_dup_pair_floor(pairs_ds, docs_ds, id_col: str = "doc_id",
         return batch.filter(keep).select(["doc_a", "doc_b"])
 
     return joined.map_batches(_eq, batch_format="pyarrow")
+
+
+# ------------------------------------------------- passage-level dedup
+
+def passage_dup_counts(ds, window: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Duplicated-PASSAGE detection (Lee et al. 2022's ExactSubstr idea at
+    n-gram granularity): for every document, count its distinct
+    ``window``-word windows that also appear in at least one OTHER
+    document.  Suffix arrays do not distribute; fixed-width token
+    windows do — and they bucket exactly like every other dedup family
+    here:
+
+    1. map side: each doc tokenizes (whitespace class mirrored by the
+       SQL oracle's regexp_split_to_array), hashes tokens with blake2b-64
+       (every byte hashed — no sampled-prefix collisions), rolls a
+       polynomial window hash (vectorized sliding window), and emits its
+       DISTINCT gram hashes as slim (gram_h, doc_id) pairs — 16 B/gram,
+       never the gram text;
+    2. ONE sorted_group_map over gram_h with a vectorized block kernel
+       keeps rows of runs longer than 1 (gram shared by >= 2 docs — the
+       pairs are per-doc distinct, so run length == distinct docs) and
+       pre-counts per doc within the block;
+    3. a final doc-keyed groupby sums the partial counts.
+
+    Equal passages always collide (hash of equal token sequences is
+    equal); distinct passages collide with ~2^-64 probability per pair
+    (documented trade — the SQL oracle compares COUNT(DISTINCT gram
+    STRING), bit-equal in practice).
+    """
+    import hashlib
+    import re
+
+    import pyarrow.compute as pc
+
+    from .sorted_groups import sorted_group_map
+
+    pat = re.compile(r"[ \t\n\r\f\v]+")  # EXACTLY the oracle's class
+    base = np.uint64(1099511628211)
+    powers = np.empty(window, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(1, window):
+            powers[j] = powers[j - 1] * base
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        blake = hashlib.blake2b
+        ib = int.from_bytes
+        ids_out, h_out = [], []
+        for did, txt in zip(batch[id_col].to_pylist(),
+                            batch[text_col].to_pylist()):
+            toks = pat.split(txt or "")
+            n = len(toks)
+            if n < window:
+                continue
+            th = np.fromiter(
+                (ib(blake(t.encode("utf-8"), digest_size=8).digest(),
+                    "big") for t in toks),
+                dtype=np.uint64, count=n)
+            win = np.lib.stride_tricks.sliding_window_view(th, window)
+            with np.errstate(over="ignore"):
+                g = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            g = np.unique(g)
+            h_out.append(g)
+            ids_out.append(np.full(g.size, did, np.int64))
+        if not h_out:
+            return pa.table({"gram_h": pa.array([], pa.uint64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({
+            "gram_h": pa.array(np.concatenate(h_out), pa.uint64()),
+            id_col: pa.array(np.concatenate(ids_out), pa.int64())})
+
+    pairs = ds.map_batches(_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    mid_schema = pa.schema([(id_col, pa.int64()), ("c", pa.int64())])
+
+    def _dup_partial(batch: pa.Table) -> pa.Table:
+        """Vectorized: keep rows of gram-runs >= 2, partial-count per doc."""
+        n = len(batch)
+        if n == 0:
+            return mid_schema.empty_table()
+        h = batch["gram_h"].to_numpy(zero_copy_only=False)
+        changed = np.empty(n, dtype=bool)
+        changed[0] = True
+        changed[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(changed) - 1
+        run_len = np.bincount(run_id)
+        keep = run_len[run_id] >= 2
+        docs = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        if docs.size == 0:
+            return mid_schema.empty_table()
+        uids, counts = np.unique(docs, return_counts=True)
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "c": pa.array(counts, pa.int64())})
+
+    partials = sorted_group_map(pairs, ["gram_h"], None, mid_schema,
+                                block_fn=_dup_partial)
+    summed = partials.groupby(id_col).sum("c")
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "n_dup_passages": pc.cast(batch["sum(c)"], pa.int64())})
+
+    return summed.map_batches(_rename, batch_format="pyarrow")

@@ -326,3 +326,45 @@ def test_minhash_est_attach_paths_equal(ray_session, dup_corpus):
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_passage_dup_counts_planted(ray_session):
+    """Planted shared passages: doc B embeds an 8-word run of doc A in
+    fresh surroundings -> both get exactly the shared windows counted;
+    an unrelated doc and a doc below the window size report nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import passage_dup_counts
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = {
+        1: "one two three " + shared + " nine ten eleven twelve",
+        2: "aa bb cc dd " + shared + " ee ff gg hh",
+        3: "totally different words with no overlap at all here now ok",
+        4: "tiny doc",  # < window -> no grams
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })
+    out = pa.concat_tables(list(passage_dup_counts(
+        rd.from_arrow(tbl).repartition(3), window=8)
+        .iter_batches(batch_format="pyarrow")))
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["n_dup_passages"].to_pylist()))
+    # only the single fully-shared window is common (surroundings differ)
+    assert got == {1: 1, 2: 1}
+
+    # a doc duplicated wholesale shares EVERY window
+    tbl2 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([docs[1], docs[1]], pa.string()),
+    })
+    out2 = pa.concat_tables(list(passage_dup_counts(
+        rd.from_arrow(tbl2), window=8).iter_batches(
+            batch_format="pyarrow")))
+    n_words = len(docs[1].split())
+    assert sorted(out2["n_dup_passages"].to_pylist()) == [
+        n_words - 7, n_words - 7]
