@@ -547,11 +547,20 @@ def gapfilled(rollup_ds):
                             GAPFILL_SCHEMA, block_fn=gapfill_block_arrow)
 
 
-def gorilla_series(rollup_ds):
-    """O8: one Gorilla blob per (lang, domain, tier) series."""
-    from ..stages.gapfill import GORILLA_SCHEMA, gorilla_group_arrow
-    from ..stages.sorted_groups import sorted_group_map
+def gorilla_series(rollup_ds, groups_whole: bool = False):
+    """O8: one Gorilla blob per (lang, domain, tier) series.
 
+    ``groups_whole=True`` (set when ``rollup_ds`` just came out of the
+    gap-fill ``sorted_group_map``, whose output blocks hold only whole
+    groups): skip the second sort entirely and encode per group with a
+    plain map_batches — the gap-fill/Gorilla tail then pays ONE series
+    exchange, not two."""
+    from ..stages.gapfill import GORILLA_SCHEMA, gorilla_group_arrow
+    from ..stages.sorted_groups import grouped_block_map, sorted_group_map
+
+    if groups_whole:
+        return grouped_block_map(rollup_ds, SERIES_KEY,
+                                 gorilla_group_arrow, GORILLA_SCHEMA)
     return sorted_group_map(rollup_ds, SERIES_KEY, gorilla_group_arrow,
                             GORILLA_SCHEMA)
 
@@ -878,7 +887,8 @@ def run_rollup(cfg: RollupConfig) -> dict:
         rollup = rollup.materialize()
     phases["gapfill"] = round(time.monotonic() - t1, 3)
     t1 = time.monotonic()
-    series = gorilla_series(rollup).materialize() if cfg.gorilla else None
+    series = (gorilla_series(rollup, groups_whole=cfg.gapfill)
+              .materialize() if cfg.gorilla else None)
     phases["gorilla"] = round(time.monotonic() - t1, 3)
 
     out_paths = None

@@ -175,3 +175,44 @@ def sorted_group_map(ds, key_cols: list, fn, out_schema: pa.Schema,
         residual = boundary.groupby(key_cols).map_groups(
             _one_group, batch_format="pyarrow")
     return interior.union(residual)
+
+
+def grouped_block_map(ds, key_cols: list, fn, out_schema: pa.Schema,
+                      min_group_size: int = 1):
+    """Per-group apply WITHOUT any exchange, for datasets whose blocks
+    already contain only WHOLE groups — the output contract of
+    ``sorted_group_map`` itself (interior blocks hold complete key runs;
+    the residual partition holds complete boundary groups).  A pipeline
+    that chains two per-group passes on the same key (gap-fill then
+    Gorilla encode) pays ONE sort, not two: the second pass is a plain
+    ``map_batches`` over the first pass's blocks.
+
+    Caller contract (unchecked — cannot be validated locally): every
+    group's rows live entirely inside one block.  ``fn`` must sort
+    within the group itself if order matters, same as sorted_group_map.
+    """
+    def _apply(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        # blocks are not necessarily key-CLUSTERED (an fn may emit rows
+        # in any order), so group by codes rather than assuming runs
+        from ..kernels.moments import _group_codes
+
+        inv, _ = _group_codes(batch, key_cols)
+        order = np.argsort(inv, kind="stable")
+        inv_s = inv[order]
+        n = len(batch)
+        changed = np.empty(n, dtype=bool)
+        changed[0] = True
+        changed[1:] = inv_s[1:] != inv_s[:-1]
+        starts = np.nonzero(changed)[0]
+        ends = np.append(starts[1:], n)
+        sorted_batch = batch.take(pa.array(order, pa.int64()))
+        outs = [fn(sorted_batch.slice(s, e - s))
+                for s, e in zip(starts, ends) if e - s >= min_group_size]
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(_apply, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)

@@ -296,3 +296,25 @@ def test_gapfill_block_kernel_matches_per_group():
             assert bool(np.all(ok)), c  # bit-exact incl. interpolated mean
         else:
             assert list(a) == list(b), c
+
+
+def test_gorilla_fused_equals_sorted_path(ray_session, pages_dir):
+    """The fused Gorilla pass (grouped_block_map over the gap-fill
+    output's whole-group blocks, no second sort) must equal the
+    sorted-path encode byte for byte."""
+    from light_curve_ray.pipelines.rollup import gorilla_series
+
+    d, _ = pages_dir
+    cfg = RollupConfig(input_paths=d, input_kind="pages", tiers=("1d",),
+                      gorilla=False)
+    rollup = run_rollup(cfg)["rollup"].materialize()
+    fused = gorilla_series(rollup, groups_whole=True).to_pandas()
+    sorted_p = gorilla_series(rollup, groups_whole=False).to_pandas()
+    key = ["lang", "domain", "tier"]
+    f = fused.sort_values(key).reset_index(drop=True)
+    s = sorted_p.sort_values(key).reset_index(drop=True)
+    assert len(f) == len(s) and len(f) > 0
+    for c in key + ["n_buckets", "n_filled"]:
+        assert list(f[c]) == list(s[c]), c
+    assert all(bytes(a) == bytes(b) for a, b in
+               zip(f["points_gorilla"], s["points_gorilla"]))
