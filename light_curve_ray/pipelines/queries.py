@@ -53,7 +53,8 @@ ROLLUP_COLS = [
 # decimals so the engine-vs-oracle agreement requirement stays within
 # double precision at any magnitude
 _SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
-                             "excess_variance", "linear_trend_sigma"})
+                             "excess_variance", "linear_trend_sigma",
+                             "revenue"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -933,6 +934,206 @@ def q_quantile_events(sf_dir: str):
     return _collect(out)
 
 
+SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t_us FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+lagd AS (
+  SELECT user_id, t_us,
+    CASE WHEN LAG(t_us) OVER w IS NULL
+           OR t_us - LAG(t_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+),
+s AS (
+  -- default RANGE frame: tied timestamps are frame PEERS, so every tie
+  -- gets the same running sum regardless of internal order (exactly one
+  -- of a peer set carries brk=1 from the LAG) -> deterministic
+  SELECT user_id, t_us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY t_us) AS session_id
+  FROM lagd
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(t_us) AS t_start_us, MAX(t_us) AS t_end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_sessions(sf_dir: str):
+    """Sessionization (stages/session): each user's event stream split at
+    30-minute inactivity gaps — one vectorized diff/cumsum block kernel
+    behind ONE keyed sort; ORACLE-CHECKED against the SQL LAG + running-
+    sum derivation (tie-robust on duplicate timestamps by construction
+    on both sides)."""
+    from ..stages.session import sessionize
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+        })
+
+    pts = ds.map_batches(_us, batch_format="pyarrow", zero_copy_batch=True)
+    out = sessionize(pts, ["user_id"], "t_us", gap_us=1_800_000_000)
+    return _collect(out)
+
+
+TOPK_ORDERS_SQL = """
+SELECT c_mktsegment, o_orderkey, ROUND(total, 6) AS total,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice AS total,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rn <= 3
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """Grouped top-k (stages/topk): the 3 highest-value orders per market
+    segment with a deterministic ROW_NUMBER rank — block-local per-key
+    candidate pruning (at most k rows per key leave any block) + one
+    slim re-rank exchange; the customer dimension attaches via broadcast
+    lookup (stages/joins), never a shuffle.  ORACLE-CHECKED against the
+    SQL window-function derivation."""
+    import ray.data as rd
+
+    from ..stages.joins import attach_broadcast, collect_small
+    from ..stages.topk import top_k_by_key
+
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "o_orderkey": batch["o_orderkey"],
+                         "total": pc.cast(batch["o_totalprice"],
+                                          pa.float64())})
+
+    keyed = orders.map_batches(_key, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    seg = attach_broadcast(keyed, cust, "c_custkey", ["c_mktsegment"])
+    top = top_k_by_key(seg, ["c_mktsegment"], "total", 3,
+                       tiebreak_col="o_orderkey")
+
+    def _sel(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_mktsegment", "o_orderkey", "total", "rn"])
+
+    return _collect(top.map_batches(_sel, batch_format="pyarrow"))
+
+
+def _revenue_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT c.c_mktsegment,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+a AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(rev) AS rev0
+  FROM j GROUP BY 1
+),
+n9 AS (SELECT c_mktsegment, n_items,
+       {_sig_round_sql('rev0', 9)} AS rev9 FROM a)
+SELECT c_mktsegment, n_items,
+       {_sig_round_sql('rev9', 6)} AS revenue FROM n9
+"""
+
+
+def q_revenue_by_segment(sf_dir: str):
+    """Three-table join aggregation (TPC-H-flavoured): lineitem ⋈ orders
+    ⋈ customer → revenue per market segment.  Join discipline per
+    SURVEY §4: both dimension sides (orders keyed by orderkey, customer
+    by custkey) broadcast via ray.put + vectorized searchsorted lookup
+    inside map_batches — ONE streaming pass over the fact table, and the
+    only exchange is the 5-row segment aggregate.  Above the broadcast
+    gate (collect_small raises past 2M rows) the orders side switches to
+    the hash-partitioned Dataset.join — parity-pinned in
+    tests/test_joins_topk.py.  Revenue compares at 6 SIGNIFICANT digits
+    (sums are unbounded-magnitude; same contract as reduced_chi2)."""
+    import ray.data as rd
+
+    from ..stages.joins import attach_broadcast, collect_small
+
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]))
+    orders = collect_small(rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "rev": pc.multiply(price, pc.subtract(
+                pa.scalar(1.0, pa.float64()), disc)),
+        })
+
+    facts = li.map_batches(_rev, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    facts = attach_broadcast(facts, orders, "o_orderkey", ["o_custkey"])
+
+    def _cust_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "rev": batch["rev"]})
+
+    facts = attach_broadcast(
+        facts.map_batches(_cust_key, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        cust, "c_custkey", ["c_mktsegment"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from ..kernels.moments import _group_codes
+
+        if len(batch) == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "n_items": pa.array([], pa.int64()),
+                             "revenue": pa.array([], pa.float64())})
+        inv, first = _group_codes(batch, ["c_mktsegment"])
+        rev = batch["rev"].to_numpy(zero_copy_only=False)
+        sums = np.bincount(inv, weights=rev)
+        counts = np.bincount(inv)
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"].take(
+                pa.array(first, pa.int64())),
+            "n_items": pa.array(counts, pa.int64()),
+            "revenue": pa.array(sums, pa.float64()),
+        })
+
+    partials = facts.map_batches(_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    agg = partials.groupby("c_mktsegment").sum(["n_items", "revenue"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "n_items": pc.cast(batch["sum(n_items)"], pa.int64()),
+            "revenue": pc.cast(batch["sum(revenue)"], pa.float64()),
+        })
+
+    return _collect(agg.map_batches(_final, batch_format="pyarrow"))
+
+
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
     per-series uniform linspace grid + reference-exact interpolation.
@@ -1623,6 +1824,9 @@ def build_queries() -> dict:
         "hll_users": q_hll_users,
         "quantile_events": q_quantile_events,
         "passage_dedup": q_passage_dedup,
+        "sessions": q_sessions,
+        "topk_orders": q_topk_orders,
+        "revenue_by_segment": q_revenue_by_segment,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1701,6 +1905,9 @@ def build_oracle_sql() -> dict:
         "distinct_users": DISTINCT_USERS_SQL,
         "quantile_events": QUANTILE_EVENTS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
+        "sessions": SESSIONS_SQL,
+        "topk_orders": TOPK_ORDERS_SQL,
+        "revenue_by_segment": _revenue_sql(),
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),

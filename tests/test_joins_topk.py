@@ -1,0 +1,143 @@
+"""Join/top-k/session stage tests: broadcast lookup vs partitioned
+Dataset.join parity, grouped top-k vs brute force (ties + short groups),
+sessionize vs brute force (duplicate timestamps, exact-gap boundary)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_attach_broadcast_matches_dataset_join(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.joins import attach_broadcast
+
+    rng = np.random.RandomState(21)
+    facts = pa.table({
+        "k": pa.array(rng.randint(0, 40, 500).astype(np.int64)),
+        "x": pa.array(rng.normal(0, 1, 500)),
+    })
+    dim = pa.table({
+        "k": pa.array(np.arange(0, 35, dtype=np.int64)),  # 35..39 unmatched
+        "label": pa.array([f"L{i}" for i in range(35)]),
+    })
+    got = attach_broadcast(rd.from_arrow(facts).repartition(5), dim,
+                           "k", ["label"])
+    got_tbl = pa.concat_tables(
+        list(got.iter_batches(batch_format="pyarrow")))
+    joined = rd.from_arrow(facts).join(
+        rd.from_arrow(dim), "inner", 4, on=("k",))
+    want_tbl = pa.concat_tables(
+        list(joined.iter_batches(batch_format="pyarrow")))
+    ga = sorted(zip(got_tbl["k"].to_pylist(),
+                    [round(v, 12) for v in got_tbl["x"].to_pylist()],
+                    got_tbl["label"].to_pylist()))
+    wa = sorted(zip(want_tbl["k"].to_pylist(),
+                    [round(v, 12) for v in want_tbl["x"].to_pylist()],
+                    want_tbl["label"].to_pylist()))
+    assert ga == wa and len(ga) > 0
+    # left join: unmatched keys survive with NULL label
+    left = attach_broadcast(rd.from_arrow(facts), dim, "k", ["label"],
+                            how="left")
+    lt = pa.concat_tables(list(left.iter_batches(batch_format="pyarrow")))
+    assert len(lt) == len(facts)
+    n_unmatched = int((facts["k"].to_numpy() >= 35).sum())
+    assert lt["label"].null_count == n_unmatched
+
+
+def test_attach_broadcast_rejects_duplicate_dim_keys(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from light_curve_ray.stages.joins import attach_broadcast
+
+    facts = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    dim = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([1.0, 2.0])})
+    with pytest.raises(ValueError, match="duplicate"):
+        attach_broadcast(facts, dim, "k", ["v"])
+
+
+def test_top_k_by_key_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.topk import top_k_by_key
+
+    rng = np.random.RandomState(8)
+    n = 400
+    # coarse values force ties; id is the unique tie-break
+    tbl = pa.table({
+        "g": pa.array([f"g{rng.randint(0, 6)}" for _ in range(n)]),
+        "v": pa.array(rng.randint(0, 12, n).astype(np.float64)),
+        "id": pa.array(np.random.RandomState(9).permutation(n)
+                       .astype(np.int64)),
+    })
+    out = top_k_by_key(rd.from_arrow(tbl).repartition(7), ["g"], "v",
+                       k=5, tiebreak_col="id")
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    import collections
+    rows = collections.defaultdict(list)
+    for g, v, i in zip(tbl["g"].to_pylist(), tbl["v"].to_pylist(),
+                       tbl["id"].to_pylist()):
+        rows[g].append((-v, i))
+    want = {}
+    for g, lst in rows.items():
+        for rn, (_, i) in enumerate(sorted(lst)[:5], 1):
+            want[(g, i)] = rn
+    got_map = {(g, i): rn for g, i, rn in zip(
+        got["g"].to_pylist(), got["id"].to_pylist(),
+        got["rn"].to_pylist())}
+    assert got_map == want
+    # a group smaller than k returns all its rows
+    small = pa.table({"g": ["solo"], "v": [1.0],
+                      "id": pa.array([7], pa.int64())})
+    out2 = top_k_by_key(rd.from_arrow(small), ["g"], "v", k=5,
+                        tiebreak_col="id")
+    t2 = pa.concat_tables(list(out2.iter_batches(batch_format="pyarrow")))
+    assert len(t2) == 1 and t2["rn"][0].as_py() == 1
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.session import sessionize
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for u in range(8):
+        t = 0
+        for _ in range(rng.randint(5, 60)):
+            t += int(rng.choice([10, 50, 150, 999, 1000, 1001, 5000]))
+            rows.append((u, t))
+            if rng.rand() < 0.2:
+                rows.append((u, t))  # duplicate timestamp
+    tbl = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "t": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    gap = 1000  # exact-gap boundary: diff == 1000 must NOT break
+    out = sessionize(rd.from_arrow(tbl).repartition(6), ["u"], "t",
+                     gap_us=gap)
+    got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    import collections
+    per_user = collections.defaultdict(list)
+    for u, t in rows:
+        per_user[u].append(t)
+    want = {}
+    for u, ts in per_user.items():
+        ts.sort()
+        sid = 0
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > gap:
+                sid += 1
+                want[(u, sid)] = [t, t, 0]
+            want[(u, sid)][1] = t
+            want[(u, sid)][2] += 1
+            prev = t
+    got_map = {}
+    for i in range(len(got)):
+        key = (got["u"][i].as_py(), got["session_id"][i].as_py())
+        got_map[key] = [got["t_start_us"][i].as_py(),
+                        got["t_end_us"][i].as_py(),
+                        got["n_events"][i].as_py()]
+    assert got_map == want
