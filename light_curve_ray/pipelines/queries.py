@@ -1134,6 +1134,95 @@ def q_revenue_by_segment(sf_dir: str):
     return _collect(agg.map_batches(_final, batch_format="pyarrow"))
 
 
+_LS_T = 2_592_000.0  # 30 days in seconds: the events span; w_k = 2*pi*k/T
+_LS_NFREQ = 8
+
+PERIODOGRAM_SQL = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+),
+m AS (
+  SELECT event_type, MIN(t_us) AS t0, AVG(v) AS ybar, COUNT(*) AS n
+  FROM pts GROUP BY 1
+),
+f AS (SELECT unnest(generate_series(1, {_LS_NFREQ})) AS k),
+g AS (
+  SELECT p.event_type, f.k,
+    2.0 * PI() * f.k / {_LS_T} AS w,
+    (p.t_us - m.t0) / 1000000.0 AS t,
+    p.v - m.ybar AS d
+  FROM pts p JOIN m USING (event_type) CROSS JOIN f
+),
+tau AS (
+  SELECT event_type, k,
+    ATAN2(SUM(SIN(2.0 * w * t)), SUM(COS(2.0 * w * t)))
+      / (2.0 * ANY_VALUE(w)) AS tau,
+    ANY_VALUE(w) AS w
+  FROM g GROUP BY 1, 2
+),
+agg AS (
+  SELECT g.event_type, g.k,
+    SUM(g.d * COS(g.w * (g.t - tau.tau))) AS cd,
+    SUM(g.d * SIN(g.w * (g.t - tau.tau))) AS sd,
+    SUM(COS(g.w * (g.t - tau.tau)) * COS(g.w * (g.t - tau.tau))) AS cc,
+    SUM(SIN(g.w * (g.t - tau.tau)) * SIN(g.w * (g.t - tau.tau))) AS ss
+  FROM g JOIN tau USING (event_type, k) GROUP BY 1, 2
+),
+vr AS (
+  SELECT event_type, SUM(d * d) / (ANY_VALUE(m.n) - 1) AS s2
+  FROM g JOIN m USING (event_type) WHERE k = 1 GROUP BY 1
+)
+SELECT agg.event_type, CAST(agg.k AS BIGINT) AS k,
+  ROUND(0.5 * (cd * cd / cc + sd * sd / ss) / vr.s2, 6) AS power
+FROM agg JOIN vr USING (event_type)
+"""
+
+
+def q_periodogram(sf_dir: str):
+    """Distributed Lomb-Scargle periodogram (kernels/periodogram): the
+    classic irregular-sampling spectral statistic of the light-curve
+    world, per event series at 8 harmonics of the 30-day observation
+    span — series co-located by the same one keyed sort every per-series
+    kernel pays, power evaluated in one (freq x points) broadcast.
+    ORACLE-CHECKED against the identical tau-offset formula written in
+    pure SQL trig (same libm on both sides; 6-dp rounded)."""
+    from ..kernels.periodogram import lomb_scargle
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_pts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    omegas = 2.0 * np.pi * np.arange(1, _LS_NFREQ + 1) / _LS_T
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("k", pa.int64()), ("power", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t_us = group["t_us"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        # identical arithmetic to the SQL: (t_us - min) / 1e6, d = v - avg
+        t = (t_us - t_us.min()) / 1_000_000.0
+        p = lomb_scargle(t, v, omegas)
+        et = group["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * _LS_NFREQ, pa.string()),
+            "k": pa.array(np.arange(1, _LS_NFREQ + 1), pa.int64()),
+            "power": pa.array(p, pa.float64()),
+        }).cast(out_schema)
+
+    out = sorted_group_map(pts, ["event_type"], _one, out_schema)
+    return _collect(out)
+
+
 def q_interp_grid(sf_dir: str):
     """SURVEY §2b-O15: the reference's own end-to-end (R5+R6) as a query —
     per-series uniform linspace grid + reference-exact interpolation.
@@ -1827,6 +1916,7 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
+        "periodogram": q_periodogram,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
@@ -1908,6 +1998,7 @@ def build_oracle_sql() -> dict:
         "sessions": SESSIONS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
+        "periodogram": PERIODOGRAM_SQL,
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),

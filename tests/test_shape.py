@@ -77,3 +77,33 @@ def test_median_features():
     fc = shape_features(t, np.full(5, 7.0))
     assert fc["median_abs_deviation"] == 0.0
     assert fc["median_buffer_range_percentage"] == 0.0
+
+
+def test_lomb_scargle_finds_planted_period():
+    """A pure sine at grid frequency k0 must dominate the periodogram
+    (P ~ n/2 normalized), and the statistic must be invariant to time
+    translation (the tau offset's whole point)."""
+    import numpy as np
+
+    from light_curve_ray.kernels.periodogram import lomb_scargle
+
+    rng = np.random.RandomState(12)
+    T = 2_592_000.0
+    omegas = 2.0 * np.pi * np.arange(1, 9) / T
+    t = np.sort(rng.uniform(0, T, 400))
+    k0 = 5
+    v = 2.0 * np.sin(omegas[k0 - 1] * t + 0.7) + rng.normal(0, 0.3, 400)
+    p = lomb_scargle(t, v, omegas)
+    assert np.argmax(p) == k0 - 1
+    assert p[k0 - 1] > 5 * np.delete(p, k0 - 1).max()
+    # translation invariance (kernel shifts to t - min internally);
+    # modest shift: exact double arithmetic, bit-level identical
+    np.testing.assert_allclose(lomb_scargle(t + 1.0e7, v, omegas), p,
+                               rtol=1e-9)
+    # epoch-scale shift: t+9.9e14 costs ~0.1 s of double precision per
+    # sample, so only statistical agreement is expected
+    np.testing.assert_allclose(lomb_scargle(t + 9.9e14, v, omegas), p,
+                               rtol=0.05, atol=0.05)
+    # degenerate inputs
+    assert np.isnan(lomb_scargle(t[:1], v[:1], omegas)).all()
+    assert np.isnan(lomb_scargle(t[:5], np.full(5, 3.0), omegas)).all()
