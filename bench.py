@@ -63,6 +63,9 @@ def _pages_dir(n_pages: int) -> str:
                           "tools", "gen_corpus.py"),
              str(n_pages), f"{PAGE_KB:g}"],
             check=True, timeout=7200,
+            # the driver parses OUR stdout tail as one JSON line; never
+            # let the child write to the shared stdout pipe
+            stdout=subprocess.DEVNULL,
         )
     return d
 
@@ -186,7 +189,7 @@ def main_bench():
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
         "headline": headline,
-    }))
+    }, ), flush=True)
 
 
 def _warm_page_cache(d: str) -> None:

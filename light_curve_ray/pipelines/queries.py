@@ -982,6 +982,53 @@ def q_sessions(sf_dir: str):
     return _collect(out)
 
 
+CC_EVENTS_SQL = """
+SELECT event_id,
+       MIN(event_id) OVER (PARTITION BY user_id) AS component
+FROM events
+WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+def q_cc_events(sf_dir: str):
+    """Distributed connected components (stages/components: alternating
+    large-star/small-star over slim int64 edge pairs, exact star-check
+    stop rule) — ORACLE-CHECKED end to end: the edge fixture chains each
+    user's events consecutively (edge i->i+1 in event_id order, chains up
+    to hundreds of hops), the GENERIC component algorithm — which never
+    sees user_id — must rediscover exactly MIN(event_id) OVER (PARTITION
+    BY user_id), and isolated nodes (single-event users) label
+    themselves via attach_components."""
+    from ..stages.components import attach_components, connected_components
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_id", "user_id"])
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _chain_edges(batch: pa.Table) -> pa.Table:
+        """Whole-block kernel over user-sorted rows: consecutive
+        event_id pairs within each user run, vectorized."""
+        if len(batch) == 0:
+            return edge_schema.empty_table()
+        starts, ends = _runs(batch, ["user_id"])
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        inv = np.repeat(np.arange(len(starts)), ends - starts)
+        order = np.lexsort((ev, inv))
+        ev_s, inv_s = ev[order], inv[order]
+        adjacent = inv_s[1:] == inv_s[:-1]
+        return pa.table({"a": ev_s[:-1][adjacent],
+                         "b": ev_s[1:][adjacent]}, schema=edge_schema)
+
+    edges = sorted_group_map(ds, ["user_id"], None, edge_schema,
+                             block_fn=_chain_edges)
+    comps = connected_components(edges)
+    nodes = ds.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"]}),
+        batch_format="pyarrow")
+    return _collect(attach_components(nodes, "event_id", comps))
+
+
 TOPK_ORDERS_SQL = """
 SELECT c_mktsegment, o_orderkey, ROUND(total, 6) AS total,
        CAST(rn AS BIGINT) AS rn
@@ -1914,6 +1961,7 @@ def build_queries() -> dict:
         "quantile_events": q_quantile_events,
         "passage_dedup": q_passage_dedup,
         "sessions": q_sessions,
+        "cc_events": q_cc_events,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -1996,6 +2044,7 @@ def build_oracle_sql() -> dict:
         "quantile_events": QUANTILE_EVENTS_SQL,
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "sessions": SESSIONS_SQL,
+        "cc_events": CC_EVENTS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

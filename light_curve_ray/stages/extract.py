@@ -111,7 +111,13 @@ class FusedPagesToPointsStage:
                 # ~1000x smaller accumulated points, regardless of span
                 pf = pq.ParquetFile(path)
                 for rg in range(s, e):
-                    pages = pf.read_row_group(rg, columns=self.columns)
+                    # use_threads=False: each worker decodes its OWN row
+                    # group single-threaded — the pool is already one
+                    # worker per core, and Arrow's default per-process
+                    # thread pool (ncpu threads x 31 workers) oversubscribes
+                    # the box ~30x (measured 3x per-page CPU inflation)
+                    pages = pf.read_row_group(rg, columns=self.columns,
+                                              use_threads=False)
                     outs.append(pages_to_points(self.extract(pages)))
         return pa.concat_tables(outs)
 

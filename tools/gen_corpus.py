@@ -54,12 +54,16 @@ def main():
         jobs.append((out_dir, shard,
                      min(ROWS_PER_FILE, n_pages - start), 42, page_kb))
         shard += 1
+    # progress goes to STDERR: bench.py runs this as a subprocess with an
+    # inherited stdout, and the driver parses bench stdout's tail as ONE
+    # JSON line — a late-flushed "done:" on the shared pipe corrupted a
+    # captured bench line once (round-3 session)
     with mp.Pool(n_procs) as pool:
         for i, _ in enumerate(pool.imap_unordered(_one_shard, jobs)):
             if i % 100 == 0:
-                print(f"{i}/{len(jobs)} shards", flush=True)
+                print(f"{i}/{len(jobs)} shards", file=sys.stderr, flush=True)
     open(os.path.join(out_dir, "_DONE"), "w").write("ok")
-    print("done:", out_dir)
+    print("done:", out_dir, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
