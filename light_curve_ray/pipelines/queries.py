@@ -982,6 +982,35 @@ def q_sessions(sf_dir: str):
     return _collect(out)
 
 
+def _split_sample_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {hash_bucket_sql('doc_id', 0)} < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+WHERE {hash_bucket_sql('doc_id', 1)} < 30
+"""
+
+
+def q_split_sample(sf_dir: str):
+    """Deterministic corpus subsampling + train/test split
+    (stages/sampling): pure stateless map projections — no shuffle, no
+    randomness, every doc lands in the same bucket at any cluster size —
+    ORACLE-CHECKED bit-for-bit against the HUGEINT SQL mirror of the
+    Knuth multiplicative hash."""
+    import ray.data as rd
+
+    from ..stages.sampling import attach_split, hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = attach_split(hash_sample(ds, "doc_id", 30, salt=1),
+                       "doc_id", train_pct=80, salt=0)
+    return _collect(out)
+
+
 CC_EVENTS_SQL = """
 SELECT event_id,
        MIN(event_id) OVER (PARTITION BY user_id) AS component
@@ -1962,6 +1991,7 @@ def build_queries() -> dict:
         "passage_dedup": q_passage_dedup,
         "sessions": q_sessions,
         "cc_events": q_cc_events,
+        "split_sample": q_split_sample,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2045,6 +2075,7 @@ def build_oracle_sql() -> dict:
         "passage_dedup": PASSAGE_DEDUP_SQL,
         "sessions": SESSIONS_SQL,
         "cc_events": CC_EVENTS_SQL,
+        "split_sample": _split_sample_sql(),
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
