@@ -982,6 +982,39 @@ def q_sessions(sf_dir: str):
     return _collect(out)
 
 
+TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT lang, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+SELECT lang, term, n, rn FROM (
+  SELECT lang, term, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, term) AS rn
+  FROM counts)
+WHERE rn <= 10
+"""
+
+
+def q_top_terms(sf_dir: str):
+    """Distributed wordcount + grouped top-k (stages/wordcount): Arrow
+    C-speed tokenize + per-block combiner (the partial-aggregation
+    discipline — distinct (lang,term) partials leave the block, never
+    raw tokens), ONE keyed merge exchange, block-local top-k candidate
+    pruning; ORACLE-CHECKED against the UNNEST/ROW_NUMBER SQL."""
+    import ray.data as rd
+
+    from ..stages.wordcount import top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return _collect(top_terms(ds, ["lang"], "text", k=10))
+
+
 def _split_sample_sql() -> str:
     from ..stages.sampling import hash_bucket_sql
 
@@ -1992,6 +2025,7 @@ def build_queries() -> dict:
         "sessions": q_sessions,
         "cc_events": q_cc_events,
         "split_sample": q_split_sample,
+        "top_terms": q_top_terms,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2076,6 +2110,7 @@ def build_oracle_sql() -> dict:
         "sessions": SESSIONS_SQL,
         "cc_events": CC_EVENTS_SQL,
         "split_sample": _split_sample_sql(),
+        "top_terms": TOP_TERMS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

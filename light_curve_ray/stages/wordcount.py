@@ -1,0 +1,86 @@
+"""Distributed term counting (wordcount) + top terms per group — the
+vocabulary/term-frequency pass of a text-corpus pipeline (stopword
+discovery, domain-vocabulary drift, TF tables for quality scoring).
+
+Topology (the classic combiner discipline, SURVEY §4):
+
+1. tokenize + PARTIAL COUNT inside each ``map_batches`` block — Arrow
+   C-speed end to end (utf8_lower -> split_pattern_regex ->
+   list_flatten -> hash group-by within the block).  A 6 KB doc yields
+   ~1k tokens but only ~300 distinct (lang, term) partials, so the
+   combiner shrinks the exchange ~3-4x before anything moves;
+2. ONE keyed exchange on (group, term) merges partials (sorted runs +
+   np.add.reduceat — no per-group dispatch);
+3. optional grouped top-k via stages/topk (block-local candidate
+   pruning first: at most k rows per group leave any block).
+
+Tokenization contract (shared with the DuckDB oracle): lowercase, split
+on ``[^a-z0-9]+`` (RE2 semantics on both sides), drop empty tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sorted_groups import _runs, sorted_group_map
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _tokenize_count_block(batch: pa.Table, key_cols: list,
+                          text_col: str) -> pa.Table:
+    """One block: explode tokens, count per (keys..., term) locally."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                  TOKEN_SPLIT_RE)
+    lens = pc.list_value_length(toks)
+    lens_np = lens.to_numpy(zero_copy_only=False)
+    lens_np = np.where(np.isnan(lens_np), 0, lens_np).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    cols = {c: batch[c].take(pa.array(np.repeat(
+        np.arange(len(batch), dtype=np.int64), lens_np)))
+        for c in key_cols}
+    cols["term"] = flat
+    tbl = pa.table(cols)
+    tbl = tbl.filter(pc.not_equal(tbl["term"], ""))
+    grouped = tbl.group_by(key_cols + ["term"]).aggregate([
+        ("term", "count")])
+    return grouped.rename_columns(key_cols + ["term", "n"])
+
+
+def term_counts(ds, key_cols: list, text_col: str = "text"):
+    """Dataset(... text ...) -> Dataset(keys..., term, n:int64) with n =
+    corpus-wide token count per (keys, term)."""
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    out_schema = pa.schema([(c, types[c]) for c in key_cols]
+                           + [("term", pa.string()), ("n", pa.int64())])
+
+    partials = ds.map_batches(
+        lambda t: _tokenize_count_block(t, key_cols, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, key_cols + ["term"])
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.add.reduceat(n, starts)
+        idx = pa.array(starts, pa.int64())
+        cols = {c: batch[c].take(idx) for c in key_cols + ["term"]}
+        cols["n"] = pa.array(sums, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return sorted_group_map(partials, key_cols + ["term"], None,
+                            out_schema, block_fn=_merge)
+
+
+def top_terms(ds, key_cols: list, text_col: str = "text", k: int = 10):
+    """Top-k most frequent terms per key group, ROW_NUMBER-ranked with
+    (count DESC, term ASC) — the fully-specified deterministic order."""
+    from .topk import top_k_by_key
+
+    counts = term_counts(ds, key_cols, text_col)
+    return top_k_by_key(counts, key_cols, "n", k,
+                        tiebreak_col="term", descending=True)

@@ -1,0 +1,65 @@
+"""Wordcount + top terms (stages/wordcount) vs in-process oracles."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+
+def _brute_counts(rows):
+    c = Counter()
+    for lang, text in rows:
+        if text is None:
+            continue
+        for t in re.split("[^a-z0-9]+", text.lower()):
+            if t:
+                c[(lang, t)] += 1
+    return c
+
+
+def test_term_counts_vs_brute(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import term_counts
+
+    rows = [("en", "The cat and the hat!"),
+            ("en", "Cat, CAT... 42 cats"),
+            ("fr", "le chat; le chat, le"),
+            ("fr", None),
+            ("de", "")]
+    tbl = pa.table({"lang": [r[0] for r in rows],
+                    "text": [r[1] for r in rows]})
+    out = term_counts(rd.from_arrow(tbl).repartition(3),
+                      ["lang"], "text").to_pandas()
+    got = {(r.lang, r.term): r.n for r in out.itertuples()}
+    assert got == dict(_brute_counts(rows))
+
+
+def test_top_terms_rank_deterministic_on_ties(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import top_terms
+
+    # every term appears exactly twice -> full tie, order must be
+    # alphabetical (the ROW_NUMBER tie-break contract)
+    tbl = pa.table({"lang": ["en", "en"],
+                    "text": ["zeta alpha mid", "mid zeta alpha"]})
+    out = top_terms(rd.from_arrow(tbl), ["lang"], "text",
+                    k=2).to_pandas().sort_values("rn")
+    assert list(out["term"]) == ["alpha", "mid"]
+    assert list(out["rn"]) == [1, 2]
+    assert list(out["n"]) == [2, 2]
+
+
+def test_combiner_partials_smaller_than_tokens(ray_session):
+    """The block combiner must emit distinct (lang, term) rows, not raw
+    tokens — the scale property the exchange depends on."""
+    from light_curve_ray.stages.wordcount import _tokenize_count_block
+
+    text = " ".join(["word%d" % (i % 20) for i in range(1000)])
+    t = pa.table({"lang": ["en"], "text": [text]})
+    out = _tokenize_count_block(t, ["lang"], "text")
+    assert len(out) == 20  # 1000 tokens -> 20 partial rows
+    assert out["n"].to_pylist() == [50] * 20
