@@ -982,6 +982,64 @@ def q_sessions(sf_dir: str):
     return _collect(out)
 
 
+DEDUP_COMPONENTS_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS component
+FROM aug
+"""
+
+
+def q_dedup_components(sf_dir: str):
+    """Dedup GROUP discovery end-to-end: exact-dup CHAIN edges (k-copy
+    group ships k-1 edges, stages/dedup.exact_dup_chain_edges) ->
+    generic connected components (stages/components) -> every doc
+    labelled with its group's min id, singletons labelling themselves
+    via attach_components.  ORACLE-CHECKED against MIN(doc_id) OVER
+    (PARTITION BY text) on a corpus of singletons + planted triples —
+    the transitive closure must be rediscovered from pairwise edges
+    alone."""
+    import ray.data as rd
+
+    from ..stages.components import attach_components, connected_components
+    from ..stages.dedup import exact_dup_chain_edges
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and ids.max() >= 100_000:
+            # fixture offsets collide with real ids beyond this corpus
+            # size; both sides hard-code them, so fail loudly
+            raise ValueError(
+                "dedup_components fixture assumes doc_id < 100000")
+        texts = batch["text"]
+        sel = np.nonzero(ids % 3 == 0)[0]
+        idx = pa.array(sel, pa.int64())
+        copies = texts.take(idx)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids, ids[sel] + 100_000, ids[sel] + 300_000]), pa.int64()),
+            "text": pa.concat_arrays(
+                [texts.combine_chunks(), copies.combine_chunks(),
+                 copies.combine_chunks()]),
+        })
+
+    aug = ds.map_batches(_augment, batch_format="pyarrow")
+    edges = exact_dup_chain_edges(aug)
+    comps = connected_components(edges)
+    nodes = aug.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    return _collect(attach_components(nodes, "doc_id", comps))
+
+
 TOP_TERMS_SQL = """
 WITH toks AS (
   SELECT lang, t.term
@@ -2026,6 +2084,7 @@ def build_queries() -> dict:
         "cc_events": q_cc_events,
         "split_sample": q_split_sample,
         "top_terms": q_top_terms,
+        "dedup_components": q_dedup_components,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2111,6 +2170,7 @@ def build_oracle_sql() -> dict:
         "cc_events": CC_EVENTS_SQL,
         "split_sample": _split_sample_sql(),
         "top_terms": TOP_TERMS_SQL,
+        "dedup_components": DEDUP_COMPONENTS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

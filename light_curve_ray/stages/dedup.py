@@ -90,6 +90,40 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns([id_col, "n_copies"])
 
 
+def exact_dup_chain_edges(ds, id_col: str = "doc_id",
+                          text_col: str = "text"):
+    """Duplicate-pair EDGES for component clustering: within each
+    identical-text group, consecutive id pairs in id order — a CHAIN, not
+    a clique, so a k-copy group ships k-1 edges (not k^2/2) and the
+    downstream connected-components stage (stages/components) does the
+    transitive closure.  One 16-byte-row keyed exchange on the text
+    fingerprint."""
+    from .sorted_groups import _runs, sorted_group_map
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        return add_fingerprint(batch, id_col, text_col)
+
+    keyed = ds.map_batches(_fp, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _chains(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return edge_schema.empty_table()
+        starts, ends = _runs(batch, ["fp"])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        inv = np.repeat(np.arange(len(starts)), ends - starts)
+        order = np.lexsort((ids, inv))
+        ids_s, inv_s = ids[order], inv[order]
+        adjacent = inv_s[1:] == inv_s[:-1]
+        return pa.table({"a": ids_s[:-1][adjacent],
+                         "b": ids_s[1:][adjacent]}, schema=edge_schema)
+
+    return sorted_group_map(keyed, ["fp"], None, edge_schema,
+                            block_fn=_chains)
+
+
 def exact_dedup_filter(ds, id_col: str = "doc_id", text_col: str = "text",
                        num_partitions: int | None = None):
     """Corpus-level dedup: the corpus restricted to each distinct text's
