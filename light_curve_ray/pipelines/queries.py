@@ -982,6 +982,47 @@ def q_sessions(sf_dir: str):
     return _collect(out)
 
 
+TFIDF_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+dt AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, term,
+         ROUND(n * LN((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM dt JOIN dfs USING (term), nd
+)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM sc)
+WHERE rn <= 3
+"""
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-document TF-IDF top terms (stages/wordcount.tfidf_top_terms):
+    document frequency computed and attached inside ONE term-keyed
+    exchange (term_counts rows are distinct per (doc, term), so df is
+    the run length — no df table, no join), smoothed IDF with the
+    driver-scalar corpus size, grouped top-3 on the 6-dp-rounded score;
+    ORACLE-CHECKED against the two-CTE SQL derivation."""
+    import ray.data as rd
+
+    from ..stages.wordcount import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(tfidf_top_terms(ds, "doc_id", "text", k=3))
+
+
 DEDUP_COMPONENTS_SQL = """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -2085,6 +2126,7 @@ def build_queries() -> dict:
         "split_sample": q_split_sample,
         "top_terms": q_top_terms,
         "dedup_components": q_dedup_components,
+        "tfidf_terms": q_tfidf_terms,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2171,6 +2213,7 @@ def build_oracle_sql() -> dict:
         "split_sample": _split_sample_sql(),
         "top_terms": TOP_TERMS_SQL,
         "dedup_components": DEDUP_COMPONENTS_SQL,
+        "tfidf_terms": TFIDF_TERMS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

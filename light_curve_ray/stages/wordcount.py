@@ -76,6 +76,57 @@ def term_counts(ds, key_cols: list, text_col: str = "text"):
                             out_schema, block_fn=_merge)
 
 
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, round6=None):
+    """Top-k TF-IDF terms per document:
+    ``tfidf = tf * ln((N + 1) / (df + 1))`` (smoothed IDF).
+
+    Document frequency is computed AND attached in ONE term-keyed
+    exchange: term_counts' output is already distinct per (doc, term),
+    so within each term run df is simply the run length — no separate
+    df table, no join.  N (corpus size) is a driver-side scalar.
+    Ranking uses the 6-dp-rounded score (the shared engine/oracle
+    rounding contract) with the term as the deterministic tie-break."""
+    n_docs = ds.count()
+
+    counts = term_counts(ds, [id_col], text_col)
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("term", pa.string()),
+                            ("n", pa.int64()), ("df", pa.int64())])
+
+    def _attach_df(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["term"])
+        df = np.repeat(ends - starts, ends - starts).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "term": batch["term"],
+                         "n": batch["n"],
+                         "df": pa.array(df, pa.int64())},
+                        schema=out_schema)
+
+    with_df = sorted_group_map(counts, ["term"], None, out_schema,
+                               block_fn=_attach_df)
+
+    if round6 is None:
+        from ..kernels.rounding import round6_tie_robust as round6
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # operation order mirrors the SQL oracle exactly:
+        # n * LN((N + 1.0) / (df + 1.0))
+        score = n * np.log((n_docs + 1.0) / (df + 1.0))
+        return pa.table({id_col: batch[id_col], "term": batch["term"],
+                         "tfidf": pa.array(round6(score), pa.float64())})
+
+    scored = with_df.map_batches(_score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    from .topk import top_k_by_key
+
+    return top_k_by_key(scored, [id_col], "tfidf", k,
+                        tiebreak_col="term", descending=True)
+
+
 def top_terms(ds, key_cols: list, text_col: str = "text", k: int = 10):
     """Top-k most frequent terms per key group, ROW_NUMBER-ranked with
     (count DESC, term ASC) — the fully-specified deterministic order."""

@@ -63,3 +63,33 @@ def test_combiner_partials_smaller_than_tokens(ray_session):
     out = _tokenize_count_block(t, ["lang"], "text")
     assert len(out) == 20  # 1000 tokens -> 20 partial rows
     assert out["n"].to_pylist() == [50] * 20
+
+
+def test_tfidf_vs_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import tfidf_top_terms
+
+    rows = [(1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry dates")]
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows]})
+    out = tfidf_top_terms(rd.from_arrow(tbl).repartition(2),
+                          k=2).to_pandas()
+
+    tf = _brute_counts([(r[0], r[1]) for r in rows])
+    df = Counter(t for (_, t) in tf)
+    n_docs = len(rows)
+    brute = {}
+    for (d, t), n in tf.items():
+        brute[(d, t)] = n * math.log((n_docs + 1.0) / (df[t] + 1.0))
+    for d in (1, 2, 3):
+        mine = sorted(((v, k[1]) for k, v in brute.items() if k[0] == d),
+                      key=lambda x: (-x[0], x[1]))[:2]
+        got = out[out["doc_id"] == d].sort_values("rn")
+        assert list(got["term"]) == [t for _, t in mine]
+        for (v, _), g in zip(mine, got["tfidf"]):
+            assert abs(v - g) < 1e-5
