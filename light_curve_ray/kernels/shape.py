@@ -97,3 +97,56 @@ def shape_features(t_us: np.ndarray, v: np.ndarray) -> dict:
     if valid.any():
         out["maximum_slope"] = float(np.abs(dv[valid] / dt[valid]).max())
     return out
+
+
+OTSU_FEATURES = ("n", "otsu_mean_diff", "otsu_std_lower",
+                 "otsu_std_upper", "otsu_lower_ratio")
+
+
+def otsu_split(v: np.ndarray) -> dict:
+    """OtsuSplit (Otsu 1979 thresholding, in the light-curve-feature
+    catalog per Malanchev et al. 2021): split the sorted values at the
+    boundary maximizing the between-class variance
+    w0*w1*(mu0-mu1)^2 (equivalently d*d*i*(n-i) with prefix-sum means —
+    the /n^2 constant is monotone and dropped on BOTH sides), then report
+
+    - ``otsu_mean_diff``:  mu_upper - mu_lower at the chosen split,
+      computed FROM THE SAME prefix-sum expression the argmax used
+      (exactly what the SQL oracle outputs);
+    - ``otsu_std_lower`` / ``otsu_std_upper``: sample std of each class
+      (NULL when the class has < 2 points — VAR_SAMP semantics);
+    - ``otsu_lower_ratio``: lower-class fraction i/n.
+
+    Argmax determinism across engines: the criterion is rounded at 9
+    SIGNIFICANT digits (kernels/rounding.round_sig_away — the SQL mirror
+    is pipelines/queries._sig_round_sql) before comparison, ties resolve
+    to the smallest split index; prefix sums are SEQUENTIAL on both
+    sides (np.cumsum here, ROWS UNBOUNDED PRECEDING running sum there),
+    so the candidate values agree bit-for-bit given the same sorted
+    multiset."""
+    from .rounding import round_sig_away
+
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+    out = {"n": int(n), "otsu_mean_diff": np.nan,
+           "otsu_std_lower": np.nan, "otsu_std_upper": np.nan,
+           "otsu_lower_ratio": np.nan}
+    if n < 2:
+        return out
+    x = np.sort(v)
+    cum = np.cumsum(x)
+    total = cum[-1]
+    i = np.arange(1, n, dtype=np.float64)
+    cpre = cum[:-1]
+    d = cpre / i - (total - cpre) / (n - i)
+    crit = d * d * i * (n - i)
+    # 9-significant-digit rounding collapses engine-vs-oracle ulps
+    # BEFORE the argmax; ties -> smallest i (np.argmax takes the first)
+    i_star = int(np.argmax(round_sig_away(crit, 9))) + 1
+    out["otsu_mean_diff"] = float(-d[i_star - 1])
+    out["otsu_lower_ratio"] = float(i_star) / n
+    if i_star >= 2:
+        out["otsu_std_lower"] = float(np.std(x[:i_star], ddof=1))
+    if n - i_star >= 2:
+        out["otsu_std_upper"] = float(np.std(x[i_star:], ddof=1))
+    return out

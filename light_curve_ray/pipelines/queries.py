@@ -671,6 +671,96 @@ def q_shape_features(sf_dir: str):
     return _collect(feats)
 
 
+def _otsu_sql(points_sql: str) -> str:
+    """OtsuSplit oracle: sequential prefix sums over the v-sorted series
+    (the SAME running-sum arithmetic as the kernel's np.cumsum), the
+    between-class criterion rounded at 9 significant digits before the
+    argmax (mirrors kernels/rounding.round_sig_away), class stds via
+    VAR_SAMP (NULL below 2 points, matching the kernel)."""
+    crit9 = _sig_round_sql("(d * d * rn * (n - rn))", 9)
+    return f"""
+WITH pts AS ({points_sql}),
+m AS (SELECT lang, domain, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+s AS (
+  SELECT lang, domain, v,
+    SUM(v) OVER (PARTITION BY lang, domain ORDER BY v, t_us
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    ROW_NUMBER() OVER (PARTITION BY lang, domain ORDER BY v, t_us) AS rn
+  FROM pts
+),
+tot AS (
+  SELECT s.lang, s.domain, s.cum AS total
+  FROM s JOIN m USING (lang, domain) WHERE s.rn = m.n
+),
+c AS (
+  SELECT s.lang, s.domain, s.rn, m.n,
+         (s.cum / s.rn - (tot.total - s.cum) / (m.n - s.rn)) AS d
+  FROM s JOIN m USING (lang, domain) JOIN tot USING (lang, domain)
+  WHERE s.rn < m.n
+),
+w AS (
+  SELECT lang, domain, rn AS i_star, -d AS mean_diff FROM (
+    SELECT lang, domain, rn, d,
+           ROW_NUMBER() OVER (PARTITION BY lang, domain
+                              ORDER BY {crit9} DESC, rn) AS pick
+    FROM c) WHERE pick = 1
+),
+f AS (
+  SELECT s.lang, s.domain,
+         STDDEV_SAMP(CASE WHEN s.rn <= w.i_star THEN s.v END) AS sd_lo,
+         STDDEV_SAMP(CASE WHEN s.rn >  w.i_star THEN s.v END) AS sd_hi
+  FROM s JOIN w USING (lang, domain) GROUP BY 1, 2
+)
+SELECT m.lang, m.domain, m.n,
+  CASE WHEN m.n < 2 THEN NULL
+       ELSE ROUND(w.mean_diff, 6) END AS otsu_mean_diff,
+  ROUND(f.sd_lo, 6) AS otsu_std_lower,
+  ROUND(f.sd_hi, 6) AS otsu_std_upper,
+  CASE WHEN m.n < 2 THEN NULL
+       ELSE ROUND(CAST(w.i_star AS DOUBLE) / m.n, 6) END
+    AS otsu_lower_ratio
+FROM m LEFT JOIN w USING (lang, domain) LEFT JOIN f USING (lang, domain)
+"""
+
+
+def q_otsu_split(sf_dir: str):
+    """OtsuSplit feature (kernels/shape.otsu_split — the light-curve-
+    feature catalog's thresholding feature) per series, on the same
+    sorted-series exchange as shape_features; ORACLE-CHECKED against the
+    prefix-sum window SQL with a 9-significant-digit argmax contract."""
+    from ..kernels.shape import otsu_split
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()), ("n", pa.int64()),
+        ("otsu_mean_diff", pa.float64()),
+        ("otsu_std_lower", pa.float64()),
+        ("otsu_std_upper", pa.float64()),
+        ("otsu_lower_ratio", pa.float64()),
+    ])
+
+    def _one(group: pa.Table) -> pa.Table:
+        feats = otsu_split(group["v"].to_numpy(zero_copy_only=False))
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([feats["n"]], pa.int64()),
+        }
+        for f in ("otsu_mean_diff", "otsu_std_lower", "otsu_std_upper",
+                  "otsu_lower_ratio"):
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
 def _sliding_sql(points_sql: str, step_us: int, window: int) -> str:
     """Trailing-range window oracle: every window recomputed TWO-PASS
     from raw points via a range join (the oracle's luxury; the engine
@@ -2132,6 +2222,7 @@ def build_queries() -> dict:
         "periodogram": q_periodogram,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
+        "otsu_split": q_otsu_split,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
         "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,
@@ -2220,6 +2311,7 @@ def build_oracle_sql() -> dict:
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
+        "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "pages_dedup_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),

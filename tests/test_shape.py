@@ -107,3 +107,42 @@ def test_lomb_scargle_finds_planted_period():
     # degenerate inputs
     assert np.isnan(lomb_scargle(t[:1], v[:1], omegas)).all()
     assert np.isnan(lomb_scargle(t[:5], np.full(5, 3.0), omegas)).all()
+
+
+def test_otsu_split_brute():
+    import numpy as np
+
+    from light_curve_ray.kernels.shape import otsu_split
+
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        n = int(rng.integers(2, 60))
+        v = np.round(rng.normal(size=n) * rng.choice([0.1, 1, 100]), 4)
+        got = otsu_split(v)
+        x = np.sort(v)
+        best, besti = None, None
+        for i in range(1, n):
+            mu0, mu1 = x[:i].mean(), x[i:].mean()
+            c = (mu0 - mu1) ** 2 * i * (n - i)
+            if best is None or c > best + 1e-9 * max(1.0, abs(best)):
+                best, besti = c, i
+        assert abs(got["otsu_lower_ratio"] - besti / n) < 1e-12
+        assert abs(got["otsu_mean_diff"]
+                   - (x[besti:].mean() - x[:besti].mean())) < 1e-9
+
+
+def test_otsu_split_edge_cases():
+    import numpy as np
+
+    from light_curve_ray.kernels.shape import otsu_split
+
+    const = otsu_split(np.array([5.0, 5.0, 5.0, 5.0]))
+    assert const["otsu_lower_ratio"] == 0.25  # all-zero crit -> first i
+    assert const["otsu_mean_diff"] == 0.0
+    assert np.isnan(const["otsu_std_lower"])  # class of 1
+    assert const["otsu_std_upper"] == 0.0
+    single = otsu_split(np.array([1.0]))
+    assert np.isnan(single["otsu_mean_diff"])
+    two = otsu_split(np.array([1.0, 3.0]))
+    assert two["otsu_mean_diff"] == 2.0
+    assert two["otsu_lower_ratio"] == 0.5
