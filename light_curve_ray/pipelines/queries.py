@@ -1982,6 +1982,49 @@ def q_dedup_embedding(sf_dir: str):
     return _collect(pairs)
 
 
+EMBEDDING_COMPONENTS_SQL = """
+WITH RECURSIVE
+nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+e AS (
+  SELECT a.vec_id AS s, b.vec_id AS t
+  FROM nv a JOIN nv b
+  ON a.vec_id <> b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.4
+),
+reach(s, t) AS (
+  SELECT vec_id, vec_id FROM nv
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+)
+SELECT s AS vec_id, MIN(t) AS component FROM reach GROUP BY s
+"""
+
+
+def q_embedding_components(sf_dir: str):
+    """Near-duplicate GROUPS over DATA-DRIVEN similarity edges: cosine
+    pairs at tau=0.4 (stages/similarity.embedding_pairs — the same
+    boundary the green dedup_embedding query pins) clustered by the
+    generic components stage; ORACLE-CHECKED against a recursive-CTE
+    transitive closure — an INDEPENDENT closure algorithm (path
+    enumeration) agreeing with the star-contraction labels on real
+    multi-hop components (sizes up to ~8 at sf0.01, ~75 at sf0.1)."""
+    import ray.data as rd
+
+    from ..stages.components import attach_components, connected_components
+    from ..stages.similarity import embedding_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = embedding_pairs(ds, tau=0.4)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["vec_a"], "b": t["vec_b"]}),
+        batch_format="pyarrow")
+    comps = connected_components(edges)
+    nodes = ds.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"]}),
+        batch_format="pyarrow")
+    return _collect(attach_components(nodes, "vec_id", comps))
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -2236,6 +2279,7 @@ def build_queries() -> dict:
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
         "dedup_embedding": q_dedup_embedding,
+        "embedding_components": q_embedding_components,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -2323,6 +2367,7 @@ def build_oracle_sql() -> dict:
         # same equal-text self-join: Hamming(identical texts) = 0
         "dedup_simhash_recall_floor": LSH_RECALL_FLOOR_SQL,
         "dedup_embedding": DEDUP_EMBEDDING_SQL,
+        "embedding_components": EMBEDDING_COMPONENTS_SQL,
         "ann_topk": ANN_TOPK_SQL,
         # exhaustive-probe IVF is exact, so the brute-force oracle applies
         "ann_topk_ivf_full": ANN_TOPK_SQL,
