@@ -1113,6 +1113,38 @@ def q_tfidf_terms(sf_dir: str):
     return _collect(tfidf_top_terms(ds, "doc_id", "text", k=3))
 
 
+DOC_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM tc)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(CAST(tc.n AS DOUBLE) / tot.t)), 6) AS avg_logp
+FROM toks JOIN tc USING (term), tot
+GROUP BY doc_id
+"""
+
+
+def q_doc_logprob(sf_dir: str):
+    """Unigram language-model quality score per document
+    (stages/wordcount.unigram_logprob_scores): corpus unigram table via
+    the combiner wordcount, log-probs broadcast ONCE (ray.put sorted
+    vocab + searchsorted lookup — never re-shipped per batch), stateless
+    scoring map; ORACLE-CHECKED against the UNNEST + join SQL."""
+    import ray.data as rd
+
+    from ..stages.wordcount import unigram_logprob_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(unigram_logprob_scores(ds, "doc_id", "text"))
+
+
 DEDUP_COMPONENTS_SQL = """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -2260,6 +2292,7 @@ def build_queries() -> dict:
         "top_terms": q_top_terms,
         "dedup_components": q_dedup_components,
         "tfidf_terms": q_tfidf_terms,
+        "doc_logprob": q_doc_logprob,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2349,6 +2382,7 @@ def build_oracle_sql() -> dict:
         "top_terms": TOP_TERMS_SQL,
         "dedup_components": DEDUP_COMPONENTS_SQL,
         "tfidf_terms": TFIDF_TERMS_SQL,
+        "doc_logprob": DOC_LOGPROB_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

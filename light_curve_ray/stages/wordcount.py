@@ -127,6 +127,83 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
                         tiebreak_col="term", descending=True)
 
 
+def unigram_logprob_scores(ds, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           vocab_limit: int = 20_000_000, round6=None):
+    """Per-document mean log unigram probability — the language-model
+    quality score a corpus filter thresholds on (a doc of globally-rare
+    tokens scores low; boilerplate scores high).
+
+    Two phases:
+
+    1. corpus unigram table (term, n) via :func:`term_counts` (block
+       combiners + one keyed exchange), converted to log-probs
+       ``ln(n / T)`` once;
+    2. the vocab ships to every worker as ONE broadcast object
+       (``ray.put`` of a sorted term array + logp array; looked up with
+       vectorized ``np.searchsorted`` — never re-shipped per batch),
+       and each doc scores in a stateless map.  Broadcast assumption,
+       documented: a unigram vocab is corpus-sublinear (Heaps' law —
+       ~millions of distinct terms at web scale, <1 GB as Arrow
+       strings); ``vocab_limit`` fails loudly if violated.
+
+    Docs with zero tokens produce NO output row (the SQL GROUP BY
+    contract).  Every token is present in the vocab by construction
+    (same corpus, same tokenizer)."""
+    import ray
+
+    from .joins import collect_small
+
+    counts = term_counts(ds, [], text_col)
+    vocab = collect_small(counts, max_rows=vocab_limit)
+    n = vocab["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(n.sum())
+    terms = np.asarray(vocab["term"].to_pylist())
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    logp = np.log(n[order] / total)  # LN(CAST(n AS DOUBLE) / t)
+    ref = ray.put((terms_sorted, logp))
+
+    if round6 is None:
+        from ..kernels.rounding import round6_tie_robust as round6
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("avg_logp", pa.float64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ts, lp = _ray.get(ref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                      TOKEN_SPLIT_RE)
+        lens_np = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False)
+        lens_np = np.where(np.isnan(lens_np), 0, lens_np).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist())
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            lens_np)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) == 0:
+            return out_schema.empty_table()
+        pos = np.searchsorted(ts, flat)
+        tok_lp = lp[pos]
+        n_docs = len(batch)
+        sums = np.bincount(doc_idx, weights=tok_lp, minlength=n_docs)
+        cnts = np.bincount(doc_idx, minlength=n_docs)
+        present = cnts > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[present]
+        avg = sums[present] / cnts[present]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(cnts[present], pa.int64()),
+                         "avg_logp": pa.array(round6(avg), pa.float64())},
+                        schema=out_schema)
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def top_terms(ds, key_cols: list, text_col: str = "text", k: int = 10):
     """Top-k most frequent terms per key group, ROW_NUMBER-ranked with
     (count DESC, term ASC) — the fully-specified deterministic order."""

@@ -93,3 +93,29 @@ def test_tfidf_vs_brute(ray_session):
         assert list(got["term"]) == [t for _, t in mine]
         for (v, _), g in zip(mine, got["tfidf"]):
             assert abs(v - g) < 1e-5
+
+
+def test_unigram_logprob_vs_brute(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import unigram_logprob_scores
+
+    rows = [(1, "aa bb aa"), (2, "bb cc"), (3, "!!"), (4, "aa")]
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows]})
+    out = unigram_logprob_scores(
+        rd.from_arrow(tbl).repartition(2)).to_pandas()
+    # corpus: aa x3, bb x2, cc x1 -> T=6
+    lp = {"aa": math.log(3 / 6), "bb": math.log(2 / 6),
+          "cc": math.log(1 / 6)}
+    expect = {1: (3, (2 * lp["aa"] + lp["bb"]) / 3),
+              2: (2, (lp["bb"] + lp["cc"]) / 2),
+              4: (1, lp["aa"])}
+    got = {int(r.doc_id): (int(r.n_tokens), float(r.avg_logp))
+           for r in out.itertuples()}
+    assert set(got) == set(expect)  # doc 3 (no tokens) absent
+    for d, (n, v) in expect.items():
+        assert got[d][0] == n
+        assert abs(got[d][1] - v) < 1e-5
