@@ -115,6 +115,32 @@ def _small_star_block(batch: pa.Table) -> pa.Table:
                     schema=_EDGE_SCHEMA)
 
 
+def _cc_in_process(edge_tbl: pa.Table, max_rounds: int):
+    """The SAME star loop on a driver-local table — identical kernels
+    (_fused_large_star_block etc.), local sorts instead of exchanges.
+    A path graph needs ~log2(diameter) rounds of 3 passes each; at
+    ~0.5-1 s of fixed Ray overhead per pass, an under-gate graph spent
+    ~95% of its wall on dispatch (measured 38 s for a 100k-node chain
+    fixture at sf0.1 -> ~1 s here).  Parity with the distributed path is
+    pinned by tests (driver_limit_rows=0)."""
+    import pyarrow.compute as pc
+
+    edges = edge_tbl
+    for _ in range(max_rounds):
+        adj = _symmetrize(edges).sort_by([("a", "ascending")])
+        fused = _fused_large_star_block(adj)
+        kind = fused["kind"]
+        if pc.sum(pc.cast(pc.equal(kind, _KIND_LAB_NONSTAR),
+                          pa.int64())).as_py() in (0, None):
+            labs = fused.filter(pc.greater(kind, _KIND_EDGE))
+            return pa.table({"node": labs["a"], "component": labs["b"]})
+        lstar = fused.filter(pc.equal(kind, _KIND_EDGE)).select(["a", "b"])
+        maxk = _to_max_keyed(lstar).sort_by([("a", "ascending")])
+        edges = _small_star_block(maxk)
+    raise RuntimeError(f"connected_components: no convergence in "
+                       f"{max_rounds} rounds")
+
+
 def connected_components(edges, max_rounds: int = 64,
                          driver_limit_rows: int = 2_000_000):
     """Edge list Dataset(a:int64, b:int64) -> Dataset(node:int64,
@@ -124,8 +150,31 @@ def connected_components(edges, max_rounds: int = 64,
 
     Per round: ONE fused symmetric-adjacency exchange (convergence check
     + large-star together) and, when not yet converged, ONE max-keyed
-    exchange (small-star)."""
+    exchange (small-star).
+
+    Adaptive small-input path (the sorted_group_map discipline): an edge
+    list at or under ``driver_limit_rows`` — 16 B/row, so ≤ ~32 MB —
+    runs the WHOLE loop in-process with the same kernels; the iterative
+    algorithm's per-round Ray dispatch otherwise dominates (a star round
+    is 3 passes, a long chain needs ~log2(diameter) rounds).  Web-scale
+    edge lists exceed the gate and take the distributed loop below;
+    ``driver_limit_rows=0`` forces it (tests pin the paths equal)."""
     import pyarrow.compute as pc
+
+    if driver_limit_rows:
+        import ray
+        import ray.data as rd
+
+        edges = edges.materialize()
+        if (edges.count() <= driver_limit_rows
+                and (edges.size_bytes() or 0) <= (256 << 20)):
+            tables = [t for t in ray.get(edges.to_arrow_refs()) if len(t)]
+            if not tables:
+                return rd.from_arrow(pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "component": pa.array([], pa.int64())}))
+            tbl = pa.concat_tables(tables).combine_chunks()
+            return rd.from_arrow(_cc_in_process(tbl, max_rounds))
 
     for _ in range(max_rounds):
         adj = edges.map_batches(_symmetrize, batch_format="pyarrow",
