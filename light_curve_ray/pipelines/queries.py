@@ -1312,6 +1312,85 @@ def q_cc_events(sf_dir: str):
     return _collect(attach_components(nodes, "event_id", comps))
 
 
+ANTI_JOIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS total
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_anti_join_orders(sf_dir: str):
+    """Broadcast LEFT ANTI join (stages/joins.anti_join_broadcast — the
+    corpus-exclusion/blocklist op): orders from customers NOT in the
+    BUILDING segment; the blocklist side never shuffles (dedup + sort +
+    one ray.put, vectorized searchsorted membership probe per batch),
+    the fact side streams with no exchange; ORACLE-CHECKED against
+    NOT IN."""
+    import ray.data as rd
+
+    from ..stages.joins import anti_join_broadcast
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    block = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(pc.equal(
+            t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+    out = anti_join_broadcast(orders, "o_custkey", block)
+    out = out.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "o_custkey": t["o_custkey"],
+                            "total": t["o_totalprice"]}),
+        batch_format="pyarrow")
+    return _collect(out)
+
+
+def _stratified_quota_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+SELECT lang, doc_id, h, rn FROM (
+  SELECT lang, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM (SELECT lang, doc_id,
+               CAST({hash_bucket_sql('doc_id', 2)} AS BIGINT) AS h
+        FROM documents))
+WHERE rn <= 20
+"""
+
+
+def q_stratified_quota(sf_dir: str):
+    """Exact per-group quota sampling: the 20 docs per lang with the
+    smallest salted hash buckets (deterministic 'random' order, doc_id
+    tie-break) — the balanced-subsample op (equal representation per
+    language regardless of corpus skew).  Rides the grouped top-k stage
+    ASCENDING over the sampling hash; ORACLE-CHECKED against the
+    ROW_NUMBER SQL with the bit-exact hash mirror."""
+    import ray.data as rd
+
+    from ..stages.sampling import hash_bucket
+    from ..stages.topk import top_k_by_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def _h(batch: pa.Table) -> pa.Table:
+        b = hash_bucket(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        salt=2)
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "h": pa.array(b, pa.int64())})
+
+    keyed = ds.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = top_k_by_key(keyed, ["lang"], "h", 20, tiebreak_col="doc_id",
+                       descending=False)
+    return _collect(out)
+
+
 TOPK_ORDERS_SQL = """
 SELECT c_mktsegment, o_orderkey, ROUND(total, 6) AS total,
        CAST(rn AS BIGINT) AS rn
@@ -2293,6 +2372,8 @@ def build_queries() -> dict:
         "dedup_components": q_dedup_components,
         "tfidf_terms": q_tfidf_terms,
         "doc_logprob": q_doc_logprob,
+        "anti_join_orders": q_anti_join_orders,
+        "stratified_quota": q_stratified_quota,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2383,6 +2464,8 @@ def build_oracle_sql() -> dict:
         "dedup_components": DEDUP_COMPONENTS_SQL,
         "tfidf_terms": TFIDF_TERMS_SQL,
         "doc_logprob": DOC_LOGPROB_SQL,
+        "anti_join_orders": ANTI_JOIN_ORDERS_SQL,
+        "stratified_quota": _stratified_quota_sql(),
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

@@ -89,3 +89,38 @@ def attach_broadcast(ds, lookup: pa.Table, key_col: str,
 
     return ds.map_batches(_attach, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def anti_join_broadcast(ds, key_col: str, block_keys):
+    """Blocklist filter (LEFT ANTI join): drop every row whose key is in
+    ``block_keys`` — the corpus-exclusion op (takedowns, contaminated
+    sources, eval-set decontamination).
+
+    The blocklist is the SMALL side by nature, so it never shuffles:
+    deduplicated, sorted, ``ray.put`` once; each task resolves its batch
+    with one vectorized ``np.searchsorted`` membership probe.  The fact
+    side streams through a stateless map — no exchange at all.
+
+    ``block_keys``: a Dataset with ``key_col``, or a numpy/int sequence.
+    """
+    import ray
+
+    if hasattr(block_keys, "map_batches"):  # a Dataset
+        tbl = collect_small(block_keys)
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    else:
+        keys = np.asarray(block_keys)
+    blocked = np.unique(keys)  # sorted + dedup
+    ref = ray.put(blocked)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        bk = batch[key_col].to_numpy(zero_copy_only=False)
+        if len(bl) == 0:
+            return batch
+        pos = np.minimum(np.searchsorted(bl, bk), len(bl) - 1)
+        keep = bl[pos] != bk
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)

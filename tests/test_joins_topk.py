@@ -141,3 +141,24 @@ def test_sessionize_matches_bruteforce(ray_session):
                         got["t_end_us"][i].as_py(),
                         got["n_events"][i].as_py()]
     assert got_map == want
+
+
+def test_anti_join_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.joins import anti_join_broadcast
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(100), pa.int64()),
+                                 "v": pa.array(range(100), pa.int64())}))
+    block = rd.from_arrow(pa.table(
+        {"k": pa.array([3, 3, 7, 999], pa.int64())}))  # dup + absent key
+    out = anti_join_broadcast(ds, "k", block).to_pandas()
+    assert len(out) == 98
+    assert 3 not in set(out["k"]) and 7 not in set(out["k"])
+    # numpy-sequence blocklist, and an empty blocklist
+    out2 = anti_join_broadcast(ds, "k", np.array([0, 99])).to_pandas()
+    assert len(out2) == 98 and 0 not in set(out2["k"])
+    out3 = anti_join_broadcast(ds, "k", np.array([], dtype=np.int64))
+    assert out3.count() == 100
