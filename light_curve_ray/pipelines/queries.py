@@ -99,6 +99,20 @@ def _collect(ds) -> pa.Table:
                                     ).combine_chunks())
 
 
+def _collect_raw(ds) -> pa.Table:
+    """UNROUNDED small-result collection — for broadcast LOOKUP tables
+    whose values feed further arithmetic mirrored against the oracle's
+    unrounded aggregates (rounding a lookup would diverge both sides)."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+    if not tables:
+        sch = ds.schema()
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    return pa.concat_tables(tables,
+                            promote_options="default").combine_chunks()
+
+
 def _events_cfg(sf_dir: str, tiers: tuple) -> RollupConfig:
     return RollupConfig(
         input_paths=f"{sf_dir}/events.parquet",
@@ -1312,6 +1326,130 @@ def q_cc_events(sf_dir: str):
     return _collect(attach_components(nodes, "event_id", comps))
 
 
+HISTOGRAM_EVENTS_SQL = """
+WITH m AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(CASE WHEN m.vmax = m.vmin THEN 0
+            ELSE LEAST(FLOOR((e.value - m.vmin)
+                             / ((m.vmax - m.vmin) / 10.0)), 9.0)
+            END AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM events e JOIN m USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_histogram_events(sf_dir: str):
+    """Per-key equi-width histogram: two-pass — per-type (min, max) via
+    one slim groupby, broadcast to a stateless binning map (bin
+    arithmetic mirrors the SQL operation-for-operation so boundary
+    points land identically), per-block combiner counts, one keyed
+    merge; ORACLE-CHECKED."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+    mm = _collect_raw(ds.groupby("event_type").aggregate(
+        Min("value", alias_name="vmin"), Max("value", alias_name="vmax")))
+    import ray
+
+    ref = ray.put(mm)
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("bin", pa.int64()), ("n", pa.int64())])
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        look = ray.get(ref)
+        keys = np.asarray(look["event_type"].to_pylist())
+        order = np.argsort(keys)
+        vmin = look["vmin"].to_numpy(zero_copy_only=False)[order]
+        vmax = look["vmax"].to_numpy(zero_copy_only=False)[order]
+        bk = np.asarray(batch["event_type"].to_pylist())
+        pos = np.searchsorted(keys[order], bk)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        lo, hi = vmin[pos], vmax[pos]
+        # mirrors the SQL expression exactly, incl. the div-by-10 order
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = np.floor((v - lo) / ((hi - lo) / 10.0))
+        b = np.where(hi == lo, 0.0, np.minimum(raw, 9.0)).astype(np.int64)
+        tbl = pa.table({"event_type": batch["event_type"],
+                        "bin": pa.array(b, pa.int64())})
+        g = tbl.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    partials = ds.map_batches(_bins, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["event_type", "bin"])
+        sums = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({"event_type": batch["event_type"].take(idx),
+                         "bin": batch["bin"].take(idx),
+                         "n": pa.array(sums, pa.int64())},
+                        schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type", "bin"],
+                                     None, out_schema, block_fn=_merge))
+
+
+ZSCORE_EVENTS_SQL = """
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6)
+         AS z
+FROM events
+WHERE value IS NOT NULL AND event_id IS NOT NULL
+"""
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-key z-score normalization (feature-engineering staple):
+    per-type (mean, std) via one slim groupby aggregate, broadcast to a
+    stateless map — the fact table never shuffles; ORACLE-CHECKED
+    against the window SQL (merge-order ulps collapsed by the shared
+    tie-robust rounding)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Mean, Std
+
+    ds = _events_nonnull(sf_dir, ["event_id", "event_type", "value"])
+    mm = _collect_raw(ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="mu"), Std("value", alias_name="sd")))
+    ref = ray.put(mm)
+
+    from ..kernels.rounding import round6_tie_robust
+
+    def _z(batch: pa.Table) -> pa.Table:
+        look = ray.get(ref)
+        keys = np.asarray(look["event_type"].to_pylist())
+        order = np.argsort(keys)
+        mu = look["mu"].to_numpy(zero_copy_only=False)[order]
+        sd = look["sd"].to_numpy(zero_copy_only=False)[order]
+        bk = np.asarray(batch["event_type"].to_pylist())
+        pos = np.searchsorted(keys[order], bk)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mu[pos]) / sd[pos]
+        mask = ~np.isfinite(z)
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "z": pa.array(round6_tie_robust(z), pa.float64(),
+                                       mask=mask)})
+
+    return _collect(ds.map_batches(_z, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 ANTI_JOIN_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS total
 FROM orders
@@ -2374,6 +2512,8 @@ def build_queries() -> dict:
         "doc_logprob": q_doc_logprob,
         "anti_join_orders": q_anti_join_orders,
         "stratified_quota": q_stratified_quota,
+        "histogram_events": q_histogram_events,
+        "zscore_events": q_zscore_events,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2466,6 +2606,8 @@ def build_oracle_sql() -> dict:
         "doc_logprob": DOC_LOGPROB_SQL,
         "anti_join_orders": ANTI_JOIN_ORDERS_SQL,
         "stratified_quota": _stratified_quota_sql(),
+        "histogram_events": HISTOGRAM_EVENTS_SQL,
+        "zscore_events": ZSCORE_EVENTS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
