@@ -169,3 +169,48 @@ def qsummary_quantile(v: np.ndarray, w: np.ndarray,
     hi = frac >= 0.5
     out = np.where(hi, b - (b - a) * (1.0 - frac), out)
     return out
+
+
+# ----------------------------------------------------------- Count-Min
+
+_CMS_SALTS = np.uint64(0x9E3779B97F4A7C15)
+_CMS_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def cms_init(depth: int = 4, width: int = 8192) -> np.ndarray:
+    """Count-Min counter matrix — a LINEAR sketch: merge = elementwise
+    add, so partials from any partitioning sum to the same matrix."""
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def cms_indices(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) row indices via splitmix-style remixing of the row
+    hash — deterministic, vectorized, no Python per-row."""
+    h = hashes.astype(np.uint64)
+    out = np.empty((depth, len(h)), dtype=np.int64)
+    with np.errstate(over="ignore"):  # uint64 wrap is the hash
+        for d in range(depth):
+            x = (h ^ (_CMS_SALTS * np.uint64(d + 1))) * _CMS_MIX
+            x ^= x >> np.uint64(31)
+            x *= _CMS_MIX
+            out[d] = (x % np.uint64(width)).astype(np.int64)
+    return out
+
+
+def cms_add(counts: np.ndarray, hashes: np.ndarray) -> None:
+    depth, width = counts.shape
+    idx = cms_indices(hashes, depth, width)
+    for d in range(depth):
+        counts[d] += np.bincount(idx[d], minlength=width)
+
+
+def cms_query(counts: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows — >= the true count always
+    (one-sided error <= eN with prob 1-delta at width=e/eps,
+    depth=ln(1/delta); Cormode & Muthukrishnan 2005)."""
+    depth, width = counts.shape
+    idx = cms_indices(hashes, depth, width)
+    est = counts[0, idx[0]]
+    for d in range(1, depth):
+        est = np.minimum(est, counts[d, idx[d]])
+    return est

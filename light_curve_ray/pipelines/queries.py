@@ -1326,6 +1326,19 @@ def q_cc_events(sf_dir: str):
     return _collect(attach_components(nodes, "event_id", comps))
 
 
+def q_heavy_users(sf_dir: str):
+    """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
+    emitting block-local candidates + one linear Count-Min blob per
+    block; blobs sum in any order, estimates are one-sided (never an
+    undercount).  Rows-only driver check — the estimate is
+    sketch-valued; overestimate/exactness/merge-invariance are the unit
+    oracles (tests/test_sketch.py)."""
+    from ..stages.sketch import heavy_hitters_cms
+
+    ds = _events_nonnull(sf_dir, ["user_id"])
+    return _collect(heavy_hitters_cms(ds, ["user_id"], k=10))
+
+
 HISTOGRAM_EVENTS_SQL = """
 WITH m AS (
   SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
@@ -2514,6 +2527,7 @@ def build_queries() -> dict:
         "stratified_quota": q_stratified_quota,
         "histogram_events": q_histogram_events,
         "zscore_events": q_zscore_events,
+        "heavy_users": q_heavy_users,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,

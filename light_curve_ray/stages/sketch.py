@@ -195,3 +195,77 @@ def quantile_by_key(ds, key_cols: list, value_col: str, qs: list,
         return pa.table(arrays).cast(out_schema)
 
     return sorted_group_map(partials, key_cols, _merge, out_schema)
+
+
+def heavy_hitters_cms(ds, value_cols: list, k: int = 10,
+                      depth: int = 4, width: int = 8192,
+                      candidates_per_block: int = 64,
+                      max_blobs: int = 100_000):
+    """Global top-k heavy hitters from a Count-Min sketch + block-local
+    candidate tracking — the frequent-items op at a cardinality where an
+    exact groupby would be its own wide shuffle.
+
+    One pass over the input; each block emits (a) its local top
+    ``candidates_per_block`` values by exact local count — a true heavy
+    hitter is a local heavy hitter in SOME block, and k << the combined
+    candidate pool — and (b) ONE depth*width int64 CMS blob.  CMS is a
+    LINEAR sketch (merge = elementwise add), so the blobs sum in any
+    order; final estimates take min over rows (one-sided: never an
+    undercount).  The reduce side is sketch-scale (blobs: O(blocks),
+    candidates: O(blocks*candidates)) and collects under a loud gate —
+    the cluster-scale path is the same sum as a tree reduce.
+
+    Returns (value_cols..., est_count:int64, rn:int64), top-k by
+    (est DESC, values ASC) — deterministic.  Rows-only driver check
+    (estimates are sketch-valued); exactness/overestimate/merge
+    invariance are unit-test oracles."""
+    import ray
+
+    from ..kernels.hashing import hash_columns_u64
+    from ..kernels.moments import _group_codes
+    from ..kernels.sketch import cms_add, cms_init, cms_query
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select(value_cols)
+        n = len(sel)
+        empty_blob = pa.array([], pa.binary())
+        if n == 0:
+            return pa.table({**{c: sel[c] for c in value_cols},
+                             "__n_local": pa.array([], pa.int64()),
+                             "__cms": empty_blob})
+        inv, first = _group_codes(sel, value_cols)
+        counts = np.bincount(inv)
+        sketch = cms_init(depth, width)
+        cms_add(sketch, hash_columns_u64(sel, value_cols))
+        top = np.argsort(-counts, kind="stable")[:candidates_per_block]
+        idx = pa.array(np.asarray(first)[top], pa.int64())
+        arrays = {c: sel[c].take(idx) for c in value_cols}
+        arrays["__n_local"] = pa.array(counts[top], pa.int64())
+        # the blob rides on the block's first candidate row only
+        blob = [sketch.tobytes()] + [None] * (len(top) - 1)
+        arrays["__cms"] = pa.array(blob, pa.binary())
+        return pa.table(arrays)
+
+    from .joins import collect_small
+
+    partials = collect_small(
+        ds.map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), max_rows=max_blobs)
+
+    sketch = cms_init(depth, width)
+    for blob in partials["__cms"].to_pylist():
+        if blob is not None:
+            sketch += np.frombuffer(blob, dtype=np.int64).reshape(
+                depth, width)
+    cand = partials.select(value_cols).group_by(value_cols).aggregate([])
+    est = cms_query(sketch, hash_columns_u64(cand, value_cols))
+    order = np.lexsort(tuple(
+        np.asarray(cand[c].to_pylist())
+        for c in reversed(value_cols)) + (-est,))[:k]
+    idx = pa.array(order, pa.int64())
+    out = {c: cand[c].take(idx) for c in value_cols}
+    out["est_count"] = pa.array(est[order], pa.int64())
+    out["rn"] = pa.array(np.arange(1, len(order) + 1), pa.int64())
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(out))

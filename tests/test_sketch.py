@@ -168,3 +168,54 @@ def test_quantile_by_key_compressed_path(keyed_input):
         arr = np.array(vals[k])
         rank = (arr <= got).mean()
         assert abs(rank - 0.5) < 0.05, (k, rank)
+
+
+def test_cms_overestimate_and_exact_at_width(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from light_curve_ray.kernels.hashing import hash_columns_u64
+    from light_curve_ray.kernels.sketch import cms_add, cms_init, cms_query
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish: value i appears ~ 1000/i times
+    vals = np.concatenate([np.full(1000 // (i + 1), i)
+                           for i in range(60)])
+    rng.shuffle(vals)
+    tbl = pa.table({"v": pa.array(vals, pa.int64())})
+    h = hash_columns_u64(tbl, ["v"])
+    c = cms_init(4, 4096)
+    cms_add(c, h)
+    uniq = pa.table({"v": pa.array(np.arange(60), pa.int64())})
+    est = cms_query(c, hash_columns_u64(uniq, ["v"]))
+    exact = np.array([(vals == i).sum() for i in range(60)])
+    assert (est >= exact).all()
+    # 60 keys in 4x4096 cells: collisions essentially impossible
+    assert (est == exact).all()
+
+
+def test_heavy_hitters_topk_and_partition_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.sketch import heavy_hitters_cms
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([np.full(2000 // (i + 1), 100 + i)
+                           for i in range(50)])
+    rng.shuffle(vals)
+    tbl = pa.table({"user": pa.array(vals, pa.int64())})
+
+    out4 = heavy_hitters_cms(rd.from_arrow(tbl).repartition(4),
+                             ["user"], k=5).to_pandas()
+    out1 = heavy_hitters_cms(rd.from_arrow(tbl).repartition(1),
+                             ["user"], k=5).to_pandas()
+    # exact top-5 (ample width -> exact estimates)
+    exact = sorted(((int((vals == v).sum()), int(v))
+                    for v in np.unique(vals)),
+                   key=lambda t: (-t[0], t[1]))[:5]
+    assert list(out4["user"]) == [v for _, v in exact]
+    assert list(out4["est_count"]) == [n for n, _ in exact]
+    # linear sketch: identical at any partitioning
+    assert out4.equals(out1)
