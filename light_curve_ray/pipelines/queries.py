@@ -685,6 +685,80 @@ def q_shape_features(sf_dir: str):
     return _collect(feats)
 
 
+PERCENTILE_RATIOS_SQL = """
+WITH pts AS ({points}),
+q AS (
+  SELECT lang, domain, COUNT(*) AS n,
+         QUANTILE_CONT(v, 0.05) AS q05, QUANTILE_CONT(v, 0.10) AS q10,
+         QUANTILE_CONT(v, 0.25) AS q25, QUANTILE_CONT(v, 0.40) AS q40,
+         QUANTILE_CONT(v, 0.50) AS med, QUANTILE_CONT(v, 0.60) AS q60,
+         QUANTILE_CONT(v, 0.75) AS q75, QUANTILE_CONT(v, 0.90) AS q90,
+         QUANTILE_CONT(v, 0.95) AS q95
+  FROM pts GROUP BY 1, 2
+)
+SELECT lang, domain, n,
+  CASE WHEN q95 = q05 THEN NULL
+       ELSE ROUND((q60 - q40) / (q95 - q05), 6) END
+    AS flux_percentile_ratio_mid20,
+  CASE WHEN q95 = q05 THEN NULL
+       ELSE ROUND((q75 - q25) / (q95 - q05), 6) END
+    AS flux_percentile_ratio_mid50,
+  CASE WHEN q95 = q05 THEN NULL
+       ELSE ROUND((q90 - q10) / (q95 - q05), 6) END
+    AS flux_percentile_ratio_mid80,
+  CASE WHEN med = 0.0 THEN NULL
+       ELSE ROUND((q95 - q05) / med, 6) END
+    AS percent_difference_magnitude_percentile
+FROM q
+"""
+
+
+def q_percentile_ratios(sf_dir: str):
+    """Flux-percentile-ratio feature family (Richards et al. 2011 via
+    the light-curve-feature catalog) per series: linear-interpolation
+    quantiles (numpy percentile == SQL QUANTILE_CONT, the parity the
+    shape family already pins) on the sorted-series exchange;
+    ORACLE-CHECKED."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    names = ("flux_percentile_ratio_mid20", "flux_percentile_ratio_mid50",
+             "flux_percentile_ratio_mid80",
+             "percent_difference_magnitude_percentile")
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("domain", pa.string()),
+         ("n", pa.int64())] + [(f, pa.float64()) for f in names])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        q05, q10, q25, q40, med, q60, q75, q90, q95 = np.percentile(
+            v, [5.0, 10.0, 25.0, 40.0, 50.0, 60.0, 75.0, 90.0, 95.0])
+        span = q95 - q05
+        vals = {
+            "flux_percentile_ratio_mid20":
+                (q60 - q40) / span if span != 0.0 else None,
+            "flux_percentile_ratio_mid50":
+                (q75 - q25) / span if span != 0.0 else None,
+            "flux_percentile_ratio_mid80":
+                (q90 - q10) / span if span != 0.0 else None,
+            "percent_difference_magnitude_percentile":
+                span / med if med != 0.0 else None,
+        }
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([len(v)], pa.int64()),
+        }
+        for f in names:
+            arrays[f] = pa.array([vals[f]], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
 def _otsu_sql(points_sql: str) -> str:
     """OtsuSplit oracle: sequential prefix sums over the v-sorted series
     (the SAME running-sum arithmetic as the kernel's np.cumsum), the
@@ -2534,6 +2608,7 @@ def build_queries() -> dict:
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "otsu_split": q_otsu_split,
+        "percentile_ratios": q_percentile_ratios,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
         "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,
@@ -2629,6 +2704,8 @@ def build_oracle_sql() -> dict:
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
+        "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
+            points=EVENTS_POINTS_SQL),
         "rollup_lineitem_1d": _rollup_sql(LINEITEM_POINTS_SQL, "1d"),
         "pages_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
         "pages_dedup_rollup_1d": _rollup_sql(PAGES_POINTS_SQL, "1d"),
