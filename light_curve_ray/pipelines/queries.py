@@ -1400,6 +1400,21 @@ def q_cc_events(sf_dir: str):
     return _collect(attach_components(nodes, "event_id", comps))
 
 
+def q_periodogram_peaks(sf_dir: str):
+    """Spectral peak extraction: the 2 strongest periodogram frequencies
+    per series — both sides rank the SAME 6-dp-rounded power (the
+    shared rounding contract) with the harmonic index as tie-break, so
+    the argmax cannot diverge on merge-order ulps; ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..stages.topk import top_k_by_key
+
+    tbl = q_periodogram(sf_dir)  # power already tie-robust-rounded
+    ds = rd.from_arrow(tbl)
+    return _collect(top_k_by_key(ds, ["event_type"], "power", 2,
+                                 tiebreak_col="k", descending=True))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -2605,6 +2620,7 @@ def build_queries() -> dict:
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
+        "periodogram_peaks": q_periodogram_peaks,
         "sliding_3h": q_sliding_3h,
         "shape_features": q_shape_features,
         "otsu_split": q_otsu_split,
@@ -2700,6 +2716,14 @@ def build_oracle_sql() -> dict:
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
+        "periodogram_peaks": f"""
+SELECT event_type, k, power, rn FROM (
+  SELECT event_type, k, power,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY power DESC, k) AS rn
+  FROM ({PERIODOGRAM_SQL}))
+WHERE rn <= 2
+""",
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
