@@ -150,3 +150,34 @@ def otsu_split(v: np.ndarray) -> dict:
     if n - i_star >= 2:
         out["otsu_std_upper"] = float(np.std(x[i_star:], ddof=1))
     return out
+
+
+def anderson_darling_normal(v: np.ndarray) -> float:
+    """Anderson-Darling normality statistic with the finite-sample
+    correction (1 + 4/n - 25/n^2) — light-curve-feature's
+    AndersonDarlingNormal (catalog: Malanchev et al. 2021).
+
+    A^2 = -n - (1/n) * sum_i (2i-1) [ln F(y_(i)) + ln(1 - F(y_(n+1-i)))]
+    with y standardized by the sample mean/std and F the standard normal
+    CDF.  NaN when n < 4 (the correction's usual validity floor) or the
+    series is constant.  The normal CDF uses stdlib math.erf (libm) —
+    there is no SQL mirror (DuckDB has no erf), so this feature is
+    unit-oracle-only by design."""
+    import math
+
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+    if n < 4:
+        return float("nan")
+    sd = v.std(ddof=1)
+    if not sd > 0.0:
+        return float("nan")
+    y = np.sort((v - v.mean()) / sd)
+    erf = np.frompyfunc(math.erf, 1, 1)
+    cdf = 0.5 * (1.0 + erf(y / math.sqrt(2.0)).astype(np.float64))
+    eps = np.finfo(np.float64).tiny
+    cdf = np.clip(cdf, eps, 1.0 - 1e-16)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    a2 = -n - np.sum((2.0 * i - 1.0)
+                     * (np.log(cdf) + np.log1p(-cdf[::-1]))) / n
+    return float(a2 * (1.0 + 4.0 / n - 25.0 / (n * n)))

@@ -759,6 +759,36 @@ def q_percentile_ratios(sf_dir: str):
     return _collect(feats)
 
 
+def q_anderson_darling(sf_dir: str):
+    """AndersonDarlingNormal per series (kernels/shape — catalog
+    feature).  No SQL oracle BY DESIGN: DuckDB has no erf, so the driver
+    records the rows-only check; the statistic is pinned by unit oracles
+    (normal data below the 1% critical value, uniform far above,
+    shift/scale invariance, NaN guards — tests/test_shape.py)."""
+    from ..kernels.shape import anderson_darling_normal
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()),
+        ("n", pa.int64()), ("anderson_darling_normal", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        a2 = anderson_darling_normal(v)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([len(v)], pa.int64()),
+            "anderson_darling_normal": pa.array(
+                [None if np.isnan(a2) else a2], pa.float64()),
+        })
+
+    return _collect(sorted_group_map(points, ["lang", "domain"], _one,
+                                     out_schema))
+
+
 def _otsu_sql(points_sql: str) -> str:
     """OtsuSplit oracle: sequential prefix sums over the v-sorted series
     (the SAME running-sum arithmetic as the kernel's np.cumsum), the
@@ -2625,6 +2655,7 @@ def build_queries() -> dict:
         "shape_features": q_shape_features,
         "otsu_split": q_otsu_split,
         "percentile_ratios": q_percentile_ratios,
+        "anderson_darling": q_anderson_darling,
         "rollup_lineitem_1d": q_rollup_lineitem_1d,
         "pages_rollup_1d": q_pages_rollup_1d,
         "pages_dedup_rollup_1d": q_pages_dedup_rollup_1d,

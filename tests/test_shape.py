@@ -146,3 +146,41 @@ def test_otsu_split_edge_cases():
     two = otsu_split(np.array([1.0, 3.0]))
     assert two["otsu_mean_diff"] == 2.0
     assert two["otsu_lower_ratio"] == 0.5
+
+
+def test_anderson_darling_properties():
+    import numpy as np
+
+    from light_curve_ray.kernels.shape import anderson_darling_normal as ad
+
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=4000)
+    a = ad(x)
+    assert a < 1.092  # 1% critical value for the corrected statistic
+    # shift/scale invariance (standardized internally)
+    assert abs(ad(5.0 + 3.0 * x) - a) < 1e-9
+    # clearly non-normal data scores far above the critical value
+    assert ad(rng.uniform(size=4000)) > 10.0
+    assert ad(np.exp(rng.normal(size=4000))) > 10.0
+    # guards
+    assert np.isnan(ad(np.ones(50)))
+    assert np.isnan(ad(np.array([1.0, 2.0, 3.0])))
+
+
+def test_anderson_darling_matches_direct_formula():
+    import math
+
+    import numpy as np
+
+    from light_curve_ray.kernels.shape import anderson_darling_normal as ad
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=37)
+    n = len(v)
+    y = np.sort((v - v.mean()) / v.std(ddof=1))
+    cdf = np.array([0.5 * (1 + math.erf(t / math.sqrt(2))) for t in y])
+    s = sum((2 * (i + 1) - 1) * (math.log(cdf[i])
+                                 + math.log(1 - cdf[n - 1 - i]))
+            for i in range(n))
+    expect = (-n - s / n) * (1 + 4 / n - 25 / n ** 2)
+    assert abs(ad(v) - expect) < 1e-10
