@@ -1445,6 +1445,67 @@ def q_periodogram_peaks(sf_dir: str):
                                  tiebreak_col="k", descending=True))
 
 
+PACK_SEQUENCES_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+tc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tok AS cum
+  FROM tc
+)
+SELECT doc_id, n_tok,
+       CAST(cum // 2048 AS BIGINT) AS pack_id,
+       CAST(cum % 2048 AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for pretraining examples (stages/scan): token
+    counts per doc (the shared tokenizer), then a DISTRIBUTED EXCLUSIVE
+    PREFIX SUM — one ordering sort, block totals scanned at
+    block-count scale, per-block offset map — cutting fixed 2048-token
+    windows; pure integer arithmetic, ORACLE-CHECKED against the
+    running-sum window SQL."""
+    import ray.data as rd
+
+    from ..stages.scan import pack_sequences
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    # per-doc token counts from the shared tokenizer: sum the per-term
+    # counts of the (doc, term) table (distinct rows, so sum == tokens)
+    per_doc = term_counts(ds, ["doc_id"], "text")
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tok", pa.int64())])
+
+    def _sum(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["doc_id"])
+        sums = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].take(idx),
+                         "n_tok": pa.array(sums, pa.int64())},
+                        schema=out_schema)
+
+    counts = sorted_group_map(per_doc, ["doc_id"], None, out_schema,
+                              block_fn=_sum)
+    return _collect(pack_sequences(counts, "doc_id", "n_tok", 2048))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -2647,6 +2708,7 @@ def build_queries() -> dict:
         "histogram_events": q_histogram_events,
         "zscore_events": q_zscore_events,
         "heavy_users": q_heavy_users,
+        "pack_sequences": q_pack_sequences,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2744,6 +2806,7 @@ def build_oracle_sql() -> dict:
         "stratified_quota": _stratified_quota_sql(),
         "histogram_events": HISTOGRAM_EVENTS_SQL,
         "zscore_events": ZSCORE_EVENTS_SQL,
+        "pack_sequences": PACK_SEQUENCES_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

@@ -1,0 +1,59 @@
+"""Distributed prefix sum + sequence packing (stages/scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_prefix_sum_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.scan import prefix_sum
+
+    rng = np.random.default_rng(31)
+    ids = rng.permutation(5000).astype(np.int64)
+    vals = rng.integers(0, 100, 5000).astype(np.int64)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    out = prefix_sum(rd.from_arrow(tbl).repartition(7),
+                     ["id"], "v").to_pandas().sort_values("id")
+    order = np.argsort(ids)
+    expect = np.cumsum(vals[order]) - vals[order]
+    assert (out["cum_excl"].to_numpy() == expect).all()
+    assert (out["id"].to_numpy() == ids[order]).all()
+
+
+def test_prefix_sum_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.scan import prefix_sum
+
+    tbl = pa.table({"id": pa.array(range(200), pa.int64()),
+                    "v": pa.array([i % 7 for i in range(200)], pa.int64())})
+    a = prefix_sum(rd.from_arrow(tbl).repartition(1), ["id"],
+                   "v").to_pandas().sort_values("id").reset_index(drop=True)
+    b = prefix_sum(rd.from_arrow(tbl).repartition(13), ["id"],
+                   "v").to_pandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.scan import pack_sequences
+
+    rng = np.random.default_rng(41)
+    n_tok = rng.integers(1, 900, 300).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                    "n_tok": pa.array(n_tok, pa.int64())})
+    out = pack_sequences(rd.from_arrow(tbl).repartition(5),
+                         window=1024).to_pandas().sort_values("doc_id")
+    # offsets within window, pack ids non-decreasing in doc order
+    assert (out["pack_offset"] < 1024).all()
+    assert (out["pack_id"].to_numpy()[1:]
+            >= out["pack_id"].to_numpy()[:-1]).all()
+    # reconstruct: offset == running total mod window boundaries
+    cum = np.cumsum(n_tok) - n_tok
+    assert (out["pack_id"].to_numpy() == cum // 1024).all()
+    assert (out["pack_offset"].to_numpy() == cum % 1024).all()
