@@ -1506,6 +1506,77 @@ def q_pack_sequences(sf_dir: str):
     return _collect(pack_sequences(counts, "doc_id", "n_tok", 2048))
 
 
+DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+ev AS (SELECT doc_id, w FROM t WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, w FROM t WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, list_slice(w, len(w)//2 + 1, len(w))
+  FROM ev
+),
+eg AS (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i FROM ev)
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM corpus)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM cg JOIN eg USING (gram) GROUP BY 1
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination (stages/dedup.decontaminate_counts):
+    per corpus doc, its distinct 8-word grams appearing anywhere in the
+    eval split — eval grams broadcast once, corpus probes with
+    vectorized membership, NO exchange on the corpus side.  Fixture:
+    eval = doc_id % 10 == 0, corpus = the rest ∪ planted second-half
+    copies of eval docs (+400000, the passage-dedup list_slice trick);
+    ORACLE-CHECKED against the DuckDB gram join."""
+    import ray.data as rd
+
+    from ..stages.dedup import decontaminate_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _eval_side(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    def _corpus_side(batch: pa.Table) -> pa.Table:
+        import re
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ids) and ids.max() >= 400_000:
+            raise ValueError(
+                "decontaminate fixture assumes doc_id < 400000")
+        keep = batch.filter(pa.array(ids % 10 != 0))
+        ev = batch.filter(pa.array(ids % 10 == 0))
+        pat = re.compile(r"[ \t\n\r\f\v]+")
+        planted_ids, planted_tx = [], []
+        for did, txt in zip(ev["doc_id"].to_pylist(),
+                            ev["text"].to_pylist()):
+            w = pat.split(txt or "")
+            planted_ids.append(did + 400_000)
+            planted_tx.append(" ".join(w[len(w) // 2:]))
+        planted = pa.table({"doc_id": pa.array(planted_ids, pa.int64()),
+                            "text": pa.array(planted_tx, pa.string())})
+        return pa.concat_tables([keep, planted])
+
+    eval_ds = ds.map_batches(_eval_side, batch_format="pyarrow")
+    corpus = ds.map_batches(_corpus_side, batch_format="pyarrow")
+    return _collect(decontaminate_counts(corpus, eval_ds, window=8))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -2709,6 +2780,7 @@ def build_queries() -> dict:
         "zscore_events": q_zscore_events,
         "heavy_users": q_heavy_users,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2807,6 +2879,7 @@ def build_oracle_sql() -> dict:
         "histogram_events": HISTOGRAM_EVENTS_SQL,
         "zscore_events": ZSCORE_EVENTS_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
+        "decontaminate": DECONTAMINATE_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

@@ -853,38 +853,15 @@ def exact_dup_pair_floor(pairs_ds, docs_ds, id_col: str = "doc_id",
 
 # ------------------------------------------------- passage-level dedup
 
-def passage_dup_counts(ds, window: int = 8, id_col: str = "doc_id",
-                       text_col: str = "text"):
-    """Duplicated-PASSAGE detection (Lee et al. 2022's ExactSubstr idea at
-    n-gram granularity): for every document, count its distinct
-    ``window``-word windows that also appear in at least one OTHER
-    document.  Suffix arrays do not distribute; fixed-width token
-    windows do — and they bucket exactly like every other dedup family
-    here:
-
-    1. map side: each doc tokenizes (whitespace class mirrored by the
-       SQL oracle's regexp_split_to_array), hashes tokens with blake2b-64
-       (every byte hashed — no sampled-prefix collisions), rolls a
-       polynomial window hash (vectorized sliding window), and emits its
-       DISTINCT gram hashes as slim (gram_h, doc_id) pairs — 16 B/gram,
-       never the gram text;
-    2. ONE sorted_group_map over gram_h with a vectorized block kernel
-       keeps rows of runs longer than 1 (gram shared by >= 2 docs — the
-       pairs are per-doc distinct, so run length == distinct docs) and
-       pre-counts per doc within the block;
-    3. a final doc-keyed groupby sums the partial counts.
-
-    Equal passages always collide (hash of equal token sequences is
-    equal); distinct passages collide with ~2^-64 probability per pair
-    (documented trade — the SQL oracle compares COUNT(DISTINCT gram
-    STRING), bit-equal in practice).
-    """
+def doc_gram_pairs(ds, window: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-doc DISTINCT rolling-hash ``window``-word grams as slim
+    (gram_h:uint64, id:int64) pairs — the shared map side of the
+    passage-dedup and decontamination operators.  Tokens split on the
+    exact whitespace class the SQL oracles use, hashed with blake2b-64
+    (every byte), window-combined with a fixed polynomial."""
     import hashlib
     import re
-
-    import pyarrow.compute as pc
-
-    from .sorted_groups import sorted_group_map
 
     pat = re.compile(r"[ \t\n\r\f\v]+")  # EXACTLY the oracle's class
     base = np.uint64(1099511628211)
@@ -921,8 +898,41 @@ def passage_dup_counts(ds, window: int = 8, id_col: str = "doc_id",
             "gram_h": pa.array(np.concatenate(h_out), pa.uint64()),
             id_col: pa.array(np.concatenate(ids_out), pa.int64())})
 
-    pairs = ds.map_batches(_grams, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return ds.map_batches(_grams, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def passage_dup_counts(ds, window: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Duplicated-PASSAGE detection (Lee et al. 2022's ExactSubstr idea at
+    n-gram granularity): for every document, count its distinct
+    ``window``-word windows that also appear in at least one OTHER
+    document.  Suffix arrays do not distribute; fixed-width token
+    windows do — and they bucket exactly like every other dedup family
+    here:
+
+    1. map side: each doc tokenizes (whitespace class mirrored by the
+       SQL oracle's regexp_split_to_array), hashes tokens with blake2b-64
+       (every byte hashed — no sampled-prefix collisions), rolls a
+       polynomial window hash (vectorized sliding window), and emits its
+       DISTINCT gram hashes as slim (gram_h, doc_id) pairs — 16 B/gram,
+       never the gram text;
+    2. ONE sorted_group_map over gram_h with a vectorized block kernel
+       keeps rows of runs longer than 1 (gram shared by >= 2 docs — the
+       pairs are per-doc distinct, so run length == distinct docs) and
+       pre-counts per doc within the block;
+    3. a final doc-keyed groupby sums the partial counts.
+
+    Equal passages always collide (hash of equal token sequences is
+    equal); distinct passages collide with ~2^-64 probability per pair
+    (documented trade — the SQL oracle compares COUNT(DISTINCT gram
+    STRING), bit-equal in practice).
+    """
+    import pyarrow.compute as pc
+
+    from .sorted_groups import sorted_group_map
+
+    pairs = doc_gram_pairs(ds, window, id_col, text_col)
     mid_schema = pa.schema([(id_col, pa.int64()), ("c", pa.int64())])
 
     def _dup_partial(batch: pa.Table) -> pa.Table:
@@ -954,3 +964,68 @@ def passage_dup_counts(ds, window: int = 8, id_col: str = "doc_id",
             "n_dup_passages": pc.cast(batch["sum(c)"], pa.int64())})
 
     return summed.map_batches(_rename, batch_format="pyarrow")
+
+
+def decontaminate_counts(corpus_ds, eval_ds, window: int = 8,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_eval_grams: int = 50_000_000):
+    """Eval-set DECONTAMINATION: per corpus document, the number of its
+    distinct ``window``-word grams that appear anywhere in the eval set
+    — the overlap count a pretraining pipeline thresholds on before a
+    doc may enter the training corpus (e.g. Brown et al. 2020's 13-gram
+    filtering).
+
+    Eval sets are benchmark-scale (thousands of examples), so the eval
+    side NEVER shuffles: its distinct gram hashes collect under a loud
+    gate (8 B/gram — 50M grams = 400 MB ceiling), sort once, and ship
+    via ONE ``ray.put``; every corpus batch then probes membership with
+    a vectorized ``searchsorted``.  The corpus side is a stateless map
+    over the slim (gram_h, doc) pairs — no exchange at all.  Docs with
+    zero overlapping grams emit no row (the SQL GROUP BY contract)."""
+    import ray
+
+    from .joins import collect_small
+
+    ev = doc_gram_pairs(eval_ds, window, id_col, text_col)
+
+    def _just_grams(batch: pa.Table) -> pa.Table:
+        g = np.unique(batch["gram_h"].to_numpy(zero_copy_only=False))
+        return pa.table({"gram_h": pa.array(g, pa.uint64())})
+
+    ev_tbl = collect_small(
+        ev.map_batches(_just_grams, batch_format="pyarrow",
+                       zero_copy_batch=True), max_rows=max_eval_grams)
+    ev_grams = np.unique(ev_tbl["gram_h"].to_numpy(zero_copy_only=False))
+    ref = ray.put(ev_grams)
+
+    pairs = doc_gram_pairs(corpus_ds, window, id_col, text_col)
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_contaminated", pa.int64())])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        h = batch["gram_h"].to_numpy(zero_copy_only=False)
+        docs = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(grams) == 0 or len(h) == 0:
+            return out_schema.empty_table()
+        pos = np.minimum(np.searchsorted(grams, h), len(grams) - 1)
+        hit = grams[pos] == h
+        docs = docs[hit]
+        if docs.size == 0:
+            return out_schema.empty_table()
+        uids, counts = np.unique(docs, return_counts=True)
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "n_contaminated": pa.array(counts, pa.int64())},
+                        schema=out_schema)
+
+    partials = pairs.map_batches(_probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    import pyarrow.compute as pc
+
+    summed = partials.groupby(id_col).sum("n_contaminated")
+    return summed.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "n_contaminated": pc.cast(t["sum(n_contaminated)"],
+                                      pa.int64())}),
+        batch_format="pyarrow")

@@ -368,3 +368,27 @@ def test_passage_dup_counts_planted(ray_session):
     n_words = len(docs[1].split())
     assert sorted(out2["n_dup_passages"].to_pylist()) == [
         n_words - 7, n_words - 7]
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import decontaminate_counts
+
+    words = [f"w{i}" for i in range(30)]
+    eval_text = " ".join(words)
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            " ".join(words[5:20]),      # inside the eval doc: contaminated
+            " ".join(reversed(words)),  # same vocab, different order: clean
+            "totally different text with nothing shared at all ok",
+        ]})
+    ev = pa.table({"doc_id": pa.array([100], pa.int64()),
+                   "text": [eval_text]})
+    out = decontaminate_counts(rd.from_arrow(corpus), rd.from_arrow(ev),
+                               window=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_contaminated"]))
+    # doc 1 has 15 tokens -> 8 distinct 8-grams, ALL inside the eval doc
+    assert got == {1: 8}
