@@ -1506,6 +1506,52 @@ def q_pack_sequences(sf_dir: str):
     return _collect(pack_sequences(counts, "doc_id", "n_tok", 2048))
 
 
+def _epoch_shuffle_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    # full 0..2^32 hash (not the %100 bucket): drop the trailing %100
+    h = hash_bucket_sql("doc_id", 7).rsplit(" % 100", 1)[0]
+    return f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM documents
+"""
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: every doc gets its global rank in
+    salted-hash order (epoch = salt) — the reproducible
+    training-data-order op (same permutation at any cluster size, a new
+    permutation per epoch).  Rank = one ordering sort + the prefix-scan
+    offsets (stages/scan.prefix_sum with unit weights); ORACLE-CHECKED
+    against ROW_NUMBER over the bit-exact hash mirror."""
+    import ray.data as rd
+
+    from ..stages.sampling import _GOLD, _KNUTH, _MOD32
+    from ..stages.scan import prefix_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def _h(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        r1 = (ids.astype(np.uint64) * _KNUTH) % _MOD32
+        h = ((r1 ^ ((np.uint64(7) * _GOLD) % _MOD32)) * _KNUTH) % _MOD32
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h.astype(np.int64), pa.int64()),
+                         "one": pa.array(np.ones(len(ids), np.int64))})
+
+    keyed = ds.map_batches(_h, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ranked = prefix_sum(keyed, ["h", "doc_id"], "one", out_col="rk")
+    return _collect(ranked.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "shuffle_rank": pc.add(t["rk"], 1)}),
+        batch_format="pyarrow"))
+
+
 DECONTAMINATE_SQL = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
@@ -2781,6 +2827,7 @@ def build_queries() -> dict:
         "heavy_users": q_heavy_users,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "epoch_shuffle": q_epoch_shuffle,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2880,6 +2927,7 @@ def build_oracle_sql() -> dict:
         "zscore_events": ZSCORE_EVENTS_SQL,
         "pack_sequences": PACK_SEQUENCES_SQL,
         "decontaminate": DECONTAMINATE_SQL,
+        "epoch_shuffle": _epoch_shuffle_sql(),
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
