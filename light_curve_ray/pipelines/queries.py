@@ -1354,6 +1354,38 @@ def q_top_terms(sf_dir: str):
     return _collect(top_terms(ds, ["lang"], "text", k=10))
 
 
+INVERTED_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+dt AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM dt GROUP BY term
+HAVING COUNT(*) BETWEEN 2 AND 1000000
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index (stages/wordcount.inverted_index): posting lists
+    for the df in [2, 50] band, ordered doc ids as canonical strings;
+    df = term-run length inside the one term-keyed exchange — no second
+    pass for the band filter; ORACLE-CHECKED against the ordered
+    string_agg SQL."""
+    import ray.data as rd
+
+    from ..stages.wordcount import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(inverted_index(ds, "doc_id", "text",
+                                   min_df=2, max_df=1_000_000))
+
+
 def _split_sample_sql() -> str:
     from ..stages.sampling import hash_bucket_sql
 
@@ -2828,6 +2860,7 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "epoch_shuffle": q_epoch_shuffle,
+        "inverted_index": q_inverted_index,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2928,6 +2961,7 @@ def build_oracle_sql() -> dict:
         "pack_sequences": PACK_SEQUENCES_SQL,
         "decontaminate": DECONTAMINATE_SQL,
         "epoch_shuffle": _epoch_shuffle_sql(),
+        "inverted_index": INVERTED_INDEX_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

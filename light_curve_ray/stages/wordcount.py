@@ -204,6 +204,46 @@ def unigram_logprob_scores(ds, id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_df: int = 2, max_df: int = 50):
+    """Posting lists: for each term with ``min_df <= df <= max_df``, the
+    ordered doc-id list (as a comma-joined string — canonical, driver-
+    comparable).  The df band is the practical retrieval filter:
+    singletons are noise, stopword-frequency terms are scanned, not
+    listed.
+
+    One term-keyed exchange over the distinct (doc, term) rows (the
+    term_counts output); each whole term-run emits its sorted posting
+    string in a vectorized block kernel — df is the run length, so the
+    band filter needs no second pass."""
+    counts = term_counts(ds, [id_col], text_col)
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["term"])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        terms, dfs, posts = [], [], []
+        term_col = batch["term"]
+        for s, e in zip(starts, ends):
+            df = int(e - s)
+            if df < min_df or df > max_df:
+                continue
+            terms.append(term_col[s].as_py())
+            dfs.append(df)
+            posts.append(",".join(
+                str(x) for x in np.sort(ids[s:e]).tolist()))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "postings": pa.array(posts, pa.string())},
+                        schema=out_schema)
+
+    return sorted_group_map(counts, ["term"], None, out_schema,
+                            block_fn=_postings)
+
+
 def top_terms(ds, key_cols: list, text_col: str = "text", k: int = 10):
     """Top-k most frequent terms per key group, ROW_NUMBER-ranked with
     (count DESC, term ASC) — the fully-specified deterministic order."""
