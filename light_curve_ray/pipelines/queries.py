@@ -1370,6 +1370,49 @@ HAVING COUNT(*) BETWEEN 2 AND 1000000
 """
 
 
+BIGRAM_PMI_SQL = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS v
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT u.term, COUNT(*) AS n FROM t, UNNEST(v) AS u(term)
+        GROUP BY 1),
+tot AS (SELECT SUM(n) AS s FROM uni),
+bg AS (
+  SELECT list_extract(v, i) AS a, list_extract(v, i + 1) AS b
+  FROM (SELECT v, unnest(generate_series(1, len(v) - 1)) AS i FROM t)
+),
+bc AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2
+       HAVING COUNT(*) >= 5),
+sc AS (
+  SELECT bc.a || ' ' || bc.b AS bigram, bc.n_ab,
+         ROUND(LN((CAST(bc.n_ab AS DOUBLE) * tot.s)
+                  / (CAST(ua.n AS DOUBLE) * ub.n)), 6) AS pmi
+  FROM bc JOIN uni ua ON bc.a = ua.term
+          JOIN uni ub ON bc.b = ub.term, tot
+)
+SELECT bigram, n_ab, pmi, rn FROM (
+  SELECT bigram, n_ab, pmi,
+         ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rn FROM sc)
+WHERE rn <= 20
+"""
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining (stages/wordcount.bigram_pmi): top-20 bigrams
+    by PMI with a count floor — combiner bigram counts, one keyed
+    merge, unigram broadcast, rank on the shared 6-dp-rounded score;
+    ORACLE-CHECKED against the list_filter/UNNEST SQL derivation."""
+    import ray.data as rd
+
+    from ..stages.wordcount import bigram_pmi
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(bigram_pmi(ds, "doc_id", "text", k=20, min_count=5))
+
+
 def q_inverted_index(sf_dir: str):
     """Inverted index (stages/wordcount.inverted_index): posting lists
     for the df in [2, 50] band, ordered doc ids as canonical strings;
@@ -2861,6 +2904,7 @@ def build_queries() -> dict:
         "decontaminate": q_decontaminate,
         "epoch_shuffle": q_epoch_shuffle,
         "inverted_index": q_inverted_index,
+        "bigram_pmi": q_bigram_pmi,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -2962,6 +3006,7 @@ def build_oracle_sql() -> dict:
         "decontaminate": DECONTAMINATE_SQL,
         "epoch_shuffle": _epoch_shuffle_sql(),
         "inverted_index": INVERTED_INDEX_SQL,
+        "bigram_pmi": BIGRAM_PMI_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,

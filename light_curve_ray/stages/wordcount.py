@@ -244,6 +244,108 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
                             block_fn=_postings)
 
 
+def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 20, min_count: int = 5,
+               vocab_limit: int = 20_000_000, round6=None):
+    """Collocation mining: top-k adjacent-token bigrams by pointwise
+    mutual information  pmi = ln(n_ab * T / (n_a * n_b)), count floor
+    ``min_count``.
+
+    One combiner pass emits per-block bigram partials (adjacent pairs
+    within each doc, vectorized via np.char on the flattened token
+    array), ONE bigram-keyed exchange merges them; unigram counts
+    broadcast once (the Heaps'-law vocab assumption, same as the LM
+    scorer); ranking uses the 6-dp-rounded score with the bigram string
+    as tie-break — the shared deterministic-argmax contract."""
+    import ray
+
+    from .joins import collect_small
+
+    uni = collect_small(term_counts(ds, [], text_col),
+                        max_rows=vocab_limit)
+    n_u = uni["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = float(n_u.sum())
+    terms = np.asarray(uni["term"].to_pylist())
+    order = np.argsort(terms)
+    ref = ray.put((terms[order], n_u[order]))
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n_ab", pa.int64())])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                      TOKEN_SPLIT_RE)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.where(np.isnan(lens), 0, lens).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist())
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) < 2:
+            return pair_schema.empty_table()
+        adj = doc_idx[1:] == doc_idx[:-1]
+        a, b = flat[:-1][adj], flat[1:][adj]
+        if len(a) == 0:
+            return pair_schema.empty_table()
+        tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        g = tbl.group_by(["a", "b"]).aggregate([("a", "count")])
+        return g.rename_columns(["a", "b", "n_ab"])
+
+    partials = ds.map_batches(_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pair_schema.empty_table()
+        starts, _ = _runs(batch, ["a", "b"])
+        sums = np.add.reduceat(
+            batch["n_ab"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({"a": batch["a"].take(idx),
+                         "b": batch["b"].take(idx),
+                         "n_ab": pa.array(sums, pa.int64())},
+                        schema=pair_schema)
+
+    merged = sorted_group_map(partials, ["a", "b"], None, pair_schema,
+                              block_fn=_merge)
+
+    if round6 is None:
+        from ..kernels.rounding import round6_tie_robust as round6
+
+    out_schema = pa.schema([("bigram", pa.string()),
+                            ("n_ab", pa.int64()), ("pmi", pa.float64()),
+                            ("g", pa.int64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ts, nu = ray.get(ref)
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        m = n_ab >= min_count
+        if not m.any():
+            return out_schema.empty_table()
+        a = np.asarray(batch["a"].to_pylist())[m]
+        b = np.asarray(batch["b"].to_pylist())[m]
+        n_ab = n_ab[m]
+        na = nu[np.searchsorted(ts, a)]
+        nb = nu[np.searchsorted(ts, b)]
+        # operation order mirrors the SQL: (n_ab * T) / (n_a * n_b)
+        pmi = np.log((n_ab.astype(np.float64) * total) / (na * nb))
+        big = np.char.add(np.char.add(a.astype(str), " "), b.astype(str))
+        return pa.table({"bigram": pa.array(big.tolist(), pa.string()),
+                         "n_ab": pa.array(n_ab, pa.int64()),
+                         "pmi": pa.array(round6(pmi), pa.float64()),
+                         "g": pa.array(np.zeros(len(n_ab), np.int64))},
+                        schema=out_schema)
+
+    scored = merged.map_batches(_score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from .topk import top_k_by_key
+
+    top = top_k_by_key(scored, ["g"], "pmi", k, tiebreak_col="bigram",
+                       descending=True)
+    return top.map_batches(lambda t: t.drop_columns(["g"]),
+                           batch_format="pyarrow")
+
+
 def top_terms(ds, key_cols: list, text_col: str = "text", k: int = 10):
     """Top-k most frequent terms per key group, ROW_NUMBER-ranked with
     (count DESC, term ASC) — the fully-specified deterministic order."""
