@@ -1698,6 +1698,90 @@ def q_decontaminate(sf_dir: str):
     return _collect(decontaminate_counts(corpus, eval_ds, window=8))
 
 
+EWMA_DAILY_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         (t_us // 86400000000) * 86400000000 AS bucket_ts_us,
+         AVG(v) AS m, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+rb AS (
+  SELECT event_type, bucket_ts_us, m, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY bucket_ts_us) AS rn
+  FROM b
+),
+s(event_type, rn, ewma) AS (
+  SELECT event_type, rn, m FROM rb WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.rn, 0.2 * p.m + 0.8 * s.ewma
+  FROM rb p JOIN s ON p.event_type = s.event_type AND p.rn = s.rn + 1
+)
+SELECT rb.event_type, rb.bucket_ts_us, rb.n,
+       ROUND(rb.m, 6) AS mean, ROUND(s.ewma, 6) AS ewma
+FROM rb JOIN s USING (event_type, rn)
+"""
+
+
+def q_ewma_daily(sf_dir: str):
+    """Exponential smoothing per series over the daily bucket means —
+    the inherently SEQUENTIAL time-series op (s_i = a*v_i + (1-a)*s_1..)
+    the mergeable-state family cannot express: each series co-locates on
+    the one keyed sort and smooths in-kernel with pandas' C ewm
+    (adjust=False computes exactly the oracle's recursion — the same
+    two products per step, and IEEE addition commutes, so the values
+    track the recursive-CTE oracle step-for-step); ORACLE-CHECKED."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_pts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    step = 86_400_000_000
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("bucket_ts_us", pa.int64()),
+        ("n", pa.int64()), ("mean", pa.float64()),
+        ("ewma", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = group["t_us"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        b = (t // step) * step
+        order = np.argsort(b, kind="stable")
+        b_s, v_s = b[order], v[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(b_s[1:] != b_s[:-1])[0] + 1])
+        ends = np.append(starts[1:], len(b_s))
+        n = (ends - starts).astype(np.int64)
+        m = np.add.reduceat(v_s, starts) / n
+        ew = pd.Series(m).ewm(alpha=0.2, adjust=False).mean().to_numpy()
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]
+                                   * len(n), pa.string()),
+            "bucket_ts_us": pa.array(b_s[starts], pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean": pa.array(m, pa.float64()),
+            "ewma": pa.array(ew, pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(pts, ["event_type"], _one,
+                                     out_schema))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -2905,6 +2989,7 @@ def build_queries() -> dict:
         "epoch_shuffle": q_epoch_shuffle,
         "inverted_index": q_inverted_index,
         "bigram_pmi": q_bigram_pmi,
+        "ewma_daily": q_ewma_daily,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -3007,6 +3092,7 @@ def build_oracle_sql() -> dict:
         "epoch_shuffle": _epoch_shuffle_sql(),
         "inverted_index": INVERTED_INDEX_SQL,
         "bigram_pmi": BIGRAM_PMI_SQL,
+        "ewma_daily": EWMA_DAILY_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
