@@ -1782,6 +1782,142 @@ def q_ewma_daily(sf_dir: str):
                                      out_schema))
 
 
+DAILY_RETENTION_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT a.day_us,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_retained
+FROM du a LEFT JOIN du b
+  ON a.user_id = b.user_id AND b.day_us = a.day_us - 86400000000
+GROUP BY 1
+"""
+
+
+def q_daily_retention(sf_dir: str):
+    """Day-over-day retention: per day, active users and how many were
+    also active the PREVIOUS day.  Slim two-level distinct (the
+    distinct_count_exact discipline: block pre-distinct, 16-byte (user,
+    day) pairs), ONE user-keyed sort, vectorized consecutive-day
+    detection inside each user run, per-day partial counts summed in a
+    tiny day-keyed groupby; ORACLE-CHECKED against the self-join SQL."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+    step = 86_400_000_000
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch["ts"], pa.int64()),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        d = (t // step) * step
+        tbl = pa.table({"user_id": pa.array(u, pa.int64()),
+                        "day_us": pa.array(d, pa.int64())})
+        return tbl.group_by(["user_id", "day_us"]).aggregate(
+            []).select(["user_id", "day_us"])
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    mid_schema = pa.schema([("day_us", pa.int64()),
+                            ("active", pa.int64()),
+                            ("retained", pa.int64())])
+
+    def _per_user(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return mid_schema.empty_table()
+        starts, ends = _runs(batch, ["user_id"])
+        days = batch["day_us"].to_numpy(zero_copy_only=False)
+        inv = np.repeat(np.arange(len(starts)), ends - starts)
+        order = np.lexsort((days, inv))
+        d_s, inv_s = days[order], inv[order]
+        # distinct (user, day) pairs may still duplicate ACROSS blocks
+        # of the pre-distinct pass; runs here are whole users, so a
+        # global dedup within the run is exact
+        keep = np.ones(len(d_s), dtype=bool)
+        keep[1:] = ~((inv_s[1:] == inv_s[:-1]) & (d_s[1:] == d_s[:-1]))
+        d_s, inv_s = d_s[keep], inv_s[keep]
+        retained = np.zeros(len(d_s), dtype=np.int64)
+        same_user = inv_s[1:] == inv_s[:-1]
+        consec = same_user & (d_s[1:] - d_s[:-1] == step)
+        retained[1:][consec] = 1
+        uday, idx = np.unique(d_s, return_inverse=True)
+        act = np.bincount(idx)
+        ret = np.bincount(idx, weights=retained).astype(np.int64)
+        return pa.table({"day_us": pa.array(uday, pa.int64()),
+                         "active": pa.array(act, pa.int64()),
+                         "retained": pa.array(ret, pa.int64())},
+                        schema=mid_schema)
+
+    partials = sorted_group_map(pairs, ["user_id"], None, mid_schema,
+                                block_fn=_per_user)
+    summed = partials.groupby("day_us").sum(["active", "retained"])
+    return _collect(summed.map_batches(
+        lambda t: pa.table({
+            "day_us": t["day_us"],
+            "n_active": pc.cast(t["sum(active)"], pa.int64()),
+            "n_retained": pc.cast(t["sum(retained)"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
+FUNNEL_USERS_SQL = """
+WITH m AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS ta,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS tb
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT user_id, ta AS t_click, tb AS t_purchase
+FROM m WHERE ta IS NOT NULL AND tb IS NOT NULL AND ta < tb
+"""
+
+
+def q_funnel_users(sf_dir: str):
+    """Funnel analysis: users whose first 'click' precedes their first
+    'purchase' — per-user MIN-per-stage is a MERGEABLE aggregate, so
+    the whole funnel is block partials + one slim user-keyed groupby
+    and a stateless filter; ORACLE-CHECKED against the conditional-MIN
+    SQL."""
+    from ray.data.aggregate import Min
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_type", "ts"])
+
+    def _stage_times(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64())
+        et = batch["event_type"]
+        big = np.int64(1 << 62)
+        tn = t.to_numpy(zero_copy_only=False)
+        ea = np.where(np.asarray(pc.equal(et, "click")), tn, big)
+        eb = np.where(np.asarray(pc.equal(et, "purchase")), tn, big)
+        return pa.table({"user_id": batch["user_id"],
+                         "ta": pa.array(ea, pa.int64()),
+                         "tb": pa.array(eb, pa.int64())})
+
+    staged = ds.map_batches(_stage_times, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    mins = staged.groupby("user_id").aggregate(
+        Min("ta", alias_name="ta"), Min("tb", alias_name="tb"))
+
+    big = 1 << 62
+
+    def _funnel(batch: pa.Table) -> pa.Table:
+        ta = batch["ta"].to_numpy(zero_copy_only=False)
+        tb = batch["tb"].to_numpy(zero_copy_only=False)
+        keep = (ta < big) & (tb < big) & (ta < tb)
+        out = batch.filter(pa.array(keep))
+        return pa.table({"user_id": out["user_id"],
+                         "t_click": out["ta"],
+                         "t_purchase": out["tb"]})
+
+    return _collect(mins.map_batches(_funnel, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -2990,6 +3126,8 @@ def build_queries() -> dict:
         "inverted_index": q_inverted_index,
         "bigram_pmi": q_bigram_pmi,
         "ewma_daily": q_ewma_daily,
+        "daily_retention": q_daily_retention,
+        "funnel_users": q_funnel_users,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -3093,6 +3231,8 @@ def build_oracle_sql() -> dict:
         "inverted_index": INVERTED_INDEX_SQL,
         "bigram_pmi": BIGRAM_PMI_SQL,
         "ewma_daily": EWMA_DAILY_SQL,
+        "daily_retention": DAILY_RETENTION_SQL,
+        "funnel_users": FUNNEL_USERS_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
