@@ -1918,6 +1918,169 @@ def q_funnel_users(sf_dir: str):
                                      zero_copy_batch=True))
 
 
+def _corpus_prep_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+tc AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+gated AS (
+  SELECT d.doc_id, d.text, tc.n_tok
+  FROM documents d JOIN tc USING (doc_id) WHERE tc.n_tok >= 50
+),
+dedup AS (
+  SELECT doc_id, text, n_tok FROM (
+    SELECT doc_id, text, n_tok,
+           MIN(doc_id) OVER (PARTITION BY text) AS m FROM gated)
+  WHERE doc_id = m
+),
+corp AS (SELECT * FROM dedup WHERE doc_id % 10 <> 0),
+evw AS (
+  SELECT regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
+  FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i FROM evw)
+),
+cw AS (
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
+  FROM corp
+),
+cg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM cw)
+),
+contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN evg USING (gram)),
+clean AS (
+  SELECT doc_id, n_tok FROM corp
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sp AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN {hash_bucket_sql('doc_id', 0)} < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM clean
+),
+tr AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tok AS cum
+  FROM sp WHERE split = 'train'
+)
+SELECT doc_id, n_tok, 'train' AS split,
+       CAST(cum // 2048 AS BIGINT) AS pack_id,
+       CAST(cum % 2048 AS BIGINT) AS pack_offset
+FROM tr
+UNION ALL
+SELECT doc_id, n_tok, 'test' AS split,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM sp WHERE split = 'test'
+"""
+
+
+def q_corpus_prep(sf_dir: str):
+    """The COMPOSED flagship LLM-data pipeline, end-to-end in one lazy
+    Dataset chain: token-count quality gate -> exact-dedup corpus filter
+    -> eval-set decontamination (anti-join on the broadcast overlap ids)
+    -> deterministic 80/20 split -> train-set sequence packing via the
+    distributed prefix scan.  Every stage is an existing operator; the
+    whole composition is ORACLE-CHECKED against one SQL derivation —
+    the 'a user can run their entire prep as one pipeline' proof."""
+    import ray.data as rd
+
+    from ..stages.dedup import decontaminate_counts, exact_dedup_filter
+    from ..stages.joins import anti_join_broadcast, attach_broadcast, \
+        collect_small
+    from ..stages.sampling import attach_split
+    from ..stages.scan import pack_sequences
+    from ..stages.wordcount import term_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    # 1. token counts (shared tokenizer) -> quality gate n_tok >= 50
+    per_doc = term_counts(docs, ["doc_id"], "text")
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    nt_schema = pa.schema([("doc_id", pa.int64()), ("n_tok", pa.int64())])
+
+    def _sum(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return nt_schema.empty_table()
+        starts, _ = _runs(batch, ["doc_id"])
+        sums = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].take(idx),
+                         "n_tok": pa.array(sums, pa.int64())},
+                        schema=nt_schema)
+
+    counts = sorted_group_map(per_doc, ["doc_id"], None, nt_schema,
+                              block_fn=_sum)
+    lookup = collect_small(counts)
+    gated = attach_broadcast(docs, lookup, "doc_id", ["n_tok"],
+                             how="inner")
+    gated = gated.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tok"], 50)),
+        batch_format="pyarrow")
+
+    # 2. exact-dedup corpus filter (min-id winner per identical text)
+    deduped = exact_dedup_filter(gated)
+
+    # 3. decontamination vs the eval split (doc_id % 10 == 0)
+    corp = deduped.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 10 != 0)),
+        batch_format="pyarrow")
+    eval_ds = docs.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 10 == 0)),
+        batch_format="pyarrow")
+    contaminated = decontaminate_counts(corp, eval_ds, window=8)
+    clean = anti_join_broadcast(
+        corp, "doc_id",
+        contaminated.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"]}),
+            batch_format="pyarrow"))
+
+    # 4. deterministic split; 5. pack the train docs
+    sp = attach_split(
+        clean.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "n_tok": t["n_tok"]}),
+            batch_format="pyarrow"),
+        "doc_id", train_pct=80, salt=0)
+    train = sp.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train"))
+                   .select(["doc_id", "n_tok"]),
+        batch_format="pyarrow")
+    packed = pack_sequences(train, "doc_id", "n_tok", 2048)
+    packed = packed.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "n_tok": t["n_tok"],
+            "split": pa.array(["train"] * len(t), pa.string()),
+            "pack_id": t["pack_id"], "pack_offset": t["pack_offset"]}),
+        batch_format="pyarrow")
+    test = sp.map_batches(
+        lambda t: (lambda f: pa.table({
+            "doc_id": f["doc_id"], "n_tok": f["n_tok"],
+            "split": pa.array(["test"] * len(f), pa.string()),
+            "pack_id": pa.nulls(len(f), pa.int64()),
+            "pack_offset": pa.nulls(len(f), pa.int64())}))(
+                t.filter(pc.equal(t["split"], "test"))),
+        batch_format="pyarrow")
+    return _collect(packed.union(test))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -3128,6 +3291,7 @@ def build_queries() -> dict:
         "ewma_daily": q_ewma_daily,
         "daily_retention": q_daily_retention,
         "funnel_users": q_funnel_users,
+        "corpus_prep": q_corpus_prep,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -3233,6 +3397,7 @@ def build_oracle_sql() -> dict:
         "ewma_daily": EWMA_DAILY_SQL,
         "daily_retention": DAILY_RETENTION_SQL,
         "funnel_users": FUNNEL_USERS_SQL,
+        "corpus_prep": _corpus_prep_sql(),
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
