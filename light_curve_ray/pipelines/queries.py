@@ -1997,9 +1997,9 @@ def q_corpus_prep(sf_dir: str):
     the 'a user can run their entire prep as one pipeline' proof."""
     import ray.data as rd
 
-    from ..stages.dedup import decontaminate_counts, exact_dedup_filter
+    from ..stages.dedup import decontaminate_counts, exact_dedup
     from ..stages.joins import anti_join_broadcast, attach_broadcast, \
-        collect_small
+        collect_small, semi_join_broadcast
     from ..stages.sampling import attach_split
     from ..stages.scan import pack_sequences
     from ..stages.wordcount import term_counts
@@ -2033,8 +2033,14 @@ def q_corpus_prep(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["n_tok"], 50)),
         batch_format="pyarrow")
 
-    # 2. exact-dedup corpus filter (min-id winner per identical text)
-    deduped = exact_dedup_filter(gated)
+    # 2. exact-dedup corpus filter: winner ids (16-byte-row shuffle)
+    # semi-joined back via broadcast — the partitioned Dataset.join path
+    # (exact_dedup_filter, pinned by the dedup_filter query) is the
+    # web-scale variant; winner-id sets here are gate-small
+    winners = exact_dedup(gated).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    deduped = semi_join_broadcast(gated, "doc_id", winners)
 
     # 3. decontamination vs the eval split (doc_id % 10 == 0)
     corp = deduped.map_batches(

@@ -124,3 +124,32 @@ def anti_join_broadcast(ds, key_col: str, block_keys):
 
     return ds.map_batches(_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def semi_join_broadcast(ds, key_col: str, keep_keys):
+    """LEFT SEMI join: keep exactly the rows whose key is in
+    ``keep_keys`` — the winner-id corpus filter when the id set fits a
+    broadcast (the partitioned ``Dataset.join`` in
+    dedup.exact_dedup_filter is the web-scale path; this one trades its
+    two-sided exchange for one ray.put + a stateless probe map when the
+    keep-set is gate-small)."""
+    import ray
+
+    if hasattr(keep_keys, "map_batches"):  # a Dataset
+        tbl = collect_small(keep_keys)
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    else:
+        keys = np.asarray(keep_keys)
+    keep = np.unique(keys)
+    ref = ray.put(keep)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        kk = ray.get(ref)
+        bk = batch[key_col].to_numpy(zero_copy_only=False)
+        if len(kk) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(kk, bk), len(kk) - 1)
+        return batch.filter(pa.array(kk[pos] == bk))
+
+    return ds.map_batches(_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)

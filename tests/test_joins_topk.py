@@ -162,3 +162,20 @@ def test_anti_join_broadcast(ray_session):
     assert len(out2) == 98 and 0 not in set(out2["k"])
     out3 = anti_join_broadcast(ds, "k", np.array([], dtype=np.int64))
     assert out3.count() == 100
+
+
+def test_semi_join_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.joins import semi_join_broadcast
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(range(50), pa.int64()),
+                                 "v": pa.array(range(50), pa.int64())}))
+    keep = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 1, 7, 999], pa.int64())}))
+    out = semi_join_broadcast(ds, "k", keep).to_pandas()
+    assert sorted(out["k"]) == [1, 7]
+    empty = semi_join_broadcast(ds, "k", np.array([], dtype=np.int64))
+    assert empty.count() == 0
