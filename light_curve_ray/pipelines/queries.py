@@ -2087,6 +2087,81 @@ def q_corpus_prep(sf_dir: str):
     return _collect(packed.union(test))
 
 
+EVENTS_CUBE_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_v
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY GROUPING SETS ((event_type, day_us), (event_type), (day_us),
+                        ())
+"""
+
+
+def q_events_cube(sf_dir: str):
+    """OLAP grouping-sets cube: (type, day) / (type) / (day) / ()
+    aggregates in one pass — the FINEST level reduces from raw points
+    once (block combiner + one keyed groupby), every coarser level
+    CASCADES from it (the retention-tier discipline: sums of sums, no
+    second pass over the fact table); ORACLE-CHECKED against GROUPING
+    SETS (coarse-level float sums differ from the oracle's direct
+    summation only in merge order — the shared tie-robust rounding
+    collapses it)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    step = 86_400_000_000
+
+    def _pts(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch["ts"], pa.int64()),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day_us": pa.array((t // step) * step, pa.int64()),
+            "v": pc.cast(batch["value"], pa.float64()),
+        })
+
+    pts = ds.map_batches(_pts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    base = pts.groupby(["event_type", "day_us"]).aggregate(
+        Count(alias_name="n"), Sum("v", alias_name="sv")).materialize()
+
+    def _shape(tbl: pa.Table, with_type: bool, with_day: bool,
+               n_col: str, sv_col: str) -> pa.Table:
+        k = len(tbl)
+        return pa.table({
+            "event_type": (tbl["event_type"] if with_type
+                           else pa.nulls(k, pa.string())),
+            "day_us": (tbl["day_us"] if with_day
+                       else pa.nulls(k, pa.int64())),
+            "n": pc.cast(tbl[n_col], pa.int64()),
+            "sum_v": pc.cast(tbl[sv_col], pa.float64()),
+        })
+
+    fine = base.map_batches(
+        lambda t: _shape(t, True, True, "n", "sv"),
+        batch_format="pyarrow")
+    by_type = base.groupby("event_type").sum(["n", "sv"]).map_batches(
+        lambda t: _shape(t, True, False, "sum(n)", "sum(sv)"),
+        batch_format="pyarrow")
+    by_day = base.groupby("day_us").sum(["n", "sv"]).map_batches(
+        lambda t: _shape(t, False, True, "sum(n)", "sum(sv)"),
+        batch_format="pyarrow")
+    total = _collect_raw(base)
+    grand = pa.table({
+        "event_type": pa.nulls(1, pa.string()),
+        "day_us": pa.nulls(1, pa.int64()),
+        "n": pa.array([int(np.sum(
+            total["n"].to_numpy(zero_copy_only=False)))], pa.int64()),
+        "sum_v": pa.array([float(np.sum(
+            total["sv"].to_numpy(zero_copy_only=False)))], pa.float64()),
+    })
+    import ray.data as rd
+
+    return _collect(fine.union(by_type, by_day, rd.from_arrow(grand)))
+
+
 def q_heavy_users(sf_dir: str):
     """Top-10 heavy hitters (stages/sketch.heavy_hitters_cms): one pass
     emitting block-local candidates + one linear Count-Min blob per
@@ -3298,6 +3373,7 @@ def build_queries() -> dict:
         "daily_retention": q_daily_retention,
         "funnel_users": q_funnel_users,
         "corpus_prep": q_corpus_prep,
+        "events_cube": q_events_cube,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -3404,6 +3480,7 @@ def build_oracle_sql() -> dict:
         "daily_retention": DAILY_RETENTION_SQL,
         "funnel_users": FUNNEL_USERS_SQL,
         "corpus_prep": _corpus_prep_sql(),
+        "events_cube": EVENTS_CUBE_SQL,
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
