@@ -2099,6 +2099,73 @@ GROUP BY GROUPING SETS ((event_type, day_us), (event_type), (day_us),
 """
 
 
+LATEST_EVENTS_SQL = """
+SELECT user_id, event_id, t_us FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id) AS rn
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+) WHERE rn = 1
+"""
+
+
+def q_latest_events(sf_dir: str):
+    """Upsert/compaction semantics: the LATEST record per key (last
+    event per user by timestamp, event_id tie-break) — grouped top-1
+    through the block-pruning topk stage (at most one row per key
+    leaves any block); ORACLE-CHECKED against ROW_NUMBER DESC."""
+    from ..stages.topk import top_k_by_key
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_id", "ts"])
+
+    def _t(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "t_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+        })
+
+    pts = ds.map_batches(_t, batch_format="pyarrow", zero_copy_batch=True)
+    # ROW_NUMBER(ORDER BY t DESC, event_id ASC) = 1: negate the
+    # tie-break is unnecessary — topk's tiebreak is ascending, matching
+    top = top_k_by_key(pts, ["user_id"], "t_us", 1,
+                       tiebreak_col="event_id", descending=True)
+    return _collect(top.map_batches(
+        lambda t: t.select(["user_id", "event_id", "t_us"]),
+        batch_format="pyarrow"))
+
+
+def q_incremental_rollup(sf_dir: str):
+    """Incremental continuous aggregation — the mergeable-state promise
+    made driver-visible: the input splits into an OLD batch (first ~20
+    days) and a NEW batch (the rest); each produces its own partial
+    states INDEPENDENTLY (as a nightly ingest would), the two partial
+    sets merge WITHOUT touching old points again, and the finalized 1d
+    rollup must equal the oracle computed over ALL points at once."""
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg).materialize()
+    cut_us = 1_700_000_000_000_000 + 20 * 86_400_000_000
+
+    old = points.map_batches(
+        lambda t: t.filter(pa.array(
+            t["t_us"].to_numpy(zero_copy_only=False) < cut_us)),
+        batch_format="pyarrow")
+    new = points.map_batches(
+        lambda t: t.filter(pa.array(
+            t["t_us"].to_numpy(zero_copy_only=False) >= cut_us)),
+        batch_format="pyarrow")
+    stats_old = tier_stats(old, ("1h", "1d"))
+    stats_new = tier_stats(new, ("1h", "1d"))
+
+    from ..stages.aggregate import merge_partials
+
+    merged = merge_partials(stats_old["1d"].union(stats_new["1d"]))
+    feats = finalize_tiers({"1d": merged})
+    feats = attach_beyond(feats, points, cfg.n_std, cfg)
+    return _collect(feats["1d"])
+
+
 def q_events_cube(sf_dir: str):
     """OLAP grouping-sets cube: (type, day) / (type) / (day) / ()
     aggregates in one pass — the FINEST level reduces from raw points
@@ -3374,6 +3441,8 @@ def build_queries() -> dict:
         "funnel_users": q_funnel_users,
         "corpus_prep": q_corpus_prep,
         "events_cube": q_events_cube,
+        "latest_events": q_latest_events,
+        "incremental_rollup": q_incremental_rollup,
         "topk_orders": q_topk_orders,
         "revenue_by_segment": q_revenue_by_segment,
         "periodogram": q_periodogram,
@@ -3481,6 +3550,9 @@ def build_oracle_sql() -> dict:
         "funnel_users": FUNNEL_USERS_SQL,
         "corpus_prep": _corpus_prep_sql(),
         "events_cube": EVENTS_CUBE_SQL,
+        "latest_events": LATEST_EVENTS_SQL,
+        # the incremental merge must equal the FULL-data rollup
+        "incremental_rollup": _rollup_sql(EVENTS_POINTS_SQL, "1d"),
         "topk_orders": TOPK_ORDERS_SQL,
         "revenue_by_segment": _revenue_sql(),
         "periodogram": PERIODOGRAM_SQL,
