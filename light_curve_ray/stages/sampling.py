@@ -39,7 +39,15 @@ _MOD32 = np.uint64(4294967296)
 
 
 def hash_bucket(ids: np.ndarray, salt: int = 0) -> np.ndarray:
-    """Vectorized 0..99 bucket per id — uint64-exact, SQL-mirrorable."""
+    """Vectorized 0..99 bucket per id — uint64-exact, SQL-mirrorable.
+
+    Ids must be non-negative: the SQL mirror's ``%`` follows the
+    dividend's sign (a negative id would produce a negative remainder
+    there while the uint64 wrap here stays positive), so the contract
+    fails LOUDLY rather than silently diverging."""
+    if len(ids) and ids.min() < 0:
+        raise ValueError("hash_bucket requires non-negative ids "
+                         "(SQL % sign semantics diverge below 0)")
     r1 = (ids.astype(np.uint64) * _KNUTH) % _MOD32
     r2 = r1 ^ ((np.uint64(salt) * _GOLD) % _MOD32)
     h = (r2 * _KNUTH) % _MOD32
