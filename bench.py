@@ -303,14 +303,19 @@ def main_scaling():
                   f"pages/s at {lo} cpus) / 4",
         "value": round(eff, 3),
         "unit": "efficiency",
+        "cpu_pair": [lo, hi],
+        "run_lo": best[lo],
+        "run_hi": best[hi],
+        # legacy names kept for existing consumers; num_cpus inside each
+        # run is authoritative
         "run_8": best[lo],
         "run_32": best[hi],
         "all_runs_pages_per_s": {
             str(n): [r["pages_per_s"] for r in rs]
             for n, rs in results.items()},
         "points_stage_efficiency": round(eff_stage, 3),
-        "points_stage_8": best_stage[lo],
-        "points_stage_32": best_stage[hi],
+        "points_stage_lo": best_stage[lo],
+        "points_stage_hi": best_stage[hi],
         "repeats_interleaved": repeats,
         "sf": _sf_of(SF_DIR),
     }))

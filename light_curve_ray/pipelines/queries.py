@@ -1552,32 +1552,11 @@ def q_pack_sequences(sf_dir: str):
     import ray.data as rd
 
     from ..stages.scan import pack_sequences
-    from ..stages.wordcount import term_counts
+    from ..stages.wordcount import doc_token_counts
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    # per-doc token counts from the shared tokenizer: sum the per-term
-    # counts of the (doc, term) table (distinct rows, so sum == tokens)
-    per_doc = term_counts(ds, ["doc_id"], "text")
-
-    from ..stages.sorted_groups import _runs, sorted_group_map
-
-    out_schema = pa.schema([("doc_id", pa.int64()),
-                            ("n_tok", pa.int64())])
-
-    def _sum(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return out_schema.empty_table()
-        starts, _ = _runs(batch, ["doc_id"])
-        sums = np.add.reduceat(
-            batch["n"].to_numpy(zero_copy_only=False), starts)
-        idx = pa.array(starts, pa.int64())
-        return pa.table({"doc_id": batch["doc_id"].take(idx),
-                         "n_tok": pa.array(sums, pa.int64())},
-                        schema=out_schema)
-
-    counts = sorted_group_map(per_doc, ["doc_id"], None, out_schema,
-                              block_fn=_sum)
+    counts = doc_token_counts(ds, "doc_id", "text")
     return _collect(pack_sequences(counts, "doc_id", "n_tok", 2048))
 
 
@@ -2002,30 +1981,13 @@ def q_corpus_prep(sf_dir: str):
         collect_small, semi_join_broadcast
     from ..stages.sampling import attach_split
     from ..stages.scan import pack_sequences
-    from ..stages.wordcount import term_counts
+    from ..stages.wordcount import doc_token_counts
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     # 1. token counts (shared tokenizer) -> quality gate n_tok >= 50
-    per_doc = term_counts(docs, ["doc_id"], "text")
-    from ..stages.sorted_groups import _runs, sorted_group_map
-
-    nt_schema = pa.schema([("doc_id", pa.int64()), ("n_tok", pa.int64())])
-
-    def _sum(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return nt_schema.empty_table()
-        starts, _ = _runs(batch, ["doc_id"])
-        sums = np.add.reduceat(
-            batch["n"].to_numpy(zero_copy_only=False), starts)
-        idx = pa.array(starts, pa.int64())
-        return pa.table({"doc_id": batch["doc_id"].take(idx),
-                         "n_tok": pa.array(sums, pa.int64())},
-                        schema=nt_schema)
-
-    counts = sorted_group_map(per_doc, ["doc_id"], None, nt_schema,
-                              block_fn=_sum)
+    counts = doc_token_counts(docs, "doc_id", "text")
     lookup = collect_small(counts)
     gated = attach_broadcast(docs, lookup, "doc_id", ["n_tok"],
                              how="inner")
@@ -2265,31 +2227,23 @@ def q_histogram_events(sf_dir: str):
     arithmetic mirrors the SQL operation-for-operation so boundary
     points land identically), per-block combiner counts, one keyed
     merge; ORACLE-CHECKED."""
-    import ray.data as rd
     from ray.data.aggregate import Max, Min
 
+    from ..stages.joins import attach_broadcast
     from ..stages.sorted_groups import _runs, sorted_group_map
 
     ds = _events_nonnull(sf_dir, ["event_type", "value"])
     mm = _collect_raw(ds.groupby("event_type").aggregate(
         Min("value", alias_name="vmin"), Max("value", alias_name="vmax")))
-    import ray
-
-    ref = ray.put(mm)
+    with_mm = attach_broadcast(ds, mm, "event_type", ["vmin", "vmax"])
 
     out_schema = pa.schema([("event_type", pa.string()),
                             ("bin", pa.int64()), ("n", pa.int64())])
 
     def _bins(batch: pa.Table) -> pa.Table:
-        look = ray.get(ref)
-        keys = np.asarray(look["event_type"].to_pylist())
-        order = np.argsort(keys)
-        vmin = look["vmin"].to_numpy(zero_copy_only=False)[order]
-        vmax = look["vmax"].to_numpy(zero_copy_only=False)[order]
-        bk = np.asarray(batch["event_type"].to_pylist())
-        pos = np.searchsorted(keys[order], bk)
         v = batch["value"].to_numpy(zero_copy_only=False)
-        lo, hi = vmin[pos], vmax[pos]
+        lo = batch["vmin"].to_numpy(zero_copy_only=False)
+        hi = batch["vmax"].to_numpy(zero_copy_only=False)
         # mirrors the SQL expression exactly, incl. the div-by-10 order
         with np.errstate(divide="ignore", invalid="ignore"):
             raw = np.floor((v - lo) / ((hi - lo) / 10.0))
@@ -2299,8 +2253,8 @@ def q_histogram_events(sf_dir: str):
         g = tbl.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
         return g.rename_columns(["event_type", "bin", "n"])
 
-    partials = ds.map_batches(_bins, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    partials = with_mm.map_batches(_bins, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     def _merge(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -2334,36 +2288,31 @@ def q_zscore_events(sf_dir: str):
     stateless map — the fact table never shuffles; ORACLE-CHECKED
     against the window SQL (merge-order ulps collapsed by the shared
     tie-robust rounding)."""
-    import ray
-    import ray.data as rd
     from ray.data.aggregate import Mean, Std
+
+    from ..stages.joins import attach_broadcast
 
     ds = _events_nonnull(sf_dir, ["event_id", "event_type", "value"])
     mm = _collect_raw(ds.groupby("event_type").aggregate(
         Mean("value", alias_name="mu"), Std("value", alias_name="sd")))
-    ref = ray.put(mm)
+    with_mm = attach_broadcast(ds, mm, "event_type", ["mu", "sd"])
 
     from ..kernels.rounding import round6_tie_robust
 
     def _z(batch: pa.Table) -> pa.Table:
-        look = ray.get(ref)
-        keys = np.asarray(look["event_type"].to_pylist())
-        order = np.argsort(keys)
-        mu = look["mu"].to_numpy(zero_copy_only=False)[order]
-        sd = look["sd"].to_numpy(zero_copy_only=False)[order]
-        bk = np.asarray(batch["event_type"].to_pylist())
-        pos = np.searchsorted(keys[order], bk)
         v = batch["value"].to_numpy(zero_copy_only=False)
+        mu = batch["mu"].to_numpy(zero_copy_only=False)
+        sd = batch["sd"].to_numpy(zero_copy_only=False)
         with np.errstate(divide="ignore", invalid="ignore"):
-            z = (v - mu[pos]) / sd[pos]
+            z = (v - mu) / sd
         mask = ~np.isfinite(z)
         return pa.table({"event_id": batch["event_id"],
                          "event_type": batch["event_type"],
                          "z": pa.array(round6_tie_robust(z), pa.float64(),
                                        mask=mask)})
 
-    return _collect(ds.map_batches(_z, batch_format="pyarrow",
-                                   zero_copy_batch=True))
+    return _collect(with_mm.map_batches(_z, batch_format="pyarrow",
+                                        zero_copy_batch=True))
 
 
 ANTI_JOIN_ORDERS_SQL = """

@@ -233,16 +233,21 @@ def attach_components(nodes, node_col: str, comps,
     def _resolve(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return out_schema.empty_table()
+        import pyarrow.compute as pc
+
         starts, _ = _runs(batch, ["node"])
         node = batch["node"].to_numpy(zero_copy_only=False)
-        comp = batch["component"].to_numpy(zero_copy_only=False)
-        lab = np.where(np.isnan(comp), node.astype(np.float64), comp)
-        # one output row per distinct node, labelled by the min non-null
-        # component in its run (nan > everything under fmin.reduceat)
-        per_run = np.fmin.reduceat(np.where(np.isnan(comp), np.inf, comp),
-                                   starts)
+        # INT64-exact null handling: a float64 round-trip (NaN-for-null)
+        # silently rounds ids above 2^53 — fill nulls with int64.max as
+        # the min-identity sentinel instead (a component label can never
+        # be int64.max: labels are min node ids, and a graph whose every
+        # node is int64.max has one node)
+        sentinel = np.iinfo(np.int64).max
+        comp = pc.fill_null(batch["component"],
+                            sentinel).to_numpy(zero_copy_only=False)
+        per_run = np.minimum.reduceat(comp, starts)
         keys = node[starts]
-        out = np.where(np.isinf(per_run), keys, per_run).astype(np.int64)
+        out = np.where(per_run == sentinel, keys, per_run)
         return pa.table({node_col: pa.array(keys, pa.int64()),
                          "component": pa.array(out, pa.int64())})
 

@@ -91,65 +91,47 @@ def attach_broadcast(ds, lookup: pa.Table, key_col: str,
                           zero_copy_batch=True)
 
 
-def anti_join_broadcast(ds, key_col: str, block_keys):
-    """Blocklist filter (LEFT ANTI join): drop every row whose key is in
-    ``block_keys`` — the corpus-exclusion op (takedowns, contaminated
-    sources, eval-set decontamination).
-
-    The blocklist is the SMALL side by nature, so it never shuffles:
-    deduplicated, sorted, ``ray.put`` once; each task resolves its batch
-    with one vectorized ``np.searchsorted`` membership probe.  The fact
-    side streams through a stateless map — no exchange at all.
-
-    ``block_keys``: a Dataset with ``key_col``, or a numpy/int sequence.
-    """
+def _membership_filter(ds, key_col: str, key_source, keep_members: bool):
+    """Shared broadcast membership probe behind the SEMI and ANTI joins:
+    the key set is deduplicated, sorted and ``ray.put`` ONCE; each task
+    resolves its batch with one vectorized ``np.searchsorted``.  The
+    fact side streams through a stateless map — no exchange at all."""
     import ray
 
-    if hasattr(block_keys, "map_batches"):  # a Dataset
-        tbl = collect_small(block_keys)
+    if hasattr(key_source, "map_batches"):  # a Dataset
+        tbl = collect_small(key_source)
         keys = tbl[key_col].to_numpy(zero_copy_only=False)
     else:
-        keys = np.asarray(block_keys)
-    blocked = np.unique(keys)  # sorted + dedup
-    ref = ray.put(blocked)
+        keys = np.asarray(key_source)
+    members = np.unique(keys)  # sorted + dedup
+    ref = ray.put(members)
 
     def _filter(batch: pa.Table) -> pa.Table:
-        bl = ray.get(ref)
+        mm = ray.get(ref)
         bk = batch[key_col].to_numpy(zero_copy_only=False)
-        if len(bl) == 0:
-            return batch
-        pos = np.minimum(np.searchsorted(bl, bk), len(bl) - 1)
-        keep = bl[pos] != bk
-        return batch.filter(pa.array(keep))
+        if len(mm) == 0:
+            return batch.slice(0, 0) if keep_members else batch
+        pos = np.minimum(np.searchsorted(mm, bk), len(mm) - 1)
+        hit = mm[pos] == bk
+        return batch.filter(pa.array(hit if keep_members else ~hit))
 
     return ds.map_batches(_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def anti_join_broadcast(ds, key_col: str, block_keys):
+    """Blocklist filter (LEFT ANTI join): drop every row whose key is in
+    ``block_keys`` — the corpus-exclusion op (takedowns, contaminated
+    sources, eval-set decontamination).  ``block_keys``: a Dataset with
+    ``key_col``, or a numpy/int sequence.  See _membership_filter."""
+    return _membership_filter(ds, key_col, block_keys,
+                              keep_members=False)
 
 
 def semi_join_broadcast(ds, key_col: str, keep_keys):
     """LEFT SEMI join: keep exactly the rows whose key is in
     ``keep_keys`` — the winner-id corpus filter when the id set fits a
     broadcast (the partitioned ``Dataset.join`` in
-    dedup.exact_dedup_filter is the web-scale path; this one trades its
-    two-sided exchange for one ray.put + a stateless probe map when the
-    keep-set is gate-small)."""
-    import ray
-
-    if hasattr(keep_keys, "map_batches"):  # a Dataset
-        tbl = collect_small(keep_keys)
-        keys = tbl[key_col].to_numpy(zero_copy_only=False)
-    else:
-        keys = np.asarray(keep_keys)
-    keep = np.unique(keys)
-    ref = ray.put(keep)
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        kk = ray.get(ref)
-        bk = batch[key_col].to_numpy(zero_copy_only=False)
-        if len(kk) == 0:
-            return batch.slice(0, 0)
-        pos = np.minimum(np.searchsorted(kk, bk), len(kk) - 1)
-        return batch.filter(pa.array(kk[pos] == bk))
-
-    return ds.map_batches(_filter, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    dedup.exact_dedup_filter is the web-scale path).  See
+    _membership_filter."""
+    return _membership_filter(ds, key_col, keep_keys, keep_members=True)

@@ -76,6 +76,31 @@ def term_counts(ds, key_cols: list, text_col: str = "text"):
                             out_schema, block_fn=_merge)
 
 
+def doc_token_counts(ds, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Per-document total token count (shared tokenizer):
+    Dataset -> (id, n_tok:int64), zero-token docs absent — the SQL
+    GROUP-BY contract.  Sums the distinct (doc, term) counts from
+    :func:`term_counts` in one doc-keyed merge; shared by the packing
+    query and the composed corpus-prep pipeline."""
+    per_doc = term_counts(ds, [id_col], text_col)
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_tok", pa.int64())])
+
+    def _sum(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, [id_col])
+        sums = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False), starts)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({id_col: batch[id_col].take(idx),
+                         "n_tok": pa.array(sums, pa.int64())},
+                        schema=out_schema)
+
+    return sorted_group_map(per_doc, [id_col], None, out_schema,
+                            block_fn=_sum)
+
+
 def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
                     k: int = 3, round6=None):
     """Top-k TF-IDF terms per document:
@@ -158,11 +183,11 @@ def unigram_logprob_scores(ds, id_col: str = "doc_id",
     vocab = collect_small(counts, max_rows=vocab_limit)
     n = vocab["n"].to_numpy(zero_copy_only=False).astype(np.float64)
     total = float(n.sum())
-    terms = np.asarray(vocab["term"].to_pylist())
-    order = np.argsort(terms)
-    terms_sorted = terms[order]
-    logp = np.log(n[order] / total)  # LN(CAST(n AS DOUBLE) / t)
-    ref = ray.put((terms_sorted, logp))
+    # vocab stays an ARROW array: lookups below use pc.index_in, which
+    # probes in Arrow C without materializing tokens as Python strings
+    vocab_terms = vocab["term"].combine_chunks()
+    logp = np.log(n / total)  # LN(CAST(n AS DOUBLE) / t)
+    ref = ray.put((vocab_terms, logp))
 
     if round6 is None:
         from ..kernels.rounding import round6_tie_robust as round6
@@ -174,20 +199,22 @@ def unigram_logprob_scores(ds, id_col: str = "doc_id",
     def _score(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        ts, lp = _ray.get(ref)
+        vt, lp = _ray.get(ref)
         toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
                                       TOKEN_SPLIT_RE)
         lens_np = pc.list_value_length(toks).to_numpy(
             zero_copy_only=False)
         lens_np = np.where(np.isnan(lens_np), 0, lens_np).astype(np.int64)
-        flat = np.asarray(pc.list_flatten(toks).to_pylist())
+        flat = pc.list_flatten(toks)
         doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64),
                             lens_np)
-        keep = flat != ""
-        flat, doc_idx = flat[keep], doc_idx[keep]
-        if len(flat) == 0:
+        keep = np.asarray(pc.not_equal(flat, ""))
+        doc_idx = doc_idx[keep]
+        if len(doc_idx) == 0:
             return out_schema.empty_table()
-        pos = np.searchsorted(ts, flat)
+        # Arrow-native position lookup — no Python-string detour
+        pos = np.asarray(pc.index_in(flat.filter(pa.array(keep)),
+                                     value_set=vt))
         tok_lp = lp[pos]
         n_docs = len(batch)
         sums = np.bincount(doc_idx, weights=tok_lp, minlength=n_docs)
@@ -224,19 +251,20 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
         if len(batch) == 0:
             return out_schema.empty_table()
         starts, ends = _runs(batch, ["term"])
+        lens = ends - starts
+        # vectorized band mask FIRST: at web scale the singleton
+        # majority (df < min_df) must not even enter the Python loop
+        band = (lens >= min_df) & (lens <= max_df)
+        if not band.any():
+            return out_schema.empty_table()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        terms, dfs, posts = [], [], []
+        sel = np.nonzero(band)[0]
         term_col = batch["term"]
-        for s, e in zip(starts, ends):
-            df = int(e - s)
-            if df < min_df or df > max_df:
-                continue
-            terms.append(term_col[s].as_py())
-            dfs.append(df)
-            posts.append(",".join(
-                str(x) for x in np.sort(ids[s:e]).tolist()))
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "df": pa.array(dfs, pa.int64()),
+        posts = [",".join(map(str, np.sort(ids[starts[i]:ends[i]])
+                              .tolist())) for i in sel]
+        idx = pa.array(starts[sel], pa.int64())
+        return pa.table({"term": term_col.take(idx),
+                         "df": pa.array(lens[sel], pa.int64()),
                          "postings": pa.array(posts, pa.string())},
                         schema=out_schema)
 
@@ -265,9 +293,7 @@ def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
                         max_rows=vocab_limit)
     n_u = uni["n"].to_numpy(zero_copy_only=False).astype(np.float64)
     total = float(n_u.sum())
-    terms = np.asarray(uni["term"].to_pylist())
-    order = np.argsort(terms)
-    ref = ray.put((terms[order], n_u[order]))
+    ref = ray.put((uni["term"].combine_chunks(), n_u))
 
     pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                              ("n_ab", pa.int64())])
@@ -277,17 +303,20 @@ def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
                                       TOKEN_SPLIT_RE)
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         lens = np.where(np.isnan(lens), 0, lens).astype(np.int64)
-        flat = np.asarray(pc.list_flatten(toks).to_pylist())
+        flat = pc.list_flatten(toks)
         doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
-        keep = flat != ""
-        flat, doc_idx = flat[keep], doc_idx[keep]
-        if len(flat) < 2:
+        keep = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(keep)).combine_chunks()
+        doc_idx = doc_idx[keep]
+        if len(doc_idx) < 2:
             return pair_schema.empty_table()
-        adj = doc_idx[1:] == doc_idx[:-1]
-        a, b = flat[:-1][adj], flat[1:][adj]
-        if len(a) == 0:
+        adj = np.nonzero(doc_idx[1:] == doc_idx[:-1])[0]
+        if adj.size == 0:
             return pair_schema.empty_table()
-        tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        # Arrow-native gather: tokens never materialize as Python strs
+        ia = pa.array(adj, pa.int64())
+        ib = pa.array(adj + 1, pa.int64())
+        tbl = pa.table({"a": flat.take(ia), "b": flat.take(ib)})
         g = tbl.group_by(["a", "b"]).aggregate([("a", "count")])
         return g.rename_columns(["a", "b", "n_ab"])
 
@@ -317,20 +346,20 @@ def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
                             ("g", pa.int64())])
 
     def _score(batch: pa.Table) -> pa.Table:
-        ts, nu = ray.get(ref)
+        vt, nu = ray.get(ref)
         n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
         m = n_ab >= min_count
         if not m.any():
             return out_schema.empty_table()
-        a = np.asarray(batch["a"].to_pylist())[m]
-        b = np.asarray(batch["b"].to_pylist())[m]
+        sel = batch.filter(pa.array(m))
         n_ab = n_ab[m]
-        na = nu[np.searchsorted(ts, a)]
-        nb = nu[np.searchsorted(ts, b)]
+        a, b = sel["a"].combine_chunks(), sel["b"].combine_chunks()
+        na = nu[np.asarray(pc.index_in(a, value_set=vt))]
+        nb = nu[np.asarray(pc.index_in(b, value_set=vt))]
         # operation order mirrors the SQL: (n_ab * T) / (n_a * n_b)
         pmi = np.log((n_ab.astype(np.float64) * total) / (na * nb))
-        big = np.char.add(np.char.add(a.astype(str), " "), b.astype(str))
-        return pa.table({"bigram": pa.array(big.tolist(), pa.string()),
+        big = pc.binary_join_element_wise(a, b, " ")
+        return pa.table({"bigram": big,
                          "n_ab": pa.array(n_ab, pa.int64()),
                          "pmi": pa.array(round6(pmi), pa.float64()),
                          "g": pa.array(np.zeros(len(n_ab), np.int64))},

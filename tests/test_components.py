@@ -153,3 +153,21 @@ def test_distributed_sort_path_parity(ray_session):
     d = dist.to_pandas().sort_values("node").reset_index(drop=True)
     assert (f["node"].to_numpy() == d["node"].to_numpy()).all()
     assert (f["component"].to_numpy() == d["component"].to_numpy()).all()
+
+
+def test_attach_components_exact_above_2_53(ray_session):
+    """Component ids above 2^53 must survive exactly (a float64 null
+    round-trip silently rounds them — regression from self-review)."""
+    import ray.data as rd
+
+    from light_curve_ray.stages.components import attach_components
+
+    big = 4611686018427387905  # 2^62 + 1: not float64-representable
+    comps = rd.from_arrow(pa.table(
+        {"node": pa.array([big + 2], pa.int64()),
+         "component": pa.array([big], pa.int64())}))
+    nodes = rd.from_arrow(pa.table(
+        {"doc": pa.array([big + 2, big + 9], pa.int64())}))
+    out = attach_components(nodes, "doc", comps).to_pandas()
+    got = dict(zip(out["doc"], out["component"]))
+    assert got == {big + 2: big, big + 9: big + 9}
