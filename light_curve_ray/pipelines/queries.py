@@ -1842,6 +1842,78 @@ def q_daily_retention(sf_dir: str):
         batch_format="pyarrow"))
 
 
+COHORT_RETENTION_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 604800000000) * 604800000000 AS week_us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (SELECT user_id, MIN(week_us) AS cohort_week_us FROM du GROUP BY 1)
+SELECT c.cohort_week_us,
+       CAST((du.week_us - c.cohort_week_us) // 604800000000 AS BIGINT)
+         AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM du JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by their FIRST active week
+    (the cohort), counted in every later week they return — the
+    standard growth-analytics triangle.  Slim two-level distinct
+    (user, week) pairs; per-user cohort = a mergeable MIN groupby;
+    cohorts broadcast back onto the slim pairs (user-count-scale, the
+    documented small side); final count is one tiny keyed groupby;
+    ORACLE-CHECKED."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.joins import attach_broadcast
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+    step = 604_800_000_000
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = pc.cast(pc.cast(batch["ts"], pa.int64()),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        w = (t // step) * step
+        tbl = pa.table({"user_id": pa.array(u, pa.int64()),
+                        "week_us": pa.array(w, pa.int64())})
+        return tbl.group_by(["user_id", "week_us"]).aggregate(
+            []).select(["user_id", "week_us"])
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # block pre-distinct leaves cross-block duplicates; the final
+    # groupby counts DISTINCT (user, week) via a distinct pass first
+    distinct = pairs.groupby(["user_id", "week_us"]).aggregate(
+        Count(alias_name="_c")).select_columns(["user_id", "week_us"])
+    cohorts = _collect_raw(distinct.groupby("user_id").aggregate(
+        Min("week_us", alias_name="cohort_week_us")))
+    with_c = attach_broadcast(distinct, cohorts, "user_id",
+                              ["cohort_week_us"])
+
+    def _off(batch: pa.Table) -> pa.Table:
+        w = batch["week_us"].to_numpy(zero_copy_only=False)
+        cw = batch["cohort_week_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cohort_week_us": pa.array(cw, pa.int64()),
+            "week_offset": pa.array((w - cw) // step, pa.int64()),
+        })
+
+    offs = with_c.map_batches(_off, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = offs.groupby(["cohort_week_us", "week_offset"]).aggregate(
+        Count(alias_name="n_users"))
+    return _collect(out.map_batches(
+        lambda t: pa.table({
+            "cohort_week_us": t["cohort_week_us"],
+            "week_offset": t["week_offset"],
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
 FUNNEL_USERS_SQL = """
 WITH m AS (
   SELECT user_id,
@@ -3399,6 +3471,7 @@ def build_queries() -> dict:
         "ewma_daily": q_ewma_daily,
         "daily_retention": q_daily_retention,
         "funnel_users": q_funnel_users,
+        "cohort_retention": q_cohort_retention,
         "corpus_prep": q_corpus_prep,
         "events_cube": q_events_cube,
         "latest_events": q_latest_events,
@@ -3508,6 +3581,7 @@ def build_oracle_sql() -> dict:
         "ewma_daily": EWMA_DAILY_SQL,
         "daily_retention": DAILY_RETENTION_SQL,
         "funnel_users": FUNNEL_USERS_SQL,
+        "cohort_retention": COHORT_RETENTION_SQL,
         "corpus_prep": _corpus_prep_sql(),
         "events_cube": EVENTS_CUBE_SQL,
         "latest_events": LATEST_EVENTS_SQL,
