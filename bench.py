@@ -148,7 +148,7 @@ def _scalar_metrics(m):
     return _DROP
 
 
-def run_queries() -> dict:
+def run_queries(names: list[str] | None = None) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -161,6 +161,8 @@ def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    if names is not None:
+        qs = {n: qs[n] for n in names}
     # untimed warmup: spawn worker processes + pay per-process imports once
     # so the first timed query doesn't carry ~3 s of cluster cold-start
     # (steady-state measurement; the deployment is a long-lived cluster)
@@ -174,16 +176,59 @@ def run_queries() -> dict:
     return out
 
 
-def main_bench():
-    headline = run_headline(NUM_CPUS, N_PAGES)
-    queries = run_queries()
-    import ray
+def _run_guarded(argv_tail: list[str], retries: int = 1):
+    """Run a bench phase in a crash-guarded subprocess.
 
-    ray.shutdown()
+    Returns the phase's parsed JSON (last stdout line) or None if every
+    attempt died.  This exists because a transient raylet death killed the
+    driver's whole bench in r03 (rc=1, nothing parsed): each phase gets its
+    own Ray session in its own process, a nonzero rc gets ONE retry, and
+    the parent always survives to print the summary line."""
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv_tail
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(NUM_CPUS)})
+            if proc.returncode == 0:
+                lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+                if lines:
+                    return json.loads(lines[-1])
+        except (subprocess.TimeoutExpired, json.JSONDecodeError,
+                OSError):
+            pass
+        if attempt < retries:
+            time.sleep(5)  # let dead Ray processes exit before the retry
+    return None
+
+
+def _query_chunks(chunk: int = 12) -> list[list[str]]:
+    from light_curve_ray.pipelines.queries import build_queries
+
+    names = list(build_queries())
+    return [names[i:i + chunk] for i in range(0, len(names), chunk)]
+
+
+def main_bench():
+    """Default driver mode, crash-guarded: headline in one subprocess,
+    queries in chunked subprocesses (a raylet death loses one chunk's
+    timings, not the run; the chunk is retried once).  Always prints the
+    JSON line, with any dead phases listed under queries.failed."""
+    headline = _run_guarded(["--headline-once", str(NUM_CPUS), str(N_PAGES)])
+    queries: dict = {}
+    failed: list[str] = []
+    for chunk in _query_chunks():
+        res = _run_guarded(["--queries-once", ",".join(chunk)])
+        if res is None:
+            failed.extend(chunk)
+        else:
+            queries.update(res)
+    if failed:
+        queries["failed"] = failed
     print(json.dumps({
         "metric": "pages rollup wall time (extract->tiers->gapfill->gorilla)"
                   f" @ {N_PAGES} pages + per-query wall times @ {SF_DIR}",
-        "value": headline["wall_s"],
+        "value": headline["wall_s"] if headline else None,
         "unit": "sec",
         "queries": queries,
         "sf": _sf_of(SF_DIR),
@@ -333,6 +378,14 @@ if __name__ == "__main__":
         i = sys.argv.index("--headline-once")
         n_cpus, n_pages = int(sys.argv[i + 1]), int(sys.argv[i + 2])
         r = run_headline(n_cpus, n_pages)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(r))
+    elif "--queries-once" in sys.argv:
+        i = sys.argv.index("--queries-once")
+        names = sys.argv[i + 1].split(",")
+        r = run_queries(names)
         import ray
 
         ray.shutdown()

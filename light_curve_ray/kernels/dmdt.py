@@ -1,0 +1,84 @@
+"""dm-dt map kernel: per-series 2-D histogram of (magnitude change,
+time lag) over all time-ordered point pairs.
+
+The reference ecosystem ships this as the light-curve-dmdt crate
+(/root/reference/README.md:17; Mahabal et al. 2017, arXiv 1709.06257):
+each light curve maps to a small image whose cell (j, k) counts pairs
+with dt in log-spaced bin j and dm in linear bin k — the standard
+variability fingerprint fed to CNN classifiers.
+
+Grid contract (shared with the SQL oracle): dt bins are PRECOMPUTED
+INTEGER microsecond edges (log10-spaced from 1 s to 30 d), so binning is
+pure int64 comparison on both sides — no transcendental (log10) is ever
+evaluated on data, eliminating libm-vs-DuckDB float-edge risk.  dm bins
+are linear over [DM_MIN, DM_MAX) via floor((dm - DM_MIN) / DM_WIDTH) —
+plain IEEE subtract/divide/floor, bit-deterministic across both engines.
+Out-of-grid pairs (dt < 1 s, including equal-timestamp pairs; dt >= 30 d;
+|dm| >= 512) are dropped, matching light-curve-dmdt's drop-off-grid
+semantics.
+
+The pair enumeration is a LAG LOOP over the time-sorted series: for lag
+L, dt = t[L:] - t[:-L] vectorized over the whole series (memory O(n),
+work O(pairs)).  Because the series is sorted, per-index dt is
+nondecreasing in L, so the loop STOPS at the first lag whose minimum dt
+exceeds the last edge — total work is proportional to pairs WITHIN the
+30-day window, not n^2, which is what makes long archival series
+tractable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+N_DT = 16
+N_DM = 16
+LG_DT_MIN = 0.0                        # 10^0 s = 1 second
+LG_DT_MAX = math.log10(2_592_000.0)    # 30 days in seconds
+DM_MIN = -512.0
+DM_MAX = 512.0
+DM_WIDTH = (DM_MAX - DM_MIN) / N_DM
+
+# integer microsecond edges, len N_DT+1; bin j holds EDGES[j] <= dt < EDGES[j+1]
+DT_EDGES_US = tuple(
+    int(round(10.0 ** (LG_DT_MIN + j * (LG_DT_MAX - LG_DT_MIN) / N_DT) * 1e6))
+    for j in range(N_DT + 1))
+
+
+def dmdt_counts(t_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(N_DT, N_DM) int64 pair-count grid for one series.
+
+    Input need not be sorted; points are ordered by (t, v) internally so
+    the result is independent of Ray block order.  dm is later-minus-
+    earlier value.
+    """
+    t_us = np.asarray(t_us, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    order = np.lexsort((v, t_us))
+    ts = t_us[order]
+    x = v[order]
+    n = len(ts)
+    edges = np.asarray(DT_EDGES_US, dtype=np.int64)
+    flat = np.zeros(N_DT * N_DM, dtype=np.int64)
+    for lag in range(1, n):
+        dt = ts[lag:] - ts[:-lag]
+        if dt.min() >= edges[-1]:
+            break  # sorted series: every larger lag is also off-grid
+        dm = x[lag:] - x[:-lag]
+        db = np.searchsorted(edges, dt, side="right") - 1
+        mb = np.floor((dm - DM_MIN) / DM_WIDTH)
+        valid = ((db >= 0) & (db < N_DT) & (dt < edges[-1])
+                 & (mb >= 0.0) & (mb < N_DM))
+        if valid.any():
+            code = db[valid] * N_DM + mb[valid].astype(np.int64)
+            flat += np.bincount(code, minlength=N_DT * N_DM)
+    return flat.reshape(N_DT, N_DM)
+
+
+def dt_edges_sql_values() -> str:
+    """`(bin, lo_us, hi_us)` VALUES rows for the oracle's edge join —
+    the SAME integer literals the kernel compares against."""
+    return ", ".join(
+        f"({j}, {DT_EDGES_US[j]}, {DT_EDGES_US[j + 1]})"
+        for j in range(N_DT))

@@ -34,15 +34,23 @@ class ExtractTextStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
-        html = batch["html"]
-        need = pc.is_null(text).to_numpy(zero_copy_only=False)
-        if need.any():
-            text_py = text.to_pylist()
-            html_py = html.to_pylist()
-            for i in need.nonzero()[0]:
-                h = html_py[i]
-                text_py[i] = extract_text(h) if h is not None else ""
-            text = pa.array(text_py, pa.string())
+        mask = pc.is_null(text)
+        if pc.any(mask).as_py():
+            # only the null-text MINORITY crosses the Arrow->Python
+            # boundary: take the needed html rows, parse, then a
+            # vectorized replace_with_mask scatter — a batch with 1%
+            # nulls no longer pays a 100% to_pylist round-trip
+            idx = pc.indices_nonzero(mask)
+            html_sub = batch["html"].take(idx).to_pylist()
+            repl = pa.array(
+                [extract_text(h) if h is not None else "" for h in html_sub],
+                pa.string())
+            text = pc.replace_with_mask(
+                text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+                else text,
+                mask.combine_chunks() if isinstance(mask, pa.ChunkedArray)
+                else mask,
+                repl.cast(text.type))
         batch = batch.set_column(batch.column_names.index("text"), "text", text)
         if self.drop_html:
             batch = batch.drop_columns(["html"])

@@ -1,0 +1,71 @@
+"""dm-dt kernel oracles: the lag-loop grid must equal a brute-force
+O(n^2) pair enumeration, be order-independent, and respect the
+integer-edge/off-grid drop contract (kernels/dmdt.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from light_curve_ray.kernels.dmdt import (
+    DM_MIN,
+    DM_WIDTH,
+    DT_EDGES_US,
+    N_DM,
+    N_DT,
+    dmdt_counts,
+)
+
+
+def _brute(t_us, v):
+    order = np.lexsort((v, t_us))
+    ts, x = np.asarray(t_us)[order], np.asarray(v)[order]
+    grid = np.zeros((N_DT, N_DM), np.int64)
+    edges = np.asarray(DT_EDGES_US)
+    n = len(ts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dt = ts[j] - ts[i]
+            dm = x[j] - x[i]
+            db = int(np.searchsorted(edges, dt, side="right")) - 1
+            mb = int(np.floor((dm - DM_MIN) / DM_WIDTH))
+            if 0 <= db < N_DT and dt < edges[-1] and 0 <= mb < N_DM:
+                grid[db, mb] += 1
+    return grid
+
+
+def test_dmdt_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    n = 120
+    t = np.cumsum(rng.randint(1, 10**8, n)).astype(np.int64)
+    v = rng.normal(0, 100, n)
+    got = dmdt_counts(t, v)
+    assert np.array_equal(got, _brute(t, v))
+    # some pairs must actually land on-grid for the test to mean anything
+    assert got.sum() > 0
+
+
+def test_dmdt_order_independent_and_edges():
+    rng = np.random.RandomState(11)
+    n = 60
+    t = np.cumsum(rng.randint(1, 10**9, n)).astype(np.int64)
+    v = rng.normal(0, 50, n)
+    base = dmdt_counts(t, v)
+    perm = rng.permutation(n)
+    assert np.array_equal(base, dmdt_counts(t[perm], v[perm]))
+
+    # sub-second pairs, equal-timestamp pairs and >=30d pairs are dropped
+    t2 = np.array([0, 0, 500_000, 10**13], np.int64)  # 0, 0, 0.5s, ~115d
+    v2 = np.array([1.0, 2.0, 3.0, 4.0])
+    assert dmdt_counts(t2, v2).sum() == 0
+
+    # a pair EXACTLY on a bin's lower edge lands in that bin
+    t3 = np.array([0, DT_EDGES_US[3]], np.int64)
+    v3 = np.array([0.0, 1.0])
+    g = dmdt_counts(t3, v3)
+    assert g.sum() == 1
+    assert g[3, int((1.0 - DM_MIN) // DM_WIDTH)] == 1
+
+    # |dm| >= 512 is off-grid
+    t4 = np.array([0, 10**10], np.int64)
+    v4 = np.array([0.0, 512.0])
+    assert dmdt_counts(t4, v4).sum() == 0
