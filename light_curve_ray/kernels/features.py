@@ -1,0 +1,136 @@
+"""Entropy- and error-based whole-series features from the
+light-curve-feature catalog (/root/reference/README.md:18; public
+definitions: Malanchev et al. 2021, MNRAS 502:5147, Table 1):
+ConditionalEntropy (fixed-fold variant), EtaE, ExcessVariance,
+MeanVariance, StetsonK, ReducedChi2 and LinearFit.
+
+Cross-engine determinism contract (same discipline as kernels/shape.py):
+phase bins are PURE INT64 arithmetic ((t mod P) * NPHI // P); magnitude
+bins use the literally identical float expression on both sides
+(floor((v - vmin) / (vmax - vmin) * NMAG)); sums that feed a slope are
+computed around per-series means to avoid catastrophic cancellation, so
+DuckDB-vs-numpy summation-order differences stay ulp-scale and the
+shared two-step rounding (round(round(x, 9), 6)) collapses them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# conditional-entropy grid: phase-fold period (1 day) and bin counts.
+# The full Graham et al. 2013 period SEARCH composes this kernel over
+# trial periods (the periodogram query's discipline); the feature row
+# pins the fixed-fold entropy, which is what the SQL oracle can mirror.
+CE_PERIOD_US = 86_400_000_000
+CE_N_PHASE = 8
+CE_N_MAG = 8
+
+
+def conditional_entropy(t_us: np.ndarray, v: np.ndarray) -> float:
+    """H(mag | phase) over the CE_N_PHASE x CE_N_MAG occupancy grid of
+    the series folded at CE_PERIOD_US: sum p(phi,m) * ln(p(phi)/p(phi,m))
+    (Graham et al. 2013).  NaN for a constant series (no mag bins)."""
+    t_us = np.asarray(t_us, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+    vmin = v.min()
+    vmax = v.max()
+    if not vmax > vmin:
+        return float("nan")
+    phase = (t_us % CE_PERIOD_US) * CE_N_PHASE // CE_PERIOD_US
+    mag = np.minimum(CE_N_MAG - 1,
+                     np.floor((v - vmin) / (vmax - vmin) * float(CE_N_MAG))
+                     .astype(np.int64))
+    code = phase * CE_N_MAG + mag
+    cell = np.bincount(code, minlength=CE_N_PHASE * CE_N_MAG).astype(
+        np.float64).reshape(CE_N_PHASE, CE_N_MAG)
+    cphi = cell.sum(axis=1, keepdims=True)
+    nz = cell > 0
+    # p(phi,m) * ln(p(phi)/p(phi,m)) = (c/n) * ln(cphi/c)
+    return float((cell[nz] / n
+                  * np.log(np.broadcast_to(cphi, cell.shape)[nz]
+                           / cell[nz])).sum())
+
+
+WEIGHTED_FEATURES = (
+    "n", "weighted_mean", "reduced_chi2", "excess_variance",
+    "mean_variance", "stetson_k", "eta_e", "slope", "slope_sigma",
+    "fit_reduced_chi2",
+)
+
+
+def weighted_features(t_us: np.ndarray, v: np.ndarray,
+                      sigma: np.ndarray) -> dict:
+    """Error-aware feature family over one series with per-point
+    uncertainties ``sigma`` (w = 1/sigma^2):
+
+    - ``weighted_mean``: sum(w v) / sum(w).
+    - ``reduced_chi2``: sum(w (v - wmean)^2) / (n - 1)  (NULL n < 2).
+    - ``excess_variance``: (s^2 - <sigma^2>) / mean^2, s^2 the ddof=1
+      sample variance, mean the PLAIN mean (NULL n < 2 or mean == 0).
+    - ``mean_variance``: s / mean (NULL n < 2 or mean == 0).
+    - ``stetson_k``: mean|d| / sqrt(mean d^2), d = (v - wmean) / sigma
+      (Stetson 1996; the sqrt(n/(n-1)) factor cancels in the ratio;
+      NULL when all residuals are zero).
+    - ``eta_e``: Kim et al. 2014 irregular-sampling von Neumann ratio
+      (t_n - t_1)^2 * sum((dv/dt)^2) / (s^2 (n-1)^3), dt in seconds,
+      equal-timestamp pairs skipped (NULL n < 2, s == 0 or no valid pair).
+    - ``slope`` / ``slope_sigma`` / ``fit_reduced_chi2``: weighted
+      least-squares line v = a + b x, x = seconds since the series' first
+      point; slope b = sum(w dx dy) / sum(w dx^2) around the weighted
+      means, slope_sigma = sqrt(1 / sum(w dx^2)), chi2/(n-2)
+      (light-curve-feature LinearFit; NULL n < 3 or degenerate x).
+
+    Points are ordered by (t, v) internally; returns python floats with
+    NaN for NULL."""
+    t_us = np.asarray(t_us, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    sigma = np.asarray(sigma, dtype=np.float64)
+    order = np.lexsort((v, t_us))
+    ts, x, sg = t_us[order], v[order], sigma[order]
+    n = len(x)
+    w = 1.0 / (sg * sg)
+    sw = w.sum()
+    wmean = (w * x).sum() / sw
+    out = {"n": int(n), "weighted_mean": float(wmean),
+           "reduced_chi2": np.nan, "excess_variance": np.nan,
+           "mean_variance": np.nan, "stetson_k": np.nan, "eta_e": np.nan,
+           "slope": np.nan, "slope_sigma": np.nan,
+           "fit_reduced_chi2": np.nan}
+    d = (x - wmean) / sg
+    msq = (d * d).mean()
+    if msq > 0.0:
+        out["stetson_k"] = float(np.abs(d).mean() / np.sqrt(msq))
+    if n < 2:
+        return out
+    out["reduced_chi2"] = float((w * (x - wmean) ** 2).sum() / (n - 1))
+    mean = x.mean()
+    s2 = x.var(ddof=1)
+    if mean != 0.0:
+        out["excess_variance"] = float((s2 - (sg * sg).mean())
+                                       / (mean * mean))
+        out["mean_variance"] = float(np.sqrt(s2) / mean)
+    # eta_e — dt from integer µs diffs divided once (shape.py discipline)
+    dt = np.diff(ts).astype(np.float64) / 1e6
+    dv = np.diff(x)
+    ok = dt > 0.0
+    if s2 > 0.0 and ok.any():
+        span = float(ts[-1] - ts[0]) / 1e6
+        out["eta_e"] = float(
+            span * span * ((dv[ok] / dt[ok]) ** 2).sum()
+            / (s2 * float(n - 1) ** 3))
+    # weighted linear fit around the weighted means
+    if n >= 3:
+        xt = (ts - ts[0]).astype(np.float64) / 1e6
+        mx = (w * xt).sum() / sw
+        dx = xt - mx
+        sxx = (w * dx * dx).sum()
+        if sxx > 0.0:
+            b = (w * dx * (x - wmean)).sum() / sxx
+            a = wmean - b * mx
+            resid = x - (a + b * xt)
+            out["slope"] = float(b)
+            out["slope_sigma"] = float(np.sqrt(1.0 / sxx))
+            out["fit_reduced_chi2"] = float(
+                (w * resid * resid).sum() / (n - 2))
+    return out

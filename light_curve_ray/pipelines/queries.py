@@ -54,7 +54,7 @@ ROLLUP_COLS = [
 # double precision at any magnitude
 _SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
                              "excess_variance", "linear_trend_sigma",
-                             "revenue"})
+                             "revenue", "eta_e", "fit_reduced_chi2"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -946,6 +946,267 @@ def q_dmdt_map(sf_dir: str):
 
     cells = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
     return _collect(cells)
+
+
+def _conditional_entropy_sql(points_sql: str) -> str:
+    """Occupancy-grid oracle for the fixed-fold conditional entropy:
+    INT64 phase bins ((t mod P) * 8 // P) and the literally identical
+    mag-bin float expression as kernels/features.conditional_entropy."""
+    from ..kernels.features import CE_N_MAG, CE_N_PHASE, CE_PERIOD_US
+
+    return f"""
+WITH pts AS ({points_sql}),
+m AS (SELECT lang, domain, COUNT(*) AS n, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM pts GROUP BY 1, 2),
+b AS (
+  SELECT p.lang, p.domain, m.n,
+    (p.t_us % {CE_PERIOD_US}) * {CE_N_PHASE} // {CE_PERIOD_US} AS phi,
+    LEAST({CE_N_MAG - 1},
+          CAST(FLOOR((p.v - m.vmin) / (m.vmax - m.vmin)
+                     * {float(CE_N_MAG)}) AS BIGINT)) AS mag
+  FROM pts p JOIN m USING (lang, domain) WHERE m.vmax > m.vmin
+),
+c AS (SELECT lang, domain, n, phi, mag, COUNT(*) AS cnt
+      FROM b GROUP BY 1, 2, 3, 4, 5),
+g AS (SELECT lang, domain, phi, SUM(cnt) AS cphi
+      FROM c GROUP BY 1, 2, 3),
+ce AS (
+  SELECT c.lang, c.domain,
+    SUM((CAST(c.cnt AS DOUBLE) / c.n)
+        * LN(CAST(g.cphi AS DOUBLE) / c.cnt)) AS h
+  FROM c JOIN g USING (lang, domain, phi) GROUP BY 1, 2
+)
+SELECT m.lang, m.domain, m.n,
+  ROUND(ce.h, 6) AS conditional_entropy
+FROM m LEFT JOIN ce USING (lang, domain)
+"""
+
+
+def q_conditional_entropy(sf_dir: str):
+    """Fixed-fold conditional entropy H(mag | phase) per series (Graham
+    et al. 2013 via the light-curve-feature catalog's entropy family;
+    kernels/features.conditional_entropy) — the period-SEARCH variant
+    composes this kernel over trial periods like the periodogram query.
+    One sorted-series exchange; ORACLE-CHECKED against the occupancy-grid
+    SQL (int64 phase bins, shared mag-bin float expression)."""
+    from ..kernels.features import conditional_entropy
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()), ("n", pa.int64()),
+        ("conditional_entropy", pa.float64()),
+    ])
+
+    def _one(group: pa.Table) -> pa.Table:
+        h = conditional_entropy(
+            group["t_us"].to_numpy(zero_copy_only=False),
+            group["v"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([len(group)], pa.int64()),
+            "conditional_entropy": pa.array(
+                [None if np.isnan(h) else h], pa.float64()),
+        })
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
+# Synthetic heteroscedastic error model for the weighted-feature query:
+# sigma_i derived from the data itself with IEEE-exact ops (abs, sqrt,
+# one multiply, one add) so both engines compute bit-identical weights.
+_SIGMA_SQL = "1.0 + 0.1 * SQRT(ABS(v))"
+
+
+def _weighted_features_sql(points_sql: str) -> str:
+    return f"""
+WITH pts AS ({points_sql}),
+w AS (SELECT lang, domain, t_us, v, {_SIGMA_SQL} AS sg,
+             1.0 / (({_SIGMA_SQL}) * ({_SIGMA_SQL})) AS w
+      FROM pts),
+m AS (
+  SELECT lang, domain, COUNT(*) AS n, SUM(w) AS sw,
+         SUM(w * v) / SUM(w) AS wmean, AVG(v) AS mean,
+         VAR_SAMP(v) AS s2, AVG(sg * sg) AS msig2,
+         MIN(t_us) AS tlo, MAX(t_us) AS thi
+  FROM w GROUP BY 1, 2
+),
+d AS (
+  SELECT w.lang, w.domain,
+    AVG(ABS((w.v - m.wmean) / w.sg)) AS mad,
+    AVG(((w.v - m.wmean) / w.sg) * ((w.v - m.wmean) / w.sg)) AS msq,
+    SUM(w.w * (w.v - m.wmean) * (w.v - m.wmean)) AS chi2,
+    SUM(w.w * ((CAST(w.t_us - m.tlo AS DOUBLE) / 1e6))) / SUM(w.w) AS mx
+  FROM w JOIN m USING (lang, domain) GROUP BY 1, 2
+),
+s AS (
+  SELECT w.lang, w.domain, w.v,
+    LAG(w.v) OVER (PARTITION BY w.lang, w.domain
+                   ORDER BY w.t_us, w.v) AS pv,
+    LAG(w.t_us) OVER (PARTITION BY w.lang, w.domain
+                      ORDER BY w.t_us, w.v) AS pt,
+    w.t_us
+  FROM w
+),
+ee AS (
+  SELECT lang, domain,
+    SUM(CASE WHEN pt IS NOT NULL AND t_us != pt
+        THEN ((v - pv) / (CAST(t_us - pt AS DOUBLE) / 1e6))
+             * ((v - pv) / (CAST(t_us - pt AS DOUBLE) / 1e6)) END) AS sde
+  FROM s GROUP BY 1, 2
+),
+lf AS (
+  SELECT w.lang, w.domain,
+    SUM(w.w * (CAST(w.t_us - m.tlo AS DOUBLE) / 1e6 - d.mx)
+            * (CAST(w.t_us - m.tlo AS DOUBLE) / 1e6 - d.mx)) AS sxx,
+    SUM(w.w * (CAST(w.t_us - m.tlo AS DOUBLE) / 1e6 - d.mx)
+            * (w.v - m.wmean)) AS sxy
+  FROM w JOIN m USING (lang, domain) JOIN d USING (lang, domain)
+  GROUP BY 1, 2
+),
+fr AS (
+  SELECT w.lang, w.domain,
+    SUM(w.w * (w.v - ((m.wmean - (lf.sxy / lf.sxx) * d.mx)
+                      + (lf.sxy / lf.sxx)
+                        * (CAST(w.t_us - m.tlo AS DOUBLE) / 1e6)))
+            * (w.v - ((m.wmean - (lf.sxy / lf.sxx) * d.mx)
+                      + (lf.sxy / lf.sxx)
+                        * (CAST(w.t_us - m.tlo AS DOUBLE) / 1e6))))
+      AS rssw
+  FROM w JOIN m USING (lang, domain) JOIN d USING (lang, domain)
+       JOIN lf USING (lang, domain)
+  WHERE m.n >= 3 AND lf.sxx > 0 GROUP BY 1, 2
+),
+raw AS (
+  SELECT m.lang, m.domain, m.n,
+    ROUND(m.wmean, 6) AS weighted_mean,
+    CASE WHEN m.n < 2 THEN NULL
+         ELSE d.chi2 / (m.n - 1) END AS rc,
+    CASE WHEN m.n < 2 OR m.mean = 0.0 THEN NULL
+         ELSE (m.s2 - m.msig2) / (m.mean * m.mean) END AS ev,
+    CASE WHEN m.n < 2 OR m.mean = 0.0 THEN NULL
+         ELSE SQRT(m.s2) / m.mean END AS mv,
+    CASE WHEN d.msq <= 0.0 THEN NULL
+         ELSE ROUND(d.mad / SQRT(d.msq), 6) END AS stetson_k,
+    CASE WHEN m.n < 2 OR m.s2 <= 0.0 OR ee.sde IS NULL THEN NULL
+         ELSE (CAST(m.thi - m.tlo AS DOUBLE) / 1e6)
+              * (CAST(m.thi - m.tlo AS DOUBLE) / 1e6) * ee.sde
+              / (m.s2 * POWER(m.n - 1.0, 3)) END AS ee_,
+    CASE WHEN m.n < 3 OR lf.sxx <= 0.0 THEN NULL
+         ELSE ROUND(lf.sxy / lf.sxx, 6) END AS slope,
+    CASE WHEN m.n < 3 OR lf.sxx <= 0.0 THEN NULL
+         ELSE ROUND(SQRT(1.0 / lf.sxx), 6) END AS slope_sigma,
+    CASE WHEN m.n < 3 OR lf.sxx <= 0.0 THEN NULL
+         ELSE fr.rssw / (m.n - 2) END AS frc
+  FROM m LEFT JOIN d USING (lang, domain)
+         LEFT JOIN ee USING (lang, domain)
+         LEFT JOIN lf USING (lang, domain)
+         LEFT JOIN fr USING (lang, domain)
+),
+-- unbounded-magnitude features round at SIGNIFICANT digits (9 then 6,
+-- mirroring kernels/rounding.round_sig6_tie_robust via _SIG_ROUND_COLS)
+r9 AS (
+  SELECT lang, domain, n, weighted_mean, stetson_k, slope, slope_sigma,
+    {_sig_round_sql("rc", 9)} AS rc9,
+    {_sig_round_sql("ev", 9)} AS ev9,
+    {_sig_round_sql("mv", 9)} AS mv9,
+    {_sig_round_sql("ee_", 9)} AS ee9,
+    {_sig_round_sql("frc", 9)} AS frc9
+  FROM raw
+)
+SELECT lang, domain, n, weighted_mean,
+  {_sig_round_sql("rc9", 6)} AS reduced_chi2,
+  {_sig_round_sql("ev9", 6)} AS excess_variance,
+  {_sig_round_sql("mv9", 6)} AS mean_variance,
+  stetson_k,
+  {_sig_round_sql("ee9", 6)} AS eta_e,
+  slope, slope_sigma,
+  {_sig_round_sql("frc9", 6)} AS fit_reduced_chi2
+FROM r9
+"""
+
+
+def q_weighted_features(sf_dir: str):
+    """Error-aware feature family (ReducedChi2, ExcessVariance,
+    MeanVariance, StetsonK, EtaE, LinearFit — light-curve-feature
+    catalog, kernels/features.weighted_features) per series, with
+    per-point sigma derived from the data by the shared IEEE-exact
+    expression (_SIGMA_SQL) so both engines weigh identically; one
+    sorted-series exchange; ORACLE-CHECKED."""
+    from ..kernels.features import WEIGHTED_FEATURES, weighted_features
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("domain", pa.string()),
+         ("n", pa.int64())]
+        + [(f, pa.float64()) for f in WEIGHTED_FEATURES if f != "n"])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        sigma = 1.0 + 0.1 * np.sqrt(np.abs(v))  # == _SIGMA_SQL
+        feats = weighted_features(
+            group["t_us"].to_numpy(zero_copy_only=False), v, sigma)
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([feats["n"]], pa.int64()),
+        }
+        for f in WEIGHTED_FEATURES:
+            if f == "n":
+                continue
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
+def q_bazin_fit(sf_dir: str):
+    """BazinFit (Bazin et al. 2009 transient profile; kernels/bazin.py)
+    per series: deterministic hand-rolled Levenberg-Marquardt on the
+    sorted-series exchange.  Nonlinear fit — no SQL oracle BY DESIGN
+    (rows-only driver check); the unit oracle plants known parameters on
+    synthetic curves and requires recovery (tests/test_bazin.py)."""
+    from ..kernels.bazin import BAZIN_PARAMS, bazin_fit
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("domain", pa.string()),
+         ("n", pa.int64())]
+        + [(f, pa.float64()) for f in BAZIN_PARAMS] +
+        [("rss", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t_us = group["t_us"].to_numpy(zero_copy_only=False)
+        t_s = (t_us - t_us.min()).astype(np.float64) / 1e6
+        feats = bazin_fit(t_s, group["v"].to_numpy(zero_copy_only=False))
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([feats["n"]], pa.int64()),
+        }
+        for f in list(BAZIN_PARAMS) + ["rss"]:
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
 
 
 def _sliding_sql(points_sql: str, step_us: int, window: int) -> str:
@@ -3541,6 +3802,9 @@ def build_queries() -> dict:
     return {
         # -- new in round 4 --
         "dmdt_map": q_dmdt_map,
+        "conditional_entropy": q_conditional_entropy,
+        "weighted_features": q_weighted_features,
+        "bazin_fit": q_bazin_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -3708,6 +3972,8 @@ WHERE rn <= 2
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
         "dmdt_map": _dmdt_sql(EVENTS_POINTS_SQL),
+        "conditional_entropy": _conditional_entropy_sql(EVENTS_POINTS_SQL),
+        "weighted_features": _weighted_features_sql(EVENTS_POINTS_SQL),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

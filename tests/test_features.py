@@ -1,0 +1,97 @@
+"""Unit oracles for kernels/features.py: conditional entropy against a
+brute-force occupancy grid, weighted features against direct formulas,
+and NULL/edge semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from light_curve_ray.kernels.features import (
+    CE_N_MAG,
+    CE_N_PHASE,
+    CE_PERIOD_US,
+    conditional_entropy,
+    weighted_features,
+)
+
+
+def test_conditional_entropy_bruteforce():
+    rng = np.random.RandomState(5)
+    n = 500
+    t = np.cumsum(rng.randint(1, 10**10, n)).astype(np.int64)
+    v = rng.normal(50, 20, n)
+    got = conditional_entropy(t, v)
+
+    # brute force over explicit cells
+    vmin, vmax = v.min(), v.max()
+    cells: dict = {}
+    for ti, vi in zip(t, v):
+        phi = int((ti % CE_PERIOD_US) * CE_N_PHASE // CE_PERIOD_US)
+        mag = min(CE_N_MAG - 1,
+                  int(math.floor((vi - vmin) / (vmax - vmin) * CE_N_MAG)))
+        cells[(phi, mag)] = cells.get((phi, mag), 0) + 1
+    phase_tot: dict = {}
+    for (phi, _), c in cells.items():
+        phase_tot[phi] = phase_tot.get(phi, 0) + c
+    exp = sum(c / n * math.log(phase_tot[phi] / c)
+              for (phi, _), c in cells.items())
+    assert abs(got - exp) < 1e-12
+    # bounded by ln(n_mag_bins); uniform-in-phase constant series is NaN
+    assert 0.0 <= got <= math.log(CE_N_MAG) + 1e-12
+    assert np.isnan(conditional_entropy(t, np.full(n, 3.0)))
+
+
+def test_weighted_features_formulas():
+    rng = np.random.RandomState(9)
+    n = 300
+    t = np.cumsum(rng.randint(10**6, 10**9, n)).astype(np.int64)
+    v = rng.normal(10, 4, n)
+    sg = 0.5 + rng.uniform(0, 1, n)
+    f = weighted_features(t, v, sg)
+
+    w = 1.0 / sg**2
+    wmean = (w * v).sum() / w.sum()
+    assert abs(f["weighted_mean"] - wmean) < 1e-12
+    assert abs(f["reduced_chi2"]
+               - (w * (v - wmean) ** 2).sum() / (n - 1)) < 1e-9
+    s2 = v.var(ddof=1)
+    assert abs(f["excess_variance"]
+               - (s2 - (sg**2).mean()) / v.mean() ** 2) < 1e-12
+    assert abs(f["mean_variance"] - np.sqrt(s2) / v.mean()) < 1e-12
+    d = (v - wmean) / sg
+    assert abs(f["stetson_k"]
+               - np.abs(d).mean() / np.sqrt((d**2).mean())) < 1e-12
+    # eta_e: direct Kim et al. 2014 formula on the time-sorted series
+    order = np.argsort(t)
+    ts, xs = t[order], v[order]
+    dt = np.diff(ts) / 1e6
+    dv = np.diff(xs)
+    span = (ts[-1] - ts[0]) / 1e6
+    exp_ee = span**2 * ((dv / dt) ** 2).sum() / (s2 * (n - 1) ** 3)
+    assert abs(f["eta_e"] - exp_ee) / exp_ee < 1e-12
+
+    # linear fit recovers a planted line exactly when sigma is constant
+    slope_true, icpt = 3.5e-4, 7.0
+    x = (t - t[0]) / 1e6
+    y = icpt + slope_true * x
+    g = weighted_features(t, y, np.full(n, 2.0))
+    assert abs(g["slope"] - slope_true) / slope_true < 1e-9
+    assert g["fit_reduced_chi2"] < 1e-12
+    # slope_sigma = sqrt(1/sum(w dx^2))
+    wq = np.full(n, 1 / 4.0)
+    dx = x - (wq * x).sum() / wq.sum()
+    assert abs(g["slope_sigma"] - np.sqrt(1.0 / (wq * dx * dx).sum())) < 1e-12
+
+
+def test_weighted_features_nulls():
+    t = np.array([10**12], np.int64)
+    f = weighted_features(t, np.array([5.0]), np.array([1.0]))
+    assert f["n"] == 1 and np.isnan(f["reduced_chi2"])
+    assert np.isnan(f["eta_e"]) and np.isnan(f["slope"])
+    # constant series: stetson undefined (all-zero residuals)
+    t3 = np.array([1, 2, 3], np.int64) * 10**10
+    g = weighted_features(t3, np.full(3, 2.0), np.full(3, 1.0))
+    assert np.isnan(g["stetson_k"]) and np.isnan(g["eta_e"])
+    assert g["reduced_chi2"] == 0.0
