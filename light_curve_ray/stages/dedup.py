@@ -818,34 +818,74 @@ def exact_dup_pair_floor(pairs_ds, docs_ds, id_col: str = "doc_id",
     chain must surface EVERY equal-text pair (hot-bucket-cap caveat in
     ``_bucket_pairs_slim``); equality with the oracle therefore pins the
     chain's recall floor — a dropped exact pair fails the row-count check,
-    a phantom pair fails the hash check.  Same two-join topology as
-    ``ngram_jaccard_verify_join`` (slim pairs x corpus on the uniform doc
-    id; no driver-side corpus)."""
+    a phantom pair fails the hash check.
+
+    Texts are compared by 16-byte blake2b FINGERPRINT, never shipped:
+    the round-3 version joined full document texts through two shuffles
+    (~2x the whole LSH chain's wall).  A 128-bit digest makes a phantom
+    pair need a blake2b collision (~n^2 * 2^-128 — below any practical
+    concern).  Lookup topology is the repo's gated switch: the
+    doc-count-scale fingerprint table broadcasts under the
+    ``collect_small`` gate (one ray.put, vectorized probe per batch);
+    above it, two hash-partitioned ``Dataset.join``s on the slim
+    (id, fp) rows — the web-scale path, pinned equal by tests."""
     import pyarrow.compute as pc
 
     import ray
 
+    from .joins import attach_broadcast, collect_small
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [hashlib.blake2b((t or "").encode("utf-8"),
+                               digest_size=16).digest()
+               for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col],
+                         "fp": pa.array(fps, pa.binary(16))})
+
+    fp_ds = docs_ds.map_batches(_fp, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     if num_partitions is None:
-        pairs_ds = pairs_ds.materialize()
-        n_pairs = pairs_ds.count()
-        cpu_cap = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        num_partitions = int(min(cpu_cap, max(2, n_pairs // 25_000 + 2)))
+        try:
+            lookup = collect_small(fp_ds)
+        except ValueError:
+            lookup = None
+    else:
+        lookup = None  # forced join path (tests pin it equal)
 
-    def _as_a(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": batch[id_col], "text_a": batch[text_col]})
+    if lookup is not None:
+        la = pa.table({"doc_a": lookup[id_col], "fp_a": lookup["fp"]})
+        lb = pa.table({"doc_b": lookup[id_col], "fp_b": lookup["fp"]})
+        joined = attach_broadcast(
+            attach_broadcast(pairs_ds, la, "doc_a", ["fp_a"]),
+            lb, "doc_b", ["fp_b"])
+    else:
+        if num_partitions is None:
+            pairs_ds = pairs_ds.materialize()
+            n_pairs = pairs_ds.count()
+            cpu_cap = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+            num_partitions = int(min(cpu_cap,
+                                     max(2, n_pairs // 25_000 + 2)))
 
-    def _as_b(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_b": batch[id_col], "text_b": batch[text_col]})
+        def _as_a(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_a": batch[id_col], "fp_a": batch["fp"]})
 
-    docs_a = docs_ds.map_batches(_as_a, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    docs_b = docs_ds.map_batches(_as_b, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    joined = pairs_ds.join(docs_a, "inner", num_partitions, on=("doc_a",))
-    joined = joined.join(docs_b, "inner", num_partitions, on=("doc_b",))
+        def _as_b(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_b": batch[id_col], "fp_b": batch["fp"]})
+
+        docs_a = fp_ds.map_batches(_as_a, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        docs_b = fp_ds.map_batches(_as_b, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        joined = pairs_ds.join(docs_a, "inner", num_partitions,
+                               on=("doc_a",))
+        joined = joined.join(docs_b, "inner", num_partitions,
+                             on=("doc_b",))
 
     def _eq(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch["text_a"], batch["text_b"])
+        keep = pc.equal(batch["fp_a"], batch["fp_b"])
         return batch.filter(keep).select(["doc_a", "doc_b"])
 
     return joined.map_batches(_eq, batch_format="pyarrow")

@@ -392,3 +392,23 @@ def test_decontaminate_planted_overlap(ray_session):
     got = dict(zip(out["doc_id"], out["n_contaminated"]))
     # doc 1 has 15 tokens -> 8 distinct 8-grams, ALL inside the eval doc
     assert got == {1: 8}
+
+
+def test_exact_dup_pair_floor_paths_equal(ray_session, dup_corpus):
+    """The gated-broadcast fingerprint probe and the forced two-join
+    path (num_partitions set) must produce the same exact-pair floor,
+    and every planted exact-copy pair must be present."""
+    from light_curve_ray.stages.dedup import (
+        exact_dup_pair_floor,
+        minhash_dedup_pairs,
+    )
+
+    docs = _docs_ds(dup_corpus)
+    cand = minhash_dedup_pairs(docs, threshold=0.5).materialize()
+    a = exact_dup_pair_floor(cand, docs).to_pandas()
+    b = exact_dup_pair_floor(cand, docs, num_partitions=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].to_numpy()))
+    assert key(a) == key(b)
+    got = set(key(a))
+    for i in range(20):  # planted exact copies surface
+        assert (i, 1000 + i) in got or (1000 + i, i) in got
