@@ -1209,6 +1209,44 @@ def q_bazin_fit(sf_dir: str):
     return _collect(feats)
 
 
+def q_villar_fit(sf_dir: str):
+    """VillarFit (Villar et al. 2019 supernova profile; kernels/villar.py)
+    per series: deterministic multi-start Levenberg-Marquardt on the
+    sorted-series exchange.  Nonlinear — no SQL oracle BY DESIGN
+    (rows-only driver check); planted-parameter recovery is pinned by
+    tests/test_villar.py."""
+    from ..kernels.villar import VILLAR_PARAMS, villar_fit
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("domain", pa.string()),
+         ("n", pa.int64())]
+        + [(f, pa.float64()) for f in VILLAR_PARAMS] +
+        [("rss", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t_us = group["t_us"].to_numpy(zero_copy_only=False)
+        t_s = (t_us - t_us.min()).astype(np.float64) / 1e6
+        feats = villar_fit(t_s, group["v"].to_numpy(zero_copy_only=False))
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([feats["n"]], pa.int64()),
+        }
+        for f in list(VILLAR_PARAMS) + ["rss"]:
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
 def _sliding_sql(points_sql: str, step_us: int, window: int) -> str:
     """Trailing-range window oracle: every window recomputed TWO-PASS
     from raw points via a range join (the oracle's luxury; the engine
@@ -3805,6 +3843,7 @@ def build_queries() -> dict:
         "conditional_entropy": q_conditional_entropy,
         "weighted_features": q_weighted_features,
         "bazin_fit": q_bazin_fit,
+        "villar_fit": q_villar_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
