@@ -168,11 +168,17 @@ def run_queries(names: list[str] | None = None) -> dict:
     # (steady-state measurement; the deployment is a long-lived cluster)
     first = next(iter(qs))
     qs[first](SF_DIR)
+    # incremental progress file: lets the crash-guarded parent resume
+    # from the exact query a raylet death interrupted (see main_bench)
+    prog_path = os.environ.get("LCR_QPROGRESS")
     out = {}
     for name, fn in qs.items():
         t0 = time.monotonic()
         fn(SF_DIR)
         out[name] = round(time.monotonic() - t0, 3)
+        if prog_path:
+            with open(prog_path, "a") as f:
+                f.write(json.dumps({name: out[name]}) + "\n")
     return out
 
 
@@ -202,29 +208,68 @@ def _run_guarded(argv_tail: list[str], retries: int = 1):
     return None
 
 
-def _query_chunks(chunk: int = 12) -> list[list[str]]:
+def _run_queries_resumable() -> dict:
+    """All queries in ONE subprocess Ray session (no per-chunk session
+    overhead), crash-resumable: the child appends each finished query's
+    timing to a progress file, so when a raylet death kills it the
+    parent salvages every completed timing, retries the interrupted
+    query once in a fresh session, and skips it (-> queries.failed) if
+    it dies twice — the run always produces a full timing map."""
+    import tempfile
+
     from light_curve_ray.pipelines.queries import build_queries
 
-    names = list(build_queries())
-    return [names[i:i + chunk] for i in range(0, len(names), chunk)]
+    remaining = list(build_queries())
+    queries: dict = {}
+    failed: list[str] = []
+    attempts: dict = {}
+    while remaining:
+        fd, prog = tempfile.mkstemp(prefix="lcr_qprog_", suffix=".jsonl")
+        os.close(fd)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--queries-once", ",".join(remaining)],
+                capture_output=True, text=True, timeout=3600,
+                env={**os.environ, "RAY_GRAFT_CPUS": str(NUM_CPUS),
+                     "LCR_QPROGRESS": prog})
+            done: dict = {}
+            with open(prog) as f:
+                for line in f:
+                    if line.strip():
+                        done.update(json.loads(line))
+            queries.update(done)
+            if proc.returncode == 0:
+                break
+            remaining = [n for n in remaining if n not in done]
+            if not remaining:
+                break
+            crashed = remaining[0]
+            attempts[crashed] = attempts.get(crashed, 0) + 1
+            if attempts[crashed] >= 2:
+                failed.append(crashed)
+                remaining = remaining[1:]
+            time.sleep(5)  # let dead Ray processes exit before the retry
+        except subprocess.TimeoutExpired:
+            failed.extend(n for n in remaining if n not in queries)
+            break
+        finally:
+            try:
+                os.unlink(prog)
+            except OSError:
+                pass
+    if failed:
+        queries["failed"] = failed
+    return queries
 
 
 def main_bench():
-    """Default driver mode, crash-guarded: headline in one subprocess,
-    queries in chunked subprocesses (a raylet death loses one chunk's
-    timings, not the run; the chunk is retried once).  Always prints the
-    JSON line, with any dead phases listed under queries.failed."""
+    """Default driver mode, crash-guarded: headline in one retried
+    subprocess, queries in one crash-RESUMABLE subprocess session (see
+    _run_queries_resumable).  Always prints the JSON line, with any dead
+    phases listed under queries.failed."""
     headline = _run_guarded(["--headline-once", str(NUM_CPUS), str(N_PAGES)])
-    queries: dict = {}
-    failed: list[str] = []
-    for chunk in _query_chunks():
-        res = _run_guarded(["--queries-once", ",".join(chunk)])
-        if res is None:
-            failed.extend(chunk)
-        else:
-            queries.update(res)
-    if failed:
-        queries["failed"] = failed
+    queries = _run_queries_resumable()
     print(json.dumps({
         "metric": "pages rollup wall time (extract->tiers->gapfill->gorilla)"
                   f" @ {N_PAGES} pages + per-query wall times @ {SF_DIR}",

@@ -65,11 +65,25 @@ def dmdt_counts(t_us: np.ndarray, v: np.ndarray) -> np.ndarray:
         dt = ts[lag:] - ts[:-lag]
         if dt.min() >= edges[-1]:
             break  # sorted series: every larger lag is also off-grid
-        dm = x[lag:] - x[:-lag]
-        db = np.searchsorted(edges, dt, side="right") - 1
+        # in-window mask FIRST: at large lags most pairs sit beyond the
+        # 30-day edge, and compressing before the searchsorted/floor work
+        # cuts the dense-series constant ~3x (dm is only gathered for
+        # surviving indices)
+        m0 = (dt >= edges[0]) & (dt < edges[-1])
+        k = int(np.count_nonzero(m0))
+        if k == 0:
+            continue
+        if 2 * k > len(dt):
+            # dense window: one full-vector subtract beats two gathers
+            dtm = dt[m0]
+            dm = (x[lag:] - x[:-lag])[m0]
+        else:
+            idx = np.nonzero(m0)[0]
+            dtm = dt[idx]
+            dm = x[idx + lag] - x[idx]
+        db = np.searchsorted(edges, dtm, side="right") - 1
         mb = np.floor((dm - DM_MIN) / DM_WIDTH)
-        valid = ((db >= 0) & (db < N_DT) & (dt < edges[-1])
-                 & (mb >= 0.0) & (mb < N_DM))
+        valid = (mb >= 0.0) & (mb < N_DM)
         if valid.any():
             code = db[valid] * N_DM + mb[valid].astype(np.int64)
             flat += np.bincount(code, minlength=N_DT * N_DM)
