@@ -905,12 +905,19 @@ p AS (
   FROM pts a JOIN pts b
     ON a.lang = b.lang AND a.domain = b.domain AND b.t_us > a.t_us
   WHERE b.v - a.v >= {DM_MIN} AND b.v - a.v < {DM_MAX}
+),
+c AS (
+  SELECT p.lang, p.domain, e.lgdt_bin,
+    CAST(FLOOR((p.dm - ({DM_MIN})) / {DM_WIDTH}) AS BIGINT) AS dm_bin,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM p JOIN e ON p.dt_us >= e.lo_us AND p.dt_us < e.hi_us
+  GROUP BY 1, 2, 3, 4
 )
-SELECT p.lang, p.domain, e.lgdt_bin,
-  CAST(FLOOR((p.dm - ({DM_MIN})) / {DM_WIDTH}) AS BIGINT) AS dm_bin,
-  CAST(COUNT(*) AS BIGINT) AS n_pairs
-FROM p JOIN e ON p.dt_us >= e.lo_us AND p.dt_us < e.hi_us
-GROUP BY 1, 2, 3, 4
+SELECT lang, domain, lgdt_bin, dm_bin, n_pairs,
+  ROUND(CAST(n_pairs AS DOUBLE)
+        / SUM(n_pairs) OVER (PARTITION BY lang, domain, lgdt_bin), 6)
+    AS p_cond
+FROM c
 """
 
 
@@ -921,8 +928,9 @@ def q_dmdt_map(sf_dir: str):
     bins x linear dm bins, off-grid pairs dropped.  One sorted-series
     exchange (sorted_group_map), lag-loop kernel whose work is bounded
     by pairs WITHIN the 30-day dt window, not n^2; one non-empty-cell
-    row per (series, dt_bin, dm_bin); ORACLE-CHECKED against the
-    self-join pair enumeration."""
+    row per (series, dt_bin, dm_bin) carrying both the raw count and the
+    crate's norm=dt conditional probability (each dt row sums to 1);
+    ORACLE-CHECKED against the self-join pair enumeration."""
     from ..kernels.dmdt import dmdt_counts
     from ..stages.sorted_groups import sorted_group_map
 
@@ -932,7 +940,7 @@ def q_dmdt_map(sf_dir: str):
     out_schema = pa.schema([
         ("lang", pa.string()), ("domain", pa.string()),
         ("lgdt_bin", pa.int64()), ("dm_bin", pa.int64()),
-        ("n_pairs", pa.int64()),
+        ("n_pairs", pa.int64()), ("p_cond", pa.float64()),
     ])
 
     def _one(group: pa.Table) -> pa.Table:
@@ -941,6 +949,7 @@ def q_dmdt_map(sf_dir: str):
             group["v"].to_numpy(zero_copy_only=False))
         j, k = np.nonzero(grid)
         m = len(j)
+        row_tot = grid.sum(axis=1)  # per-dt-row totals (norm=dt)
         return pa.table({
             "lang": pa.array([group["lang"][0].as_py()] * m, pa.string()),
             "domain": pa.array([group["domain"][0].as_py()] * m,
@@ -948,6 +957,9 @@ def q_dmdt_map(sf_dir: str):
             "lgdt_bin": pa.array(j, pa.int64()),
             "dm_bin": pa.array(k, pa.int64()),
             "n_pairs": pa.array(grid[j, k], pa.int64()),
+            "p_cond": pa.array(
+                grid[j, k].astype(np.float64) / row_tot[j].astype(
+                    np.float64), pa.float64()),
         })
 
     cells = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
