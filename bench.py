@@ -219,6 +219,24 @@ def _run_queries_resumable() -> dict:
 
     from light_curve_ray.pipelines.queries import build_queries
 
+    def _read_progress(path: str) -> dict:
+        """Parse the child's progress JSONL; a SIGKILL mid-append can
+        truncate the LAST line — skip unparseable lines rather than let
+        the guard itself die on them."""
+        done: dict = {}
+        try:
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        done.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+        except OSError:
+            pass
+        return done
+
     remaining = list(build_queries())
     queries: dict = {}
     failed: list[str] = []
@@ -227,18 +245,23 @@ def _run_queries_resumable() -> dict:
         fd, prog = tempfile.mkstemp(prefix="lcr_qprog_", suffix=".jsonl")
         os.close(fd)
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--queries-once", ",".join(remaining)],
-                capture_output=True, text=True, timeout=3600,
-                env={**os.environ, "RAY_GRAFT_CPUS": str(NUM_CPUS),
-                     "LCR_QPROGRESS": prog})
-            done: dict = {}
-            with open(prog) as f:
-                for line in f:
-                    if line.strip():
-                        done.update(json.loads(line))
+            timed_out = False
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--queries-once", ",".join(remaining)],
+                    capture_output=True, text=True, timeout=3600,
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(NUM_CPUS),
+                         "LCR_QPROGRESS": prog})
+            except subprocess.TimeoutExpired:
+                timed_out = True
+            done = _read_progress(prog)  # salvage on EVERY exit path
             queries.update(done)
+            if timed_out:
+                # a wedged session is not worth a second hour; keep the
+                # salvaged timings, fail only what never completed
+                failed.extend(n for n in remaining if n not in done)
+                break
             if proc.returncode == 0:
                 break
             remaining = [n for n in remaining if n not in done]
@@ -250,9 +273,6 @@ def _run_queries_resumable() -> dict:
                 failed.append(crashed)
                 remaining = remaining[1:]
             time.sleep(5)  # let dead Ray processes exit before the retry
-        except subprocess.TimeoutExpired:
-            failed.extend(n for n in remaining if n not in queries)
-            break
         finally:
             try:
                 os.unlink(prog)

@@ -14,8 +14,8 @@ evaluated on data, eliminating libm-vs-DuckDB float-edge risk.  dm bins
 are linear over [DM_MIN, DM_MAX) via floor((dm - DM_MIN) / DM_WIDTH) —
 plain IEEE subtract/divide/floor, bit-deterministic across both engines.
 Out-of-grid pairs (dt < 1 s, including equal-timestamp pairs; dt >= 30 d;
-|dm| >= 512) are dropped, matching light-curve-dmdt's drop-off-grid
-semantics.
+dm < -512 or dm >= 512 — the half-open grid keeps dm == -512 exactly in
+bin 0) are dropped, matching light-curve-dmdt's drop-off-grid semantics.
 
 The pair enumeration is a LAG LOOP over the time-sorted series: for lag
 L, dt = t[L:] - t[:-L] vectorized over the whole series (memory O(n),

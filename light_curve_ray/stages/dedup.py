@@ -838,8 +838,13 @@ def exact_dup_pair_floor(pairs_ds, docs_ds, id_col: str = "doc_id",
     def _fp(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        fps = [hashlib.blake2b((t or "").encode("utf-8"),
-                               digest_size=16).digest()
+        # NULL text -> NULL fp: SQL `a.text = b.text` never matches NULL,
+        # and pc.equal(NULL, x) is NULL which Table.filter DROPS — so a
+        # null-text doc can never form a phantom pair with another null
+        # or empty text (matches the pre-fingerprint pc.equal semantics)
+        fps = [None if t is None
+               else hashlib.blake2b(t.encode("utf-8"),
+                                    digest_size=16).digest()
                for t in batch[text_col].to_pylist()]
         return pa.table({id_col: batch[id_col],
                          "fp": pa.array(fps, pa.binary(16))})

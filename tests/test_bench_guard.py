@@ -82,3 +82,23 @@ def test_resumable_skips_twice_dead_query(monkeypatch) -> None:
     assert out["failed"] == ["a"]
     assert out["b"] == 0.5
     assert n_calls[0] == 3  # a, retry a, then the rest
+
+
+def test_resumable_salvages_on_timeout(monkeypatch):
+    bench = _load_bench(monkeypatch)
+    import subprocess as sp
+    names = ["q1", "q2", "q3"]
+    monkeypatch.setitem(sys.modules, "light_curve_ray.pipelines.queries",
+                        _fake_build_queries(names))
+
+    def fake_run(cmd, capture_output, text, timeout, env):
+        with open(env["LCR_QPROGRESS"], "w") as f:
+            f.write(json.dumps({"q1": 1.0}) + "\n")
+            f.write('{"q2": 0.')  # truncated line from a mid-append kill
+        raise sp.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    out = bench._run_queries_resumable()
+    # completed timing salvaged, truncated line skipped, rest failed
+    assert out["q1"] == 1.0
+    assert out["failed"] == ["q2", "q3"]

@@ -412,3 +412,24 @@ def test_exact_dup_pair_floor_paths_equal(ray_session, dup_corpus):
     got = set(key(a))
     for i in range(20):  # planted exact copies surface
         assert (i, 1000 + i) in got or (1000 + i, i) in got
+
+
+def test_exact_dup_pair_floor_null_text_never_matches(ray_session):
+    """SQL `a.text = b.text` never matches NULL — a null-text doc must
+    not pair with another null or with an empty text, on either path."""
+    import ray.data as rd
+
+    from light_curve_ray.stages.dedup import exact_dup_pair_floor
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([None, None, "", "same", "same"], pa.string()),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 2, 4], pa.int64()),
+        "doc_b": pa.array([2, 3, 3, 5], pa.int64()),
+    }))
+    for kw in ({}, {"num_partitions": 2}):
+        out = exact_dup_pair_floor(pairs, docs, **kw).to_pandas()
+        got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+        assert got == {(4, 5)}
