@@ -96,3 +96,70 @@ def dt_edges_sql_values() -> str:
     return ", ".join(
         f"({j}, {DT_EDGES_US[j]}, {DT_EDGES_US[j + 1]})"
         for j in range(N_DT))
+
+
+def _norm_cdf(z: np.ndarray) -> np.ndarray:
+    """Standard normal CDF via the Abramowitz & Stegun 7.1.26 erf
+    polynomial (|error| < 1.5e-7), vectorized — numpy has no erf and
+    scipy is not in the runtime.  Deterministic; used only by the
+    rows-only gausses kernel (never by an SQL-paired query)."""
+    x = z / np.sqrt(2.0)
+    ax = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = 1.0 - poly * np.exp(-ax * ax)
+    return 0.5 * (1.0 + np.sign(x) * erf)
+
+
+def dmdt_gausses(t_us: np.ndarray, v: np.ndarray,
+                 sigma: np.ndarray) -> np.ndarray:
+    """(N_DT, N_DM) float64 Gaussian-smeared dm-dt map — the
+    light-curve-dmdt crate's `gausses` mode: each in-dt-window pair
+    contributes, instead of a unit count, the normal probability mass
+    it places in each dm bin, with per-pair spread
+    sigma_pair = sqrt(sigma_i^2 + sigma_j^2) (photometric errors add in
+    quadrature).  mass(bin k) = Phi((edge_{k+1}-dm)/s) - Phi((edge_k-dm)/s).
+
+    Only bins within ±4 sigma of each pair's dm are evaluated (the rest
+    carry < 3e-5 mass; with survey-scale errors << the 64-wide dm bins
+    that is 1-3 bins per pair), so the cost stays a small constant over
+    the count kernel's.  Same lag-loop window bound as dmdt_counts.
+    Rows-only BY DESIGN: erf has no SQL mirror; unit oracles pin the
+    sigma->0 limit against dmdt_counts, per-pair mass conservation and
+    order invariance (tests/test_dmdt.py)."""
+    t_us = np.asarray(t_us, dtype=np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    sigma = np.asarray(sigma, dtype=np.float64)
+    order = np.lexsort((v, t_us))
+    ts, x, sg = t_us[order], v[order], sigma[order]
+    n = len(ts)
+    edges = np.asarray(DT_EDGES_US, dtype=np.int64)
+    grid = np.zeros((N_DT, N_DM), dtype=np.float64)
+    for lag in range(1, n):
+        dt = ts[lag:] - ts[:-lag]
+        if dt.min() >= edges[-1]:
+            break
+        idx = np.nonzero((dt >= edges[0]) & (dt < edges[-1]))[0]
+        if len(idx) == 0:
+            continue
+        db = np.searchsorted(edges, dt[idx], side="right") - 1
+        dm = x[idx + lag] - x[idx]
+        sp = np.sqrt(sg[idx + lag] ** 2 + sg[idx] ** 2)
+        c = (dm - DM_MIN) / DM_WIDTH        # float dm-bin coordinate
+        sb = sp / DM_WIDTH                  # spread in bin units
+        kc = np.floor(c).astype(np.int64)
+        kmax = int(np.ceil(4.0 * sb.max()))
+        prev_cdf = _norm_cdf((kc - kmax - c) / sb)
+        for off in range(-kmax, kmax + 1):
+            k = kc + off
+            cur_cdf = _norm_cdf((k + 1 - c) / sb)
+            mass = cur_cdf - prev_cdf
+            prev_cdf = cur_cdf
+            ok = (k >= 0) & (k < N_DM)
+            if ok.any():
+                code = db[ok] * N_DM + k[ok]
+                grid += np.bincount(
+                    code, weights=mass[ok],
+                    minlength=N_DT * N_DM).reshape(N_DT, N_DM)
+    return grid

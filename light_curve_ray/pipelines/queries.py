@@ -966,6 +966,52 @@ def q_dmdt_map(sf_dir: str):
     return _collect(cells)
 
 
+def q_dmdt_gausses(sf_dir: str, cap: int = 4000):
+    """Gaussian-error-smeared dm-dt map (light-curve-dmdt's `gausses`
+    mode; kernels/dmdt.dmdt_gausses): each pair spreads normal
+    probability mass over dm bins with sigma_pair = per-point errors
+    added in quadrature (errors from the shared _SIGMA_SQL model).
+    Rows-only BY DESIGN (erf has no SQL mirror); the kernel's unit
+    oracles pin the sigma->0 limit against the SQL-checked count grid.
+    ``cap``: deterministic per-series point budget (first ``cap`` points
+    in (t, v) order) — the smeared enumeration costs ~3 CDF evals per
+    pair, and the map is a per-curve FINGERPRINT whose shape saturates
+    long before 10^8 pairs; real surveys feed individual light curves,
+    not multi-year megaseries."""
+    from ..kernels.dmdt import dmdt_gausses
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()),
+        ("lgdt_bin", pa.int64()), ("dm_bin", pa.int64()),
+        ("mass", pa.float64()),
+    ])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t_us = group["t_us"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        take = np.lexsort((v, t_us))[:cap]
+        t_us, v = t_us[take], v[take]
+        sigma = 1.0 + 0.1 * np.sqrt(np.abs(v))  # == _SIGMA_SQL
+        grid = dmdt_gausses(t_us, v, sigma)
+        j, k = np.nonzero(grid > 1e-12)
+        m = len(j)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()] * m, pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()] * m,
+                               pa.string()),
+            "lgdt_bin": pa.array(j, pa.int64()),
+            "dm_bin": pa.array(k, pa.int64()),
+            "mass": pa.array(grid[j, k], pa.float64()),
+        })
+
+    cells = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(cells)
+
+
 def _conditional_entropy_sql(points_sql: str) -> str:
     """Occupancy-grid oracle for the fixed-fold conditional entropy:
     INT64 phase bins ((t mod P) * 8 // P) and the literally identical
@@ -3858,6 +3904,7 @@ def build_queries() -> dict:
     return {
         # -- new in round 4 --
         "dmdt_map": q_dmdt_map,
+        "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
         "weighted_features": q_weighted_features,
         "bazin_fit": q_bazin_fit,
