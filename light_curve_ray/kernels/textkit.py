@@ -253,3 +253,61 @@ def blake64(data: bytes) -> int:
 def fingerprint(text: str) -> int:
     """Document fingerprint: 64-bit blake2b of whitespace-normalized text."""
     return blake64(" ".join(text.split()).encode("utf-8"))
+
+
+REPETITION_COLUMNS = (
+    "n_lines", "dup_line_frac", "dup_line_char_frac",
+    "top_2gram_char_frac", "dup_3gram_char_frac",
+)
+
+
+def repetition_signals(text: str) -> dict:
+    """Gopher-style per-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the classic LLM corpus
+    repetition filters), with exact SQL-mirrorable definitions:
+
+    - ``n_lines``: non-blank lines (split on \\n, TRIM-empty dropped).
+    - ``dup_line_frac``: 1 - distinct_lines / n_lines (0 when no lines).
+    - ``dup_line_char_frac``: characters in lines occurring more than
+      once (all occurrences, untrimmed lengths) / characters in all
+      lines.
+    - ``top_2gram_char_frac``: occurrences x characters of the most
+      frequent word 2-gram / LENGTH(text); ties resolve to the
+      lexicographically smallest gram (grams joined with one space —
+      whitespace-split words, same as the text_stats word contract).
+    - ``dup_3gram_char_frac``: sum over word-3-grams occurring more than
+      once of occurrences x gram characters / LENGTH(text) (a
+      deliberately simple overlap-agnostic form of Gopher's duplicated
+      n-gram character fraction; both engines compute THIS definition).
+
+    Integer counts + one final divide per signal — no transcendentals,
+    bit-deterministic against the DuckDB oracle."""
+    from collections import Counter
+
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    n_lines = len(lines)
+    out = {"n_lines": n_lines, "dup_line_frac": 0.0,
+           "dup_line_char_frac": 0.0, "top_2gram_char_frac": 0.0,
+           "dup_3gram_char_frac": 0.0}
+    if n_lines:
+        lc = Counter(lines)
+        out["dup_line_frac"] = 1.0 - len(lc) / n_lines
+        total = sum(len(ln) for ln in lines)
+        if total:
+            dup = sum(len(ln) * c for ln, c in lc.items() if c > 1)
+            out["dup_line_char_frac"] = dup / total
+    n_chars = len(text)
+    words = text.split()
+    if n_chars and len(words) >= 2:
+        c2 = Counter(" ".join(words[i:i + 2])
+                     for i in range(len(words) - 1))
+        top_gram, top_n = min(
+            ((g, c) for g, c in c2.items()),
+            key=lambda gc: (-gc[1], gc[0]))
+        out["top_2gram_char_frac"] = top_n * len(top_gram) / n_chars
+    if n_chars and len(words) >= 3:
+        c3 = Counter(" ".join(words[i:i + 3])
+                     for i in range(len(words) - 2))
+        dup3 = sum(c * len(g) for g, c in c3.items() if c > 1)
+        out["dup_3gram_char_frac"] = dup3 / n_chars
+    return out

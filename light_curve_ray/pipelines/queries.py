@@ -3742,6 +3742,101 @@ def q_text_stats(sf_dir: str):
     return _collect(out)
 
 
+GOPHER_REPETITION_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text, LENGTH(text) AS n_chars
+  FROM documents WHERE text IS NOT NULL
+),
+l AS (
+  SELECT doc_id, ln
+  FROM d, UNNEST(list_filter(string_split(text, chr(10)),
+                             x -> TRIM(x, ' ' || chr(9) || chr(13)
+                                       || chr(12) || chr(11)) != ''))
+       AS t(ln)
+),
+lc AS (SELECT doc_id, ln, COUNT(*) AS c FROM l GROUP BY 1, 2),
+la AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_lines,
+    1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_frac,
+    SUM(LENGTH(ln) * c) AS total_chars,
+    SUM(CASE WHEN c > 1 THEN LENGTH(ln) * c ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY 1
+),
+w AS (SELECT doc_id, n_chars,
+             regexp_split_to_array(TRIM(text), '\s+') AS ws
+      FROM d WHERE TRIM(text) != ''),
+g2c AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram
+    FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+  ) GROUP BY 1, 2
+),
+g2t AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c,
+      ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, gram ASC) AS rn
+    FROM g2c
+  ) WHERE rn = 1
+),
+g3a AS (
+  SELECT doc_id,
+    SUM(CASE WHEN c > 1 THEN c * LENGTH(gram) ELSE 0 END) AS dup3
+  FROM (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+      FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT d.doc_id,
+  CAST(COALESCE(la.n_lines, 0) AS BIGINT) AS n_lines,
+  ROUND(COALESCE(la.dup_line_frac, 0.0), 6) AS dup_line_frac,
+  ROUND(COALESCE(CASE WHEN la.total_chars > 0
+        THEN CAST(la.dup_chars AS DOUBLE) / la.total_chars END, 0.0), 6)
+    AS dup_line_char_frac,
+  ROUND(COALESCE(CASE WHEN d.n_chars > 0
+        THEN (g2t.c * LENGTH(g2t.gram)) / CAST(d.n_chars AS DOUBLE) END,
+        0.0), 6) AS top_2gram_char_frac,
+  ROUND(COALESCE(CASE WHEN d.n_chars > 0
+        THEN CAST(g3a.dup3 AS DOUBLE) / d.n_chars END, 0.0), 6)
+    AS dup_3gram_char_frac
+FROM d LEFT JOIN la USING (doc_id)
+       LEFT JOIN g2t USING (doc_id)
+       LEFT JOIN g3a USING (doc_id)
+"""
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 Table A1; kernels/textkit.repetition_signals): duplicate-line
+    row/char fractions, top-2-gram character fraction, duplicated-3-gram
+    character fraction — the classic LLM corpus repetition filters.
+    Stateless vectorized-plumbing map over the documents table (no
+    exchange at all); integer counts + one divide per signal, so the
+    oracle parity is exact; ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..kernels.textkit import REPETITION_COLUMNS, repetition_signals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        rows = [repetition_signals(t)
+                for t in batch["text"].to_pylist()]
+        cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+        for c in REPETITION_COLUMNS:
+            typ = pa.int64() if c == "n_lines" else pa.float64()
+            cols[c] = pa.array([r[c] for r in rows], typ)
+        return pa.table(cols)
+
+    return _collect(ds.map_batches(_rep, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
 def q_lang_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -3907,6 +4002,7 @@ def build_queries() -> dict:
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
         "weighted_features": q_weighted_features,
+        "gopher_repetition": q_gopher_repetition,
         "bazin_fit": q_bazin_fit,
         "villar_fit": q_villar_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
@@ -4097,6 +4193,7 @@ WHERE rn <= 2
         # exhaustive-probe IVF is exact, so the brute-force oracle applies
         "ann_topk_ivf_full": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,
+        "gopher_repetition": GOPHER_REPETITION_SQL,
         "series_grid_stats": _series_grid_sql(EVENTS_POINTS_SQL,
                                               ("1h", "1d", "30d")),
         # every compared value decoded back OUT of the Gorilla blobs

@@ -142,3 +142,39 @@ def test_fast_extract_equals_parser_on_corpus():
                                page_kb=3.0)
     for h in tbl["html"].to_pylist():
         assert extract_text(h).encode() == extract_text_parser(h).encode()
+
+
+def test_repetition_signals_crafted():
+    from light_curve_ray.kernels.textkit import repetition_signals
+
+    # 4 non-blank lines, "dup dup" twice -> 3 distinct
+    text = "dup dup\nunique one\ndup dup\n   \nlast line"
+    r = repetition_signals(text)
+    assert r["n_lines"] == 4
+    assert abs(r["dup_line_frac"] - (1 - 3 / 4)) < 1e-12
+    # dup chars: 'dup dup' (7) x 2 occurrences over 7+10+7+9 line chars
+    assert abs(r["dup_line_char_frac"] - 14 / 33) < 1e-12
+    # words: dup dup unique one dup dup last line -> top 2-gram 'dup dup'
+    # occurs 3x ('dup dup', 'dup dup' at pos 4-5, plus bridge 'dup dup'?)
+    # enumerate: (dup,dup) (dup,unique) (unique,one) (one,dup) (dup,dup)
+    # (dup,last) (last,line) -> 'dup dup' twice
+    assert abs(r["top_2gram_char_frac"] - 2 * 7 / len(text)) < 1e-12
+
+    # all-identical lines and heavy 3-gram repetition
+    t2 = "a b c a b c a b c"
+    r2 = repetition_signals(t2)
+    # 3-grams: 'a b c' x3, 'b c a' x2, 'c a b' x2 -> dup chars 3*5+2*5+2*5
+    assert abs(r2["dup_3gram_char_frac"] - (3 * 5 + 2 * 5 + 2 * 5)
+               / len(t2)) < 1e-12
+    assert r2["dup_line_frac"] == 0.0  # single line
+
+    # tie-break: two 2-grams both occur twice -> lexicographically least
+    t3 = "b a b a z a b a"
+    # 2-grams: (b,a)x3? enumerate: b a, a b, b a, a z, z a, a b, b a
+    # -> 'b a' x3 top; craft a true tie instead:
+    t4 = "x y x y"  # 'x y' x2, 'y x' x1
+    r4 = repetition_signals(t4)
+    assert abs(r4["top_2gram_char_frac"] - 2 * 3 / len(t4)) < 1e-12
+    r3 = repetition_signals(t3)
+    assert abs(r3["top_2gram_char_frac"] - 3 * 3 / len(t3)) < 1e-12
+    assert repetition_signals("")["n_lines"] == 0
