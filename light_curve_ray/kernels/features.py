@@ -54,8 +54,8 @@ def conditional_entropy(t_us: np.ndarray, v: np.ndarray) -> float:
 
 WEIGHTED_FEATURES = (
     "n", "weighted_mean", "reduced_chi2", "excess_variance",
-    "mean_variance", "stetson_k", "eta_e", "slope", "slope_sigma",
-    "fit_reduced_chi2",
+    "mean_variance", "stetson_k", "stetson_j", "stetson_l", "eta_e",
+    "slope", "slope_sigma", "fit_reduced_chi2",
 )
 
 
@@ -72,6 +72,11 @@ def weighted_features(t_us: np.ndarray, v: np.ndarray,
     - ``stetson_k``: mean|d| / sqrt(mean d^2), d = (v - wmean) / sigma
       (Stetson 1996; the sqrt(n/(n-1)) factor cancels in the ratio;
       NULL when all residuals are zero).
+    - ``stetson_j``: (1/(n-1)) * sum over TIME-consecutive pairs of
+      sgn(P) * sqrt|P|, P = g_i * g_{i+1},
+      g = sqrt(n/(n-1)) * (v - wmean) / sigma (Stetson 1996 J with the
+      consecutive-pair kernel; NULL n < 2).
+    - ``stetson_l``: J * K / 0.798 (Stetson 1996; NULL when either is).
     - ``eta_e``: Kim et al. 2014 irregular-sampling von Neumann ratio
       (t_n - t_1)^2 * sum((dv/dt)^2) / (s^2 (n-1)^3), dt in seconds,
       equal-timestamp pairs skipped (NULL n < 2, s == 0 or no valid pair).
@@ -94,7 +99,8 @@ def weighted_features(t_us: np.ndarray, v: np.ndarray,
     wmean = (w * x).sum() / sw
     out = {"n": int(n), "weighted_mean": float(wmean),
            "reduced_chi2": np.nan, "excess_variance": np.nan,
-           "mean_variance": np.nan, "stetson_k": np.nan, "eta_e": np.nan,
+           "mean_variance": np.nan, "stetson_k": np.nan,
+           "stetson_j": np.nan, "stetson_l": np.nan, "eta_e": np.nan,
            "slope": np.nan, "slope_sigma": np.nan,
            "fit_reduced_chi2": np.nan}
     d = (x - wmean) / sg
@@ -103,6 +109,12 @@ def weighted_features(t_us: np.ndarray, v: np.ndarray,
         out["stetson_k"] = float(np.abs(d).mean() / np.sqrt(msq))
     if n < 2:
         return out
+    g = np.sqrt(n / (n - 1.0)) * d
+    pk = g[:-1] * g[1:]
+    out["stetson_j"] = float(
+        (np.sign(pk) * np.sqrt(np.abs(pk))).sum() / (n - 1))
+    if msq > 0.0:
+        out["stetson_l"] = out["stetson_j"] * out["stetson_k"] / 0.798
     out["reduced_chi2"] = float((w * (x - wmean) ** 2).sum() / (n - 1))
     mean = x.mean()
     s2 = x.var(ddof=1)

@@ -1108,13 +1108,28 @@ d AS (
   FROM w JOIN m USING (lang, domain) GROUP BY 1, 2
 ),
 s AS (
-  SELECT w.lang, w.domain, w.v,
+  SELECT w.lang, w.domain, w.v, w.sg,
     LAG(w.v) OVER (PARTITION BY w.lang, w.domain
                    ORDER BY w.t_us, w.v) AS pv,
     LAG(w.t_us) OVER (PARTITION BY w.lang, w.domain
                       ORDER BY w.t_us, w.v) AS pt,
+    LAG(w.sg) OVER (PARTITION BY w.lang, w.domain
+                    ORDER BY w.t_us, w.v) AS psg,
     w.t_us
   FROM w
+),
+sp AS (
+  SELECT s.lang, s.domain,
+    (SQRT(m.n / (m.n - 1.0)) * ((s.pv - m.wmean) / s.psg))
+      * (SQRT(m.n / (m.n - 1.0)) * ((s.v - m.wmean) / s.sg)) AS p
+  FROM s JOIN m USING (lang, domain)
+  WHERE s.pv IS NOT NULL AND m.n >= 2
+),
+sj AS (
+  SELECT lang, domain,
+    SUM((CASE WHEN p < 0 THEN -1.0 WHEN p > 0 THEN 1.0 ELSE 0.0 END)
+        * SQRT(ABS(p))) AS jsum
+  FROM sp GROUP BY 1, 2
 ),
 ee AS (
   SELECT lang, domain,
@@ -1156,6 +1171,11 @@ raw AS (
          ELSE SQRT(m.s2) / m.mean END AS mv,
     CASE WHEN d.msq <= 0.0 THEN NULL
          ELSE ROUND(d.mad / SQRT(d.msq), 6) END AS stetson_k,
+    CASE WHEN m.n < 2 THEN NULL
+         ELSE ROUND(sj.jsum / (m.n - 1), 6) END AS stetson_j,
+    CASE WHEN m.n < 2 OR d.msq <= 0.0 THEN NULL
+         ELSE ROUND(sj.jsum / (m.n - 1) * (d.mad / SQRT(d.msq))
+                    / 0.798, 6) END AS stetson_l,
     CASE WHEN m.n < 2 OR m.s2 <= 0.0 OR ee.sde IS NULL THEN NULL
          ELSE (CAST(m.thi - m.tlo AS DOUBLE) / 1e6)
               * (CAST(m.thi - m.tlo AS DOUBLE) / 1e6) * ee.sde
@@ -1167,6 +1187,7 @@ raw AS (
     CASE WHEN m.n < 3 OR lf.sxx <= 0.0 THEN NULL
          ELSE fr.rssw / (m.n - 2) END AS frc
   FROM m LEFT JOIN d USING (lang, domain)
+         LEFT JOIN sj USING (lang, domain)
          LEFT JOIN ee USING (lang, domain)
          LEFT JOIN lf USING (lang, domain)
          LEFT JOIN fr USING (lang, domain)
@@ -1174,7 +1195,8 @@ raw AS (
 -- unbounded-magnitude features round at SIGNIFICANT digits (9 then 6,
 -- mirroring kernels/rounding.round_sig6_tie_robust via _SIG_ROUND_COLS)
 r9 AS (
-  SELECT lang, domain, n, weighted_mean, stetson_k, slope, slope_sigma,
+  SELECT lang, domain, n, weighted_mean, stetson_k, stetson_j,
+    stetson_l, slope, slope_sigma,
     {_sig_round_sql("rc", 9)} AS rc9,
     {_sig_round_sql("ev", 9)} AS ev9,
     {_sig_round_sql("mv", 9)} AS mv9,
@@ -1186,7 +1208,7 @@ SELECT lang, domain, n, weighted_mean,
   {_sig_round_sql("rc9", 6)} AS reduced_chi2,
   {_sig_round_sql("ev9", 6)} AS excess_variance,
   {_sig_round_sql("mv9", 6)} AS mean_variance,
-  stetson_k,
+  stetson_k, stetson_j, stetson_l,
   {_sig_round_sql("ee9", 6)} AS eta_e,
   slope, slope_sigma,
   {_sig_round_sql("frc9", 6)} AS fit_reduced_chi2

@@ -95,3 +95,27 @@ def test_weighted_features_nulls():
     g = weighted_features(t3, np.full(3, 2.0), np.full(3, 1.0))
     assert np.isnan(g["stetson_k"]) and np.isnan(g["eta_e"])
     assert g["reduced_chi2"] == 0.0
+
+
+def test_stetson_j_l_formulas():
+    rng = np.random.RandomState(21)
+    n = 200
+    t = np.cumsum(rng.randint(10**6, 10**9, n)).astype(np.int64)
+    v = rng.normal(5, 2, n)
+    sg = 0.5 + rng.uniform(0, 1, n)
+    f = weighted_features(t, v, sg)
+
+    order = np.argsort(t)
+    xs, ss = v[order], sg[order]
+    w = 1.0 / sg**2
+    wmean = (w * v).sum() / w.sum()
+    g = np.sqrt(n / (n - 1.0)) * (xs - wmean) / ss
+    p = g[:-1] * g[1:]
+    exp_j = (np.sign(p) * np.sqrt(np.abs(p))).sum() / (n - 1)
+    assert abs(f["stetson_j"] - exp_j) < 1e-12
+    d = (v - wmean) / sg
+    exp_k = np.abs(d).mean() / np.sqrt((d**2).mean())
+    assert abs(f["stetson_l"] - exp_j * exp_k / 0.798) < 1e-12
+    # single point: J/L undefined
+    f1 = weighted_features(t[:1], v[:1], sg[:1])
+    assert np.isnan(f1["stetson_j"]) and np.isnan(f1["stetson_l"])
