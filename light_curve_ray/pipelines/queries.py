@@ -639,23 +639,12 @@ FROM m JOIN a USING (lang, domain)
 """
 
 
-def q_shape_features(sf_dir: str):
-    """Order-dependent whole-series features (Cusum, Eta, MaximumSlope,
-    median/percentile features — the light-curve-feature extractor family
-    the reference README points at, kernels/shape.py) over the events
-    series, ORACLE-CHECKED against a window-function SQL derivation.
-
-    Topology: these features need each series co-located and time-ordered,
-    so they ride the sorted-series exchange (sorted_group_map on the
-    series key — the same one all-to-all the gap-fill tail pays), with the
-    in-kernel (t, v) ordering making the result independent of block
-    order.  They are deliberately NOT forced into the packed mergeable
-    state: an unordered block partial cannot know point adjacency."""
+def _shape_features_over(points):
+    """Shape-feature fan (kernels/shape.py) over any points dataset —
+    shared by q_shape_features (raw series) and q_binned_shape_features
+    (the Bins meta-feature's re-binned series)."""
     from ..kernels.shape import shape_features
     from ..stages.sorted_groups import sorted_group_map
-
-    cfg = _events_cfg(sf_dir, ("1d",))
-    points = points_dataset(cfg)
 
     out_schema = pa.schema([
         ("lang", pa.string()), ("domain", pa.string()), ("n", pa.int64()),
@@ -687,8 +676,62 @@ def q_shape_features(sf_dir: str):
                  else val], pa.float64())
         return pa.table(arrays)
 
-    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
-    return _collect(feats)
+    return sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+
+
+def q_shape_features(sf_dir: str):
+    """Order-dependent whole-series features (Cusum, Eta, MaximumSlope,
+    median/percentile features — the light-curve-feature extractor family
+    the reference README points at, kernels/shape.py) over the events
+    series, ORACLE-CHECKED against a window-function SQL derivation.
+
+    Topology: these features need each series co-located and time-ordered,
+    so they ride the sorted-series exchange (sorted_group_map on the
+    series key — the same one all-to-all the gap-fill tail pays), with the
+    in-kernel (t, v) ordering making the result independent of block
+    order.  They are deliberately NOT forced into the packed mergeable
+    state: an unordered block partial cannot know point adjacency."""
+    cfg = _events_cfg(sf_dir, ("1d",))
+    return _collect(_shape_features_over(points_dataset(cfg)))
+
+
+def q_binned_shape_features(sf_dir: str):
+    """The light-curve Bins META-feature (README.md:18 catalog): re-bin
+    each series into fixed time windows (1d bucket MEANS), then run the
+    shape-feature fan over the binned series.  Bucket means are rounded
+    to the shared 6-dp representative BEFORE the feature kernel on BOTH
+    engines (the gapfill_1d knot discipline — features of ulp-different
+    inputs would diverge beyond what output rounding can collapse);
+    ORACLE-CHECKED by composing the bucket-mean CTE into the shape SQL."""
+    from ray.data.aggregate import Mean
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+    step = TIER_STEP_US["1d"]
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["t_us"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "lang": batch["lang"], "domain": batch["domain"],
+            "bucket_ts_us": pa.array((t // step) * step, pa.int64()),
+            "v": batch["v"]})
+
+    binned = points.map_batches(_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    means = binned.groupby(["lang", "domain", "bucket_ts_us"]).aggregate(
+        Mean("v", alias_name="v"))
+
+    def _as_points(batch: pa.Table) -> pa.Table:
+        return _round6(pa.table({
+            "lang": batch["lang"], "domain": batch["domain"],
+            "t_us": batch["bucket_ts_us"],
+            "v": pc.cast(batch["v"], pa.float64()),
+        }))
+
+    pts = means.map_batches(_as_points, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _collect(_shape_features_over(pts))
 
 
 PERCENTILE_RATIOS_SQL = """
@@ -4025,6 +4068,7 @@ def build_queries() -> dict:
         "conditional_entropy": q_conditional_entropy,
         "weighted_features": q_weighted_features,
         "gopher_repetition": q_gopher_repetition,
+        "binned_shape_features": q_binned_shape_features,
         "bazin_fit": q_bazin_fit,
         "villar_fit": q_villar_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
@@ -4193,6 +4237,17 @@ WHERE rn <= 2
         "sliding_3h": _sliding_sql(EVENTS_POINTS_SQL,
                                    3_600_000_000, 3),
         "shape_features": SHAPE_FEATURES_SQL.format(points=EVENTS_POINTS_SQL),
+        # Bins meta-feature: the same shape SQL over 1d bucket-mean points
+        # (means rounded to the shared 6-dp representative on both sides)
+        "binned_shape_features": SHAPE_FEATURES_SQL.format(
+            points=f"""
+  SELECT lang, domain, bucket_ts_us AS t_us, ROUND(AVG(v), 6) AS v,
+         1.0 AS w
+  FROM (SELECT lang, domain,
+               (t_us // {TIER_STEP_US['1d']}) * {TIER_STEP_US['1d']}
+                 AS bucket_ts_us, v
+        FROM ({EVENTS_POINTS_SQL}))
+  GROUP BY 1, 2, 3"""),
         "dmdt_map": _dmdt_sql(EVENTS_POINTS_SQL),
         "conditional_entropy": _conditional_entropy_sql(EVENTS_POINTS_SQL),
         "weighted_features": _weighted_features_sql(EVENTS_POINTS_SQL),
