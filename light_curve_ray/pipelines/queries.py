@@ -3991,18 +3991,18 @@ def q_series_gorilla(sf_dir: str):
 _PAYLOAD_CACHE: dict = {}
 
 
-def q_multimodal_decode(sf_dir: str):
-    """Multimodal decode: deterministic binary payloads keyed by doc_id in
-    six formats — RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED
-    GIF, DEFLATE-compressed PNG, and DCT-era BASELINE JPEG (4:2:0 /
-    4:4:4 / grayscale, restart markers) all decoded for real by the
+def _payload_fixture(sf_dir: str):
+    """Deterministic binary payloads keyed by doc_id in six formats —
+    RIFF/WAVE PCM audio, binary PPM images, LZW-COMPRESSED GIF,
+    DEFLATE-compressed PNG, and DCT-era BASELINE JPEG (4:2:0 / 4:4:4 /
+    grayscale, restart markers) all decodable for real by the
     from-scratch codecs, plus the LCRF video-stand-in container
     (mp3/h264/progressive-JPEG remain the marked codec='real'
-    integration point, see stages/multimodal.py)."""
+    integration point, see stages/multimodal.py).  Memoized per sf_dir;
+    shared by q_multimodal_decode and q_multimodal_features."""
     import ray.data as rd
 
     from ..stages.multimodal import (
-        decode_payloads,
         fake_payload,
         synth_gif,
         synth_jpeg,
@@ -4049,7 +4049,31 @@ def q_multimodal_decode(sf_dir: str):
         cached = ds.map_batches(_payloads,
                                 batch_format="pyarrow").materialize()
         _PAYLOAD_CACHE[sf_dir] = cached
-    return _collect(decode_payloads(cached, batch_size=64))
+    return cached
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal decode over the six-format payload fixture (see
+    _payload_fixture): every format decoded for real by the from-scratch
+    codecs; rows-only driver check, codec round-trips unit-pinned."""
+    from ..stages.multimodal import decode_payloads
+
+    return _collect(decode_payloads(_payload_fixture(sf_dir),
+                                    batch_size=64))
+
+
+def q_multimodal_features(sf_dir: str):
+    """Modality-specific feature extraction (stages/multimodal.
+    MediaFeatureStage): audio spectral features via the real FFT
+    (centroid/dominant-frequency/rms), image perceptual dHash + area
+    thumbnail stats (the resize op), GIF deterministic frame-sample
+    indices — the brief's decode/feature-extract/resize/frame-sample
+    set made concrete.  Rows-only BY DESIGN (FFT/hash outputs have no
+    SQL mirror); kernels unit-pinned in tests/test_textstats_multimodal.py."""
+    from ..stages.multimodal import media_features
+
+    return _collect(media_features(_payload_fixture(sf_dir),
+                                   batch_size=64))
 
 
 # ------------------------------------------------------------- registries
@@ -4093,6 +4117,7 @@ def build_queries() -> dict:
         "series_grid_stats": q_series_grid_stats,
         "series_gorilla": q_series_gorilla,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
         # -- driver-verified green in r03, in the r03 order --
         "events_by_type": q_events_by_type,
         "rollup_1h": q_rollup("1h"),

@@ -560,6 +560,14 @@ def decode_png(payload: bytes) -> dict:
             np.float64)
     else:
         vals = img.astype(np.float64)
+    if color_type == 3:
+        gray = vals.reshape(height, width, 3).mean(axis=2)
+    elif nch >= 3:
+        gray = img.astype(np.float64).reshape(
+            height, width, nch)[:, :, :3].mean(axis=2)
+    else:
+        gray = img.astype(np.float64).reshape(height, width * nch)[
+            :, :width]
     return {
         "kind": "image",
         "width": int(width),
@@ -568,6 +576,9 @@ def decode_png(payload: bytes) -> dict:
         "n_bytes": int(vals.size),
         "byte_mean": float(vals.mean()) if vals.size else 0.0,
         "byte_std": float(vals.std()) if vals.size else 0.0,
+        # (h, w) float64 luminance plane for the feature-extract stage
+        # (channel mean; scalar-only consumers just ignore it)
+        "gray": gray,
     }
 
 
@@ -1216,6 +1227,222 @@ def decode_payloads(ds, payload_col: str = "payload", codec: str = "auto",
     return ds.map_batches(
         PayloadDecodeStage,
         fn_constructor_kwargs=dict(payload_col=payload_col, codec=codec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(2, 8),
+        num_cpus=1,
+    )
+
+
+# ----------------------- feature-extract / resize / frame-sample stages
+
+def pnm_gray(payload: bytes) -> np.ndarray:
+    """P5/P6 payload -> (h, w) float64 grayscale plane (P6 averages the
+    three channels; same header walk as decode_pnm)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM left to the 'real' tier")
+    nch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, np.uint8, count=width * height * nch,
+                       offset=pos).astype(np.float64)
+    if nch == 3:
+        px = px.reshape(height, width, 3).mean(axis=2)
+    else:
+        px = px.reshape(height, width)
+    return px
+
+
+def resize_area(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average downsample (the thumbnail op): output
+    cell (i, j) is the mean of the input block [floor(i*h/out_h),
+    floor((i+1)*h/out_h)) x [same in w) — exact block means via two
+    reduceat passes, no interpolation kernels, no float index math."""
+    h, w = gray.shape
+    if out_h > h or out_w > w:
+        raise ValueError("resize_area only downsamples")
+    rb = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cb = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    rc = np.diff(np.append(rb, h)).astype(np.float64)
+    cc = np.diff(np.append(cb, w)).astype(np.float64)
+    rows = np.add.reduceat(gray, rb, axis=0)
+    cells = np.add.reduceat(rows, cb, axis=1)
+    return cells / (rc[:, None] * cc[None, :])
+
+
+def image_dhash(gray: np.ndarray) -> int:
+    """64-bit perceptual difference hash: area-resize to 8x9, compare
+    horizontally adjacent cells (strictly brighter -> 1).  Invariant to
+    uniform brightness shift and scale-robust — Hamming distance on the
+    returned int is the standard image near-dup metric (composes with
+    the engine's SimHash banding for image dedup at scale).  Returned as
+    a PYTHON int in [0, 2^64)."""
+    t = resize_area(gray, 8, 9)
+    bits = (t[:, 1:] > t[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def frame_sample_indices(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic frame sampling: k indices evenly spread over
+    [0, n_frames), always including the first frame, strictly
+    increasing (fewer than k when n_frames < k)."""
+    if n_frames <= 0:
+        return np.empty(0, dtype=np.int64)
+    k = min(k, n_frames)
+    return np.unique((np.arange(k, dtype=np.int64)
+                      * n_frames) // k)
+
+
+def audio_spectral(payload: bytes) -> dict:
+    """WAV PCM payload -> spectral features via the real FFT:
+    rms, spectral centroid (Hz), bandwidth (Hz, centroid-centred std),
+    rolloff85 (Hz below which 85% of magnitude mass sits) and the
+    dominant frequency (peak |rfft| bin, Hz).  Deterministic numpy;
+    mono = channel mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 1:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    n = len(s)
+    if n == 0:
+        return {"rms": 0.0, "spectral_centroid_hz": 0.0,
+                "spectral_bandwidth_hz": 0.0, "rolloff85_hz": 0.0,
+                "dominant_freq_hz": 0.0, "sample_rate": rate,
+                "n_samples": 0}
+    mag = np.abs(np.fft.rfft(s))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    mag[0] = 0.0  # drop DC so a constant offset is not "dominant"
+    tot = mag.sum()
+    if tot > 0:
+        centroid = float((freqs * mag).sum() / tot)
+        bw = float(np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot))
+        roll = float(freqs[np.searchsorted(np.cumsum(mag),
+                                           0.85 * tot)])
+    else:
+        centroid = bw = roll = 0.0
+    return {
+        "rms": float(np.sqrt((s * s).mean())),
+        "spectral_centroid_hz": centroid,
+        "spectral_bandwidth_hz": bw,
+        "rolloff85_hz": roll,
+        "dominant_freq_hz": float(freqs[int(np.argmax(mag))]),
+        "sample_rate": rate,
+        "n_samples": n,
+    }
+
+
+class MediaFeatureStage:
+    """payload batch -> modality-specific features: audio spectral
+    features (FFT), image perceptual dHash + 4x4 area thumbnail stats,
+    GIF frame-sample indices.  Actor-pool stage, same small-batch memory
+    discipline as PayloadDecodeStage; the payload column is dropped
+    in-stage so only slim features ever re-enter the object store."""
+
+    def __init__(self, payload_col: str = "payload", n_sample_frames: int = 4):
+        self.payload_col = payload_col
+        self.k = n_sample_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        kind = [""] * n
+        dhash = [None] * n
+        thumb_mean = np.full(n, np.nan)
+        thumb_std = np.full(n, np.nan)
+        centroid = np.full(n, np.nan)
+        dom = np.full(n, np.nan)
+        rms = np.full(n, np.nan)
+        frames = [None] * n
+        ok = np.ones(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            try:
+                head = p[:6]
+                if head[:4] == b"RIFF":
+                    f = audio_spectral(p)
+                    kind[i] = "audio"
+                    centroid[i] = f["spectral_centroid_hz"]
+                    dom[i] = f["dominant_freq_hz"]
+                    rms[i] = f["rms"]
+                elif head[:2] in (b"P5", b"P6") or \
+                        p[:8] == _PNG_SIG or p[:2] == b"\xff\xd8":
+                    if head[:2] in (b"P5", b"P6"):
+                        g = pnm_gray(p)
+                    elif p[:8] == _PNG_SIG:
+                        g = decode_png(p)["gray"]
+                    else:
+                        px = decode_jpeg_pixels(p).astype(np.float64)
+                        g = px.mean(axis=2) if px.ndim == 3 else px
+                    kind[i] = "image"
+                    dhash[i] = image_dhash(g) - (1 << 63)  # int64 view
+                    t = resize_area(g, min(4, g.shape[0]),
+                                    min(4, g.shape[1]))
+                    thumb_mean[i] = t.mean()
+                    thumb_std[i] = t.std()
+                elif head in (b"GIF87a", b"GIF89a") or p[:4] == _MAGIC:
+                    d = (decode_gif(p) if head in (b"GIF87a", b"GIF89a")
+                         else decode_fake(p))
+                    kind[i] = "video"
+                    frames[i] = [int(x) for x in
+                                 frame_sample_indices(d["n_frames"],
+                                                      self.k)]
+                else:
+                    ok[i] = False
+            except Exception:
+                ok[i] = False
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("kind", pa.array(kind, pa.string()))
+        out = out.append_column("dhash", pa.array(dhash, pa.int64()))
+        out = out.append_column("thumb_mean",
+                                pa.array(thumb_mean, pa.float64()))
+        out = out.append_column("thumb_std",
+                                pa.array(thumb_std, pa.float64()))
+        out = out.append_column("spectral_centroid_hz",
+                                pa.array(centroid, pa.float64()))
+        out = out.append_column("dominant_freq_hz",
+                                pa.array(dom, pa.float64()))
+        out = out.append_column("rms", pa.array(rms, pa.float64()))
+        out = out.append_column("sampled_frames",
+                                pa.array(frames, pa.list_(pa.int64())))
+        return out.append_column("feat_ok", pa.array(ok, pa.bool_()))
+
+
+def media_features(ds, payload_col: str = "payload",
+                   n_sample_frames: int = 4, batch_size: int = 64):
+    """Dataset plumbing for media feature extraction (actor pool)."""
+    return ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs=dict(payload_col=payload_col,
+                                   n_sample_frames=n_sample_frames),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(2, 8),

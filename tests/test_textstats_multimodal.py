@@ -355,3 +355,102 @@ def test_jpeg_via_decode_stage(ray_session):
     assert out["decode_ok"].all()
     assert (out["kind"] == "image").all()
     assert list(out.sort_values("doc_id")["width"]) == list(range(16, 22))
+
+
+def test_resize_area_exact_block_means():
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import resize_area
+
+    a = np.arange(16, dtype=float).reshape(4, 4)
+    assert np.allclose(resize_area(a, 2, 2),
+                       [[2.5, 4.5], [10.5, 12.5]])
+    # non-divisible shapes still partition exactly (floor boundaries)
+    b = np.arange(15, dtype=float).reshape(3, 5)
+    r = resize_area(b, 2, 2)
+    assert np.allclose(r[0, 0], b[:1, :2].mean())
+    assert np.allclose(r[1, 1], b[1:, 2:].mean())
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_area(a, 8, 8)  # upsample refused
+
+
+def test_image_dhash_invariances():
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        image_dhash,
+        pnm_gray,
+        synth_ppm,
+    )
+
+    g = pnm_gray(synth_ppm(40, 30, seed=5))
+    h = image_dhash(g)
+    assert 0 <= h < (1 << 64)
+    assert image_dhash(g + 31.0) == h          # brightness shift
+    assert image_dhash(g * 2.0) == h           # contrast scale
+    g2 = pnm_gray(synth_ppm(40, 30, seed=6))
+    assert image_dhash(g2) != h                # different image differs
+
+
+def test_audio_spectral_known_tone():
+    from light_curve_ray.stages.multimodal import audio_spectral, synth_wav
+
+    f = audio_spectral(synth_wav(8000, 440.0, rate=8000))
+    assert abs(f["dominant_freq_hz"] - 440.0) < 2.0
+    assert f["rms"] > 0 and f["n_samples"] == 8000
+    assert f["spectral_centroid_hz"] > 0
+    assert f["rolloff85_hz"] >= f["dominant_freq_hz"] * 0.5
+
+
+def test_frame_sample_indices():
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import frame_sample_indices
+
+    assert frame_sample_indices(10, 4).tolist() == [0, 2, 5, 7]
+    assert frame_sample_indices(2, 4).tolist() == [0, 1]
+    assert frame_sample_indices(0, 4).tolist() == []
+    i = frame_sample_indices(1000, 7)
+    assert i[0] == 0 and np.all(np.diff(i) > 0) and i[-1] < 1000
+
+
+def test_media_feature_stage_all_formats(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.multimodal import (
+        MediaFeatureStage,
+        fake_payload,
+        media_features,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_ppm,
+        synth_wav,
+    )
+
+    payloads = [
+        synth_wav(1600, 200.0), synth_ppm(20, 14, seed=1),
+        synth_gif(16, 12, seed=2), synth_png(12, 10, seed=3),
+        synth_jpeg(16, 12, seed=4, mode="gray"),
+        fake_payload("video", 64, 48, 9, seed=5), b"garbage",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(payloads)), pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    out = media_features(rd.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["kind"].tolist() == [
+        "audio", "image", "video", "image", "image", "video", ""]
+    assert bool(out["feat_ok"][:-1].all()) and not bool(out["feat_ok"][6])
+    assert abs(out["dominant_freq_hz"][0] - 200.0) < 2.0
+    # images carry dhash + thumbnail stats; video carries sampled frames
+    assert out["dhash"][[1, 3, 4]].notna().all()
+    assert list(out["sampled_frames"][5]) == [0, 2, 4, 6]
+    # stage parity with the single-process call
+    solo = MediaFeatureStage()(tbl).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert solo["kind"].tolist() == out["kind"].tolist()
+    assert (solo["dhash"].fillna(0) == out["dhash"].fillna(0)).all()
