@@ -4062,6 +4062,44 @@ def q_multimodal_decode(sf_dir: str):
                                     batch_size=64))
 
 
+def q_dedup_image(sf_dir: str):
+    """IMAGE near-duplicate pairs: payload fixture -> perceptual dHash
+    (stages/multimodal.MediaFeatureStage) -> the generic 4x16-bit-banded
+    Hamming chain (stages/dedup.hamming_pairs_banded — the SAME slim
+    band-row exchange the SimHash text chain rides).  Every image gets
+    an exact COPY planted under doc_id + 1_000_000 (deterministic
+    synthesis), so the chain must surface one hamming=0 pair per image —
+    a built-in recall floor; rows-only driver check (dHash has no SQL
+    mirror), banding-vs-bruteforce parity unit-pinned.
+
+    Restricted to the fixture's NOISE-content images (the PPMs,
+    doc_id % 6 == 1): the synthetic PNG/JPEG payloads are gradients,
+    which dHash correctly reports as one giant perceptual-duplicate
+    class — true, but it floods the pair set; with the noise images the
+    planted copies are the ONLY near-dups, so the output is exactly one
+    hamming=0 pair per image."""
+    import pyarrow.compute as pc_
+
+    from ..stages.dedup import hamming_pairs_banded
+    from ..stages.multimodal import media_features
+
+    feats = media_features(_payload_fixture(sf_dir), batch_size=64)
+    imgs = feats.filter(
+        lambda r: r["kind"] == "image" and r["dhash"] is not None
+        and r["doc_id"] % 6 == 1)
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": pc_.cast(batch["doc_id"], pa.int64()),
+                         "h64": batch["dhash"]})
+        copy = pa.table({"doc_id": pc_.add(base["doc_id"], 1_000_000),
+                         "h64": base["h64"]})
+        return pa.concat_tables([base, copy])
+
+    slim = imgs.map_batches(_slim, batch_format="pyarrow")
+    return _collect(hamming_pairs_banded(slim, "doc_id", "h64",
+                                         max_hamming=3))
+
+
 def q_multimodal_features(sf_dir: str):
     """Modality-specific feature extraction (stages/multimodal.
     MediaFeatureStage): audio spectral features via the real FFT
@@ -4118,6 +4156,7 @@ def build_queries() -> dict:
         "series_gorilla": q_series_gorilla,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
+        "dedup_image": q_dedup_image,
         # -- driver-verified green in r03, in the r03 order --
         "events_by_type": q_events_by_type,
         "rollup_1h": q_rollup("1h"),

@@ -627,35 +627,32 @@ def simhash_dataset(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(_sig, batch_format="pyarrow", batch_size=1024)
 
 
-def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        max_hamming: int = 3, max_bucket: int = 1000):
-    """Pairs within Hamming distance ``max_hamming`` of 64-bit SimHash.
+def _band_rows64(ids: np.ndarray, hashes_u64: np.ndarray,
+                 id_col: str) -> pa.Table:
+    """(id, 64-bit hash) -> 4 slim band rows per item (16-bit exact band
+    keys): any pair within Hamming distance 3 shares at least one band
+    (pigeonhole), so bucket-local comparison finds all such pairs."""
+    n = len(ids)
+    out_band = np.repeat(np.arange(4, dtype=np.int32), n)
+    out_key = np.empty(4 * n, dtype=np.int64)
+    for b in range(4):
+        out_key[b * n:(b + 1) * n] = (
+            (hashes_u64 >> np.uint64(16 * b))
+            & np.uint64(0xFFFF)).view(np.int64)
+    return pa.table({
+        "band": pa.array(out_band, pa.int32()),
+        "band_key": pa.array(out_key, pa.int64()),
+        id_col: pa.array(np.tile(ids, 4)),
+        "h64": pa.array(np.tile(hashes_u64.view(np.int64), 4), pa.int64()),
+    })
 
-    Banding: 4 bands of 16 bits; any pair with d ≤ 3 shares ≥1 exact band
-    (pigeonhole), so bucket-local comparison finds all such pairs.
-    """
-    def _sig_bands(batch: pa.Table) -> pa.Table:
-        # fused signature+banding (one reusable-worker task stage)
-        sig_tbl = _cached_stage(SimHashStage, id_col=id_col,
-                                text_col=text_col)(batch)
-        ids = sig_tbl[id_col].to_numpy(zero_copy_only=False)
-        sh = sig_tbl["simhash"].to_numpy(
-            zero_copy_only=False).view(np.uint64)
-        n = len(ids)
-        out_band = np.repeat(np.arange(4, dtype=np.int32), n)
-        out_key = np.empty(4 * n, dtype=np.int64)
-        for b in range(4):
-            out_key[b * n:(b + 1) * n] = (
-                (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).view(np.int64)
-        return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_key": pa.array(out_key, pa.int64()),
-            id_col: pa.array(np.tile(ids, 4)),
-            "simhash": pa.array(np.tile(sh.view(np.int64), 4), pa.int64()),
-        })
 
-    banded = ds.map_batches(_sig_bands, batch_format="pyarrow",
-                            batch_size=1024)
+def _banded_hamming_pairs(banded, id_col: str, max_hamming: int,
+                          max_bucket: int):
+    """Band-bucketed all-pairs Hamming over _band_rows64 output."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is complete only for "
+                         "max_hamming <= 3 (pigeonhole)")
 
     def _pairs(group: pa.Table) -> pa.Table:
         from ..kernels.hashing import hamming_matrix64
@@ -663,7 +660,7 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         ids = group[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        sh = group["simhash"].to_numpy(zero_copy_only=False)[order]
+        sh = group["h64"].to_numpy(zero_copy_only=False)[order]
         if len(ids) > max_bucket:
             ids, sh = ids[:max_bucket], sh[:max_bucket]
         # all-pairs Hamming in one xor outer + LUT popcount (the round-1
@@ -686,6 +683,44 @@ def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                              pairs_schema, min_group_size=2)
     # identical pair -> identical signatures -> identical hamming; keep one
     return dedup_rows_sorted(pairs, ["doc_a", "doc_b"])
+
+
+def hamming_pairs_banded(ds, id_col: str = "doc_id",
+                         hash_col: str = "h64",
+                         max_hamming: int = 3, max_bucket: int = 1000):
+    """GENERIC near-dup pairs over ANY 64-bit hash column (SimHash,
+    image perceptual dHash, audio fingerprints...): 4x16-bit banding,
+    bucket-local vectorized Hamming, same scale story as the SimHash
+    chain — slim band rows, one keyed exchange, hot buckets capped."""
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        return _band_rows64(ids, sh, id_col)
+
+    banded = ds.map_batches(_bands, batch_format="pyarrow",
+                            batch_size=1024)
+    return _banded_hamming_pairs(banded, id_col, max_hamming, max_bucket)
+
+
+def simhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        max_hamming: int = 3, max_bucket: int = 1000):
+    """Pairs within Hamming distance ``max_hamming`` of 64-bit SimHash.
+
+    Banding: 4 bands of 16 bits; any pair with d ≤ 3 shares ≥1 exact band
+    (pigeonhole), so bucket-local comparison finds all such pairs.
+    """
+    def _sig_bands(batch: pa.Table) -> pa.Table:
+        # fused signature+banding (one reusable-worker task stage)
+        sig_tbl = _cached_stage(SimHashStage, id_col=id_col,
+                                text_col=text_col)(batch)
+        ids = sig_tbl[id_col].to_numpy(zero_copy_only=False)
+        sh = sig_tbl["simhash"].to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        return _band_rows64(ids, sh, id_col)
+
+    banded = ds.map_batches(_sig_bands, batch_format="pyarrow",
+                            batch_size=1024)
+    return _banded_hamming_pairs(banded, id_col, max_hamming, max_bucket)
 
 
 # -------------------------------------------------------- jaccard verify

@@ -433,3 +433,43 @@ def test_exact_dup_pair_floor_null_text_never_matches(ray_session):
         out = exact_dup_pair_floor(pairs, docs, **kw).to_pandas()
         got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
         assert got == {(4, 5)}
+
+
+def test_hamming_pairs_banded_matches_bruteforce(ray_session):
+    """Generic 64-bit Hamming banding (image-dHash path) vs exhaustive
+    pair enumeration, including a planted 2-bit near-dup."""
+    import ray.data as rd
+
+    from light_curve_ray.kernels.hashing import hamming_matrix64
+    from light_curve_ray.stages.dedup import hamming_pairs_banded
+
+    rng = np.random.RandomState(17)
+    hashes = rng.randint(0, 2**63, 40, dtype=np.int64)
+    hashes = np.concatenate([
+        hashes,
+        hashes[:3],                      # exact dups (hamming 0)
+        hashes[3:5] ^ np.int64(0b101),   # 2-bit near-dups
+    ])
+    ids = np.arange(len(hashes), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "h64": pa.array(hashes, pa.int64()),
+    })).repartition(4)
+    got = hamming_pairs_banded(ds, "doc_id", "h64",
+                               max_hamming=3).to_pandas()
+    got_set = {(min(a, b), max(a, b), h) for a, b, h in
+               got[["doc_a", "doc_b", "hamming"]].to_numpy()}
+
+    d = hamming_matrix64(hashes.view(np.uint64))
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if d[i, j] <= 3:
+                exp.add((i, j, d[i, j]))
+    assert got_set == exp
+    assert any(h == 2 for _, _, h in exp)  # the planted near-dups exist
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hamming_pairs_banded(ds, "doc_id", "h64", max_hamming=4)
