@@ -53,8 +53,17 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m light_curve_ray.job",
         description="Tiered time-series rollup over web-page Parquet")
-    p.add_argument("--input", nargs="+", required=True,
-                   help="parquet file(s)/dir(s)")
+    p.add_argument("--input", nargs="+", default=None,
+                   help="parquet file(s)/dir(s) (rollup mode)")
+    p.add_argument("--query", default=None,
+                   help="run one registered analytics query by name "
+                        "(see pipelines.queries.build_queries) instead "
+                        "of the rollup")
+    p.add_argument("--sf-dir", default=None,
+                   help="query mode: table directory (the parquet "
+                        "tables the query reads)")
+    p.add_argument("--out-parquet", default=None,
+                   help="query mode: also write the result table here")
     p.add_argument("--input-kind", default="pages",
                    choices=["pages", "points", "table"])
     p.add_argument("--out", default=None,
@@ -78,6 +87,8 @@ def main(argv=None) -> int:
                    help="only honoured when Ray is NOT already "
                         "initialised (standalone runs)")
     args = p.parse_args(argv)
+    if args.query is None and args.input is None:
+        p.error("either --input (rollup mode) or --query is required")
 
     import ray
 
@@ -90,6 +101,44 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.query is not None:
+        import time
+
+        import pyarrow.parquet as pq
+
+        from .pipelines.queries import build_queries
+
+        qs = build_queries()
+        if args.query not in qs:
+            p.error(f"unknown query {args.query!r}; known: "
+                    + ", ".join(sorted(qs)))
+        if not args.sf_dir:
+            p.error("--query requires --sf-dir")
+        t0 = time.monotonic()
+        res = qs[args.query](args.sf_dir)
+        wall = time.monotonic() - t0
+        # queries() returns a pa.Table / DataFrame / small Dataset
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            tbl = res
+        elif isinstance(res, pd.DataFrame):
+            tbl = pa.Table.from_pandas(res, preserve_index=False)
+        else:
+            tbl = pa.Table.from_pandas(res.to_pandas(),
+                                       preserve_index=False)
+        if args.out_parquet:
+            pq.write_table(tbl, args.out_parquet)
+        print(json.dumps({
+            "query": args.query,
+            "rows": tbl.num_rows,
+            "columns": tbl.column_names,
+            "wall_s": round(wall, 3),
+            "out": args.out_parquet,
+        }), flush=True)
+        return 0
 
     cfg = _build_config(args)
     if args.checkpoint:

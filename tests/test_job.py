@@ -38,3 +38,38 @@ def test_job_checkpoint_resubmit_same_result(tmp_path):
     r2 = _run(["--checkpoint", ck, "--tiers", "1h,1d"], tmp_path)
     assert r1["rollup_rows"] == r2["rollup_rows"] > 0
     assert r1["series_rows"] == r2["series_rows"] > 0
+
+
+def test_job_query_mode(ray_session, tmp_path):
+    """--query runs a registered analytics query and writes parquet."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "q.parquet"
+    proc = subprocess.run(
+        [sys.executable, "-m", "light_curve_ray.job",
+         "--query", "events_by_type", "--sf-dir", SF,
+         "--out-parquet", str(out), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["query"] == "events_by_type" and line["rows"] > 0
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(out).num_rows == line["rows"]
+
+
+def test_job_query_mode_unknown_name():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "light_curve_ray.job",
+         "--query", "nope", "--sf-dir", SF],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode != 0
+    assert "unknown query" in proc.stderr
