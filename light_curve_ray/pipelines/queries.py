@@ -4100,6 +4100,72 @@ def q_dedup_image(sf_dir: str):
                                          max_hamming=3))
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+PIVOT_EVENTS_SQL = f"""
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+{", ".join(
+    f'''  CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)
+       AS BIGINT) AS {t}_n,
+  ROUND(SUM(CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END), 6)
+    AS {t}_sum''' for t in _PIVOT_TYPES)}
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT (long -> wide): per day, one (count, sum) column pair per
+    event type — the standard reshaping op for feature tables.  Fully
+    map-side: each block emits one pre-pivoted partial row set
+    (vectorized CASE arithmetic), then ONE slim keyed groupby sums the
+    partials — the fact table never shuffles in long form, only
+    day-count-scale wide partials do; ORACLE-CHECKED against the
+    CASE-aggregation SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    day = 86_400_000_000
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        d = (t // day) * day
+        cols = {"day_us": pa.array(d, pa.int64())}
+        for name in _PIVOT_TYPES:
+            m = np.asarray(pc.equal(et, name))
+            cols[f"{name}_n"] = pa.array(m.astype(np.int64), pa.int64())
+            cols[f"{name}_sum"] = pa.array(np.where(m, v, 0.0),
+                                           pa.float64())
+        tbl = pa.table(cols)
+        # block-level pre-pivot: one partial row per (block, day)
+        aggs = [(f"{n}_{k}", "sum") for n in _PIVOT_TYPES
+                for k in ("n", "sum")]
+        p = tbl.group_by(["day_us"]).aggregate(aggs)
+        return pa.table(
+            {"day_us": p["day_us"],
+             **{f"{n}_{k}": p[f"{n}_{k}_sum"] for n in _PIVOT_TYPES
+                for k in ("n", "sum")}})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sums = [Sum(f"{n}_{k}", alias_name=f"{n}_{k}")
+            for n in _PIVOT_TYPES for k in ("n", "sum")]
+    out = parts.groupby("day_us").aggregate(*sums)
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        cols = {"day_us": batch["day_us"]}
+        for n in _PIVOT_TYPES:
+            cols[f"{n}_n"] = pc.cast(batch[f"{n}_n"], pa.int64())
+            cols[f"{n}_sum"] = pc.cast(batch[f"{n}_sum"], pa.float64())
+        return pa.table(cols)
+
+    return _collect(out.map_batches(_finish, batch_format="pyarrow"))
+
+
 def q_multimodal_features(sf_dir: str):
     """Modality-specific feature extraction (stages/multimodal.
     MediaFeatureStage): audio spectral features via the real FFT
@@ -4131,6 +4197,7 @@ def build_queries() -> dict:
         "weighted_features": q_weighted_features,
         "gopher_repetition": q_gopher_repetition,
         "binned_shape_features": q_binned_shape_features,
+        "pivot_events": q_pivot_events,
         "bazin_fit": q_bazin_fit,
         "villar_fit": q_villar_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
@@ -4335,6 +4402,7 @@ WHERE rn <= 2
         "ann_topk_ivf_full": ANN_TOPK_SQL,
         "text_stats": TEXT_STATS_SQL,
         "gopher_repetition": GOPHER_REPETITION_SQL,
+        "pivot_events": PIVOT_EVENTS_SQL,
         "series_grid_stats": _series_grid_sql(EVENTS_POINTS_SQL,
                                               ("1h", "1d", "30d")),
         # every compared value decoded back OUT of the Gorilla blobs
