@@ -4115,14 +4115,8 @@ GROUP BY 1
 """
 
 
-def q_pivot_events(sf_dir: str):
-    """PIVOT (long -> wide): per day, one (count, sum) column pair per
-    event type — the standard reshaping op for feature tables.  Fully
-    map-side: each block emits one pre-pivoted partial row set
-    (vectorized CASE arithmetic), then ONE slim keyed groupby sums the
-    partials — the fact table never shuffles in long form, only
-    day-count-scale wide partials do; ORACLE-CHECKED against the
-    CASE-aggregation SQL."""
+def _pivot_events_ds(sf_dir: str):
+    """Dataset half of q_pivot_events (also feeds q_unpivot_events)."""
     from ray.data.aggregate import Sum
 
     ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
@@ -4163,7 +4157,60 @@ def q_pivot_events(sf_dir: str):
             cols[f"{n}_sum"] = pc.cast(batch[f"{n}_sum"], pa.float64())
         return pa.table(cols)
 
-    return _collect(out.map_batches(_finish, batch_format="pyarrow"))
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT (long -> wide): per day, one (count, sum) column pair per
+    event type — the standard reshaping op for feature tables.  Fully
+    map-side: each block emits one pre-pivoted partial row set
+    (vectorized CASE arithmetic), then ONE slim keyed groupby sums the
+    partials — the fact table never shuffles in long form, only
+    day-count-scale wide partials do; ORACLE-CHECKED against the
+    CASE-aggregation SQL."""
+    return _collect(_pivot_events_ds(sf_dir))
+
+
+UNPIVOT_EVENTS_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS v_sum
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_unpivot_events(sf_dir: str):
+    """UNPIVOT (wide -> long), composed as the pivot's inverse: melt the
+    wide per-day table back into (day, event_type, n_events, v_sum) rows
+    — a vectorized stateless map (np.repeat/tile, no exchange at all),
+    zero-count cells dropped.  The round trip pivot -> unpivot must
+    reproduce the DIRECT long aggregation, which is exactly what the
+    SQL oracle computes — ORACLE-CHECKED end-to-end."""
+    wide = _pivot_events_ds(sf_dir)
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        day = batch["day_us"].to_numpy(zero_copy_only=False)
+        k = len(_PIVOT_TYPES)
+        n_out = np.empty(m * k, np.int64)
+        s_out = np.empty(m * k, np.float64)
+        for i, t in enumerate(_PIVOT_TYPES):
+            n_out[i::k] = batch[f"{t}_n"].to_numpy(zero_copy_only=False)
+            s_out[i::k] = batch[f"{t}_sum"].to_numpy(
+                zero_copy_only=False)
+        tbl = pa.table({
+            "day_us": pa.array(np.repeat(day, k), pa.int64()),
+            "event_type": pa.array(list(_PIVOT_TYPES) * m, pa.string()),
+            "n_events": pa.array(n_out, pa.int64()),
+            "v_sum": pa.array(s_out, pa.float64()),
+        })
+        return tbl.filter(pc.greater(tbl["n_events"], 0))
+
+    return _collect(wide.map_batches(_melt, batch_format="pyarrow",
+                                     zero_copy_batch=True))
 
 
 def q_multimodal_features(sf_dir: str):
@@ -4198,6 +4245,7 @@ def build_queries() -> dict:
         "gopher_repetition": q_gopher_repetition,
         "binned_shape_features": q_binned_shape_features,
         "pivot_events": q_pivot_events,
+        "unpivot_events": q_unpivot_events,
         "bazin_fit": q_bazin_fit,
         "villar_fit": q_villar_fit,
         # -- never driver-verified as of r03 (judge-verified only) --
@@ -4403,6 +4451,7 @@ WHERE rn <= 2
         "text_stats": TEXT_STATS_SQL,
         "gopher_repetition": GOPHER_REPETITION_SQL,
         "pivot_events": PIVOT_EVENTS_SQL,
+        "unpivot_events": UNPIVOT_EVENTS_SQL,
         "series_grid_stats": _series_grid_sql(EVENTS_POINTS_SQL,
                                               ("1h", "1d", "30d")),
         # every compared value decoded back OUT of the Gorilla blobs
