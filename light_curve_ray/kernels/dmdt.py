@@ -46,13 +46,21 @@ DT_EDGES_US = tuple(
     for j in range(N_DT + 1))
 
 
-def dmdt_counts(t_us: np.ndarray, v: np.ndarray) -> np.ndarray:
+def dmdt_counts(t_us: np.ndarray, v: np.ndarray,
+                lag_stride: tuple | None = None) -> np.ndarray:
     """(N_DT, N_DM) int64 pair-count grid for one series.
 
     Input need not be sorted; points are ordered by (t, v) internally so
     the result is independent of Ray block order.  dm is later-minus-
     earlier value.
-    """
+
+    ``lag_stride=(offset, step)`` counts only lags ≡ offset (mod step),
+    offset in [1, step] — the lag set partitions disjointly across
+    offsets, so the per-offset grids SUM to the full grid exactly
+    (integer counts).  This is the few-big-series parallelism hook: the
+    pipeline fans one series out as `step` strided partials so a handful
+    of giant series can use the whole pool (q_dmdt_map); many-small-
+    series inputs keep the one-call-per-series path."""
     t_us = np.asarray(t_us, dtype=np.int64)
     v = np.asarray(v, dtype=np.float64)
     order = np.lexsort((v, t_us))
@@ -61,7 +69,9 @@ def dmdt_counts(t_us: np.ndarray, v: np.ndarray) -> np.ndarray:
     n = len(ts)
     edges = np.asarray(DT_EDGES_US, dtype=np.int64)
     flat = np.zeros(N_DT * N_DM, dtype=np.int64)
-    for lag in range(1, n):
+    start, step = (1, 1) if lag_stride is None else (
+        lag_stride[0], lag_stride[1])
+    for lag in range(start, n, step):
         dt = ts[lag:] - ts[:-lag]
         if dt.min() >= edges[-1]:
             break  # sorted series: every larger lag is also off-grid

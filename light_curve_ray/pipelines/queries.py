@@ -964,49 +964,101 @@ FROM c
 """
 
 
-def q_dmdt_map(sf_dir: str):
+def q_dmdt_map(sf_dir: str, fanout: int = 6):
     """dm-dt map (light-curve-dmdt crate, /root/reference/README.md:17;
     Mahabal et al. 2017, arXiv 1709.06257): per-series 2-D histogram of
     (dm, dt) over time-ordered point pairs — log-spaced integer-µs dt
-    bins x linear dm bins, off-grid pairs dropped.  One sorted-series
-    exchange (sorted_group_map), lag-loop kernel whose work is bounded
-    by pairs WITHIN the 30-day dt window, not n^2; one non-empty-cell
+    bins x linear dm bins, off-grid pairs dropped.  One non-empty-cell
     row per (series, dt_bin, dm_bin) carrying both the raw count and the
     crate's norm=dt conditional probability (each dt row sums to 1);
-    ORACLE-CHECKED against the self-join pair enumeration."""
+    ORACLE-CHECKED against the self-join pair enumeration.
+
+    Topology: one sorted-series exchange (sorted_group_map), but the
+    per-group step only PACKS each series and emits ``fanout`` strided
+    lag-partition tasks (kernels/dmdt.dmdt_counts lag_stride — partial
+    grids sum exactly), so a FEW GIANT series still spread over the
+    whole pool (the sf0.1 shape: 5 series x 20k points left 27 of 32
+    cores idle); partials merge in one cell-scale keyed groupby and
+    p_cond is derived on the collected result.  For the web-scale
+    many-small-series regime pass fanout=1 to skip the extra exchange."""
+    from ray.data.aggregate import Sum
+
     from ..kernels.dmdt import dmdt_counts
     from ..stages.sorted_groups import sorted_group_map
 
     cfg = _events_cfg(sf_dir, ("1d",))
     points = points_dataset(cfg)
 
-    out_schema = pa.schema([
+    packed_schema = pa.schema([
         ("lang", pa.string()), ("domain", pa.string()),
-        ("lgdt_bin", pa.int64()), ("dm_bin", pa.int64()),
-        ("n_pairs", pa.int64()), ("p_cond", pa.float64()),
+        ("off", pa.int64()), ("step", pa.int64()),
+        ("t_bin", pa.large_binary()), ("v_bin", pa.large_binary()),
     ])
 
-    def _one(group: pa.Table) -> pa.Table:
-        grid = dmdt_counts(
-            group["t_us"].to_numpy(zero_copy_only=False),
-            group["v"].to_numpy(zero_copy_only=False))
-        j, k = np.nonzero(grid)
-        m = len(j)
-        row_tot = grid.sum(axis=1)  # per-dt-row totals (norm=dt)
+    def _pack(group: pa.Table) -> pa.Table:
+        t = group["t_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = max(1, int(fanout))
         return pa.table({
-            "lang": pa.array([group["lang"][0].as_py()] * m, pa.string()),
-            "domain": pa.array([group["domain"][0].as_py()] * m,
+            "lang": pa.array([group["lang"][0].as_py()] * k, pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()] * k,
                                pa.string()),
-            "lgdt_bin": pa.array(j, pa.int64()),
-            "dm_bin": pa.array(k, pa.int64()),
-            "n_pairs": pa.array(grid[j, k], pa.int64()),
-            "p_cond": pa.array(
-                grid[j, k].astype(np.float64) / row_tot[j].astype(
-                    np.float64), pa.float64()),
+            "off": pa.array(np.arange(1, k + 1), pa.int64()),
+            "step": pa.array([k] * k, pa.int64()),
+            "t_bin": pa.array([t.tobytes()] * k, pa.large_binary()),
+            "v_bin": pa.array([v.tobytes()] * k, pa.large_binary()),
         })
 
-    cells = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
-    return _collect(cells)
+    tasks = sorted_group_map(points, ["lang", "domain"], _pack,
+                             packed_schema)
+    # one block per strided task so every partial runs in parallel
+    tasks = tasks.repartition(32 * max(1, int(fanout)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(len(batch)):
+            t = np.frombuffer(batch["t_bin"][i].as_py(), np.int64)
+            v = np.frombuffer(batch["v_bin"][i].as_py(), np.float64)
+            grid = dmdt_counts(t, v, lag_stride=(
+                batch["off"][i].as_py(), batch["step"][i].as_py()))
+            j, k = np.nonzero(grid)
+            outs.append(pa.table({
+                "lang": pa.array([batch["lang"][i].as_py()] * len(j),
+                                 pa.string()),
+                "domain": pa.array([batch["domain"][i].as_py()] * len(j),
+                                   pa.string()),
+                "lgdt_bin": pa.array(j, pa.int64()),
+                "dm_bin": pa.array(k, pa.int64()),
+                "n_part": pa.array(grid[j, k], pa.int64()),
+            }))
+        if not outs:
+            return pa.schema([
+                ("lang", pa.string()), ("domain", pa.string()),
+                ("lgdt_bin", pa.int64()), ("dm_bin", pa.int64()),
+                ("n_part", pa.int64())]).empty_table()
+        return pa.concat_tables(outs)
+
+    parts = tasks.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None)
+    merged = parts.groupby(["lang", "domain", "lgdt_bin", "dm_bin"]
+                           ).aggregate(Sum("n_part", alias_name="n_pairs"))
+    tbl = _collect_raw(merged)
+    n_pairs = pc.cast(tbl["n_pairs"], pa.int64())
+    tbl = pa.table({"lang": tbl["lang"], "domain": tbl["domain"],
+                    "lgdt_bin": tbl["lgdt_bin"], "dm_bin": tbl["dm_bin"],
+                    "n_pairs": n_pairs})
+    # p_cond on the collected cell-scale result (the query RETURNS this
+    # table anyway): per-dt-row totals via a vectorized group lookup
+    key = (pc.binary_join_element_wise(
+        tbl["lang"], tbl["domain"], "\x1f").to_pylist())
+    j = tbl["lgdt_bin"].to_numpy(zero_copy_only=False)
+    n = tbl["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    import pandas as pd
+
+    row_tot = pd.Series(n).groupby(
+        [pd.Series(key), pd.Series(j)]).transform("sum").to_numpy()
+    return _round6(tbl.append_column(
+        "p_cond", pa.array(n / row_tot, pa.float64())))
 
 
 def q_dmdt_gausses(sf_dir: str, cap: int = 4000):

@@ -125,3 +125,16 @@ def test_dmdt_gausses_single_pair_exact_mass():
         if exp > 1e-5:  # inside the evaluated ±4-sigma window
             assert abs(g[db, k] - exp) < 1e-6, k
     assert abs(g.sum() - 1.0) < 1e-4  # whole pair mass on-grid
+
+
+def test_dmdt_lag_stride_partitions_exactly():
+    rng = np.random.RandomState(23)
+    n = 150
+    t = np.cumsum(rng.randint(1, 10**8, n)).astype(np.int64)
+    v = rng.normal(0, 100, n)
+    full = dmdt_counts(t, v)
+    for step in (2, 3, 7):
+        acc = np.zeros_like(full)
+        for off in range(1, step + 1):
+            acc += dmdt_counts(t, v, lag_stride=(off, step))
+        assert np.array_equal(acc, full), step
