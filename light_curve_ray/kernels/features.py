@@ -52,6 +52,69 @@ def conditional_entropy(t_us: np.ndarray, v: np.ndarray) -> float:
                            / cell[nz])).sum())
 
 
+TIME_FEATURES = (
+    "n", "duration_s", "min_time_interval_s", "max_time_interval_s",
+    "time_mean_s", "time_standard_deviation_s",
+)
+
+
+def time_features(t_us: np.ndarray) -> dict:
+    """Sampling-cadence feature family over one series' time column
+    (light-curve-feature catalog: ObservationCount, Duration,
+    MinimumTimeInterval, MaximumTimeInterval, TimeMean,
+    TimeStandardDeviation; Malanchev et al. 2021 Table 1):
+
+    - ``n``: observation count.
+    - ``duration_s``: t_max - t_min in seconds (exact: int64 diff then
+      one divide — 0.0 for a single point, never NULL).
+    - ``min_time_interval_s`` / ``max_time_interval_s``: extreme gaps
+      between time-consecutive points (exact; duplicate timestamps give
+      a legal 0.0 minimum, §1.1 of SURVEY; NULL when n < 2).
+    - ``time_mean_s`` / ``time_standard_deviation_s``: mean and ddof=1
+      std of (t - t_min) in seconds.  Relative-to-first-point keeps the
+      summed magnitudes bounded (epoch-µs sums would exceed 2^53) and
+      mirrors the oracle expression term-for-term; both are
+      summation-order sensitive, so they ride the significant-digit
+      rounding contract (_SIG_ROUND_COLS), not plain 6-dp.
+
+    Returns python floats with NaN for NULL."""
+    t_us = np.sort(np.asarray(t_us, dtype=np.int64))
+    n = len(t_us)
+    out = {"n": int(n), "duration_s": np.nan,
+           "min_time_interval_s": np.nan, "max_time_interval_s": np.nan,
+           "time_mean_s": np.nan, "time_standard_deviation_s": np.nan}
+    if n == 0:
+        return out
+    out["duration_s"] = float(t_us[-1] - t_us[0]) / 1e6
+    rel = (t_us - t_us[0]).astype(np.float64) / 1e6
+    out["time_mean_s"] = float(rel.mean())
+    if n < 2:
+        return out
+    dt = np.diff(t_us).astype(np.float64) / 1e6
+    out["min_time_interval_s"] = float(dt.min())
+    out["max_time_interval_s"] = float(dt.max())
+    out["time_standard_deviation_s"] = float(rel.std(ddof=1))
+    return out
+
+
+def roms(v: np.ndarray, sigma: np.ndarray) -> float:
+    """Roms — robust median statistic (Rose & Hintz 2007; in the
+    light-curve-feature catalog): sum(|v_i - median(v)| / sigma_i)
+    / (n - 1).  ~1 for non-variable series under correct errors, larger
+    for genuine variability.  Median via np.percentile's lerp form
+    (a + 0.5*(b - a)), not np.median's (a+b)/2 — the QUANTILE_CONT(0.5)
+    expression shape, so even-n midpoints agree with the SQL oracle to
+    the last ulp (the parity the percentile family pins).  NaN (NULL)
+    when n < 2."""
+    v = np.asarray(v, dtype=np.float64)
+    if len(v) < 2:
+        return float("nan")
+    med = float(np.percentile(v, 50.0))
+    return float((np.abs(v - med)
+                  / np.asarray(sigma, dtype=np.float64)).sum()
+                 / (len(v) - 1))
+
+
 WEIGHTED_FEATURES = (
     "n", "weighted_mean", "reduced_chi2", "excess_variance",
     "mean_variance", "stetson_k", "stetson_j", "stetson_l", "eta_e",

@@ -54,7 +54,9 @@ ROLLUP_COLS = [
 # double precision at any magnitude
 _SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
                              "excess_variance", "linear_trend_sigma",
-                             "revenue", "eta_e", "fit_reduced_chi2"})
+                             "revenue", "eta_e", "fit_reduced_chi2",
+                             "time_mean_s", "time_standard_deviation_s",
+                             "roms"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -1347,6 +1349,152 @@ def q_weighted_features(sf_dir: str):
                 [None if (isinstance(val, float) and np.isnan(val))
                  else val], pa.float64())
         return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
+def _time_features_sql(points_sql: str) -> str:
+    return f"""
+WITH pts AS ({points_sql}),
+m AS (
+  SELECT lang, domain, COUNT(*) AS n, MIN(t_us) AS tlo, MAX(t_us) AS thi
+  FROM pts GROUP BY 1, 2
+),
+r AS (
+  SELECT p.lang, p.domain,
+         AVG(CAST(p.t_us - m.tlo AS DOUBLE) / 1e6) AS tmean,
+         STDDEV_SAMP(CAST(p.t_us - m.tlo AS DOUBLE) / 1e6) AS tstd
+  FROM pts p JOIN m USING (lang, domain) GROUP BY 1, 2
+),
+s AS (
+  SELECT lang, domain, t_us,
+         LAG(t_us) OVER (PARTITION BY lang, domain ORDER BY t_us) AS pt
+  FROM pts
+),
+i AS (
+  SELECT lang, domain,
+         MIN(CAST(t_us - pt AS DOUBLE) / 1e6) AS min_iv,
+         MAX(CAST(t_us - pt AS DOUBLE) / 1e6) AS max_iv
+  FROM s WHERE pt IS NOT NULL GROUP BY 1, 2
+),
+r9 AS (
+  SELECT m.lang, m.domain, m.n,
+         CAST(m.thi - m.tlo AS DOUBLE) / 1e6 AS dur,
+         i.min_iv, i.max_iv,
+         {_sig_round_sql("r.tmean", 9)} AS tm9,
+         {_sig_round_sql("r.tstd", 9)} AS ts9
+  FROM m LEFT JOIN r USING (lang, domain)
+         LEFT JOIN i USING (lang, domain)
+)
+SELECT lang, domain, n,
+  ROUND(dur, 6) AS duration_s,
+  ROUND(min_iv, 6) AS min_time_interval_s,
+  ROUND(max_iv, 6) AS max_time_interval_s,
+  {_sig_round_sql("tm9", 6)} AS time_mean_s,
+  {_sig_round_sql("ts9", 6)} AS time_standard_deviation_s
+FROM r9
+"""
+
+
+def q_time_features(sf_dir: str):
+    """Sampling-cadence feature family (ObservationCount, Duration,
+    Minimum/MaximumTimeInterval, TimeMean, TimeStandardDeviation —
+    light-curve-feature catalog, kernels/features.time_features) per
+    series.  duration/intervals are EXACT (int64 diffs, one divide);
+    time mean/std are computed relative to the series' first point on
+    both engines (bounded magnitudes, term-identical expressions) and
+    ride the significant-digit rounding contract.  One sorted-series
+    exchange; ORACLE-CHECKED."""
+    from ..kernels.features import TIME_FEATURES, time_features
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("domain", pa.string()),
+         ("n", pa.int64())]
+        + [(f, pa.float64()) for f in TIME_FEATURES if f != "n"])
+
+    def _one(group: pa.Table) -> pa.Table:
+        feats = time_features(
+            group["t_us"].to_numpy(zero_copy_only=False))
+        arrays = {
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([feats["n"]], pa.int64()),
+        }
+        for f in TIME_FEATURES:
+            if f == "n":
+                continue
+            val = feats[f]
+            arrays[f] = pa.array(
+                [None if (isinstance(val, float) and np.isnan(val))
+                 else val], pa.float64())
+        return pa.table(arrays)
+
+    feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
+    return _collect(feats)
+
+
+def _roms_sql(points_sql: str) -> str:
+    # sigma mirrors _SIGMA_SQL on the joined alias; median via
+    # QUANTILE_CONT(0.5) == numpy linear-interp percentile (the parity
+    # the percentile_ratios family pins)
+    return f"""
+WITH pts AS ({points_sql}),
+m AS (
+  SELECT lang, domain, COUNT(*) AS n, QUANTILE_CONT(v, 0.5) AS med
+  FROM pts GROUP BY 1, 2
+),
+r AS (
+  SELECT p.lang, p.domain,
+         SUM(ABS(p.v - m.med)
+             / (1.0 + 0.1 * SQRT(ABS(p.v)))) AS srm
+  FROM pts p JOIN m USING (lang, domain) GROUP BY 1, 2
+),
+r9 AS (
+  SELECT m.lang, m.domain, m.n,
+         CASE WHEN m.n < 2 THEN NULL ELSE r.srm / (m.n - 1) END AS rm
+  FROM m LEFT JOIN r USING (lang, domain)
+),
+r99 AS (
+  SELECT lang, domain, n, {_sig_round_sql("rm", 9)} AS rm9 FROM r9
+)
+SELECT lang, domain, n, {_sig_round_sql("rm9", 6)} AS roms FROM r99
+"""
+
+
+def q_roms(sf_dir: str):
+    """Roms — robust median statistic (Rose & Hintz 2007;
+    light-curve-feature catalog, kernels/features.roms) per series, with
+    the shared per-point sigma expression (_SIGMA_SQL) so both engines
+    weigh identically; median == QUANTILE_CONT(0.5) parity; one
+    sorted-series exchange; ORACLE-CHECKED."""
+    from ..kernels.features import roms
+    from ..stages.sorted_groups import sorted_group_map
+
+    cfg = _events_cfg(sf_dir, ("1d",))
+    points = points_dataset(cfg)
+
+    out_schema = pa.schema([
+        ("lang", pa.string()), ("domain", pa.string()),
+        ("n", pa.int64()), ("roms", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["v"].to_numpy(zero_copy_only=False)
+        sigma = 1.0 + 0.1 * np.sqrt(np.abs(v))  # == _SIGMA_SQL
+        # np.percentile's lerp, not np.median's (a+b)/2 — the QUANTILE_CONT
+        # expression shape, so even-n midpoints agree to the last ulp
+        val = roms(v, sigma)
+        return pa.table({
+            "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+            "domain": pa.array([group["domain"][0].as_py()], pa.string()),
+            "n": pa.array([len(v)], pa.int64()),
+            "roms": pa.array(
+                [None if np.isnan(val) else val], pa.float64()),
+        })
 
     feats = sorted_group_map(points, ["lang", "domain"], _one, out_schema)
     return _collect(feats)
@@ -4300,6 +4448,8 @@ def build_queries() -> dict:
         "unpivot_events": q_unpivot_events,
         "bazin_fit": q_bazin_fit,
         "villar_fit": q_villar_fit,
+        "time_features": q_time_features,
+        "roms": q_roms,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -4482,6 +4632,8 @@ WHERE rn <= 2
         "dmdt_map": _dmdt_sql(EVENTS_POINTS_SQL),
         "conditional_entropy": _conditional_entropy_sql(EVENTS_POINTS_SQL),
         "weighted_features": _weighted_features_sql(EVENTS_POINTS_SQL),
+        "time_features": _time_features_sql(EVENTS_POINTS_SQL),
+        "roms": _roms_sql(EVENTS_POINTS_SQL),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -119,3 +119,62 @@ def test_stetson_j_l_formulas():
     # single point: J/L undefined
     f1 = weighted_features(t[:1], v[:1], sg[:1])
     assert np.isnan(f1["stetson_j"]) and np.isnan(f1["stetson_l"])
+
+
+def test_time_features_formulas():
+    from light_curve_ray.kernels.features import time_features
+
+    rng = np.random.RandomState(11)
+    t = np.cumsum(rng.randint(1, 10**9, 200)).astype(np.int64)
+    shuffled = t.copy()
+    rng.shuffle(shuffled)  # kernel must sort internally
+    f = time_features(shuffled)
+
+    assert f["n"] == 200
+    assert f["duration_s"] == float(t[-1] - t[0]) / 1e6
+    dt = np.diff(t) / 1e6
+    assert f["min_time_interval_s"] == dt.min()
+    assert f["max_time_interval_s"] == dt.max()
+    rel = (t - t[0]) / 1e6
+    assert abs(f["time_mean_s"] - rel.mean()) < 1e-9 * abs(rel.mean())
+    assert abs(f["time_standard_deviation_s"] - rel.std(ddof=1)) \
+        < 1e-9 * rel.std(ddof=1)
+
+
+def test_time_features_edges():
+    from light_curve_ray.kernels.features import time_features
+
+    # single point: duration/mean exact zeros, intervals and std NULL
+    f1 = time_features(np.array([10**15], dtype=np.int64))
+    assert f1["n"] == 1 and f1["duration_s"] == 0.0
+    assert f1["time_mean_s"] == 0.0
+    assert math.isnan(f1["min_time_interval_s"])
+    assert math.isnan(f1["time_standard_deviation_s"])
+    # empty
+    f0 = time_features(np.array([], dtype=np.int64))
+    assert f0["n"] == 0 and math.isnan(f0["duration_s"])
+    # duplicate timestamps give a legal 0.0 minimum interval
+    f2 = time_features(np.array([5, 5, 9], dtype=np.int64) * 10**6)
+    assert f2["min_time_interval_s"] == 0.0
+    assert f2["max_time_interval_s"] == 4.0
+
+
+def test_roms_formula_and_edges():
+    from light_curve_ray.kernels.features import roms
+
+    rng = np.random.RandomState(7)
+    v = rng.normal(100.0, 5.0, 101)
+    sigma = np.full(101, 5.0)
+    med = np.percentile(v, 50.0)
+    exp = (np.abs(v - med) / 5.0).sum() / 100
+    assert abs(roms(v, sigma) - exp) < 1e-12
+    # even-n median must be np.percentile's lerp (QUANTILE_CONT parity),
+    # not (a+b)/2 — pin with values whose lerp and midpoint forms differ
+    v2 = np.array([0.1, 0.2, 0.3, 0.7])
+    med2 = np.percentile(v2, 50.0)
+    exp2 = (np.abs(v2 - med2)).sum() / 3
+    assert roms(v2, np.ones(4)) == exp2
+    # n < 2 -> NaN (NULL)
+    assert math.isnan(roms(np.array([1.0]), np.array([1.0])))
+    # non-variable series with correct sigma ~ 1 (sanity, not exact)
+    assert 0.5 < roms(v, sigma) < 1.5
