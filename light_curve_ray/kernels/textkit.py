@@ -311,3 +311,33 @@ def repetition_signals(text: str) -> dict:
         dup3 = sum(c * len(g) for g, c in c3.items() if c > 1)
         out["dup_3gram_char_frac"] = dup3 / n_chars
     return out
+
+
+# PII redaction pattern table — ordered: each stage counts matches on the
+# CURRENT text then replaces, so an email's digits can never double-count
+# as a phone.  All three patterns are RE2-safe (no lookaround/backrefs):
+# Arrow's count_substring_regex / replace_substring_regex AND DuckDB's
+# regexp_* both compile RE2, so the oracle runs the IDENTICAL automaton
+# and parity is exact, not approximate.  Replacement tokens contain <>
+# which no pattern can re-match.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text_arr):
+    """Vectorized PII scrub over a pyarrow string array: returns
+    (redacted_array, {name: int64 count_array}).  Pure Arrow compute —
+    two RE2 kernel passes per pattern, zero Python-level row loops."""
+    import pyarrow.compute as pc
+
+    counts = {}
+    cur = text_arr
+    for name, pat, tok in PII_PATTERNS:
+        counts[name] = pc.count_substring_regex(cur, pattern=pat)
+        cur = pc.replace_substring_regex(cur, pattern=pat,
+                                         replacement=tok)
+    return cur, counts

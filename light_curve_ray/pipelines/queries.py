@@ -4102,6 +4102,111 @@ def q_gopher_repetition(sf_dir: str):
                                    zero_copy_batch=True))
 
 
+PII_REDACT_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 199 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' call 555-'
+                 || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS t
+  FROM documents WHERE text IS NOT NULL
+),
+s1 AS (
+  SELECT doc_id, t,
+         LEN(REGEXP_EXTRACT_ALL(
+             t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email,
+         REGEXP_REPLACE(
+             t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         LEN(REGEXP_EXTRACT_ALL(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+           AS n_ip,
+         REGEXP_REPLACE(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+           AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         LEN(REGEXP_EXTRACT_ALL(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+           AS n_phone,
+         REGEXP_REPLACE(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+           AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       LENGTH(t3) AS redacted_len,
+       SUBSTR(t3, 1, 80) AS redacted_prefix
+FROM s3
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction — the classic webtext-corpus scrub (emails, IPv4,
+    phone numbers replaced with typed tokens; kernels/textkit.redact_pii,
+    count-then-replace per pattern in a fixed order).  The synthetic
+    documents carry no PII, so a deterministic doc_id-derived blurb is
+    planted on BOTH engines (email always; IP on even ids; phone on
+    doc_id%3==0) — the redactor genuinely fires and false positives on
+    the original text would also break parity.  Pure Arrow RE2 kernels
+    (count_substring_regex / replace_substring_regex) — and DuckDB's
+    regexp_* is RE2 too, so the oracle runs the identical automaton.
+    Stateless vectorized map, no exchange; ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..kernels.textkit import redact_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        did = pc.cast(batch["doc_id"], pa.int64())
+        s = lambda x: pc.cast(x, pa.string())  # noqa: E731
+        empty = pa.scalar("", pa.string())
+        ip_part = pc.if_else(
+            pc.equal(pc.bit_wise_and(did, 1), 0),
+            pc.binary_join_element_wise(
+                " from 10.", s(_pc_mod(did, 256)), ".0.",
+                s(_pc_mod(did, 199)), ""),
+            empty)
+        ph_part = pc.if_else(
+            pc.equal(_pc_mod(did, 3), 0),
+            pc.binary_join_element_wise(
+                " call 555-", pc.utf8_lpad(s(_pc_mod(did, 1000)), 3, "0"),
+                "-", pc.utf8_lpad(s(_pc_mod(did, 10000)), 4, "0"), ""),
+            empty)
+        planted = pc.binary_join_element_wise(
+            batch["text"], " contact user", s(did), "@example.com",
+            ip_part, ph_part, "")
+        red, counts = redact_pii(planted)
+        return pa.table({
+            "doc_id": did,
+            "n_email": pc.cast(counts["email"], pa.int64()),
+            "n_ip": pc.cast(counts["ip"], pa.int64()),
+            "n_phone": pc.cast(counts["phone"], pa.int64()),
+            "redacted_len": pc.cast(pc.utf8_length(red), pa.int64()),
+            "redacted_prefix": pc.utf8_slice_codeunits(red, 0, 80),
+        })
+
+    return _collect(ds.map_batches(_redact, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+def _pc_mod(arr, m: int):
+    """Nonnegative int modulo as Arrow compute (doc_id >= 0 here)."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
+
+
 def q_lang_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -4450,6 +4555,7 @@ def build_queries() -> dict:
         "villar_fit": q_villar_fit,
         "time_features": q_time_features,
         "roms": q_roms,
+        "pii_redact": q_pii_redact,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -4634,6 +4740,7 @@ WHERE rn <= 2
         "weighted_features": _weighted_features_sql(EVENTS_POINTS_SQL),
         "time_features": _time_features_sql(EVENTS_POINTS_SQL),
         "roms": _roms_sql(EVENTS_POINTS_SQL),
+        "pii_redact": PII_REDACT_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

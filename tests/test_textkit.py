@@ -178,3 +178,43 @@ def test_repetition_signals_crafted():
     r3 = repetition_signals(t3)
     assert abs(r3["top_2gram_char_frac"] - 3 * 3 / len(t3)) < 1e-12
     assert repetition_signals("")["n_lines"] == 0
+
+
+def test_redact_pii_patterns_and_order():
+    import pyarrow as pa
+
+    from light_curve_ray.kernels.textkit import redact_pii
+
+    red, c = redact_pii(pa.array([
+        "mail a.b+c%d@ex-1.co.uk then 10.0.0.1 and 192.168.255.3 "
+        "call 555-123-4567 or 555.123.4567",
+        "no pii here at all",
+        "v1.2.3.4567 is a version, not an ip; 12-34-56 not a phone",
+        None,
+    ]))
+    out = red.to_pylist()
+    assert out[0] == ("mail <EMAIL> then <IP> and <IP> "
+                      "call <PHONE> or <PHONE>")
+    assert out[1] == "no pii here at all"
+    # \b guards: 4-digit tail breaks the ipv4 match, short groups break
+    # the phone match
+    assert "<IP>" not in out[2] and "<PHONE>" not in out[2]
+    assert out[3] is None
+    assert c["email"].to_pylist() == [1, 0, 0, None]
+    assert c["ip"].to_pylist() == [2, 0, 0, None]
+    assert c["phone"].to_pylist() == [2, 0, 0, None]
+
+
+def test_redact_pii_no_double_count():
+    # counts are sequential (count-then-replace): an email's host digits
+    # must never also count as an IP, and replacement tokens must never
+    # re-match a later pattern
+    import pyarrow as pa
+
+    from light_curve_ray.kernels.textkit import redact_pii
+
+    red, c = redact_pii(pa.array(["root@10.0.0.1.example.com"]))
+    assert c["email"].to_pylist() == [1]
+    assert c["ip"].to_pylist() == [0]
+    assert red.to_pylist() == ["root@<IP>.example.com"] or \
+        red.to_pylist() == ["<EMAIL>"]
