@@ -56,7 +56,7 @@ _SIG_ROUND_COLS = frozenset({"reduced_chi2", "mean_variance",
                              "excess_variance", "linear_trend_sigma",
                              "revenue", "eta_e", "fit_reduced_chi2",
                              "time_mean_s", "time_standard_deviation_s",
-                             "roms"})
+                             "roms", "slope_price_qty"})
 
 
 def _round6(tbl: pa.Table) -> pa.Table:
@@ -4207,6 +4207,161 @@ def _pc_mod(arr, m: int):
     return pc.subtract(arr, pc.multiply(pc.divide(arr, m), m))
 
 
+def _corr_lineitem_sql() -> str:
+    """Oracle for q_corr_lineitem: DuckDB's CORR / REGR_SLOPE per group.
+    corr is bounded in [-1, 1] (plain two-step 6-dp round); the slope is
+    magnitude-unbounded, so it takes the significant-digit discipline
+    (slope_price_qty is in _SIG_ROUND_COLS)."""
+    return f"""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CORR(l_extendedprice, l_quantity) AS cq0,
+         CORR(l_extendedprice, l_discount) AS cd0,
+         REGR_SLOPE(l_extendedprice, l_quantity) AS sl0
+  FROM lineitem GROUP BY 1, 2),
+r9 AS (
+  SELECT l_returnflag, l_linestatus, n, cq0, cd0,
+         {_sig_round_sql("sl0", 9)} AS sl9
+  FROM s)
+SELECT l_returnflag, l_linestatus, n,
+  ROUND(cq0, 6) AS corr_price_qty,
+  ROUND(cd0, 6) AS corr_price_disc,
+  {_sig_round_sql("sl9", 6)} AS slope_price_qty
+FROM r9
+"""
+
+
+_CORR_PARTIAL_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("n", pa.int64()),
+    ("mx", pa.float64()), ("my", pa.float64()), ("md", pa.float64()),
+    ("m2x", pa.float64()), ("m2y", pa.float64()), ("m2d", pa.float64()),
+    ("cxy", pa.float64()), ("cxd", pa.float64()),
+])
+
+_CORR_OUT_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("n", pa.int64()),
+    ("corr_price_qty", pa.float64()), ("corr_price_disc", pa.float64()),
+    ("slope_price_qty", pa.float64()),
+])
+
+
+def corr_partials(batch: pa.Table, keys: list, xcol: str, ycol: str,
+                  dcol: str) -> pa.Table:
+    """Per-block bivariate co-moment partials (the map-side combine of
+    the correlation aggregate): per key-run n, means and CENTERED sums
+    (M2x, M2y, M2d, Cxy, Cxd) — centered per block (exact two-pass
+    within the run, vectorized via reduceat), so the cross-block merge
+    is the numerically stable Pébay co-moment update, never raw power
+    sums (which catastrophically cancel when |mean| >> std, e.g.
+    extendedprice ~ 4e4 vs std ~ 2e4 is mild here but the rollup
+    pipeline's discipline applies everywhere)."""
+    from ..stages.sorted_groups import _runs
+
+    if len(batch) == 0:
+        return _CORR_PARTIAL_SCHEMA.empty_table()
+    tbl = batch.select(keys + [xcol, ycol, dcol]).sort_by(
+        [(k, "ascending") for k in keys])
+    starts, ends = _runs(tbl, keys)
+    x = tbl[xcol].to_numpy(zero_copy_only=False).astype(np.float64)
+    y = tbl[ycol].to_numpy(zero_copy_only=False).astype(np.float64)
+    d = tbl[dcol].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = ends - starts
+    mx = np.add.reduceat(x, starts) / n
+    my = np.add.reduceat(y, starts) / n
+    md = np.add.reduceat(d, starts) / n
+    rep = np.repeat(np.arange(len(starts)), n)
+    cx, cy, cd_ = x - mx[rep], y - my[rep], d - md[rep]
+    idx = pa.array(starts.astype(np.int64))
+    return pa.table({
+        "l_returnflag": tbl[keys[0]].take(idx),
+        "l_linestatus": tbl[keys[1]].take(idx),
+        "n": pa.array(n.astype(np.int64)),
+        "mx": pa.array(mx), "my": pa.array(my), "md": pa.array(md),
+        "m2x": pa.array(np.add.reduceat(cx * cx, starts)),
+        "m2y": pa.array(np.add.reduceat(cy * cy, starts)),
+        "m2d": pa.array(np.add.reduceat(cd_ * cd_, starts)),
+        "cxy": pa.array(np.add.reduceat(cx * cy, starts)),
+        "cxd": pa.array(np.add.reduceat(cx * cd_, starts)),
+    }, schema=_CORR_PARTIAL_SCHEMA)
+
+
+def corr_merge_group(group: pa.Table) -> pa.Table:
+    """Reduce one key's partial rows to the finalized (corr, slope) row —
+    sequential Pébay bivariate merge (Pébay 2008 eq. 3.12 generalized to
+    co-moments): exact regardless of how the input was partitioned
+    (tests pin 1-block == k-block)."""
+    import math
+
+    cols = {c: group[c].to_numpy(zero_copy_only=False)
+            for c in ("n", "mx", "my", "md", "m2x", "m2y", "m2d",
+                      "cxy", "cxd")}
+    N = float(cols["n"][0])
+    Mx, My, Md = cols["mx"][0], cols["my"][0], cols["md"][0]
+    M2x, M2y, M2d = cols["m2x"][0], cols["m2y"][0], cols["m2d"][0]
+    Cxy, Cxd = cols["cxy"][0], cols["cxd"][0]
+    for i in range(1, len(group)):
+        n2 = float(cols["n"][i])
+        N2 = N + n2
+        dx, dy, dd = cols["mx"][i] - Mx, cols["my"][i] - My, \
+            cols["md"][i] - Md
+        f = N * n2 / N2
+        M2x += cols["m2x"][i] + dx * dx * f
+        M2y += cols["m2y"][i] + dy * dy * f
+        M2d += cols["m2d"][i] + dd * dd * f
+        Cxy += cols["cxy"][i] + dx * dy * f
+        Cxd += cols["cxd"][i] + dx * dd * f
+        Mx += dx * n2 / N2
+        My += dy * n2 / N2
+        Md += dd * n2 / N2
+        N = N2
+    denom_q = math.sqrt(M2x * M2y)
+    denom_d = math.sqrt(M2x * M2d)
+    cq = Cxy / denom_q if denom_q > 0.0 else float("nan")
+    cd_ = Cxd / denom_d if denom_d > 0.0 else float("nan")
+    # REGR_SLOPE(price, qty): price regressed ON qty -> Cxy / Var(qty)
+    sl = Cxy / M2y if M2y > 0.0 else float("nan")
+    return pa.table({
+        "l_returnflag": group["l_returnflag"].slice(0, 1),
+        "l_linestatus": group["l_linestatus"].slice(0, 1),
+        "n": pa.array([int(N)], pa.int64()),
+        "corr_price_qty": pa.array([cq], pa.float64(),
+                                   mask=[not math.isfinite(cq)]),
+        "corr_price_disc": pa.array([cd_], pa.float64(),
+                                    mask=[not math.isfinite(cd_)]),
+        "slope_price_qty": pa.array([sl], pa.float64(),
+                                    mask=[not math.isfinite(sl)]),
+    }, schema=_CORR_OUT_SCHEMA)
+
+
+def q_corr_lineitem(sf_dir: str):
+    """Per-key Pearson correlation + regression slope as a MERGEABLE
+    bivariate co-moment aggregate (the missing sibling of the rollup's
+    univariate Welford/Pébay family): one pruned-column pass computes
+    per-block centered co-moment partials (n, means, M2x, M2y, M2d,
+    Cxy, Cxd) grouped inside the block, so only blocks × keys slim
+    partial rows hit the exchange — the same map-side-combine topology
+    the 14-stat rollup uses; the per-key merge is the exact Pébay
+    co-moment update.  At 10^12 rows the exchange stays
+    O(blocks × keys), never O(rows).  ORACLE-CHECKED against DuckDB
+    CORR / REGR_SLOPE."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=keys + ["l_extendedprice", "l_quantity", "l_discount"])
+    partials = ds.map_batches(
+        lambda t: corr_partials(t, keys, "l_extendedprice", "l_quantity",
+                                "l_discount"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(sorted_group_map(partials, keys, corr_merge_group,
+                                     _CORR_OUT_SCHEMA))
+
+
 def q_lang_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -4556,6 +4711,7 @@ def build_queries() -> dict:
         "time_features": q_time_features,
         "roms": q_roms,
         "pii_redact": q_pii_redact,
+        "corr_lineitem": q_corr_lineitem,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -4741,6 +4897,7 @@ WHERE rn <= 2
         "time_features": _time_features_sql(EVENTS_POINTS_SQL),
         "roms": _roms_sql(EVENTS_POINTS_SQL),
         "pii_redact": PII_REDACT_SQL,
+        "corr_lineitem": _corr_lineitem_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
