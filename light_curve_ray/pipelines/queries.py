@@ -4362,6 +4362,76 @@ def q_corr_lineitem(sf_dir: str):
                                      _CORR_OUT_SCHEMA))
 
 
+BLOOM_SEMIJOIN_SQL = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN
+  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+def q_bloom_semijoin(sf_dir: str, confirm: str = "broadcast"):
+    """Lineitem rows restricted to urgent orders via the bloom-filter
+    RUNTIME-PREFILTER semi-join (stages/joins.semi_join_bloom): the key
+    side builds a distributed OR-merged bloom, every lineitem block
+    drops non-members map-side BEFORE any exchange, and the fpp-rate
+    false positives are removed by an exact confirm over the ~20%
+    survivors only — at 100 TB the fact table never shuffles at full
+    width.  n_hint comes from parquet METADATA (no read).  The result
+    is the exact semi-join; ORACLE-CHECKED against an IN-subquery.
+    ``confirm='join'`` exercises the partitioned-join confirm path
+    (pinned equal by tests)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import semi_join_bloom
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    fact = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"])
+    # ~1/5 of orders are urgent; a metadata-derived hint only sizes m
+    kept = semi_join_bloom(fact, "l_orderkey", urgent, "o_orderkey",
+                           n_hint=max(64, n_orders // 4), fpp=0.01,
+                           confirm=confirm)
+
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("n", pa.int64()), ("sum_qty", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["l_returnflag", "l_quantity"])
+             .group_by(["l_returnflag"])
+             .aggregate([("l_quantity", "count"), ("l_quantity", "sum")]))
+        return g.rename_columns(["l_returnflag", "n", "sum_qty"])
+
+    partials = kept.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["l_returnflag"])
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"].take(idx),
+            "n": pa.array(np.add.reduceat(
+                batch["n"].to_numpy(zero_copy_only=False), starts)),
+            "sum_qty": pa.array(np.add.reduceat(
+                batch["sum_qty"].to_numpy(zero_copy_only=False), starts)),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["l_returnflag"], None,
+                                     out_schema, block_fn=_merge))
+
+
 def q_lang_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -4712,6 +4782,7 @@ def build_queries() -> dict:
         "roms": q_roms,
         "pii_redact": q_pii_redact,
         "corr_lineitem": q_corr_lineitem,
+        "bloom_semijoin": q_bloom_semijoin,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -4898,6 +4969,7 @@ WHERE rn <= 2
         "roms": _roms_sql(EVENTS_POINTS_SQL),
         "pii_redact": PII_REDACT_SQL,
         "corr_lineitem": _corr_lineitem_sql(),
+        "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

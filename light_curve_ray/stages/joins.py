@@ -119,6 +119,104 @@ def _membership_filter(ds, key_col: str, key_source, keep_members: bool):
                           zero_copy_batch=True)
 
 
+def build_bloom(key_ds, key_col: str, n_hint: int, fpp: float = 0.01):
+    """Distributed bloom-filter build over ``key_ds[key_col]``: each block
+    hashes its keys (vectorized row hash) and scatters them into a local
+    m-bit partial; partials OR-merge first in a DISTRIBUTED 8-way
+    pre-merge pass, then the driver ORs the <=8 survivors — so the driver
+    receives 8 x m/8 bytes regardless of block count (the same pre-merge
+    discipline the rollup's fine-partials path uses).  Returns
+    ``(bits, k, n_partial_blocks)``.
+
+    Scale note: m is sized from ``n_hint`` distinct keys (1e9 keys at 1%
+    fpp ~ 1.2 GB of bits) — at that size raise the pre-merge fan-in, not
+    the driver's share.  The filter is a PREFILTER only; callers must
+    exact-confirm survivors (false positives at rate fpp)."""
+    import ray
+
+    from ..kernels.bloom import bloom_add, bloom_empty, bloom_params
+    from ..kernels.hashing import hash_columns_u64
+
+    m_bits, k = bloom_params(n_hint, fpp)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bits = bloom_empty(m_bits)
+        bloom_add(bits, hash_columns_u64(batch, [key_col]), k)
+        return pa.table({"bloom": pa.array([bits.tobytes()],
+                                           pa.large_binary())})
+
+    def _or_merge(batch: pa.Table) -> pa.Table:
+        acc = bloom_empty(m_bits)
+        for blob in batch["bloom"]:
+            np.bitwise_or(acc, np.frombuffer(blob.as_py(), np.uint8),
+                          out=acc)
+        return pa.table({"bloom": pa.array([acc.tobytes()],
+                                           pa.large_binary())})
+
+    partials = key_ds.select_columns([key_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.repartition(8).map_batches(
+        _or_merge, batch_format="pyarrow", zero_copy_batch=True)
+    rows = [t for t in ray.get(merged.materialize().to_arrow_refs())
+            if len(t)]
+    bits = bloom_empty(m_bits)
+    n_parts = 0
+    for t in rows:
+        n_parts += len(t)
+        for blob in t["bloom"]:
+            np.bitwise_or(bits, np.frombuffer(blob.as_py(), np.uint8),
+                          out=bits)
+    return bits, k, n_parts
+
+
+def semi_join_bloom(fact_ds, fact_key: str, key_ds, key_col: str,
+                    n_hint: int, fpp: float = 0.01,
+                    confirm: str = "broadcast"):
+    """LEFT SEMI join with a bloom-filter RUNTIME PREFILTER (the
+    Spark/Impala runtime-filter pattern): the key side builds an m-bit
+    bloom (see build_bloom), every fact block probes it map-side and
+    drops non-members BEFORE any exchange, then the fpp-rate false
+    positives are removed by an exact confirm over the survivors only.
+    At 100 TB this is the difference between shuffling the whole fact
+    table into the join and shuffling ~selectivity of it: the bloom is
+    m bits (keys never ship), the probe is stateless and vectorized.
+
+    ``confirm``: 'broadcast' resolves survivors against the exact key
+    set via the gated broadcast membership probe (key set must pass
+    collect_small's gate); 'join' uses the hash-partitioned
+    ``Dataset.join`` — the web-scale path, exchanging only the
+    prefiltered survivors.  Both pinned equal by tests.  Result is the
+    EXACT semi-join either way (bloom has no false negatives)."""
+    import ray
+
+    from ..kernels.bloom import bloom_probe
+    from ..kernels.hashing import hash_columns_u64
+
+    bits, k, _ = build_bloom(key_ds, key_col, n_hint, fpp)
+    ref = ray.put(bits)
+
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        mask = bloom_probe(b, hash_columns_u64(batch, [fact_key]), k)
+        return batch.filter(pa.array(mask))
+
+    survivors = fact_ds.map_batches(_prefilter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    if confirm == "join":
+        # distinct keys via a keyed count (stays distributed — Dataset
+        # .unique() would collect values to the driver), then the
+        # partitioned join exchanges only the prefiltered survivors
+        keys = (key_ds.select_columns([key_col]).groupby(key_col)
+                .count().select_columns([key_col]))
+        if key_col != fact_key:
+            keys = keys.rename_columns({key_col: fact_key})
+        return survivors.join(keys, "inner", 16, on=(fact_key,))
+    if key_col != fact_key:
+        key_ds = key_ds.select_columns([key_col]).rename_columns(
+            {key_col: fact_key})
+    return semi_join_broadcast(survivors, fact_key, key_ds)
+
+
 def anti_join_broadcast(ds, key_col: str, block_keys):
     """Blocklist filter (LEFT ANTI join): drop every row whose key is in
     ``block_keys`` — the corpus-exclusion op (takedowns, contaminated
