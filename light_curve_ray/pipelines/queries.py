@@ -2155,6 +2155,42 @@ def q_split_sample(sf_dir: str):
     return _collect(out)
 
 
+def _mixture_sample_sql() -> str:
+    from ..stages.sampling import hash_bucket_fine_sql
+
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT lang,
+             LEAST(1000000.0,
+                   FLOOR(8000000.0 / SQRT(CAST(n AS DOUBLE)))) AS thr
+      FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t USING (lang)
+WHERE {hash_bucket_fine_sql('d.doc_id', 2)} < t.thr
+"""
+
+
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixture reweighting (stages/sampling.mixture_sample): each
+    language keeps a deterministic rate = min(1, 8/sqrt(n_lang)) of its
+    docs — inverse-sqrt temperature sampling, the head-domain
+    downsampler of web-corpus mixing (the en-heavy head is genuinely
+    downsampled vs the tail at both test scales).  Count pass is a slim
+    keyed exchange at GROUP cardinality; the filter is a stateless map
+    with a broadcast threshold LUT.  ORACLE-CHECKED bit-for-bit: the
+    threshold uses only correctly-rounded IEEE ops in the oracle's
+    exact expression order, and the hash is the HUGEINT-mirrored Knuth
+    hash at ppm granularity."""
+    import ray.data as rd
+
+    from ..stages.sampling import mixture_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return _collect(mixture_sample(ds, "doc_id", "lang",
+                                   scale=8.0, salt=2))
+
+
 CC_EVENTS_SQL = """
 SELECT event_id,
        MIN(event_id) OVER (PARTITION BY user_id) AS component
@@ -4783,6 +4819,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "corr_lineitem": q_corr_lineitem,
         "bloom_semijoin": q_bloom_semijoin,
+        "mixture_sample": q_mixture_sample,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -4970,6 +5007,7 @@ WHERE rn <= 2
         "pii_redact": PII_REDACT_SQL,
         "corr_lineitem": _corr_lineitem_sql(),
         "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
+        "mixture_sample": _mixture_sample_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -83,3 +83,60 @@ def test_split_partition_and_sample_subset(ray_session):
     # subsample of a subsample at a higher pct is a superset
     sub30 = set(hash_sample(ds, "doc_id", 30).to_pandas()["doc_id"])
     assert set(sub["doc_id"]) <= sub30
+
+
+def test_fine_bucket_sql_mirror_matches_duckdb():
+    import duckdb
+
+    from light_curve_ray.stages.sampling import (
+        hash_bucket_fine,
+        hash_bucket_fine_sql,
+    )
+
+    ids = np.concatenate([np.arange(3000, dtype=np.int64),
+                          np.array([2**40 + 7, 2**62 - 1, 12345678901],
+                                   dtype=np.int64)])
+    con = duckdb.connect()
+    con.register("t", pa.table({"id": pa.array(ids, pa.int64())}))
+    for salt in (0, 2, 9):
+        sql = con.execute(
+            f"SELECT {hash_bucket_fine_sql('id', salt)} FROM t"
+        ).fetchnumpy()
+        got = hash_bucket_fine(ids, salt)
+        assert got.min() >= 0 and got.max() < 1_000_000
+        assert (np.asarray(list(sql.values())[0], dtype=np.int64)
+                == got).all()
+
+
+def test_mixture_sample_rates_and_partition_invariance(ray_session):
+    """Head group downsampled toward scale*sqrt(n), tail kept whole;
+    the kept SET is identical at different block partitionings."""
+    import ray
+    import ray.data as rd
+
+    from light_curve_ray.stages.sampling import mixture_sample
+
+    rng = np.random.default_rng(5)
+    groups = np.array(["head"] * 40000 + ["tail"] * 50)
+    ids = rng.permutation(len(groups)).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "grp": pa.array(groups)})
+
+    def kept_ids(n_blocks):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = mixture_sample(ds, "doc_id", "grp", scale=8.0, salt=2)
+        ts = [t for t in ray.get(out.materialize().to_arrow_refs())
+              if len(t)]
+        res = pa.concat_tables(ts)
+        return (np.sort(res["doc_id"].to_numpy(zero_copy_only=False)),
+                res)
+
+    k4, res = kept_ids(4)
+    k13, _ = kept_ids(13)
+    assert np.array_equal(k4, k13)
+    g = res["grp"].to_numpy(zero_copy_only=False)
+    n_head = int((g == "head").sum())
+    n_tail = int((g == "tail").sum())
+    # head rate = 8/sqrt(40000) = 4% (binomial-ish tolerance); tail all kept
+    assert abs(n_head - 1600) < 250
+    assert n_tail == 50
