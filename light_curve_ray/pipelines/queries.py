@@ -2191,6 +2191,46 @@ def q_mixture_sample(sf_dir: str):
                                    scale=8.0, salt=2))
 
 
+CHUNK_STRIDE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS ts
+  FROM documents),
+c AS (
+  SELECT doc_id, ts, len(ts) AS n,
+         CASE WHEN len(ts) = 0 THEN 0
+              ELSE 1 + CAST(CEIL(CAST(GREATEST(0, len(ts) - 64)
+                                      AS DOUBLE) / 48) AS BIGINT)
+         END AS k
+  FROM tok),
+e AS (SELECT doc_id, ts, n, UNNEST(range(k)) AS chunk_idx FROM c)
+SELECT doc_id, chunk_idx,
+       LEAST(64, n - chunk_idx*48) AS n_tokens,
+       array_to_string(
+         ts[chunk_idx*48 + 1 : chunk_idx*48 + LEAST(64, n - chunk_idx*48)],
+         ' ') AS chunk
+FROM e
+"""
+
+
+def q_chunk_stride(sf_dir: str):
+    """Context-window chunking with overlap
+    (stages/scan.chunk_stride_table): every doc splits into 64-token
+    windows every 48 tokens (25% overlap — the LLM-ingest long-doc
+    splitter).  Fully vectorized stateless flat-map: one RE2 split
+    kernel, numpy repeat/cumsum gather-index arithmetic, one take, one
+    binary_join — no Python touches a row, no exchange.
+    ORACLE-CHECKED including the chunk TEXT itself (DuckDB's
+    string_split_regex is RE2 too, so tokenization is identical)."""
+    import ray.data as rd
+
+    from ..stages.scan import chunk_stride
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(chunk_stride(ds, "doc_id", "text",
+                                 window=64, stride=48))
+
+
 CC_EVENTS_SQL = """
 SELECT event_id,
        MIN(event_id) OVER (PARTITION BY user_id) AS component
@@ -4820,6 +4860,7 @@ def build_queries() -> dict:
         "corr_lineitem": q_corr_lineitem,
         "bloom_semijoin": q_bloom_semijoin,
         "mixture_sample": q_mixture_sample,
+        "chunk_stride": q_chunk_stride,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5008,6 +5049,7 @@ WHERE rn <= 2
         "corr_lineitem": _corr_lineitem_sql(),
         "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
         "mixture_sample": _mixture_sample_sql(),
+        "chunk_stride": CHUNK_STRIDE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -84,3 +84,71 @@ def pack_sequences(token_counts, id_col: str = "doc_id",
 
     return cum.map_batches(_assign, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def chunk_stride_table(batch: pa.Table, id_col: str, text_col: str,
+                       window: int, stride: int) -> pa.Table:
+    """Context-window chunking with overlap, FULLY vectorized: split each
+    doc into whitespace tokens (one RE2 C kernel), emit one chunk per
+    ``stride`` tokens covering ``window`` tokens (the LLM-ingest
+    long-doc splitter: window=W, stride<W overlaps chunks so no context
+    is lost at boundaries).  No Python touches a row: the ragged token
+    lists flatten once, all (chunk, token) gather indices are built with
+    numpy repeat/cumsum arithmetic, one ``take`` gathers every chunk's
+    tokens, and one ``binary_join`` re-joins them.  Stateless map —
+    embarrassingly parallel, no exchange.
+
+    Chunk count per doc: 1 + ceil(max(0, n_tok - window)/stride); docs
+    with zero tokens emit nothing.  Output: id, chunk_idx, n_tokens,
+    chunk (the joined text).
+    """
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([
+        (id_col, batch.schema.field(id_col).type),
+        ("chunk_idx", pa.int64()), ("n_tokens", pa.int64()),
+        ("chunk", pa.string()),
+    ])
+    if len(batch) == 0:
+        return out_schema.empty_table()
+    toks = pc.split_pattern_regex(
+        batch[text_col].combine_chunks(), pattern=r"\s+")
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    n_tok = n_tok.astype(np.int64)
+    n_chunks = np.where(
+        n_tok == 0, 0,
+        1 + -(-(np.maximum(0, n_tok - window)) // stride))
+    total = int(n_chunks.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    # one output row per (doc, chunk)
+    row = np.repeat(np.arange(len(batch)), n_chunks)
+    first = np.concatenate([[0], np.cumsum(n_chunks[:-1])])
+    cidx = np.arange(total) - np.repeat(first[n_chunks > 0],
+                                        n_chunks[n_chunks > 0])
+    start = cidx * stride
+    clen = np.minimum(window, n_tok[row] - start)
+    # gather every chunk's tokens from the flattened values in one take
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok0 = offs[row] + start  # flat index of each chunk's first token
+    cum = np.concatenate([[0], np.cumsum(clen)])
+    flat = np.repeat(tok0 - cum[:-1], clen) + np.arange(int(cum[-1]))
+    gathered = toks.values.take(pa.array(flat, pa.int64()))
+    chunks_list = pa.ListArray.from_arrays(
+        pa.array(cum, pa.int32() if cum[-1] < 2**31 else pa.int64()),
+        gathered)
+    chunk_txt = pc.binary_join(chunks_list, " ")
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(row, pa.int64())),
+        "chunk_idx": pa.array(cidx, pa.int64()),
+        "n_tokens": pa.array(clen, pa.int64()),
+        "chunk": pc.cast(chunk_txt, pa.string()),
+    }, schema=out_schema)
+
+
+def chunk_stride(ds, id_col: str = "doc_id", text_col: str = "text",
+                 window: int = 64, stride: int = 48):
+    """Dataset wrapper over :func:`chunk_stride_table`."""
+    return ds.map_batches(
+        lambda t: chunk_stride_table(t, id_col, text_col, window, stride),
+        batch_format="pyarrow", zero_copy_batch=True)

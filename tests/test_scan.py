@@ -57,3 +57,50 @@ def test_pack_sequences_invariants(ray_session):
     cum = np.cumsum(n_tok) - n_tok
     assert (out["pack_id"].to_numpy() == cum // 1024).all()
     assert (out["pack_offset"].to_numpy() == cum % 1024).all()
+
+
+def test_chunk_stride_matches_bruteforce():
+    import pyarrow as pa
+
+    from light_curve_ray.stages.scan import chunk_stride_table
+
+    rng = np.random.default_rng(13)
+    docs, ids = [], []
+    for i in range(50):
+        n = int(rng.integers(0, 200))
+        docs.append(" ".join(f"t{i}_{j}" for j in range(n)))
+        ids.append(i)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    W, S = 16, 11
+    out = chunk_stride_table(tbl, "doc_id", "text", W, S)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+           for r in out.to_pylist()}
+    want = {}
+    for i, txt in zip(ids, docs):
+        toks = __import__("re").split(r"\s+", txt)
+        j = 0
+        while True:
+            piece = toks[j * S: j * S + W]
+            if not piece and j > 0:
+                break
+            want[(i, j)] = (len(piece), " ".join(piece))
+            if j * S + W >= len(toks):
+                break
+            j += 1
+    assert got == want
+
+
+def test_chunk_stride_edges():
+    import pyarrow as pa
+
+    from light_curve_ray.stages.scan import chunk_stride_table
+
+    # exact-window doc -> one chunk; window==stride -> disjoint tiling
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": ["a b c d", "a b c d e f"]})
+    out = chunk_stride_table(tbl, "doc_id", "text", 4, 4).to_pylist()
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in out] == [
+        (1, 0, "a b c d"), (2, 0, "a b c d"), (2, 1, "e f")]
+    empty = chunk_stride_table(tbl.slice(0, 0), "doc_id", "text", 4, 4)
+    assert len(empty) == 0
