@@ -3317,6 +3317,91 @@ def q_topk_orders(sf_dir: str):
     return _collect(top.map_batches(_sel, batch_format="pyarrow"))
 
 
+def _skew_join_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(rev) AS rev0
+  FROM j GROUP BY 1
+),
+n9 AS (SELECT o_orderpriority, n_items,
+       {_sig_round_sql('rev0', 9)} AS rev9 FROM a)
+SELECT o_orderpriority, n_items,
+       {_sig_round_sql('rev9', 6)} AS revenue FROM n9
+"""
+
+
+def q_skew_join(sf_dir: str):
+    """Fact-to-fact join through the SKEW-SAFE router
+    (stages/joins.join_skew_safe): a Count-Min pass nominates the top
+    hot keys, whose rows join map-side via the duplicate-tolerant
+    broadcast (attach_broadcast_multi) while the cold majority takes
+    the straggler-free partitioned Dataset.join; the two disjoint
+    streams union.  hot_k=16 so both paths genuinely carry rows at
+    test scale (parity under FORCED 50%-skew is unit-pinned).  Same
+    revenue aggregate + sig-round contract as revenue_by_segment;
+    ORACLE-CHECKED against the plain SQL join."""
+    import ray.data as rd
+
+    from ..stages.joins import join_skew_safe
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        price = pc.cast(batch["l_extendedprice"], pa.float64())
+        disc = pc.cast(batch["l_discount"], pa.float64())
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "rev": pc.multiply(price, pc.subtract(
+                pa.scalar(1.0, pa.float64()), disc)),
+        })
+
+    fact = li.map_batches(_rev, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = join_skew_safe(fact, "o_orderkey", orders,
+                            ["o_orderpriority"], hot_k=16)
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_items", pa.int64()),
+                            ("revenue", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["o_orderpriority", "rev"])
+             .group_by(["o_orderpriority"])
+             .aggregate([("rev", "count"), ("rev", "sum")]))
+        return g.rename_columns(["o_orderpriority", "n_items", "revenue"])
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["o_orderpriority"])
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"].take(idx),
+            "n_items": pa.array(np.add.reduceat(
+                batch["n_items"].to_numpy(zero_copy_only=False), starts)),
+            "revenue": pa.array(np.add.reduceat(
+                batch["revenue"].to_numpy(zero_copy_only=False), starts)),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["o_orderpriority"], None,
+                                     out_schema, block_fn=_merge))
+
+
 def _revenue_sql() -> str:
     return f"""
 WITH j AS (
@@ -4861,6 +4946,7 @@ def build_queries() -> dict:
         "bloom_semijoin": q_bloom_semijoin,
         "mixture_sample": q_mixture_sample,
         "chunk_stride": q_chunk_stride,
+        "skew_join": q_skew_join,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5050,6 +5136,7 @@ WHERE rn <= 2
         "bloom_semijoin": BLOOM_SEMIJOIN_SQL,
         "mixture_sample": _mixture_sample_sql(),
         "chunk_stride": CHUNK_STRIDE_SQL,
+        "skew_join": _skew_join_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

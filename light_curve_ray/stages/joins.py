@@ -91,6 +91,89 @@ def attach_broadcast(ds, lookup: pa.Table, key_col: str,
                           zero_copy_batch=True)
 
 
+def attach_broadcast_multi(ds, lookup: pa.Table, key_col: str,
+                           value_cols: list):
+    """Map-side INNER join against a broadcast lookup that MAY hold
+    duplicate keys: each fact row emits one output row per matching
+    lookup row (run-length expansion, fully vectorized — two
+    searchsorted calls give each key's match range, repeat/cumsum
+    arithmetic builds both gather index arrays, two ``take``s finish).
+    The multiplying sibling of attach_broadcast (which requires unique
+    dimension keys); used by the skew-safe join's hot path, where the
+    broadcast side is the hot-key minority of a FACT table."""
+    import ray
+
+    order = pc.sort_indices(lookup[key_col])
+    packed = pa.table(
+        {key_col: lookup[key_col].take(order),
+         **{c: lookup[c].take(order) for c in value_cols}})
+    ref = ray.put(packed.combine_chunks())
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        sk = lk[key_col].to_numpy(zero_copy_only=False)
+        bk = batch[key_col].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sk, bk, side="left")
+        hi = np.searchsorted(sk, bk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        rows = np.repeat(np.arange(len(batch)), cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        lk_idx = np.repeat(lo - cum, cnt) + np.arange(total)
+        out = batch.take(pa.array(rows, pa.int64()))
+        src = pa.array(lk_idx, pa.int64())
+        for c in value_cols:
+            out = out.append_column(c, lk[c].take(src))
+        return out
+
+    return ds.map_batches(_attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def join_skew_safe(fact, key_col: str, other, value_cols: list,
+                   hot_k: int = 64, num_partitions: int = 16):
+    """Skew-resistant INNER equi-join of two FACT tables on ``key_col``:
+    the hash-partitioned ``Dataset.join`` sends every key to one
+    partition, so one hot key (a viral URL, a bot user) turns the
+    exchange into a single straggler.  This operator routes around it:
+
+    1. DETECT — one Count-Min pass over the fact side's keys
+       (stages/sketch.heavy_hitters_cms): the top ``hot_k`` keys by
+       estimated count are the hot set.  Sketch-scale, no exchange;
+       overestimates only promote extra keys to the hot path (routing,
+       never correctness).
+    2. ROUTE — hot-key rows on the ``other`` side are by definition a
+       small minority per key count x hot_k keys; they collect under
+       collect_small's loud gate and BROADCAST (attach_broadcast_multi
+       multiplies per duplicate match).  Cold rows on both sides take
+       the partitioned join, now free of the straggler keys.
+    3. UNION of the two disjoint result streams.
+
+    Correctness does not depend on the detector: hot/cold is a
+    PARTITION of the key space, each side joins exactly once
+    (parity-pinned against plain Dataset.join under forced skew in
+    tests).  Cost: one extra sketch pass + a second read of each input
+    for the route split (inputs are lazy re-reads of pruned parquet)."""
+    from .sketch import heavy_hitters_cms
+
+    hot_tbl = collect_small(heavy_hitters_cms(
+        fact.select_columns([key_col]), [key_col], k=hot_k))
+    hot_keys = hot_tbl[key_col].to_numpy(zero_copy_only=False)
+
+    other_proj = other.select_columns([key_col] + value_cols)
+    other_hot = collect_small(
+        semi_join_broadcast(other_proj, key_col, hot_keys))
+    fact_hot = semi_join_broadcast(fact, key_col, hot_keys)
+    hot_joined = attach_broadcast_multi(fact_hot, other_hot, key_col,
+                                        value_cols)
+
+    fact_cold = anti_join_broadcast(fact, key_col, hot_keys)
+    other_cold = anti_join_broadcast(other_proj, key_col, hot_keys)
+    cold_joined = fact_cold.join(other_cold, "inner", num_partitions,
+                                 on=(key_col,))
+    return hot_joined.union(cold_joined)
+
+
 def _membership_filter(ds, key_col: str, key_source, keep_members: bool):
     """Shared broadcast membership probe behind the SEMI and ANTI joins:
     the key set is deduplicated, sorted and ``ray.put`` ONCE; each task
