@@ -3369,8 +3369,14 @@ def q_skew_join(sf_dir: str):
                           zero_copy_batch=True)
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
+    # detect on the pruned single-column source read (no rev map)
+    detect = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"]).rename_columns(
+        {"l_orderkey": "o_orderkey"})
     joined = join_skew_safe(fact, "o_orderkey", orders,
-                            ["o_orderpriority"], hot_k=16)
+                            ["o_orderpriority"], hot_k=16,
+                            detect=detect)
 
     out_schema = pa.schema([("o_orderpriority", pa.string()),
                             ("n_items", pa.int64()),

@@ -131,7 +131,8 @@ def attach_broadcast_multi(ds, lookup: pa.Table, key_col: str,
 
 
 def join_skew_safe(fact, key_col: str, other, value_cols: list,
-                   hot_k: int = 64, num_partitions: int = 16):
+                   hot_k: int = 64, num_partitions: int = 16,
+                   detect=None):
     """Skew-resistant INNER equi-join of two FACT tables on ``key_col``:
     the hash-partitioned ``Dataset.join`` sends every key to one
     partition, so one hot key (a viral URL, a bot user) turns the
@@ -153,11 +154,17 @@ def join_skew_safe(fact, key_col: str, other, value_cols: list,
     PARTITION of the key space, each side joins exactly once
     (parity-pinned against plain Dataset.join under forced skew in
     tests).  Cost: one extra sketch pass + a second read of each input
-    for the route split (inputs are lazy re-reads of pruned parquet)."""
+    for the route split (inputs are lazy re-reads of pruned parquet).
+    ``detect`` optionally supplies a cheaper dataset for the sketch
+    pass (e.g. a single-column pruned read of the fact's source,
+    skipping the fact's own map stages); it must carry ``key_col``
+    with the fact's key distribution."""
     from .sketch import heavy_hitters_cms
 
+    if detect is None:
+        detect = fact.select_columns([key_col])
     hot_tbl = collect_small(heavy_hitters_cms(
-        fact.select_columns([key_col]), [key_col], k=hot_k))
+        detect.select_columns([key_col]), [key_col], k=hot_k))
     hot_keys = hot_tbl[key_col].to_numpy(zero_copy_only=False)
 
     other_proj = other.select_columns([key_col] + value_cols)
