@@ -2231,6 +2231,148 @@ def q_chunk_stride(sf_dir: str):
                                  window=64, stride=48))
 
 
+JSONL_ROUNDTRIP_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round-trip (source-format breadth beyond
+    parquet): the documents table streams to line-delimited JSON (one
+    shard per block — the resumable-output layout), reads back through
+    ``read_json``, and aggregates per lang — text lengths and ids must
+    survive the encode/decode byte-exactly (JSON escaping round-trips
+    the multilingual text).  ORACLE-CHECKED against the same aggregate
+    computed directly on the parquet."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    try:
+        rd.read_parquet(f"{sf_dir}/documents.parquet").write_json(tmp)
+        back = rd.read_json(tmp)
+
+        out_schema = pa.schema([
+            ("lang", pa.string()), ("n_docs", pa.int64()),
+            ("sum_chars", pa.int64()), ("sum_len", pa.int64()),
+            ("min_id", pa.int64()), ("max_id", pa.int64()),
+        ])
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            lens = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+            t = pa.table({"lang": batch["lang"],
+                          "n_chars": batch["n_chars"],
+                          "len": lens, "doc_id": batch["doc_id"]})
+            g = t.group_by(["lang"]).aggregate(
+                [("n_chars", "count"), ("n_chars", "sum"),
+                 ("len", "sum"), ("doc_id", "min"), ("doc_id", "max")])
+            return g.rename_columns(["lang", "n_docs", "sum_chars",
+                                     "sum_len", "min_id", "max_id"])
+
+        partials = back.map_batches(_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+        def _merge(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return out_schema.empty_table()
+            starts, _ = _runs(batch, ["lang"])
+            idx = pa.array(starts, pa.int64())
+
+            def col(c):
+                return batch[c].to_numpy(zero_copy_only=False)
+
+            return pa.table({
+                "lang": batch["lang"].take(idx),
+                "n_docs": pa.array(np.add.reduceat(col("n_docs"), starts)),
+                "sum_chars": pa.array(
+                    np.add.reduceat(col("sum_chars"), starts)),
+                "sum_len": pa.array(np.add.reduceat(col("sum_len"),
+                                                    starts)),
+                "min_id": pa.array(np.minimum.reduceat(col("min_id"),
+                                                       starts)),
+                "max_id": pa.array(np.maximum.reduceat(col("max_id"),
+                                                       starts)),
+            }, schema=out_schema)
+
+        return _collect(sorted_group_map(partials, ["lang"], None,
+                                         out_schema, block_fn=_merge))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+USER_SEQUENCES_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  AND event_type IS NOT NULL AND event_id IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_user_sequences(sf_dir: str):
+    """Per-user ORDERED event-sequence assembly (the behavior-sequence
+    builder of session/recommendation training data): every user's
+    event types concatenate in (ts, event_id) order.  One keyed
+    exchange (sorted_group_map on user_id), then a fully vectorized
+    block kernel: re-sort the block by (user, ts, id), derive runs,
+    build ONE ListArray from the run offsets, one binary_join — no
+    Python per group.  Order inside the group is total (event_id
+    tie-break), so the string is deterministic.  ORACLE-CHECKED against
+    STRING_AGG(... ORDER BY ts, event_id)."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(batch["user_id"]),
+                    pc.is_valid(batch["ts"])),
+            pc.and_(pc.is_valid(batch["event_type"]),
+                    pc.is_valid(batch["event_id"])))
+        return batch.filter(m)
+
+    clean = ds.map_batches(_clean, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("seq", pa.string())])
+
+    def _assemble(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        starts, ends = _runs(tbl, ["user_id"])
+        offs = np.append(starts, len(tbl)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            tbl["event_type"].combine_chunks())
+        seq = pc.binary_join(lists, ",")
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "user_id": tbl["user_id"].take(idx),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "seq": pc.cast(seq, pa.string()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(clean, ["user_id"], None,
+                                     out_schema, block_fn=_assemble))
+
+
 CC_EVENTS_SQL = """
 SELECT event_id,
        MIN(event_id) OVER (PARTITION BY user_id) AS component
@@ -4953,6 +5095,8 @@ def build_queries() -> dict:
         "mixture_sample": q_mixture_sample,
         "chunk_stride": q_chunk_stride,
         "skew_join": q_skew_join,
+        "user_sequences": q_user_sequences,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5143,6 +5287,8 @@ WHERE rn <= 2
         "mixture_sample": _mixture_sample_sql(),
         "chunk_stride": CHUNK_STRIDE_SQL,
         "skew_join": _skew_join_sql(),
+        "user_sequences": USER_SEQUENCES_SQL,
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
