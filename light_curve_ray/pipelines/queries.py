@@ -2240,14 +2240,14 @@ FROM documents GROUP BY 1
 """
 
 
-def q_jsonl_roundtrip(sf_dir: str):
-    """JSONL sink + source round-trip (source-format breadth beyond
-    parquet): the documents table streams to line-delimited JSON (one
-    shard per block — the resumable-output layout), reads back through
-    ``read_json``, and aggregates per lang — text lengths and ids must
-    survive the encode/decode byte-exactly (JSON escaping round-trips
-    the multilingual text).  ORACLE-CHECKED against the same aggregate
-    computed directly on the parquet."""
+def _docs_roundtrip(sf_dir: str, fmt: str):
+    """Shared sink+source round-trip harness over the documents table:
+    stream to ``fmt`` (one shard per block — the resumable-output
+    layout), read back, aggregate per lang.  Text lengths and ids must
+    survive the encode/decode byte-exactly (JSON escaping / CSV quoting
+    round-trip the multilingual text, embedded commas and newlines
+    included).  ORACLE-CHECKED against the same aggregate computed
+    directly on the parquet."""
     import shutil
     import tempfile
 
@@ -2255,10 +2255,15 @@ def q_jsonl_roundtrip(sf_dir: str):
 
     from ..stages.sorted_groups import _runs, sorted_group_map
 
-    tmp = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    tmp = tempfile.mkdtemp(prefix=f"{fmt}_rt_", dir="/tmp")
     try:
-        rd.read_parquet(f"{sf_dir}/documents.parquet").write_json(tmp)
-        back = rd.read_json(tmp)
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        if fmt == "json":
+            docs.write_json(tmp)
+            back = rd.read_json(tmp)
+        else:
+            docs.write_csv(tmp)
+            back = rd.read_csv(tmp)
 
         out_schema = pa.schema([
             ("lang", pa.string()), ("n_docs", pa.int64()),
@@ -2306,6 +2311,17 @@ def q_jsonl_roundtrip(sf_dir: str):
                                          out_schema, block_fn=_merge))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """See _docs_roundtrip — line-delimited JSON sink + source."""
+    return _docs_roundtrip(sf_dir, "json")
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """See _docs_roundtrip — CSV sink + source (Arrow CSV writer quotes
+    embedded commas/newlines; the reader re-parses them)."""
+    return _docs_roundtrip(sf_dir, "csv")
 
 
 USER_SEQUENCES_SQL = """
@@ -3326,6 +3342,79 @@ def q_zscore_events(sf_dir: str):
 
     return _collect(with_mm.map_batches(_z, batch_format="pyarrow",
                                         zero_copy_batch=True))
+
+
+def _impute_events_sql() -> str:
+    # the synthetic events table has no stored NULLs, so both engines
+    # PLANT the same deterministic ~10% nulls from the event_id hash
+    # (the pii_redact discipline) — the imputation genuinely fires
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN {hash_bucket_sql('event_id', 3)} < 10
+              THEN NULL ELSE value END AS value
+  FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT event_id, event_type,
+       ROUND(COALESCE(value,
+                      AVG(value) OVER (PARTITION BY event_type)), 6)
+         AS value_imputed,
+       value IS NULL AS was_null
+FROM e
+"""
+
+
+def q_impute_events(sf_dir: str):
+    """Per-key mean imputation (the null-fill preprocessing staple):
+    per-type means over the NON-NULL values via one slim groupby
+    aggregate, broadcast to a stateless coalesce map — the fact table
+    never shuffles, nulls fill with their key's mean, non-null values
+    pass through untouched.  ORACLE-CHECKED against the window-AVG
+    COALESCE (merge-order ulps collapsed by tie-robust rounding on the
+    filled values only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Mean
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import attach_broadcast
+    from ..stages.sampling import hash_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["event_id"]),
+                                     pc.is_valid(batch["event_type"])))
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        plant = hash_bucket(ids, salt=3) < 10
+        v = pc.if_else(pa.array(plant),
+                       pa.nulls(len(batch), pa.float64()),
+                       pc.cast(batch["value"], pa.float64()))
+        return batch.set_column(batch.schema.get_field_index("value"),
+                                "value", v)
+
+    clean = ds.map_batches(_clean, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    mm = _collect_raw(clean.groupby("event_type").aggregate(
+        Mean("value", alias_name="mu")))
+    with_mu = attach_broadcast(clean, mm, "event_type", ["mu"])
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        mu = batch["mu"].to_numpy(zero_copy_only=False)
+        isnull = np.isnan(v)
+        filled = round6_tie_robust(np.where(isnull, mu, v))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "value_imputed": pa.array(filled, pa.float64()),
+            "was_null": pa.array(isnull),
+        })
+
+    return _collect_raw(with_mu.map_batches(
+        _fill, batch_format="pyarrow", zero_copy_batch=True))
 
 
 ANTI_JOIN_ORDERS_SQL = """
@@ -5097,6 +5186,8 @@ def build_queries() -> dict:
         "skew_join": q_skew_join,
         "user_sequences": q_user_sequences,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "impute_events": q_impute_events,
+        "csv_roundtrip": q_csv_roundtrip,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5289,6 +5380,8 @@ WHERE rn <= 2
         "skew_join": _skew_join_sql(),
         "user_sequences": USER_SEQUENCES_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "impute_events": _impute_events_sql(),
+        "csv_roundtrip": JSONL_ROUNDTRIP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
