@@ -2324,6 +2324,77 @@ def q_csv_roundtrip(sf_dir: str):
     return _docs_roundtrip(sf_dir, "csv")
 
 
+SPEARMAN_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type, ts, value FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+r AS (
+  SELECT event_type,
+         RANK() OVER (PARTITION BY event_type ORDER BY value)
+           + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+           AS rv,
+         RANK() OVER (PARTITION BY event_type ORDER BY ts)
+           + (COUNT(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0
+           AS rt
+  FROM e)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CORR(rv, rt), 6) AS spearman
+FROM r GROUP BY 1
+"""
+
+
+def q_spearman_events(sf_dir: str):
+    """Per-key SPEARMAN rank correlation of value vs time — the robust
+    (outlier-immune) monotonic-trend detector: average-ranks with exact
+    tie handling, then Pearson over the ranks.  One keyed exchange
+    (sorted_group_map on event_type); ranks are per-group vectorized
+    (argsort + run-length tie averaging, no Python per row).  Per-key
+    rows must fit a block — the same per-series assumption as the shape
+    features (a per-key rank is inherently a per-key sort).
+    ORACLE-CHECKED against the RANK()/COUNT() average-rank window
+    derivation + CORR."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()),
+                            ("spearman", pa.float64())])
+
+    def _avg_ranks(x: np.ndarray) -> np.ndarray:
+        """Average rank (1-based) with exact tie handling."""
+        order = np.argsort(x, kind="stable")
+        xs = x[order]
+        n = len(x)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = xs[1:] != xs[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], n)
+        avg = (starts + ends - 1) / 2.0 + 1.0  # mean of 1-based positions
+        ranks = np.empty(n, dtype=np.float64)
+        ranks[order] = np.repeat(avg, ends - starts)
+        return ranks
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False)
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rv = _avg_ranks(v.astype(np.float64))
+        rt = _avg_ranks(t.astype(np.float64))
+        cv, ct = rv - rv.mean(), rt - rt.mean()
+        denom = np.sqrt(np.sum(cv * cv) * np.sum(ct * ct))
+        rho = float(np.sum(cv * ct) / denom) if denom > 0 else float("nan")
+        return pa.table({
+            "event_type": group["event_type"].slice(0, 1),
+            "n": pa.array([len(group)], pa.int64()),
+            "spearman": pa.array([rho], pa.float64(),
+                                 mask=[not np.isfinite(rho)]),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(ds, ["event_type"], _one,
+                                     out_schema))
+
+
 USER_SEQUENCES_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
        STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
@@ -5188,6 +5259,7 @@ def build_queries() -> dict:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "impute_events": q_impute_events,
         "csv_roundtrip": q_csv_roundtrip,
+        "spearman_events": q_spearman_events,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5382,6 +5454,7 @@ WHERE rn <= 2
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "impute_events": _impute_events_sql(),
         "csv_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "spearman_events": SPEARMAN_EVENTS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
