@@ -2324,6 +2324,82 @@ def q_csv_roundtrip(sf_dir: str):
     return _docs_roundtrip(sf_dir, "csv")
 
 
+def _ks_drift_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+WITH e AS (
+  SELECT event_type, value,
+         CASE WHEN {hash_bucket_sql('event_id', 4)} < 50
+              THEN 1 ELSE 0 END AS ia
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL),
+agg AS (
+  SELECT event_type, value,
+         SUM(ia) AS a_cnt, COUNT(*) - SUM(ia) AS b_cnt
+  FROM e GROUP BY 1, 2),
+w AS (
+  SELECT event_type, value,
+         SUM(a_cnt) OVER (PARTITION BY event_type ORDER BY value) AS ca,
+         SUM(b_cnt) OVER (PARTITION BY event_type ORDER BY value) AS cb,
+         SUM(a_cnt) OVER (PARTITION BY event_type) AS na,
+         SUM(b_cnt) OVER (PARTITION BY event_type) AS nb
+  FROM agg)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / na
+                     - CAST(cb AS DOUBLE) / nb)), 6) AS ks
+FROM w GROUP BY 1
+"""
+
+
+def q_ks_drift(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift detector per key (the
+    distribution-shift gate between data splits): rows split A/B by the
+    deterministic id hash (bit-exact HUGEINT mirror), then per
+    event_type KS = max over distinct values of |ECDF_A - ECDF_B|.
+    One keyed exchange; per-group kernel is vectorized (one argsort,
+    run-boundary cumsums at distinct values).  Every arithmetic step is
+    a single correctly-rounded division/compare, so the statistic
+    matches the SQL window derivation exactly."""
+    from ..stages.sampling import hash_bucket
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value", "event_id"])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("ks", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False)
+        ids = group["event_id"].to_numpy(zero_copy_only=False)
+        ia = (hash_bucket(ids, salt=4) < 50)
+        na, nb = int(ia.sum()), int((~ia).sum())
+        if na == 0 or nb == 0:
+            ks = float("nan")
+        else:
+            order = np.argsort(v, kind="stable")
+            vs, ias = v[order], ia[order]
+            # ECDF evaluated at run ENDS of each distinct value
+            last = np.empty(len(vs), dtype=bool)
+            last[:-1] = vs[1:] != vs[:-1]
+            last[-1] = True
+            ca = np.cumsum(ias)[last].astype(np.float64)
+            cb = np.cumsum(~ias)[last].astype(np.float64)
+            ks = float(np.max(np.abs(ca / na - cb / nb)))
+        return pa.table({
+            "event_type": group["event_type"].slice(0, 1),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "ks": pa.array([ks], pa.float64(),
+                           mask=[not np.isfinite(ks)]),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(ds, ["event_type"], _one,
+                                     out_schema))
+
+
 SPEARMAN_EVENTS_SQL = """
 WITH e AS (
   SELECT event_type, ts, value FROM events
@@ -5260,6 +5336,7 @@ def build_queries() -> dict:
         "impute_events": q_impute_events,
         "csv_roundtrip": q_csv_roundtrip,
         "spearman_events": q_spearman_events,
+        "ks_drift": q_ks_drift,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5455,6 +5532,7 @@ WHERE rn <= 2
         "impute_events": _impute_events_sql(),
         "csv_roundtrip": JSONL_ROUNDTRIP_SQL,
         "spearman_events": SPEARMAN_EVENTS_SQL,
+        "ks_drift": _ks_drift_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
