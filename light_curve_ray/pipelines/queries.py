@@ -2400,6 +2400,99 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+ACF_DAILY_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         (t_us // 86400000000) * 86400000000 AS bucket_ts_us,
+         AVG(v) AS m
+  FROM pts GROUP BY 1, 2
+)
+SELECT a.event_type, k.lag AS lag,
+       COUNT(*) AS n_pairs, ROUND(CORR(a.m, c.m), 6) AS acf
+FROM b a
+JOIN (VALUES (1), (2), (3)) k(lag) ON TRUE
+JOIN b c ON c.event_type = a.event_type
+        AND c.bucket_ts_us = a.bucket_ts_us + k.lag * 86400000000
+GROUP BY 1, 2
+"""
+
+_DAY_US = 86_400_000_000
+
+
+def q_acf_daily(sf_dir: str):
+    """Sample autocorrelation of each key's DAILY mean series at
+    calendar lags 1-3 days (the seasonality probe of the light-curve
+    feature family): per-(type, day) means from slim block partials,
+    then one keyed exchange and a vectorized per-type kernel — day
+    pairing by searchsorted on the day grid (gaps pair only where both
+    days exist, mirroring the SQL self-join), Pearson over the pairs.
+    ORACLE-CHECKED against the lagged self-join + CORR."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    pts = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (t_us // _DAY_US) * _DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day_us": pa.array(day, pa.int64()),
+                      "v": pc.cast(batch["value"], pa.float64())})
+        g = t.group_by(["event_type", "day_us"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day_us", "s", "n"])
+
+    partials = pts.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("lag", pa.int32()),
+                            ("n_pairs", pa.int64()),
+                            ("acf", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        tbl = group.sort_by([("day_us", "ascending")])
+        days = tbl["day_us"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        # merge the per-block partials of each day
+        first = np.empty(len(days), dtype=bool)
+        first[0] = True
+        first[1:] = days[1:] != days[:-1]
+        starts = np.nonzero(first)[0]
+        d = days[starts]
+        m = np.add.reduceat(s, starts) / np.add.reduceat(n, starts)
+        rows = {"event_type": [], "lag": [], "n_pairs": [], "acf": []}
+        et = group["event_type"][0].as_py()
+        for lag in (1, 2, 3):
+            pos = np.searchsorted(d, d + lag * _DAY_US)
+            pos_c = np.minimum(pos, len(d) - 1)
+            ok = d[pos_c] == d + lag * _DAY_US
+            x, y = m[ok], m[pos_c[ok]]
+            rows["event_type"].append(et)
+            rows["lag"].append(lag)
+            rows["n_pairs"].append(int(ok.sum()))
+            if len(x) >= 2:
+                cx, cy = x - x.mean(), y - y.mean()
+                den = np.sqrt(np.sum(cx * cx) * np.sum(cy * cy))
+                rows["acf"].append(
+                    float(np.sum(cx * cy) / den) if den > 0 else None)
+            else:
+                rows["acf"].append(None)
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "lag": pa.array(rows["lag"], pa.int32()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "acf": pa.array(rows["acf"], pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], _one,
+                                     out_schema))
+
+
 SPEARMAN_EVENTS_SQL = """
 WITH e AS (
   SELECT event_type, ts, value FROM events
@@ -5337,6 +5430,7 @@ def build_queries() -> dict:
         "csv_roundtrip": q_csv_roundtrip,
         "spearman_events": q_spearman_events,
         "ks_drift": q_ks_drift,
+        "acf_daily": q_acf_daily,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5533,6 +5627,7 @@ WHERE rn <= 2
         "csv_roundtrip": JSONL_ROUNDTRIP_SQL,
         "spearman_events": SPEARMAN_EVENTS_SQL,
         "ks_drift": _ks_drift_sql(),
+        "acf_daily": ACF_DAILY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
