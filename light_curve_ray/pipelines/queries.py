@@ -2400,6 +2400,65 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+MODE_EVENTS_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c)
+SELECT user_id, event_type AS mode_type, n AS n_mode
+FROM r WHERE rn = 1
+"""
+
+
+def q_mode_events(sf_dir: str):
+    """Per-key MODE (argmax-by-count with deterministic tie-break —
+    the categorical-profile compaction: each user's dominant event
+    type).  Map-side (user, type) count partials shrink the exchange
+    to distinct-pair cardinality; the per-user kernel merges partial
+    counts and picks (max n, min type) vectorized.  ORACLE-CHECKED
+    against the ROW_NUMBER window."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_type"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("mode_type", pa.string()),
+                            ("n_mode", pa.int64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        tbl = group.sort_by([("event_type", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        tot = np.add.reduceat(n, starts)
+        # ties break toward the lexicographically smallest type: argmax
+        # returns the FIRST max and types are already sorted ascending
+        best = int(np.argmax(tot))
+        return pa.table({
+            "user_id": group["user_id"].slice(0, 1),
+            "mode_type": pa.array([et[starts[best]]], pa.string()),
+            "n_mode": pa.array([int(tot[best])], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["user_id"], _one,
+                                     out_schema))
+
+
 ACF_DAILY_SQL = """
 WITH pts AS (
   SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
@@ -5431,6 +5490,7 @@ def build_queries() -> dict:
         "spearman_events": q_spearman_events,
         "ks_drift": q_ks_drift,
         "acf_daily": q_acf_daily,
+        "mode_events": q_mode_events,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5628,6 +5688,7 @@ WHERE rn <= 2
         "spearman_events": SPEARMAN_EVENTS_SQL,
         "ks_drift": _ks_drift_sql(),
         "acf_daily": ACF_DAILY_SQL,
+        "mode_events": MODE_EVENTS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
