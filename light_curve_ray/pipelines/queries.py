@@ -2400,6 +2400,90 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+CUMULATIVE_USERS_SQL = """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS day_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT user_id, MIN(day_us) AS first_day FROM e GROUP BY 1),
+d AS (SELECT first_day AS day_us, COUNT(*) AS new_users
+      FROM f GROUP BY 1)
+SELECT day_us, new_users,
+       SUM(new_users) OVER (ORDER BY day_us) AS cum_users
+FROM d
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day (the growth-accounting
+    running-distinct): COUNT(DISTINCT) OVER a running window is
+    quadratic done naively, but first-seen reduction makes it linear —
+    per-user MIN(day) (one keyed exchange at user cardinality,
+    map-side min partials), per-day new-user counts (day-cardinality
+    exchange), then the distributed prefix scan turns new-per-day into
+    cumulative.  Composition of three existing primitives; every step
+    integer-exact.  ORACLE-CHECKED against the window SUM over the
+    first-seen derivation."""
+    from ..stages.scan import prefix_sum
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+
+    def _min_partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (t_us // _DAY_US) * _DAY_US
+        t = pa.table({"user_id": batch["user_id"],
+                      "day_us": pa.array(day, pa.int64())})
+        g = t.group_by(["user_id"]).aggregate([("day_us", "min")])
+        return g.rename_columns(["user_id", "first_day"])
+
+    partials = ds.map_batches(_min_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    first_schema = pa.schema([("day_us", pa.int64()),
+                              ("new_users", pa.int64())])
+
+    def _per_day(batch: pa.Table) -> pa.Table:
+        """Merge per-user min partials, then count first-days — the
+        batch holds whole user groups (sorted_group_map contract)."""
+        if len(batch) == 0:
+            return first_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending")])
+        starts, _ = _runs(tbl, ["user_id"])
+        fd = np.minimum.reduceat(
+            tbl["first_day"].to_numpy(zero_copy_only=False), starts)
+        days, counts = np.unique(fd, return_counts=True)
+        return pa.table({"day_us": pa.array(days, pa.int64()),
+                         "new_users": pa.array(counts.astype(np.int64))},
+                        schema=first_schema)
+
+    per_user_day = sorted_group_map(partials, ["user_id"], None,
+                                    first_schema, block_fn=_per_day)
+    # the per-day rows can still split across blocks -> one more slim
+    # day-keyed merge, then the prefix scan orders by day globally
+    def _day_merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return first_schema.empty_table()
+        starts, _ = _runs(batch, ["day_us"])
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "day_us": batch["day_us"].take(idx),
+            "new_users": pa.array(np.add.reduceat(
+                batch["new_users"].to_numpy(zero_copy_only=False),
+                starts)),
+        }, schema=first_schema)
+
+    daily = sorted_group_map(per_user_day, ["day_us"], None,
+                             first_schema, block_fn=_day_merge)
+    cum = prefix_sum(daily, ["day_us"], "new_users", out_col="cum_excl")
+    return _collect(cum.map_batches(
+        lambda t: pa.table({
+            "day_us": t["day_us"],
+            "new_users": t["new_users"],
+            "cum_users": pc.add(t["cum_excl"], t["new_users"]),
+        }),
+        batch_format="pyarrow"))
+
+
 MODE_EVENTS_SQL = """
 WITH c AS (
   SELECT user_id, event_type, COUNT(*) AS n FROM events
@@ -5491,6 +5575,7 @@ def build_queries() -> dict:
         "ks_drift": q_ks_drift,
         "acf_daily": q_acf_daily,
         "mode_events": q_mode_events,
+        "cumulative_users": q_cumulative_users,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5689,6 +5774,7 @@ WHERE rn <= 2
         "ks_drift": _ks_drift_sql(),
         "acf_daily": ACF_DAILY_SQL,
         "mode_events": MODE_EVENTS_SQL,
+        "cumulative_users": CUMULATIVE_USERS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -53,8 +53,17 @@ def prefix_sum(ds, order_cols: list, value_col: str,
     offsets = np.concatenate([[0], np.cumsum(totals[:-1])]).astype(
         np.int64)
 
+    # Ray's sort can emit EMPTY partition blocks with a degenerate
+    # schema (no columns) on tiny inputs; normalize them to the real
+    # output schema instead of indexing a missing column.
+    sch = sorted_ds.schema()  # materialized -> no lazy re-execution
+    out_schema = pa.schema(list(zip(sch.names, sch.types))
+                           + [(out_col, pa.int64())])
+
     @ray.remote
     def _attach(tbl: pa.Table, offset: int) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
         v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cum = offset + np.cumsum(v) - v  # exclusive
         return tbl.append_column(out_col, pa.array(cum, pa.int64()))

@@ -104,3 +104,24 @@ def test_chunk_stride_edges():
         (1, 0, "a b c d"), (2, 0, "a b c d"), (2, 1, "e f")]
     empty = chunk_stride_table(tbl.slice(0, 0), "doc_id", "text", 4, 4)
     assert len(empty) == 0
+
+
+def test_prefix_sum_tiny_multiblock(ray_session):
+    """Ray's sort emits empty degenerate-schema partitions on tiny
+    inputs — prefix_sum must normalize them (regression)."""
+    import ray
+    import pyarrow as pa
+    import ray.data as rd
+
+    from light_curve_ray.stages.scan import prefix_sum
+
+    t1 = pa.table({"k": pa.array([2], pa.int64()),
+                   "n": pa.array([120], pa.int64())})
+    t2 = pa.table({"k": pa.array([1], pa.int64()),
+                   "n": pa.array([30], pa.int64())})
+    out = prefix_sum(rd.from_arrow([t1, t2]), ["k"], "n")
+    rows = sorted(
+        (r["k"], r["n"], r["cum_excl"])
+        for t in ray.get(out.materialize().to_arrow_refs())
+        for r in t.to_pylist())
+    assert rows == [(1, 30, 0), (2, 120, 30)]
