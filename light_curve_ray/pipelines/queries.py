@@ -2400,6 +2400,66 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+ROBUST_MEAN_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+q AS (
+  SELECT event_type,
+         QUANTILE_CONT(v, 0.1) AS lo, QUANTILE_CONT(v, 0.9) AS hi
+  FROM e GROUP BY 1)
+SELECT e.event_type,
+       COUNT(*) FILTER (e.v >= q.lo AND e.v <= q.hi) AS n_kept,
+       ROUND(AVG(e.v) FILTER (e.v >= q.lo AND e.v <= q.hi), 6)
+         AS trimmed_mean,
+       ROUND(AVG(LEAST(GREATEST(e.v, q.lo), q.hi)), 6)
+         AS winsorized_mean
+FROM e JOIN q USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_robust_mean(sf_dir: str):
+    """Per-key 10% TRIMMED and WINSORIZED means — the outlier-immune
+    aggregates of data-quality reporting.  One keyed exchange; the
+    per-key kernel computes the [q10, q90] fences with np.percentile's
+    lerp form (== DuckDB QUANTILE_CONT to the last ulp — the roms pin),
+    then a trimmed mean over the in-fence subset and a winsorized mean
+    with values clamped to the fences.  Membership is ulp-identical on
+    both engines because the fence lands strictly between data points
+    whenever the percentile position is fractional.  ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_kept", pa.int64()),
+                            ("trimmed_mean", pa.float64()),
+                            ("winsorized_mean", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lo = float(np.percentile(v, 10.0))
+        hi = float(np.percentile(v, 90.0))
+        keep = (v >= lo) & (v <= hi)
+        tm = float(v[keep].mean()) if keep.any() else float("nan")
+        wm = float(np.minimum(np.maximum(v, lo), hi).mean())
+        tm6 = round6_tie_robust(np.array([tm]))[0]
+        wm6 = round6_tie_robust(np.array([wm]))[0]
+        return pa.table({
+            "event_type": group["event_type"].slice(0, 1),
+            "n_kept": pa.array([int(keep.sum())], pa.int64()),
+            "trimmed_mean": pa.array([tm6], pa.float64(),
+                                     mask=[not np.isfinite(tm6)]),
+            "winsorized_mean": pa.array([wm6], pa.float64(),
+                                        mask=[not np.isfinite(wm6)]),
+        }, schema=out_schema)
+
+    return _collect_raw(sorted_group_map(ds, ["event_type"], _one,
+                                         out_schema))
+
+
 CUMULATIVE_USERS_SQL = """
 WITH e AS (
   SELECT user_id,
@@ -5576,6 +5636,7 @@ def build_queries() -> dict:
         "acf_daily": q_acf_daily,
         "mode_events": q_mode_events,
         "cumulative_users": q_cumulative_users,
+        "robust_mean": q_robust_mean,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5775,6 +5836,7 @@ WHERE rn <= 2
         "acf_daily": ACF_DAILY_SQL,
         "mode_events": MODE_EVENTS_SQL,
         "cumulative_users": CUMULATIVE_USERS_SQL,
+        "robust_mean": ROBUST_MEAN_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
