@@ -175,8 +175,11 @@ def join_skew_safe(fact, key_col: str, other, value_cols: list,
                                         value_cols)
 
     fact_cold = anti_join_broadcast(fact, key_col, hot_keys)
-    other_cold = anti_join_broadcast(other_proj, key_col, hot_keys)
-    cold_joined = fact_cold.join(other_cold, "inner", num_partitions,
+    # the other side joins UNFILTERED: fact_cold carries no hot keys,
+    # so hot-key other rows match nothing — dropping the anti pass
+    # saves one full read of `other` at identical semantics (the hot
+    # rows it would remove are a per-key-count minority anyway)
+    cold_joined = fact_cold.join(other_proj, "inner", num_partitions,
                                  on=(key_col,))
     return hot_joined.union(cold_joined)
 
