@@ -143,9 +143,12 @@ def chunk_stride_table(batch: pa.Table, id_col: str, text_col: str,
     cum = np.concatenate([[0], np.cumsum(clen)])
     flat = np.repeat(tok0 - cum[:-1], clen) + np.arange(int(cum[-1]))
     gathered = toks.values.take(pa.array(flat, pa.int64()))
-    chunks_list = pa.ListArray.from_arrays(
-        pa.array(cum, pa.int32() if cum[-1] < 2**31 else pa.int64()),
-        gathered)
+    if cum[-1] < 2**31:
+        chunks_list = pa.ListArray.from_arrays(
+            pa.array(cum, pa.int32()), gathered)
+    else:  # >2B gathered tokens in one batch: large_list offsets
+        chunks_list = pa.LargeListArray.from_arrays(
+            pa.array(cum, pa.int64()), gathered)
     chunk_txt = pc.binary_join(chunks_list, " ")
     return pa.table({
         id_col: batch[id_col].take(pa.array(row, pa.int64())),
