@@ -2261,9 +2261,21 @@ def _docs_roundtrip(sf_dir: str, fmt: str):
         if fmt == "json":
             docs.write_json(tmp)
             back = rd.read_json(tmp)
-        else:
+        elif fmt == "csv":
             docs.write_csv(tmp)
             back = rd.read_csv(tmp)
+        else:  # "compact": many tiny shards -> bin-packed rewrite
+            import os
+
+            from ..sources.compact import compact_parquet
+
+            shards = os.path.join(tmp, "shards")
+            packed = os.path.join(tmp, "compacted")
+            docs.repartition(40).write_parquet(shards)
+            info = compact_parquet(shards, packed,
+                                   target_bytes=1 << 20)
+            assert info["n_out"] < info["n_in"], info  # really compacted
+            back = rd.read_parquet(packed)
 
         out_schema = pa.schema([
             ("lang", pa.string()), ("n_docs", pa.int64()),
@@ -2322,6 +2334,16 @@ def q_csv_roundtrip(sf_dir: str):
     """See _docs_roundtrip — CSV sink + source (Arrow CSV writer quotes
     embedded commas/newlines; the reader re-parses them)."""
     return _docs_roundtrip(sf_dir, "csv")
+
+
+def q_compact_roundtrip(sf_dir: str):
+    """Small-file compaction round-trip (sources/compact): 40 tiny
+    shards bin-pack (first-fit-decreasing over file sizes, driver sees
+    only metadata) into ~1 MB outputs rewritten by one Ray task per
+    bucket — atomic .tmp rename publish, bucket-indexed resume.  The
+    per-lang aggregate over the compacted copy must equal the direct
+    parquet aggregate (row preservation).  See _docs_roundtrip."""
+    return _docs_roundtrip(sf_dir, "compact")
 
 
 def _ks_drift_sql() -> str:
@@ -5637,6 +5659,7 @@ def build_queries() -> dict:
         "mode_events": q_mode_events,
         "cumulative_users": q_cumulative_users,
         "robust_mean": q_robust_mean,
+        "compact_roundtrip": q_compact_roundtrip,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5837,6 +5860,7 @@ WHERE rn <= 2
         "mode_events": MODE_EVENTS_SQL,
         "cumulative_users": CUMULATIVE_USERS_SQL,
         "robust_mean": ROBUST_MEAN_SQL,
+        "compact_roundtrip": JSONL_ROUNDTRIP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
