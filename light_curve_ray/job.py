@@ -86,9 +86,17 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only honoured when Ray is NOT already "
                         "initialised (standalone runs)")
+    p.add_argument("--compact", default=None, metavar="DIR",
+                   help="compaction mode: bin-pack the *.parquet files "
+                        "under DIR into --out (resumable per bucket)")
+    p.add_argument("--target-mb", type=int, default=128,
+                   help="compaction target output size")
     args = p.parse_args(argv)
-    if args.query is None and args.input is None:
-        p.error("either --input (rollup mode) or --query is required")
+    if args.query is None and args.input is None and args.compact is None:
+        p.error("one of --input (rollup), --query, or --compact "
+                "is required")
+    if args.compact is not None and not args.out:
+        p.error("--compact requires --out")
 
     import ray
 
@@ -101,6 +109,15 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+
+    if args.compact is not None:
+        from .sources.compact import compact_parquet
+
+        info = compact_parquet(args.compact, args.out,
+                               target_bytes=args.target_mb << 20)
+        print(json.dumps({"mode": "compact", "in_dir": args.compact,
+                          "out_dir": args.out, **info}), flush=True)
+        return 0
 
     if args.query is not None:
         import time

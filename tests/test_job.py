@@ -73,3 +73,34 @@ def test_job_query_mode_unknown_name():
     )
     assert proc.returncode != 0
     assert "unknown query" in proc.stderr
+
+
+def test_job_compact_mode(tmp_path):
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    rng = np.random.default_rng(4)
+    total = 0
+    for i in range(6):
+        n = int(rng.integers(10, 40))
+        total += n
+        pq.write_table(pa.table({"x": pa.array(rng.integers(0, 99, n))}),
+                       src / f"p{i}.parquet")
+    proc = subprocess.run(
+        [sys.executable, "-m", "light_curve_ray.job",
+         "--compact", str(src), "--out", str(out),
+         "--target-mb", "1", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["mode"] == "compact" and line["rows_written"] == total
+    assert line["n_out"] < line["n_in"]
+    assert pq.read_table(str(out)).num_rows == total
