@@ -2422,6 +2422,72 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+GINI_EVENTS_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS k,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM c)
+SELECT event_type, CAST(MAX(k) AS BIGINT) AS n_users,
+       ROUND(2.0 * SUM(CAST(i AS DOUBLE) * n) / (MAX(k) * MAX(tot))
+             - (MAX(k) + 1.0) / MAX(k), 6) AS gini
+FROM r GROUP BY 1
+"""
+
+
+def q_gini_events(sf_dir: str):
+    """Per-key GINI coefficient of user-activity concentration (the
+    inequality metric of traffic audits: is one bot 90% of a type's
+    events?).  Two-level aggregate: map-side (type, user) count
+    partials (distinct-pair exchange), then a per-type vectorized
+    kernel — sort counts ascending, Gini = 2·Σ(i·x_i)/(k·Σx) − (k+1)/k.
+    Tie order cannot matter (equal x under consecutive ranks
+    contribute a fixed Σi·x), so the statistic is deterministic and
+    ORACLE-CHECKED against the ROW_NUMBER window derivation."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_users", pa.int64()),
+                            ("gini", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        # merge split (type,user) partials, then rank-weighted sum
+        tbl = group.sort_by([("user_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        x = np.sort(np.add.reduceat(n, starts)).astype(np.float64)
+        k = len(x)
+        i = np.arange(1, k + 1, dtype=np.float64)
+        gini = 2.0 * float(np.sum(i * x)) / (k * float(x.sum())) \
+            - (k + 1.0) / k
+        return pa.table({
+            "event_type": group["event_type"].slice(0, 1),
+            "n_users": pa.array([k], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], _one,
+                                     out_schema))
+
+
 ROBUST_MEAN_SQL = """
 WITH e AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
@@ -5660,6 +5726,7 @@ def build_queries() -> dict:
         "cumulative_users": q_cumulative_users,
         "robust_mean": q_robust_mean,
         "compact_roundtrip": q_compact_roundtrip,
+        "gini_events": q_gini_events,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5861,6 +5928,7 @@ WHERE rn <= 2
         "cumulative_users": CUMULATIVE_USERS_SQL,
         "robust_mean": ROBUST_MEAN_SQL,
         "compact_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "gini_events": GINI_EVENTS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
