@@ -2422,6 +2422,83 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+LEFT_JOIN_ORDERS_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(c.c_name) AS n_matched,
+       COUNT(*) - COUNT(c.c_name) AS n_unmatched
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_name FROM customer
+           WHERE c_acctbal > 5000.0) c
+  ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_left_join_orders(sf_dir: str):
+    """LEFT OUTER join through the broadcast lookup
+    (stages/joins.attach_broadcast how='left'): every order keeps its
+    row, unmatched custkeys null the dimension columns — the
+    enrich-with-optional-dimension op.  The dimension (high-balance
+    customers) broadcasts once; the fact table streams with no
+    exchange; the aggregate distinguishes matched from unmatched via
+    COUNT(col) vs COUNT(*).  ORACLE-CHECKED against SQL LEFT JOIN."""
+    import ray.data as rd
+
+    from ..stages.joins import attach_broadcast, collect_small
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"]))
+    rich = cust.filter(pc.greater(cust["c_acctbal"], 5000.0)).select(
+        ["c_custkey", "c_name"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = attach_broadcast(orders, rich, "c_custkey", ["c_name"],
+                              how="left")
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("n_matched", pa.int64()),
+                            ("n_unmatched", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "matched": pc.cast(pc.is_valid(batch["c_name"]), pa.int64()),
+        })
+        g = t.group_by(["o_orderpriority"]).aggregate(
+            [([], "count_all"), ("matched", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_orders",
+                                 "n_matched"])
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["o_orderpriority"])
+        idx = pa.array(starts, pa.int64())
+        n = np.add.reduceat(
+            batch["n_orders"].to_numpy(zero_copy_only=False), starts)
+        m = np.add.reduceat(
+            batch["n_matched"].to_numpy(zero_copy_only=False), starts)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"].take(idx),
+            "n_orders": pa.array(n), "n_matched": pa.array(m),
+            "n_unmatched": pa.array(n - m),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["o_orderpriority"],
+                                     None, out_schema, block_fn=_merge))
+
+
 GINI_EVENTS_SQL = """
 WITH c AS (
   SELECT event_type, user_id, COUNT(*) AS n FROM events
@@ -5727,6 +5804,7 @@ def build_queries() -> dict:
         "robust_mean": q_robust_mean,
         "compact_roundtrip": q_compact_roundtrip,
         "gini_events": q_gini_events,
+        "left_join_orders": q_left_join_orders,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -5929,6 +6007,7 @@ WHERE rn <= 2
         "robust_mean": ROBUST_MEAN_SQL,
         "compact_roundtrip": JSONL_ROUNDTRIP_SQL,
         "gini_events": GINI_EVENTS_SQL,
+        "left_join_orders": LEFT_JOIN_ORDERS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
