@@ -2422,6 +2422,125 @@ def q_ks_drift(sf_dir: str):
                                      out_schema))
 
 
+def _table_diff_sql() -> str:
+    # table B derives deterministically from documents via the id hash:
+    # h<5 removed, 5<=h<10 text rewritten, and a shifted-id copy of
+    # h>=95 rows added — both engines build the same B
+    from ..stages.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("doc_id", 6)
+    return f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN {h} >= 5 AND {h} < 10
+              THEN text || ' [edited]' ELSE text END AS text
+  FROM documents WHERE {h} >= 5
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE {h} >= 95)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+"""
+
+
+def q_table_diff(sf_dir: str):
+    """Table DIFF / reconciliation between two versions of a table —
+    the audit op of incremental ingest (what changed between
+    yesterday's crawl and today's?).  Scale topology: each side maps to
+    slim (id, content-fingerprint, side-tag) rows — payloads never
+    leave their blocks — then ONE id-keyed exchange classifies each id
+    vectorized: only-A = removed, only-B = added, both-with-differing
+    fingerprints = changed, identical = dropped.  The B version derives
+    deterministically from the id hash on BOTH engines (the planting
+    discipline); the oracle is a FULL OUTER JOIN with direct text
+    comparison, so a fingerprint collision would fail the hash check —
+    none occurs (blake2b-64).  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..kernels.hashing import hash_columns_blake2b
+    from ..stages.sampling import hash_bucket
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _fp(batch: pa.Table, side: int) -> pa.Table:
+        fp = hash_columns_blake2b(batch, ["text"]).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp": pa.array(fp, pa.int64()),
+            "side": pa.array(np.full(len(batch), side, np.int8)),
+        })
+
+    def _side_a(batch: pa.Table) -> pa.Table:
+        return _fp(batch, 0)
+
+    def _side_b(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = hash_bucket(ids, salt=6)
+        kept = batch.filter(pa.array(h >= 5))
+        hk = hash_bucket(kept["doc_id"].to_numpy(zero_copy_only=False),
+                         salt=6)
+        edit = (hk >= 5) & (hk < 10)
+        txt = pc.if_else(
+            pa.array(edit),
+            pc.binary_join_element_wise(kept["text"].combine_chunks(),
+                                        " [edited]", ""),
+            kept["text"].combine_chunks())
+        kept = pa.table({"doc_id": kept["doc_id"], "text": txt})
+        added = batch.filter(pa.array(h >= 95))
+        added = pa.table({
+            "doc_id": pc.add(added["doc_id"], 1_000_000),
+            "text": added["text"]})
+        return _fp(pa.concat_tables([kept, added]), 1)
+
+    a = docs.map_batches(_side_a, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = docs.map_batches(_side_b, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    both = a.union(b)
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("change", pa.string())])
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("doc_id", "ascending"),
+                             ("side", "ascending")])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        fp = tbl["fp"].to_numpy(zero_copy_only=False)
+        side = tbl["side"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(ids), dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(ids))
+        n = ends - starts
+        one = n == 1
+        # singleton rows: side 0 -> removed, side 1 -> added
+        lab = np.where(side[starts] == 0, "removed", "added")
+        # pairs with differing fingerprints -> changed
+        pair = ~one
+        changed = pair & (fp[starts] != fp[np.minimum(ends - 1,
+                                                      starts + 1)])
+        keep = one | changed
+        lab = np.where(changed, "changed", lab)
+        idx = pa.array(starts[keep], pa.int64())
+        return pa.table({
+            "doc_id": tbl["doc_id"].take(idx),
+            "change": pa.array(lab[keep], pa.string()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(both, ["doc_id"], None, out_schema,
+                                     block_fn=_classify))
+
+
 LEFT_JOIN_ORDERS_SQL = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_orders,
@@ -5805,6 +5924,7 @@ def build_queries() -> dict:
         "compact_roundtrip": q_compact_roundtrip,
         "gini_events": q_gini_events,
         "left_join_orders": q_left_join_orders,
+        "table_diff": q_table_diff,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6008,6 +6128,7 @@ WHERE rn <= 2
         "compact_roundtrip": JSONL_ROUNDTRIP_SQL,
         "gini_events": GINI_EVENTS_SQL,
         "left_join_orders": LEFT_JOIN_ORDERS_SQL,
+        "table_diff": _table_diff_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
