@@ -341,3 +341,36 @@ def redact_pii(text_arr):
         cur = pc.replace_substring_regex(cur, pattern=pat,
                                          replacement=tok)
     return cur, counts
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute) over UTF-8
+    BYTES — DuckDB's ``levenshtein()`` is byte-based ('é' counts as two
+    units), and the similarity-join oracle demands the identical
+    metric.  Standard two-row DP with the inner row vectorized: the
+    sequential insert chain cur[j] = min(base[j], cur[j-1]+1) unrolls
+    to a running minimum, cur[j] = j + min_{k<=j}(base[k]-k).  Inputs
+    are the banded candidate minority (short strings), never the
+    corpus."""
+    import numpy as np
+
+    if a == b:
+        return 0
+    ab = a.encode("utf-8")
+    bbuf = b.encode("utf-8")
+    if not ab:
+        return len(bbuf)
+    if not bbuf:
+        return len(ab)
+    bb = np.frombuffer(bbuf, dtype=np.uint8)
+    m = len(bb)
+    j_idx = np.arange(m + 1, dtype=np.int64)
+    prev = j_idx.copy()
+    base = np.empty(m + 1, dtype=np.int64)
+    for i, ca in enumerate(ab):
+        base[0] = i + 1
+        np.minimum(prev[1:] + 1,
+                   prev[:-1] + (bb != np.uint8(ca)),
+                   out=base[1:])
+        prev = np.minimum.accumulate(base - j_idx) + j_idx
+    return int(prev[-1])

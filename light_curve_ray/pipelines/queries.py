@@ -2541,6 +2541,148 @@ def q_table_diff(sf_dir: str):
                                      block_fn=_classify))
 
 
+def _edit_join_sql() -> str:
+    # side B: for docs with h<30, a copy (id+1e6) whose (id%10)-th char
+    # of the 24-char prefix is replaced by '#'; candidates share an
+    # aligned 12-char half (pigeonhole: one substituted char touches at
+    # most one half), verified at byte-levenshtein <= 3
+    from ..stages.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("doc_id", 8)
+    return f"""
+WITH a AS (
+  SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+b AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(s, 1, doc_id % 10) || '#'
+           || substr(s, (doc_id % 10) + 2) AS s
+  FROM a WHERE {h} < 30),
+ca AS (SELECT doc_id, s, i, substr(s, i*12 + 1, 12) AS chunk
+       FROM a, UNNEST([0, 1]) t(i)),
+cb AS (SELECT doc_id, s, i, substr(s, i*12 + 1, 12) AS chunk
+       FROM b, UNNEST([0, 1]) t(i))
+SELECT DISTINCT ca.doc_id AS a_id, cb.doc_id AS b_id,
+       levenshtein(ca.s, cb.s) AS dist
+FROM ca JOIN cb ON ca.i = cb.i AND ca.chunk = cb.chunk
+WHERE levenshtein(ca.s, cb.s) <= 3
+"""
+
+
+def q_edit_join(sf_dir: str):
+    """Edit-distance SIMILARITY JOIN (PassJoin-style pigeonhole
+    banding, Li et al. 2011): candidate pairs must share an aligned
+    12-char half of the 24-char prefix — one substituted char touches
+    at most one half, so the filter is LOSSLESS for the planted
+    single-char mutations — then the candidate minority verifies with
+    the byte-exact levenshtein DP (kernels/textkit.levenshtein ==
+    DuckDB's byte-based levenshtein, 800-case fuzz-pinned).  Scale
+    shape: 2 slim chunk rows per string, one chunk-keyed exchange
+    emits bucket-local A x B pairs, strings attach via the gated
+    broadcast for the verify.  Version B is planted from the id hash
+    on both engines.  ORACLE-CHECKED including the distance values."""
+    import ray.data as rd
+
+    from ..kernels.textkit import levenshtein
+    from ..stages.sampling import hash_bucket
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _sides(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(batch["text"].combine_chunks(),
+                                    0, 24)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        a = pa.table({"doc_id": batch["doc_id"], "s": s,
+                      "side": pa.array(np.zeros(len(ids), np.int8))})
+        keep = hash_bucket(ids, salt=8) < 30
+        ids_b = ids[keep]
+        s_b = s.filter(pa.array(keep))
+        p = (ids_b % 10).astype(np.int64)
+        # Arrow slice kernels take scalar positions only: apply the
+        # substitution per distinct position (10 vectorized passes)
+        parts = []
+        for pos in np.unique(p):
+            m = p == pos
+            mut = pc.utf8_replace_slice(
+                s_b.filter(pa.array(m)),
+                start=int(pos), stop=int(pos) + 1, replacement="#")
+            parts.append(pa.table({
+                "doc_id": pa.array(ids_b[m] + 1_000_000, pa.int64()),
+                "s": mut,
+                "side": pa.array(np.ones(int(m.sum()), np.int8)),
+            }))
+        return pa.concat_tables([a] + parts)
+
+    sides = docs.map_batches(_sides, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in (0, 1):
+            outs.append(pa.table({
+                "i": pa.array(np.full(len(batch), i, np.int8)),
+                "chunk": pc.utf8_slice_codeunits(
+                    batch["s"].combine_chunks(), i * 12, i * 12 + 12),
+                "doc_id": batch["doc_id"], "s": batch["s"],
+                "side": batch["side"],
+            }))
+        return pa.concat_tables(outs)
+
+    chunked = sides.map_batches(_chunks, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                             ("a_s", pa.string()), ("b_s", pa.string())])
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        na, nb = int((side == 0).sum()), int((side == 1).sum())
+        if na == 0 or nb == 0:
+            return pair_schema.empty_table()
+        a = group.filter(pa.array(side == 0))
+        b = group.filter(pa.array(side == 1))
+        ia = pa.array(np.repeat(np.arange(na), nb).astype(np.int64))
+        ib = pa.array(np.tile(np.arange(nb), na).astype(np.int64))
+        return pa.table({
+            "a_id": a["doc_id"].take(ia), "b_id": b["doc_id"].take(ib),
+            "a_s": a["s"].take(ia), "b_s": b["s"].take(ib),
+        }, schema=pair_schema)
+
+    pairs = sorted_group_map(chunked, ["i", "chunk"], _bucket_pairs,
+                             pair_schema, min_group_size=2)
+    out_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                            ("dist", pa.int64())])
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        # dedupe (a_id, b_id) within the batch, then DP-verify the
+        # candidate minority (Python per pair — banded, never corpus)
+        tbl = batch.sort_by([("a_id", "ascending"),
+                             ("b_id", "ascending")])
+        aid = tbl["a_id"].to_numpy(zero_copy_only=False)
+        bid = tbl["b_id"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(aid), dtype=bool)
+        first[0] = True
+        first[1:] = (aid[1:] != aid[:-1]) | (bid[1:] != bid[:-1])
+        keep = pa.array(np.nonzero(first)[0], pa.int64())
+        tbl = tbl.take(keep)
+        dists = [levenshtein(x, y) for x, y in
+                 zip(tbl["a_s"].to_pylist(), tbl["b_s"].to_pylist())]
+        d = np.array(dists, dtype=np.int64)
+        ok = pa.array(d <= 3)
+        return pa.table({
+            "a_id": tbl["a_id"].filter(ok),
+            "b_id": tbl["b_id"].filter(ok),
+            "dist": pa.array(d[d <= 3]),
+        }, schema=out_schema)
+
+    # global pair dedup: one (a_id, b_id)-keyed exchange, verify inside
+    verified = sorted_group_map(pairs, ["a_id", "b_id"], None,
+                                out_schema, block_fn=_verify)
+    return _collect(verified)
+
+
 LEFT_JOIN_ORDERS_SQL = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_orders,
@@ -5925,6 +6067,7 @@ def build_queries() -> dict:
         "gini_events": q_gini_events,
         "left_join_orders": q_left_join_orders,
         "table_diff": q_table_diff,
+        "edit_join": q_edit_join,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6129,6 +6272,7 @@ WHERE rn <= 2
         "gini_events": GINI_EVENTS_SQL,
         "left_join_orders": LEFT_JOIN_ORDERS_SQL,
         "table_diff": _table_diff_sql(),
+        "edit_join": _edit_join_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -218,3 +218,25 @@ def test_redact_pii_no_double_count():
     assert c["ip"].to_pylist() == [0]
     assert red.to_pylist() == ["root@<IP>.example.com"] or \
         red.to_pylist() == ["<EMAIL>"]
+
+
+def test_levenshtein_matches_duckdb_bytes():
+    """Byte-exact parity with DuckDB's levenshtein (which counts UTF-8
+    BYTES, not codepoints) — the similarity-join verify contract."""
+    import random
+
+    import duckdb
+
+    from light_curve_ray.kernels.textkit import levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    cases = [("kitten", "sitting"), ("", ""), ("", "abc"), ("abc", ""),
+             ("héllo", "hello"), ("日本語", "日本誤"), ("same", "same")]
+    for _ in range(300):
+        a = "".join(rng.choice("abcdé日") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcdé日") for _ in range(rng.randint(0, 12)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
