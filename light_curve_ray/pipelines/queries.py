@@ -2760,6 +2760,76 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+WINDOW_RANKS_SQL = """
+SELECT event_id, event_type,
+       NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS ntile4,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                  ORDER BY value), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                               ORDER BY value), 6) AS cume_dist
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+  AND value IS NOT NULL
+"""
+
+
+def q_window_ranks(sf_dir: str):
+    """The rank-window family per key with EXACT tie semantics:
+    NTILE(4) over the (value, event_id) total order (first n%k buckets
+    take the extra row — SQL's definition, not floor(rank*k/n)),
+    PERCENT_RANK = (rank_min-1)/(n-1) (ties share the min rank), and
+    CUME_DIST = rows_lte/n.  One keyed exchange; the per-key kernel is
+    one argsort + two searchsorted calls — ranks, tie groups and
+    bucket boundaries all vectorized.  The ratios are exact integer
+    divisions, but n_lte/n can land EXACTLY on a 6-dp half where
+    numpy's banker rounding and SQL's half-away diverge — hence the
+    shared tie-robust rounding."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_id", "event_type", "value"])
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("ntile4", pa.int64()),
+                            ("pct_rank", pa.float64()),
+                            ("cume_dist", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        n = len(v)
+        order = np.lexsort((eid, v))  # total order (value, event_id)
+        # row number in total order, per original row
+        rownum = np.empty(n, dtype=np.int64)
+        rownum[order] = np.arange(n)
+        vs = v[order]
+        # ties: min rank and rows<=v via searchsorted on sorted values
+        rank_min = np.searchsorted(vs, v, side="left")  # 0-based
+        n_lte = np.searchsorted(vs, v, side="right")
+        pct = rank_min / (n - 1) if n > 1 else np.zeros(n)
+        cume = n_lte / n
+        # SQL NTILE: first (n % 4) buckets take ceil(n/4) rows
+        q, r = divmod(n, 4)
+        big = (q + 1) * r  # rows covered by the larger buckets
+        ntile = np.where(
+            rownum < big,
+            rownum // (q + 1) if q + 1 else 0,
+            r + (rownum - big) // q if q else r) + 1
+        return pa.table({
+            "event_id": group["event_id"],
+            "event_type": group["event_type"],
+            "ntile4": pa.array(ntile.astype(np.int64)),
+            "pct_rank": pa.array(round6_tie_robust(
+                np.asarray(pct, np.float64))),
+            "cume_dist": pa.array(round6_tie_robust(
+                np.asarray(cume, np.float64))),
+        }, schema=out_schema)
+
+    return _collect_raw(sorted_group_map(ds, ["event_type"], _one,
+                                         out_schema))
+
+
 GINI_EVENTS_SQL = """
 WITH c AS (
   SELECT event_type, user_id, COUNT(*) AS n FROM events
@@ -6068,6 +6138,7 @@ def build_queries() -> dict:
         "left_join_orders": q_left_join_orders,
         "table_diff": q_table_diff,
         "edit_join": q_edit_join,
+        "window_ranks": q_window_ranks,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6273,6 +6344,7 @@ WHERE rn <= 2
         "left_join_orders": LEFT_JOIN_ORDERS_SQL,
         "table_diff": _table_diff_sql(),
         "edit_join": _edit_join_sql(),
+        "window_ranks": WINDOW_RANKS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
