@@ -2760,6 +2760,64 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+USER_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY day) AS grp
+  FROM d),
+i AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+       COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+FROM i GROUP BY 1
+"""
+
+
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands per user (the engagement-streak op): distinct
+    active days per user, runs of CONSECUTIVE days are islands; emits
+    days, island count and the longest streak.  Map-side (user, day)
+    dedup shrinks the exchange to distinct pairs; the per-user kernel
+    is sort + one diff (island starts where the day gap exceeds 1) —
+    all integer arithmetic, no rounding surface.  ORACLE-CHECKED
+    against the classic day-minus-ROW_NUMBER islands derivation."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(t_us // _DAY_US, pa.int64())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_days", pa.int64()),
+                            ("n_streaks", pa.int64()),
+                            ("max_streak", pa.int64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        days = np.unique(group["day"].to_numpy(zero_copy_only=False))
+        starts = np.nonzero(
+            np.concatenate([[True], np.diff(days) > 1]))[0]
+        lens = np.diff(np.append(starts, len(days)))
+        return pa.table({
+            "user_id": group["user_id"].slice(0, 1),
+            "n_days": pa.array([len(days)], pa.int64()),
+            "n_streaks": pa.array([len(starts)], pa.int64()),
+            "max_streak": pa.array([int(lens.max())], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(pairs, ["user_id"], _one,
+                                     out_schema))
+
+
 WINDOW_RANKS_SQL = """
 SELECT event_id, event_type,
        NTILE(4) OVER (PARTITION BY event_type
@@ -6139,6 +6197,7 @@ def build_queries() -> dict:
         "table_diff": q_table_diff,
         "edit_join": q_edit_join,
         "window_ranks": q_window_ranks,
+        "user_streaks": q_user_streaks,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6345,6 +6404,7 @@ WHERE rn <= 2
         "table_diff": _table_diff_sql(),
         "edit_join": _edit_join_sql(),
         "window_ranks": WINDOW_RANKS_SQL,
+        "user_streaks": USER_STREAKS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
