@@ -2760,6 +2760,109 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+XCORR_MATRIX_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL),
+b AS (
+  SELECT event_type,
+         (t_us // 86400000000) * 86400000000 AS bucket_ts_us,
+         AVG(v) AS m
+  FROM pts GROUP BY 1, 2)
+SELECT a.event_type AS type_a, c.event_type AS type_b,
+       COUNT(*) AS n_days, ROUND(CORR(a.m, c.m), 6) AS xcorr
+FROM b a JOIN b c
+  ON a.bucket_ts_us = c.bucket_ts_us AND a.event_type < c.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_xcorr_matrix(sf_dir: str):
+    """Pairwise cross-correlation MATRIX of the keys' daily mean series
+    (which signals move together?): daily means from slim block
+    partials (one day-keyed exchange at day x key cardinality), then
+    the matrix assembles from the day-aligned value vectors — the
+    result is key-pair cardinality, so the final assembly collects
+    under the gate (the matrix is the OUTPUT, inherently small relative
+    to the input).  Day alignment pairs only days where BOTH series
+    exist, mirroring the SQL self-join.  ORACLE-CHECKED."""
+    from ..stages.joins import collect_small
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    pts = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = (t_us // _DAY_US) * _DAY_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "day_us": pa.array(day, pa.int64()),
+                      "v": pc.cast(batch["value"], pa.float64())})
+        g = t.group_by(["event_type", "day_us"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day_us", "s", "n"])
+
+    partials = pts.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    daily_schema = pa.schema([("event_type", pa.string()),
+                              ("day_us", pa.int64()),
+                              ("m", pa.float64())])
+
+    def _merge_day(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return daily_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day_us", "ascending")])
+        starts, _ = _runs(tbl, ["event_type", "day_us"])
+        idx = pa.array(starts, pa.int64())
+        s = np.add.reduceat(tbl["s"].to_numpy(zero_copy_only=False),
+                            starts)
+        n = np.add.reduceat(tbl["n"].to_numpy(zero_copy_only=False),
+                            starts)
+        return pa.table({"event_type": tbl["event_type"].take(idx),
+                         "day_us": tbl["day_us"].take(idx),
+                         "m": pa.array(s / n)}, schema=daily_schema)
+
+    daily = collect_small(sorted_group_map(
+        partials, ["event_type", "day_us"], None, daily_schema,
+        block_fn=_merge_day))
+
+    et = daily["event_type"].to_pylist()
+    day = daily["day_us"].to_numpy(zero_copy_only=False)
+    m = daily["m"].to_numpy(zero_copy_only=False)
+    series = {}
+    for t in sorted(set(et)):
+        mask = np.array([e == t for e in et])
+        o = np.argsort(day[mask])
+        series[t] = (day[mask][o], m[mask][o])
+    rows = {"type_a": [], "type_b": [], "n_days": [], "xcorr": []}
+    types = sorted(series)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            da, va = series[ta]
+            db, vb = series[tb]
+            pos = np.searchsorted(db, da)
+            pos_c = np.minimum(pos, len(db) - 1)
+            ok = db[pos_c] == da
+            x, y = va[ok], vb[pos_c[ok]]
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["n_days"].append(int(ok.sum()))
+            if len(x) >= 2:
+                cx, cy = x - x.mean(), y - y.mean()
+                den = np.sqrt(np.sum(cx * cx) * np.sum(cy * cy))
+                rows["xcorr"].append(
+                    float(np.sum(cx * cy) / den) if den > 0 else None)
+            else:
+                rows["xcorr"].append(None)
+    return _round6(pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "n_days": pa.array(rows["n_days"], pa.int64()),
+        "xcorr": pa.array(rows["xcorr"], pa.float64()),
+    }))
+
+
 USER_STREAKS_SQL = """
 WITH d AS (
   SELECT DISTINCT user_id,
@@ -6198,6 +6301,7 @@ def build_queries() -> dict:
         "edit_join": q_edit_join,
         "window_ranks": q_window_ranks,
         "user_streaks": q_user_streaks,
+        "xcorr_matrix": q_xcorr_matrix,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6405,6 +6509,7 @@ WHERE rn <= 2
         "edit_join": _edit_join_sql(),
         "window_ranks": WINDOW_RANKS_SQL,
         "user_streaks": USER_STREAKS_SQL,
+        "xcorr_matrix": XCORR_MATRIX_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
