@@ -2760,6 +2760,128 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+PROFILE_EVENTS_SQL = """
+SELECT * FROM (
+  SELECT 'event_id' AS col, COUNT(*) AS n,
+         COUNT(*) - COUNT(event_id) AS n_null,
+         ROUND(MIN(CAST(event_id AS DOUBLE)), 6) AS min_num,
+         ROUND(MAX(CAST(event_id AS DOUBLE)), 6) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+         ROUND(MIN(CAST(user_id AS DOUBLE)), 6),
+         ROUND(MAX(CAST(user_id AS DOUBLE)), 6), NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+         ROUND(MIN(value), 6), ROUND(MAX(value), 6), NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+         ROUND(CAST(MIN(epoch_us(ts)) AS DOUBLE), 6),
+         ROUND(CAST(MAX(epoch_us(ts)) AS DOUBLE), 6), NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+         NULL, NULL, MIN(event_type), MAX(event_type)
+  FROM events
+)
+"""
+
+
+def q_profile_events(sf_dir: str):
+    """One-pass TABLE PROFILER (the Deequ-style data-quality report):
+    every column's row count, null count, numeric min/max (timestamps
+    as epoch-µs) and lexicographic min/max for strings, from ONE
+    streaming pass — each block emits one tiny partial row per column,
+    the merge is elementwise min/max/sum at (blocks x columns) scale.
+    The audit that runs before any pipeline trusts a new drop of data.
+    ORACLE-CHECKED against a per-column UNION ALL of SQL aggregates."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    num_cols = ["event_id", "user_id", "value", "ts"]
+    str_cols = ["event_type"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=num_cols + str_cols)
+    out_schema = pa.schema([
+        ("col", pa.string()), ("n", pa.int64()), ("n_null", pa.int64()),
+        ("min_num", pa.float64()), ("max_num", pa.float64()),
+        ("min_str", pa.string()), ("max_str", pa.string()),
+    ])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("col", "n", "n_null", "min_num",
+                                "max_num", "min_str", "max_str")}
+        for c in num_cols:
+            arr = batch[c]
+            if pa.types.is_timestamp(arr.type):
+                arr = pc.cast(arr, pa.int64())
+            arr = pc.cast(arr, pa.float64())
+            mm = pc.min_max(arr)
+            rows["col"].append(c)
+            rows["n"].append(len(batch))
+            rows["n_null"].append(arr.null_count)
+            rows["min_num"].append(mm["min"].as_py())
+            rows["max_num"].append(mm["max"].as_py())
+            rows["min_str"].append(None)
+            rows["max_str"].append(None)
+        for c in str_cols:
+            mm = pc.min_max(batch[c])
+            rows["col"].append(c)
+            rows["n"].append(len(batch))
+            rows["n_null"].append(batch[c].null_count)
+            rows["min_num"].append(None)
+            rows["max_num"].append(None)
+            rows["min_str"].append(mm["min"].as_py())
+            rows["max_str"].append(mm["max"].as_py())
+        return pa.table(
+            {k: pa.array(v, out_schema.field(k).type)
+             for k, v in rows.items()}, schema=out_schema)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        from ..kernels.rounding import round6_tie_robust
+
+        starts, _ = _runs(batch, ["col"])
+        idx = pa.array(starts, pa.int64())
+        n = np.add.reduceat(batch["n"].to_numpy(zero_copy_only=False),
+                            starts)
+        nn = np.add.reduceat(
+            batch["n_null"].to_numpy(zero_copy_only=False), starts)
+        mn = np.fmin.reduceat(
+            batch["min_num"].to_numpy(zero_copy_only=False), starts)
+        mx = np.fmax.reduceat(
+            batch["max_num"].to_numpy(zero_copy_only=False), starts)
+        out = {"col": batch["col"].take(idx),
+               "n": pa.array(n), "n_null": pa.array(nn),
+               "min_num": pa.array(round6_tie_robust(mn), pa.float64(),
+                                   mask=np.isnan(mn)),
+               "max_num": pa.array(round6_tie_robust(mx), pa.float64(),
+                                   mask=np.isnan(mx))}
+        mins, maxs = [], []
+        ends = np.append(starts[1:], len(batch))
+        ms = batch["min_str"].to_pylist()
+        xs = batch["max_str"].to_pylist()
+        for s, e in zip(starts, ends):
+            vals_m = [v for v in ms[s:e] if v is not None]
+            vals_x = [v for v in xs[s:e] if v is not None]
+            mins.append(min(vals_m) if vals_m else None)
+            maxs.append(max(vals_x) if vals_x else None)
+        out["min_str"] = pa.array(mins, pa.string())
+        out["max_str"] = pa.array(maxs, pa.string())
+        return pa.table(out, schema=out_schema)
+
+    return _collect_raw(sorted_group_map(partials, ["col"], None,
+                                         out_schema, block_fn=_merge))
+
+
 XCORR_MATRIX_SQL = """
 WITH pts AS (
   SELECT event_type, epoch_us(ts) AS t_us, CAST(value AS DOUBLE) AS v
@@ -6302,6 +6424,7 @@ def build_queries() -> dict:
         "window_ranks": q_window_ranks,
         "user_streaks": q_user_streaks,
         "xcorr_matrix": q_xcorr_matrix,
+        "profile_events": q_profile_events,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6510,6 +6633,7 @@ WHERE rn <= 2
         "window_ranks": WINDOW_RANKS_SQL,
         "user_streaks": USER_STREAKS_SQL,
         "xcorr_matrix": XCORR_MATRIX_SQL,
+        "profile_events": PROFILE_EVENTS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
