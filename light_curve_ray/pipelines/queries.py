@@ -2760,6 +2760,88 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+ROLLING_WAU_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+g AS (SELECT DISTINCT day FROM d)
+SELECT g.day, COUNT(DISTINCT e.user_id) AS wau
+FROM g JOIN d e ON e.day BETWEEN g.day - 6 AND g.day
+GROUP BY 1
+"""
+
+
+def q_rolling_wau(sf_dir: str):
+    """Rolling 7-day distinct users per day (WAU — the windowed
+    COUNT DISTINCT every growth dashboard needs, which plain windowed
+    aggregation cannot express because distinctness doesn't merge):
+    map-side (user, day) dedup, each active day then FANS OUT to the 7
+    report days it supports (vectorized repeat — slim integer rows),
+    one (user, report-day)-keyed dedup exchange, one day-keyed count.
+    Exchange volume is 7 x active-pairs, never raw events.  Report
+    days are exactly the ACTIVE days (mirrors the SQL grid join).
+    ORACLE-CHECKED."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = t_us // _DAY_US
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(day, pa.int64())})
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        dy = t["day"].to_numpy(zero_copy_only=False)
+        rep_u = np.repeat(uid, 7)
+        rep_d = np.repeat(dy, 7) + np.tile(np.arange(7), len(dy))
+        return pa.table({"user_id": pa.array(rep_u, pa.int64()),
+                         "rday": pa.array(rep_d, pa.int64())})
+
+    expanded = ds.map_batches(_expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pair_schema = pa.schema([("user_id", pa.int64()),
+                             ("rday", pa.int64())])
+
+    def _dedup_pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pair_schema.empty_table()
+        return batch.group_by(["user_id", "rday"]).aggregate([])
+
+    pairs = sorted_group_map(expanded, ["user_id", "rday"], None,
+                             pair_schema, block_fn=_dedup_pairs)
+    out_schema = pa.schema([("day", pa.int64()), ("wau", pa.int64())])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("rday", "ascending")])
+        starts, ends = _runs(tbl, ["rday"])
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "day": tbl["rday"].take(idx),
+            "wau": pa.array((ends - starts).astype(np.int64)),
+        }, schema=out_schema)
+
+    counts = sorted_group_map(pairs, ["rday"], None, out_schema,
+                              block_fn=_count)
+    wau = _collect_raw(counts)
+    # the SQL grid only reports ACTIVE days: drop fan-out days beyond
+    # the observed range / inactive gaps via a broadcast of active days
+    active = _collect_raw(
+        _events_nonnull(sf_dir, ["ts"]).map_batches(
+            lambda t: pa.table({
+                "day": pa.array(np.unique(
+                    t["ts"].cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) // _DAY_US),
+                    pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day").count())
+    keep = np.isin(wau["day"].to_numpy(zero_copy_only=False),
+                   active["day"].to_numpy(zero_copy_only=False))
+    return wau.filter(pa.array(keep))
+
+
 PROFILE_EVENTS_SQL = """
 SELECT * FROM (
   SELECT 'event_id' AS col, COUNT(*) AS n,
@@ -6425,6 +6507,7 @@ def build_queries() -> dict:
         "user_streaks": q_user_streaks,
         "xcorr_matrix": q_xcorr_matrix,
         "profile_events": q_profile_events,
+        "rolling_wau": q_rolling_wau,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6634,6 +6717,7 @@ WHERE rn <= 2
         "user_streaks": USER_STREAKS_SQL,
         "xcorr_matrix": XCORR_MATRIX_SQL,
         "profile_events": PROFILE_EVENTS_SQL,
+        "rolling_wau": ROLLING_WAU_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
