@@ -209,3 +209,44 @@ def weighted_features(t_us: np.ndarray, v: np.ndarray,
             out["fit_reduced_chi2"] = float(
                 (w * resid * resid).sum() / (n - 2))
     return out
+
+
+def lttb(t: np.ndarray, v: np.ndarray, n_out: int):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    — the canonical PLOT-grade reduction: keeps the first and last
+    points, splits the interior into n_out-2 equal-count buckets, and
+    from each bucket keeps the point forming the largest triangle with
+    the previously SELECTED point and the NEXT bucket's centroid.  The
+    left-anchor dependency makes the bucket loop inherently
+    sequential (and not SQL-expressible — rows-only oracle), but each
+    bucket's area evaluation is vectorized; the loop runs n_out-2
+    times, i.e. OUTPUT-size iterations, never input-size.
+
+    Inputs must be sorted by ``t``.  Returns the selected indices
+    (int64, ascending).  n_out >= the series length returns all
+    indices; n_out < 3 returns the endpoints.
+    """
+    n = len(t)
+    if n_out >= n:
+        return np.arange(n, dtype=np.int64)
+    if n_out < 3 or n <= 2:
+        return np.unique([0, n - 1]).astype(np.int64)
+    t = np.asarray(t, np.float64)
+    v = np.asarray(v, np.float64)
+    # equal-count interior buckets over points 1..n-2 (the reference
+    # formulation: linspace edges over the interior index range)
+    edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    out[-1] = n - 1
+    a = 0  # previously selected index
+    for i in range(n_out - 2):
+        s, e = edges[i], edges[i + 1]
+        ns, ne = edges[i + 1], (n if i == n_out - 3 else edges[i + 2])
+        cx, cy = t[ns:ne].mean(), v[ns:ne].mean()
+        # twice the triangle area with anchor (a) and centroid (c)
+        area = np.abs((t[a] - cx) * (v[s:e] - v[a])
+                      - (t[a] - t[s:e]) * (cy - v[a]))
+        a = s + int(np.argmax(area))  # first max wins ties
+        out[i + 1] = a
+    return out

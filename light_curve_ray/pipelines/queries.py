@@ -2760,6 +2760,115 @@ def q_left_join_orders(sf_dir: str):
                                      None, out_schema, block_fn=_merge))
 
 
+def q_downsample_lttb(sf_dir: str):
+    """Largest-Triangle-Three-Buckets downsampling per series
+    (kernels/features.lttb, Steinarsson 2013): each key's points
+    reduce to 24 visually-faithful points.  ROWS-ONLY by design — the
+    left-anchor dependency chain is inherently sequential and has no
+    SQL mirror; the kernel is pinned by a brute-force reference
+    implementation in tests/test_features.py."""
+    from ..kernels.features import lttb
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "event_id", "ts",
+                                  "value"])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("t_us", pa.int64()), ("v", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        v = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t))
+        ts, vs = t[order], v[order]
+        idx = lttb(ts.astype(np.float64), vs, 24)
+        et = group["event_type"].slice(0, 1)[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(idx), pa.string()),
+            "t_us": pa.array(ts[idx], pa.int64()),
+            "v": pa.array(np.round(vs[idx], 6)),
+        }, schema=out_schema)
+
+    return _collect_raw(sorted_group_map(ds, ["event_type"], _one,
+                                         out_schema))
+
+
+DOWNSAMPLE_MINMAX_SQL = """
+WITH p AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t_us,
+         CAST(value AS DOUBLE) AS v,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_ts_us
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+r AS (
+  SELECT event_type, bucket_ts_us, t_us, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts_us
+                            ORDER BY v, t_us, event_id) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts_us
+                            ORDER BY v DESC, t_us, event_id) AS rn_max
+  FROM p)
+SELECT event_type, bucket_ts_us,
+       CASE WHEN rn_min = 1 THEN 'min' ELSE 'max' END AS which,
+       t_us, ROUND(v, 6) AS v
+FROM r WHERE rn_min = 1 OR rn_max = 1
+"""
+
+
+def q_downsample_minmax(sf_dir: str):
+    """MIN-MAX DOWNSAMPLING — the plot-grade reduction that preserves
+    the envelope (spikes survive, unlike bucket averaging): per
+    (series, day bucket) keep exactly the extreme points, deterministic
+    (v, t, id) tie-break.  Per-key kernel: one lexsort, run boundaries
+    give each bucket's min/max rows directly — no Python per bucket.
+    A point that is BOTH extremes (single-point bucket) emits once as
+    'min', matching the SQL CASE.  ORACLE-CHECKED row-level."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "event_id", "ts",
+                                  "value"])
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("bucket_ts_us", pa.int64()),
+                            ("which", pa.string()),
+                            ("t_us", pa.int64()), ("v", pa.float64())])
+
+    def _one(group: pa.Table) -> pa.Table:
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        v = group["value"].to_numpy(zero_copy_only=False)
+        bucket = (t // _DAY_US) * _DAY_US
+        order = np.lexsort((eid, t, v, bucket))
+        b, tt, vv = bucket[order], t[order], v[order]
+        first = np.empty(len(b), dtype=bool)
+        first[0] = True
+        first[1:] = b[1:] != b[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(b))
+        # min row = run start in (v, t, id) order; max row = the run's
+        # LAST v, first (t, id) among its ties
+        min_idx = starts
+        vmax = vv[ends - 1]
+        # first row of the max-value tie block: searchsorted within run
+        max_idx = np.empty(len(starts), dtype=np.int64)
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            max_idx[j] = s + np.searchsorted(vv[s:e], vmax[j], "left")
+        et = group["event_type"].slice(0, 1)[0].as_py()
+        both = max_idx == min_idx  # single-point / constant bucket
+        keep_max = ~both
+        idx_all = np.concatenate([min_idx, max_idx[keep_max]])
+        which = ["min"] * len(min_idx) + ["max"] * int(keep_max.sum())
+        return pa.table({
+            "event_type": pa.array([et] * len(idx_all), pa.string()),
+            "bucket_ts_us": pa.array(b[idx_all], pa.int64()),
+            "which": pa.array(which, pa.string()),
+            "t_us": pa.array(tt[idx_all], pa.int64()),
+            "v": pa.array(round6_tie_robust(vv[idx_all]), pa.float64()),
+        }, schema=out_schema)
+
+    return _collect_raw(sorted_group_map(ds, ["event_type"], _one,
+                                         out_schema))
+
+
 TWAP_EVENTS_SQL = """
 WITH p AS (
   SELECT event_type, event_id, epoch_us(ts) AS t,
@@ -6568,6 +6677,8 @@ def build_queries() -> dict:
         "profile_events": q_profile_events,
         "rolling_wau": q_rolling_wau,
         "twap_events": q_twap_events,
+        "downsample_minmax": q_downsample_minmax,
+        "downsample_lttb": q_downsample_lttb,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6779,6 +6890,7 @@ WHERE rn <= 2
         "profile_events": PROFILE_EVENTS_SQL,
         "rolling_wau": ROLLING_WAU_SQL,
         "twap_events": TWAP_EVENTS_SQL,
+        "downsample_minmax": DOWNSAMPLE_MINMAX_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -178,3 +178,46 @@ def test_roms_formula_and_edges():
     assert math.isnan(roms(np.array([1.0]), np.array([1.0])))
     # non-variable series with correct sigma ~ 1 (sanity, not exact)
     assert 0.5 < roms(v, sigma) < 1.5
+
+
+def test_lttb_matches_bruteforce():
+    """LTTB vs a literal reference implementation (Steinarsson 2013
+    pseudocode with explicit loops)."""
+    from light_curve_ray.kernels.features import lttb
+
+    def reference(t, v, n_out):
+        n = len(t)
+        if n_out >= n:
+            return list(range(n))
+        if n_out < 3 or n <= 2:
+            return sorted(set([0, n - 1]))
+        edges = np.linspace(1, n - 1, n_out - 1).astype(int)
+        sel = [0]
+        a = 0
+        for i in range(n_out - 2):
+            s, e = edges[i], edges[i + 1]
+            ns = edges[i + 1]
+            ne = n if i == n_out - 3 else edges[i + 2]
+            cx = sum(t[ns:ne]) / (ne - ns)
+            cy = sum(v[ns:ne]) / (ne - ns)
+            best, best_area = None, -1.0
+            for j in range(s, e):
+                area = abs((t[a] - cx) * (v[j] - v[a])
+                           - (t[a] - t[j]) * (cy - v[a]))
+                if area > best_area:
+                    best, best_area = j, area
+            sel.append(best)
+            a = best
+        sel.append(n - 1)
+        return sel
+
+    rng = np.random.default_rng(23)
+    for n, n_out in [(200, 20), (57, 10), (30, 3), (10, 24), (3, 3),
+                     (2, 5), (500, 24)]:
+        t = np.sort(rng.uniform(0, 1000, n))
+        v = rng.standard_normal(n) * 10
+        got = lttb(t, v, n_out).tolist()
+        want = reference(t.tolist(), v.tolist(), n_out)
+        assert got == want, (n, n_out)
+        assert got[0] == 0 and got[-1] == n - 1
+        assert all(b > a for a, b in zip(got, got[1:]))
