@@ -2869,6 +2869,67 @@ def q_downsample_minmax(sf_dir: str):
                                          out_schema))
 
 
+INTERVAL_UNION_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + 1800000000 AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS isl
+  FROM o),
+i AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len
+      FROM g GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS covered_us
+FROM i GROUP BY 1
+"""
+
+
+def q_interval_union(sf_dir: str):
+    """Interval-UNION coverage per user (sweep-line over overlapping
+    intervals — how much wall-clock was the user actually active?):
+    each event opens a 30-min interval; overlaps merge into islands;
+    emits island count + total covered time.  One keyed exchange; the
+    per-user kernel is sort + running-max (np.maximum.accumulate) —
+    island starts where an interval begins after everything seen so
+    far has ended.  All integer µs arithmetic, exact.  ORACLE-CHECKED
+    against the window-function islands derivation."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_islands", pa.int64()),
+                            ("covered_us", pa.int64())])
+    span = 1_800_000_000
+
+    def _one(group: pa.Table) -> pa.Table:
+        t = np.sort(group["ts"].cast(pa.int64())
+                    .to_numpy(zero_copy_only=False))
+        s, e = t, t + span
+        run_max = np.maximum.accumulate(e)
+        new_isl = np.concatenate([[True], s[1:] > run_max[:-1]])
+        starts = np.nonzero(new_isl)[0]
+        ends = np.append(starts[1:], len(t))
+        covered = int(np.sum(run_max[ends - 1] - s[starts]))
+        return pa.table({
+            "user_id": group["user_id"].slice(0, 1),
+            "n_islands": pa.array([len(starts)], pa.int64()),
+            "covered_us": pa.array([covered], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(ds, ["user_id"], _one,
+                                     out_schema))
+
+
 TWAP_EVENTS_SQL = """
 WITH p AS (
   SELECT event_type, event_id, epoch_us(ts) AS t,
@@ -6679,6 +6740,7 @@ def build_queries() -> dict:
         "twap_events": q_twap_events,
         "downsample_minmax": q_downsample_minmax,
         "downsample_lttb": q_downsample_lttb,
+        "interval_union": q_interval_union,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6891,6 +6953,7 @@ WHERE rn <= 2
         "rolling_wau": ROLLING_WAU_SQL,
         "twap_events": TWAP_EVENTS_SQL,
         "downsample_minmax": DOWNSAMPLE_MINMAX_SQL,
+        "interval_union": INTERVAL_UNION_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
