@@ -214,3 +214,35 @@ def cms_query(counts: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     for d in range(1, depth):
         est = np.minimum(est, counts[d, idx[d]])
     return est
+
+
+def kmv_add(sketch: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """K-Minimum-Values sketch update (Bar-Yossef et al. 2002): keep
+    the k smallest DISTINCT uint64 hashes seen.  ``sketch`` is a sorted
+    uint64 array (possibly shorter than k); returns the updated sorted
+    array.  Merge of two sketches is the same operation (k smallest of
+    the union) — associative and partition-order-invariant, the
+    distributed requirement."""
+    merged = np.unique(np.concatenate([sketch,
+                                       np.asarray(hashes, np.uint64)]))
+    return merged[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> float:
+    """Distinct-count estimate: (k-1) / (kth_min / 2^64) — unbiased for
+    n > k; exact len(sketch) when fewer than k distinct values exist."""
+    if len(sketch) < k:
+        return float(len(sketch))
+    kth = float(sketch[k - 1]) / 2.0 ** 64
+    return (k - 1) / kth if kth > 0 else float(len(sketch))
+
+
+def kmv_intersection(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
+    """Set-INTERSECTION estimate from two KMV sketches (the operation
+    HLL cannot do without inclusion-exclusion blowup): the union
+    sketch K is the k smallest of sa ∪ sb; Jaccard ≈ |K ∩ sa ∩ sb|/|K|;
+    |A ∩ B| ≈ Jaccard x |A ∪ B|_est (Beyer et al. 2007)."""
+    union = np.unique(np.concatenate([sa, sb]))[:k]
+    in_both = np.isin(union, sa) & np.isin(union, sb)
+    rho = float(in_both.sum()) / len(union) if len(union) else 0.0
+    return rho * kmv_estimate(union, k)

@@ -2869,6 +2869,83 @@ def q_downsample_minmax(sf_dir: str):
                                          out_schema))
 
 
+KMV_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(DISTINCT a.user_id) AS est_overlap
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_kmv_overlap(sf_dir: str):
+    """Audience-OVERLAP matrix via K-Minimum-Values sketches
+    (kernels/sketch.kmv_*, Bar-Yossef 2002 / Beyer 2007) — the set
+    operation HLL cannot do: distinct-user INTERSECTION between every
+    pair of event types from k-sized sketches, never a user-level
+    join.  Per-block per-type KMV partials (<= k u64 values each)
+    merge in one type-keyed exchange; the 5 final sketches collect and
+    the pair matrix computes sketch-side.  At test scale distinct
+    users < k, where KMV is EXACT — hence a SQL oracle (same
+    discipline as the exhaustive-probe ANN oracles); the estimation
+    regime (n >> k) is pinned by error-bound unit tests."""
+    from ..kernels.hashing import hash_columns_u64
+    from ..kernels.sketch import kmv_add, kmv_intersection
+    from ..stages.joins import collect_small
+    from ..stages.sorted_groups import sorted_group_map
+
+    k = 4096  # > distinct users at both test scales -> exact regime
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    sk_schema = pa.schema([("event_type", pa.string()),
+                           ("kmv", pa.large_binary())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = hash_columns_u64(batch, ["user_id"])
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        rows = {"event_type": [], "kmv": []}
+        for i, t in enumerate(types):
+            sk = kmv_add(np.empty(0, np.uint64), h[inv == i], k)
+            rows["event_type"].append(str(t))
+            rows["kmv"].append(sk.tobytes())
+        return pa.table({"event_type": pa.array(rows["event_type"]),
+                         "kmv": pa.array(rows["kmv"],
+                                         pa.large_binary())},
+                        schema=sk_schema)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        sk = np.empty(0, np.uint64)
+        for blob in group["kmv"]:
+            sk = kmv_add(sk, np.frombuffer(blob.as_py(), np.uint64), k)
+        return pa.table({"event_type": group["event_type"].slice(0, 1),
+                         "kmv": pa.array([sk.tobytes()],
+                                         pa.large_binary())},
+                        schema=sk_schema)
+
+    sketches = collect_small(sorted_group_map(
+        partials, ["event_type"], _merge, sk_schema))
+    names = sketches["event_type"].to_pylist()
+    sks = {n: np.frombuffer(b.as_py(), np.uint64)
+           for n, b in zip(names, sketches["kmv"])}
+    rows = {"type_a": [], "type_b": [], "est_overlap": []}
+    for i, ta in enumerate(sorted(sks)):
+        for tb in sorted(sks)[i + 1:]:
+            rows["type_a"].append(ta)
+            rows["type_b"].append(tb)
+            rows["est_overlap"].append(
+                int(round(kmv_intersection(sks[ta], sks[tb], k))))
+    return pa.table({"type_a": pa.array(rows["type_a"], pa.string()),
+                     "type_b": pa.array(rows["type_b"], pa.string()),
+                     "est_overlap": pa.array(rows["est_overlap"],
+                                             pa.int64())})
+
+
 INTERVAL_UNION_SQL = """
 WITH iv AS (
   SELECT user_id, epoch_us(ts) AS s,
@@ -6741,6 +6818,7 @@ def build_queries() -> dict:
         "downsample_minmax": q_downsample_minmax,
         "downsample_lttb": q_downsample_lttb,
         "interval_union": q_interval_union,
+        "kmv_overlap": q_kmv_overlap,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -6954,6 +7032,7 @@ WHERE rn <= 2
         "twap_events": TWAP_EVENTS_SQL,
         "downsample_minmax": DOWNSAMPLE_MINMAX_SQL,
         "interval_union": INTERVAL_UNION_SQL,
+        "kmv_overlap": KMV_OVERLAP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -219,3 +219,47 @@ def test_heavy_hitters_topk_and_partition_invariance(ray_session):
     assert list(out4["est_count"]) == [n for n, _ in exact]
     # linear sketch: identical at any partitioning
     assert out4.equals(out1)
+
+
+def test_kmv_estimate_and_intersection_bounds():
+    """KMV distinct + intersection estimates within the (k-1)^-1/2
+    relative-error regime; merge partition-order invariance; exactness
+    below k."""
+    import pyarrow as pa
+
+    from light_curve_ray.kernels.hashing import _hash_columns_u64_numpy
+    from light_curve_ray.kernels.sketch import (
+        kmv_add,
+        kmv_estimate,
+        kmv_intersection,
+    )
+
+    def hashes(ids):
+        return _hash_columns_u64_numpy(
+            pa.table({"x": pa.array(ids, pa.int64())}), ["x"])
+
+    k = 1024
+    A = np.arange(0, 60_000)
+    B = np.arange(40_000, 110_000)  # |A ∩ B| = 20_000, |A ∪ B| = 110_000
+    sa = kmv_add(np.empty(0, np.uint64), hashes(A), k)
+    sb = kmv_add(np.empty(0, np.uint64), hashes(B), k)
+    assert abs(kmv_estimate(sa, k) - 60_000) < 0.15 * 60_000
+    assert abs(kmv_estimate(sb, k) - 70_000) < 0.15 * 70_000
+    assert abs(kmv_intersection(sa, sb, k) - 20_000) < 0.2 * 20_000
+
+    # merge = k smallest of the union, independent of partitioning
+    s2 = np.empty(0, np.uint64)
+    for part in np.array_split(A, 7):
+        s2 = kmv_add(s2, hashes(part), k)
+    assert np.array_equal(sa, s2)
+    s3 = np.empty(0, np.uint64)
+    for part in np.array_split(A[::-1].copy(), 3):
+        s3 = kmv_add(s3, hashes(part), k)
+    assert np.array_equal(sa, s3)
+
+    # below k the sketch IS the distinct set: exact
+    small = np.arange(500)
+    ss = kmv_add(np.empty(0, np.uint64), hashes(small), k)
+    assert kmv_estimate(ss, k) == 500.0
+    st = kmv_add(np.empty(0, np.uint64), hashes(small[:300]), k)
+    assert round(kmv_intersection(ss, st, k)) == 300
