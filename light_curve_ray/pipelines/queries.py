@@ -2869,6 +2869,104 @@ def q_downsample_minmax(sf_dir: str):
                                          out_schema))
 
 
+def _ab_test_sql() -> str:
+    from ..stages.sampling import hash_bucket_sql
+
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN {hash_bucket_sql('user_id', 9)} < 50
+              THEN 'a' ELSE 'b' END AS grp,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1),
+s AS (
+  SELECT SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN grp = 'a' THEN converted ELSE 0 END) AS c_a,
+         SUM(CASE WHEN grp = 'b' THEN converted ELSE 0 END) AS c_b
+  FROM u)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       ROUND((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM s
+"""
+
+
+def q_ab_test(sf_dir: str):
+    """Two-proportion z-test (the experimentation-analytics readout):
+    users split A/B by the bit-exact id hash (planting discipline),
+    conversion = any >150-value 'purchase'; emits group sizes, conversions
+    and the pooled z statistic.  Per-user conversion is a map-side
+    MAX partial + one user-keyed exchange; the four global counters
+    are integer-exact, and the z formula mirrors the oracle expression
+    op-for-op (sqrt and divides are correctly rounded)."""
+    from ..stages.sampling import hash_bucket
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_type", "value"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.and_(pc.equal(batch["event_type"], "purchase"),
+                               pc.greater(batch["value"], 150.0)),
+                       pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "c": conv})
+        g = t.group_by(["user_id"]).aggregate([("c", "max")])
+        return g.rename_columns(["user_id", "converted"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    u_schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                          ("c_a", pa.int64()), ("c_b", pa.int64())])
+
+    def _reduce(batch: pa.Table) -> pa.Table:
+        """Whole user groups per batch: finish MAX per user, then the
+        four counters for this batch's users."""
+        if len(batch) == 0:
+            return u_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        cv = tbl["converted"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        conv = np.maximum.reduceat(cv, starts)
+        grp_a = hash_bucket(uid[starts], salt=9) < 50
+        return pa.table({
+            "n_a": pa.array([int(grp_a.sum())], pa.int64()),
+            "n_b": pa.array([int((~grp_a).sum())], pa.int64()),
+            "c_a": pa.array([int(conv[grp_a].sum())], pa.int64()),
+            "c_b": pa.array([int(conv[~grp_a].sum())], pa.int64()),
+        }, schema=u_schema)
+
+    counters = _collect_raw(sorted_group_map(
+        partials, ["user_id"], None, u_schema, block_fn=_reduce))
+    n_a = int(pc.sum(counters["n_a"]).as_py() or 0)
+    n_b = int(pc.sum(counters["n_b"]).as_py() or 0)
+    c_a = int(pc.sum(counters["c_a"]).as_py() or 0)
+    c_b = int(pc.sum(counters["c_b"]).as_py() or 0)
+    p = (c_a + c_b) / (n_a + n_b)
+    import math
+
+    z = (c_a / n_a - c_b / n_b) / math.sqrt(
+        p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+    from ..kernels.rounding import round6_tie_robust
+
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "conv_a": pa.array([c_a], pa.int64()),
+        "conv_b": pa.array([c_b], pa.int64()),
+        "z": pa.array(round6_tie_robust(np.array([z]))),
+    })
+
+
 KMV_OVERLAP_SQL = """
 WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -6819,6 +6917,7 @@ def build_queries() -> dict:
         "downsample_lttb": q_downsample_lttb,
         "interval_union": q_interval_union,
         "kmv_overlap": q_kmv_overlap,
+        "ab_test": q_ab_test,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -7033,6 +7132,7 @@ WHERE rn <= 2
         "downsample_minmax": DOWNSAMPLE_MINMAX_SQL,
         "interval_union": INTERVAL_UNION_SQL,
         "kmv_overlap": KMV_OVERLAP_SQL,
+        "ab_test": _ab_test_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
