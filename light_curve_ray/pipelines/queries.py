@@ -2967,6 +2967,395 @@ def q_ab_test(sf_dir: str):
     })
 
 
+JSON_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+  WHERE event_type IS NOT NULL AND props IS NOT NULL
+    AND regexp_extract(props, '"k":\\s*(\\d+)', 1) <> '')
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS mean_k
+FROM x GROUP BY 1
+"""
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured property extraction (the web-scale JSON-scan op):
+    pulls the integer field ``k`` out of the JSON ``props`` string with
+    ONE vectorized Arrow regex kernel (`pc.extract_regex` — RE2, the
+    same engine as DuckDB's regexp_extract, so match semantics mirror
+    the oracle), then aggregates count/sum/mean per event_type.  No
+    row-level json.loads anywhere: at crawl scale the field-extract
+    regex IS how semi-structured scans are done.  Map-side partial
+    (block group-by), one tiny driver merge (key-count scale)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("n", pa.int64()), ("sum_k", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["event_type"]),
+                    pc.is_valid(batch["props"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        ext = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        t = t.filter(pc.is_valid(t["k"]))
+        g = t.group_by(["event_type"]).aggregate([("k", "count"),
+                                                  ("k", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_k"])
+
+    partials = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = partials.group_by(["event_type"]).aggregate([("n", "sum"),
+                                                     ("sum_k", "sum")])
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = g["sum_k_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..kernels.rounding import round6_tie_robust
+
+    return pa.table({
+        "event_type": g["event_type"],
+        "n": pa.array(n, pa.int64()),
+        "sum_k": pa.array(s, pa.int64()),
+        "mean_k": pa.array(round6_tie_robust(s.astype(np.float64) / n)),
+    })
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+c AS (
+  SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c
+"""
+
+
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix of user journeys (the
+    sequence-model prep op): consecutive event-type pairs per user in
+    total (ts, event_id) order, global pair counts and the row-
+    normalized transition probability.  ONE user-keyed exchange
+    (sorted_group_map); the block kernel is one lexsort + one shifted
+    equality mask — pairs never cross user boundaries because blocks
+    hold whole user groups — then a block-local Arrow group-count so
+    only (from, to, n) partials (key-pair scale, ~|types|^2 rows per
+    block) reach the driver merge.  p = n/total is one exact int
+    division mirroring the oracle op-for-op."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    part_schema = pa.schema([("from_type", pa.string()),
+                             ("to_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return part_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return part_schema.empty_table()
+        t = pa.table({"from_type": pa.array(et[:-1][same], pa.string()),
+                      "to_type": pa.array(et[1:][same], pa.string())})
+        g = t.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"from_type": g["from_type"],
+                         "to_type": g["to_type"],
+                         "n": g["count_all"]}, schema=part_schema)
+
+    partials = _collect_raw(sorted_group_map(
+        ds, ["user_id"], None, part_schema, block_fn=_block))
+    g = partials.group_by(["from_type", "to_type"]).aggregate(
+        [("n", "sum")])
+    frm = g["from_type"].to_pylist()
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    totals = {}
+    for f, c in zip(frm, n):
+        totals[f] = totals.get(f, 0) + int(c)
+    tot = np.array([totals[f] for f in frm], dtype=np.float64)
+    from ..kernels.rounding import round6_tie_robust
+
+    return pa.table({
+        "from_type": g["from_type"],
+        "to_type": g["to_type"],
+        "n": pa.array(n, pa.int64()),
+        "p": pa.array(round6_tie_robust(n.astype(np.float64) / tot)),
+    })
+
+
+COVISIT_PAIRS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_covisit_pairs(sf_dir: str):
+    """Item-item co-occurrence counts (the recommender / co-visitation
+    prep op): for every unordered event-type pair, how many users did
+    BOTH.  Map-side (user, type) distinct shrinks the exchange to
+    distinct pairs; one user-keyed exchange; the block kernel expands
+    each user's sorted distinct-type run into i<j pairs FULLY
+    vectorized by grouping runs into length classes (types are bounded,
+    so there are at most |types| classes — each class is one reshape +
+    one precomputed triu gather, no per-user Python).  Partials are
+    pair-count scale; the driver merge is ~|types|^2 rows."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_type"])
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs_in = ds.map_batches(_distinct, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    part_schema = pa.schema([("type_a", pa.string()),
+                             ("type_b", pa.string()),
+                             ("n_users", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return part_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("event_type", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        # distinct again across merged map partials (same user from
+        # several input blocks), still vectorized
+        key_new = np.empty(len(uid), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        uid, et = uid[key_new], et[key_new]
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(uid)))
+        ta_parts, tb_parts = [], []
+        for length in np.unique(lens):
+            if length < 2:
+                continue
+            rs = starts[lens == length]
+            idx = rs[:, None] + np.arange(length)
+            ii, jj = np.triu_indices(length, 1)
+            ta_parts.append(et[idx[:, ii].ravel()])
+            tb_parts.append(et[idx[:, jj].ravel()])
+        if not ta_parts:
+            return part_schema.empty_table()
+        t = pa.table({"type_a": pa.array(np.concatenate(ta_parts),
+                                         pa.string()),
+                      "type_b": pa.array(np.concatenate(tb_parts),
+                                         pa.string())})
+        g = t.group_by(["type_a", "type_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"type_a": g["type_a"], "type_b": g["type_b"],
+                         "n_users": g["count_all"]},
+                        schema=part_schema)
+
+    partials = _collect_raw(sorted_group_map(
+        pairs_in, ["user_id"], None, part_schema, block_fn=_block))
+    g = partials.group_by(["type_a", "type_b"]).aggregate(
+        [("n_users", "sum")])
+    return pa.table({"type_a": g["type_a"], "type_b": g["type_b"],
+                     "n_users": g["n_users_sum"].cast(pa.int64())})
+
+
+BENFORD_PRICES_SQL = """
+WITH d AS (
+  SELECT regexp_extract(CAST(l_extendedprice AS VARCHAR),
+                        '([1-9])', 1) AS digit
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit <> '' GROUP BY 1)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS freq
+FROM c
+"""
+
+
+def q_benford_prices(sf_dir: str):
+    """First-significant-digit distribution (Benford's-law data-quality
+    profiling over a money column): the digit is the first [1-9] of the
+    value's string form — DELIBERATELY format-robust, because DuckDB
+    and Arrow disagree on double->string trailing '.0' and the
+    scientific-notation threshold, but the first significant digit is
+    invariant to both (verified: 1e+15 vs 1000000000000000.0, 0.000025
+    vs 2.5e-05).  One vectorized cast + RE2 extract per block, map-side
+    digit counts, 9-row driver merge.  No log10 anywhere — digit
+    extraction stays transcendental-free per the rounding contract."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    part_schema = pa.schema([("digit", pa.string()), ("n", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = pc.filter(batch["l_extendedprice"],
+                        pc.is_valid(batch["l_extendedprice"]))
+        if len(col) == 0:
+            return part_schema.empty_table()
+        s = pc.cast(col, pa.string())
+        d = pc.struct_field(pc.extract_regex(s, r"(?P<d>[1-9])"), "d")
+        t = pa.table({"digit": d}).filter(pc.is_valid(d))
+        g = t.group_by(["digit"]).aggregate([([], "count_all")])
+        return pa.table({"digit": g["digit"],
+                         "n": g["count_all"]}, schema=part_schema)
+
+    partials = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True))
+    g = partials.group_by(["digit"]).aggregate([("n", "sum")])
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from ..kernels.rounding import round6_tie_robust
+
+    return pa.table({
+        "digit": g["digit"],
+        "n": pa.array(n, pa.int64()),
+        "freq": pa.array(round6_tie_robust(
+            n.astype(np.float64) / float(n.sum()))),
+    })
+
+
+ANOMALY_MAD_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         ROUND(SUM(value) / COUNT(*), 6) AS m
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, m,
+         MEDIAN(m) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS rolmed
+  FROM d),
+md AS (SELECT event_type, MEDIAN(m) AS med FROM d GROUP BY 1),
+mad AS (
+  SELECT d.event_type, MEDIAN(ABS(d.m - md.med)) AS mad
+  FROM d JOIN md USING (event_type) GROUP BY 1)
+SELECT r.event_type, COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN ABS(r.m - r.rolmed) > 3.0 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       ROUND(MAX(ABS(r.m - r.rolmed)), 6) AS max_dev
+FROM r JOIN mad ON r.event_type = mad.event_type
+GROUP BY 1
+"""
+
+
+def q_anomaly_mad(sf_dir: str):
+    """Robust telemetry anomaly detection per series: a day is
+    anomalous when its mean deviates from the CENTERED 7-day rolling
+    median by more than 3x the series' median-absolute-deviation.
+    Daily means are map-side (sum,count) partials -> one series-keyed
+    exchange; the per-series kernel is one sliding_window_view median
+    for the interior plus the <=6 shrinking edge windows, then two
+    medians for the MAD — all selection/interpolation arithmetic, no
+    transcendentals.  PARITY DISCIPLINE: the daily mean is two-step
+    6-dp rounded on BOTH sides BEFORE the median/threshold logic, so
+    the engine's merge-order float noise cannot flip a point across
+    the 3*MAD boundary (medians and compares on identical inputs are
+    then bit-exact)."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("n_anomalies", pa.int64()),
+                            ("max_dev", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        # merge duplicate (type, day) partials from different blocks
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        s = np.add.reduceat(s, kstarts)
+        n = np.add.reduceat(n, kstarts)
+        et = et[kstarts]
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        m_all = round6_tie_robust(s / n)
+        rows = {"event_type": [], "n_days": [], "n_anomalies": [],
+                "max_dev": []}
+        for st, ln in zip(starts, lens):
+            m = m_all[st:st + ln]
+            if ln >= 7:
+                from numpy.lib.stride_tricks import sliding_window_view
+                interior = np.median(sliding_window_view(m, 7), axis=1)
+                rolmed = np.empty(ln)
+                rolmed[3:ln - 3] = interior
+                for i in list(range(3)) + list(range(ln - 3, ln)):
+                    rolmed[i] = np.median(m[max(0, i - 3):i + 4])
+            else:
+                rolmed = np.array([np.median(m[max(0, i - 3):i + 4])
+                                   for i in range(ln)])
+            mad = np.median(np.abs(m - np.median(m)))
+            dev = np.abs(m - rolmed)
+            rows["event_type"].append(et[st])
+            rows["n_days"].append(int(ln))
+            rows["n_anomalies"].append(int((dev > 3.0 * mad).sum()))
+            rows["max_dev"].append(float(dev.max()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_days": pa.array(rows["n_days"], pa.int64()),
+            "n_anomalies": pa.array(rows["n_anomalies"], pa.int64()),
+            "max_dev": pa.array(round6_tie_robust(
+                np.array(rows["max_dev"]))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
 KMV_OVERLAP_SQL = """
 WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -6918,6 +7307,11 @@ def build_queries() -> dict:
         "interval_union": q_interval_union,
         "kmv_overlap": q_kmv_overlap,
         "ab_test": q_ab_test,
+        "json_props": q_json_props,
+        "markov_transitions": q_markov_transitions,
+        "covisit_pairs": q_covisit_pairs,
+        "benford_prices": q_benford_prices,
+        "anomaly_mad": q_anomaly_mad,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -7133,6 +7527,11 @@ WHERE rn <= 2
         "interval_union": INTERVAL_UNION_SQL,
         "kmv_overlap": KMV_OVERLAP_SQL,
         "ab_test": _ab_test_sql(),
+        "json_props": JSON_PROPS_SQL,
+        "markov_transitions": MARKOV_TRANSITIONS_SQL,
+        "covisit_pairs": COVISIT_PAIRS_SQL,
+        "benford_prices": BENFORD_PRICES_SQL,
+        "anomaly_mad": ANOMALY_MAD_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
