@@ -1,0 +1,112 @@
+"""Round-4 analytics operators vs independent pandas references at
+sf0.001: the distributed kernels (regex JSON scan, Markov pairs,
+co-visitation expansion, Benford digits, rolling-MAD anomalies) must
+equal a from-scratch single-process derivation."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_json_props_matches_json_loads(ray_session):
+    from light_curve_ray.pipelines.queries import q_json_props
+
+    got = q_json_props(SF).to_pandas().sort_values("event_type"
+                                                   ).reset_index(drop=True)
+    ev = _events().dropna(subset=["event_type", "props"])
+    ks = ev["props"].map(lambda s: json.loads(s).get("k"))
+    ref = (pd.DataFrame({"event_type": ev["event_type"], "k": ks})
+           .dropna().groupby("event_type")["k"]
+           .agg(["count", "sum"]).reset_index()
+           .sort_values("event_type").reset_index(drop=True))
+    assert list(got["n"]) == list(ref["count"])
+    assert list(got["sum_k"]) == list(ref["sum"].astype(int))
+    np.testing.assert_allclose(
+        got["mean_k"], ref["sum"] / ref["count"], atol=5e-7)
+
+
+def test_markov_transitions_matches_shift(ray_session):
+    from light_curve_ray.pipelines.queries import q_markov_transitions
+
+    got = q_markov_transitions(SF).to_pandas()
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    ref = (pd.DataFrame({"from_type": ev["event_type"], "to_type": nxt})
+           .dropna().groupby(["from_type", "to_type"])
+           .size().rename("n").reset_index())
+    m = got.merge(ref, on=["from_type", "to_type"],
+                  suffixes=("", "_ref"), how="outer")
+    assert not m.isna().any().any()
+    assert (m["n"] == m["n_ref"]).all()
+    # row-normalized probabilities sum to 1 per from_type
+    sums = got.groupby("from_type")["p"].sum()
+    np.testing.assert_allclose(sums, 1.0, atol=5e-6)
+
+
+def test_covisit_pairs_matches_selfjoin(ray_session):
+    from light_curve_ray.pipelines.queries import q_covisit_pairs
+
+    got = q_covisit_pairs(SF).to_pandas()
+    d = (_events().dropna(subset=["user_id", "event_type"])
+         [["user_id", "event_type"]].drop_duplicates())
+    j = d.merge(d, on="user_id")
+    j = j[j["event_type_x"] < j["event_type_y"]]
+    ref = (j.groupby(["event_type_x", "event_type_y"])
+           .size().rename("n_users").reset_index())
+    m = got.merge(ref, left_on=["type_a", "type_b"],
+                  right_on=["event_type_x", "event_type_y"],
+                  suffixes=("", "_ref"), how="outer")
+    assert not m["n_users"].isna().any()
+    assert not m["n_users_ref"].isna().any()
+    assert (m["n_users"] == m["n_users_ref"]).all()
+
+
+def test_benford_digits_match_string_extract(ray_session):
+    from light_curve_ray.pipelines.queries import q_benford_prices
+
+    got = q_benford_prices(SF).to_pandas().sort_values("digit"
+                                                       ).reset_index(drop=True)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")["l_extendedprice"
+                                                   ].dropna()
+    first = li.map(lambda v: next((c for c in repr(float(v))
+                                   if c in "123456789"), None)).dropna()
+    ref = first.value_counts().sort_index()
+    assert list(got["digit"]) == list(ref.index)
+    assert list(got["n"]) == list(ref.values)
+    assert int(got["n"].sum()) == len(first)
+    np.testing.assert_allclose(got["freq"], ref.values / len(first),
+                               atol=5e-7)
+
+
+def test_anomaly_mad_matches_pandas_rolling(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_anomaly_mad
+
+    got = q_anomaly_mad(SF).to_pandas().set_index("event_type")
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    daily = (ev.groupby(["event_type", "day"])["value"]
+             .agg(["sum", "count"]).reset_index()
+             .sort_values(["event_type", "day"]))
+    for et, grp in daily.groupby("event_type"):
+        m = round6_tie_robust(
+            grp["sum"].to_numpy() / grp["count"].to_numpy())
+        rolmed = (pd.Series(m).rolling(7, center=True, min_periods=1)
+                  .median().to_numpy())
+        mad = np.median(np.abs(m - np.median(m)))
+        dev = np.abs(m - rolmed)
+        row = got.loc[et]
+        assert row["n_days"] == len(m)
+        assert row["n_anomalies"] == int((dev > 3.0 * mad).sum())
+        np.testing.assert_allclose(row["max_dev"], dev.max(), atol=5e-7)
