@@ -3356,6 +3356,368 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+RFM_SEGMENTS_SQL = """
+WITH c AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 6) AS monetary
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+s AS (
+  SELECT custkey,
+         NTILE(4) OVER (ORDER BY last_day, custkey) AS r,
+         NTILE(4) OVER (ORDER BY n_orders, custkey) AS f,
+         NTILE(4) OVER (ORDER BY monetary, custkey) AS m
+  FROM c)
+SELECT r, f, m, COUNT(*) AS n_customers FROM s GROUP BY 1, 2, 3
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — and the engine's GLOBAL (un-keyed)
+    NTILE: window_ranks ranks within a partition key, but RFM quartiles
+    order the WHOLE customer table three ways.  Design: per-customer
+    aggregates (map-side partials + one custkey exchange), then per
+    dimension ONE distributed sort + the prefix-scan rank
+    (stages/scan.prefix_sum) — only the THREE quartile-boundary rows
+    are collected (the (value, custkey) pairs at SQL NTILE's exact
+    bucket-end ranks, extras to the first n%4 buckets), and one final
+    broadcast pass assigns all three scores by lexicographic compare
+    against those 9 pairs.  No customer-scale driver collect, no join:
+    boundary rows are O(1).  Monetary is two-step 6-dp rounded on BOTH
+    sides before ordering so merge-order sum noise cannot reorder
+    near-tied customers."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.scan import prefix_sum
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    part_schema = pa.schema([("custkey", pa.int64()),
+                             ("last_day", pa.int64()),
+                             ("n_orders", pa.int64()),
+                             ("msum", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["o_custkey"]),
+                            pc.is_valid(batch["o_orderdate"])),
+                    pc.is_valid(batch["o_totalprice"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        day = pc.divide(batch["o_orderdate"].cast(pa.int64()), _DAY_US)
+        t = pa.table({"custkey": batch["o_custkey"], "day": day,
+                      "price": batch["o_totalprice"]})
+        g = t.group_by(["custkey"]).aggregate(
+            [("day", "max"), ("day", "count"), ("price", "sum")])
+        return g.rename_columns(["custkey", "last_day", "n_orders",
+                                 "msum"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cust_schema = pa.schema([("custkey", pa.int64()),
+                             ("last_day", pa.int64()),
+                             ("n_orders", pa.int64()),
+                             ("monetary", pa.float64()),
+                             ("one", pa.int64())])
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return cust_schema.empty_table()
+        tbl = batch.sort_by([("custkey", "ascending")])
+        ck = tbl["custkey"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(ck), dtype=bool)
+        first[0] = True
+        first[1:] = ck[1:] != ck[:-1]
+        starts = np.nonzero(first)[0]
+        last_day = np.maximum.reduceat(
+            tbl["last_day"].to_numpy(zero_copy_only=False), starts)
+        n_orders = np.add.reduceat(
+            tbl["n_orders"].to_numpy(zero_copy_only=False), starts)
+        msum = np.add.reduceat(
+            tbl["msum"].to_numpy(zero_copy_only=False), starts)
+        return pa.table({
+            "custkey": pa.array(ck[starts], pa.int64()),
+            "last_day": pa.array(last_day, pa.int64()),
+            "n_orders": pa.array(n_orders, pa.int64()),
+            "monetary": pa.array(round6_tie_robust(msum)),
+            "one": pa.array(np.ones(len(starts), np.int64)),
+        }, schema=cust_schema)
+
+    cust = sorted_group_map(partials, ["custkey"], None, cust_schema,
+                            block_fn=_cust).materialize()
+    n = cust.count()
+    size, rem = divmod(n, 4)
+    ends = []
+    c = 0
+    for i in range(3):
+        c += size + (1 if i < rem else 0)
+        ends.append(c)
+
+    def _boundaries(col: str) -> list:
+        """The (value, custkey) pairs at NTILE's bucket-end ranks."""
+        ranked = prefix_sum(cust, [col, "custkey"], "one", out_col="rk")
+
+        def _sel(batch: pa.Table) -> pa.Table:
+            rn = pc.add(batch["rk"], 1)
+            keep = pc.is_in(rn, value_set=pa.array(ends, pa.int64()))
+            t = batch.filter(keep)
+            return pa.table({"rn": pc.add(t["rk"], 1), "v": t[col],
+                             "ck": t["custkey"]})
+
+        rows = _collect_raw(ranked.map_batches(
+            _sel, batch_format="pyarrow")).sort_by([("rn", "ascending")])
+        return list(zip(rows["v"].to_pylist(), rows["ck"].to_pylist()))
+
+    bounds = {col: _boundaries(col)
+              for col in ("last_day", "n_orders", "monetary")}
+    seg_schema = pa.schema([("r", pa.int64()), ("f", pa.int64()),
+                            ("m", pa.int64()),
+                            ("n_customers", pa.int64())])
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return seg_schema.empty_table()
+        ck = batch["custkey"].to_numpy(zero_copy_only=False)
+        scores = {}
+        for name, col in (("r", "last_day"), ("f", "n_orders"),
+                          ("m", "monetary")):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            s = np.ones(len(v), np.int64)
+            for bv, bck in bounds[col]:
+                s += ((v > bv) | ((v == bv) & (ck > bck))).astype(
+                    np.int64)
+            scores[name] = s
+        t = pa.table({"r": pa.array(scores["r"], pa.int64()),
+                      "f": pa.array(scores["f"], pa.int64()),
+                      "m": pa.array(scores["m"], pa.int64())})
+        g = t.group_by(["r", "f", "m"]).aggregate([([], "count_all")])
+        return pa.table({"r": g["r"], "f": g["f"], "m": g["m"],
+                         "n_customers": g["count_all"]},
+                        schema=seg_schema)
+
+    parts = _collect_raw(cust.map_batches(_assign,
+                                          batch_format="pyarrow"))
+    g = parts.group_by(["r", "f", "m"]).aggregate([("n_customers",
+                                                    "sum")])
+    return pa.table({"r": g["r"], "f": g["f"], "m": g["m"],
+                     "n_customers": g["n_customers_sum"].cast(
+                         pa.int64())})
+
+
+DOW_PROFILE_SQL = """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL)
+SELECT event_type, dow, COUNT(*) AS n,
+       ROUND(SUM(value) / COUNT(*), 6) AS mean_value,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+         AS share
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_dow_profile(sf_dir: str):
+    """Day-of-week seasonal profile per series: volume, mean value and
+    each weekday's share of the key's total.  The weekday is integer
+    arithmetic on the epoch day ((day+4)%7 — 1970-01-01 was a
+    Thursday), NOT a timestamp function, so both engines compute the
+    identical integer with no timezone/locale surface.  Map-side
+    (type, dow) partials; the driver merge is |types|*7 rows; share is
+    one exact int division."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("dow", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (t_us // _DAY_US + 4) % 7
+        t = pa.table({"event_type": batch["event_type"],
+                      "dow": pa.array(dow, pa.int64()),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [("v", "count"), ("v", "sum")])
+        return g.rename_columns(["event_type", "dow", "n", "s"])
+
+    parts = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    g = parts.group_by(["event_type", "dow"]).aggregate(
+        [("n", "sum"), ("s", "sum")])
+    et = g["event_type"].to_pylist()
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = g["s_sum"].to_numpy(zero_copy_only=False)
+    totals = {}
+    for t_, c in zip(et, n):
+        totals[t_] = totals.get(t_, 0) + int(c)
+    tot = np.array([totals[t_] for t_ in et], dtype=np.float64)
+    return pa.table({
+        "event_type": g["event_type"],
+        "dow": g["dow"].cast(pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "mean_value": pa.array(round6_tie_robust(s / n)),
+        "share": pa.array(round6_tie_robust(
+            n.astype(np.float64) / tot)),
+    })
+
+
+KANON_ROLLUP_SQL = """
+WITH g AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_kept,
+       CAST(SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_suppressed,
+       CAST(SUM(CASE WHEN n >= 3 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_kept,
+       CAST(SUM(CASE WHEN n < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_suppressed
+FROM g GROUP BY 1
+"""
+
+
+def q_kanon_rollup(sf_dir: str):
+    """k-anonymity suppression audit (the privacy gate a training-data
+    release pipeline runs): per (type, user) group counts, groups below
+    k=3 are suppressed; emits kept/suppressed group and row counters
+    per type.  Map-side (type, user) partial counts -> ONE user-keyed
+    exchange (a user's groups co-locate) -> per-type integer counters,
+    driver merge is |types| rows.  All-integer arithmetic, no rounding
+    surface."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "user_id": g["user_id"],
+                         "n": g["count_all"]}, schema=part_schema)
+
+    partials = ds.map_batches(_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("groups_kept", pa.int64()),
+                            ("groups_suppressed", pa.int64()),
+                            ("rows_kept", pa.int64()),
+                            ("rows_suppressed", pa.int64())])
+
+    def _audit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("user_id", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        n = np.add.reduceat(n, kstarts)
+        et = et[kstarts]
+        kept = n >= 3
+        t = pa.table({"event_type": pa.array(et, pa.string()),
+                      "gk": pa.array(kept.astype(np.int64)),
+                      "gs": pa.array((~kept).astype(np.int64)),
+                      "rk": pa.array(np.where(kept, n, 0)),
+                      "rs": pa.array(np.where(kept, 0, n))})
+        g = t.group_by(["event_type"]).aggregate(
+            [("gk", "sum"), ("gs", "sum"), ("rk", "sum"), ("rs", "sum")])
+        return g.rename_columns(["event_type", "groups_kept",
+                                 "groups_suppressed", "rows_kept",
+                                 "rows_suppressed"]).cast(out_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        partials, ["user_id"], None, out_schema, block_fn=_audit))
+    g = parts.group_by(["event_type"]).aggregate(
+        [("groups_kept", "sum"), ("groups_suppressed", "sum"),
+         ("rows_kept", "sum"), ("rows_suppressed", "sum")])
+    return g.rename_columns(["event_type", "groups_kept",
+                             "groups_suppressed", "rows_kept",
+                             "rows_suppressed"]).cast(out_schema)
+
+
+def _weighted_sample_sql() -> str:
+    from ..stages.sampling import hash_bucket_fine_sql
+
+    return f"""
+WITH h AS (
+  SELECT event_type, event_id,
+         (CAST({hash_bucket_fine_sql('event_id', 5)} AS DOUBLE) + 1.0)
+         / 1000000.0 / value AS prio
+  FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL AND value > 0.0),
+r AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY prio, event_id) AS rn
+  FROM h)
+SELECT event_type, event_id, rn FROM r WHERE rn <= 20
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling per key (value-proportional
+    priority sampling — high-value rows are preferentially kept, the
+    reproducible importance-sampling op): priority = u/value with
+    u = (fine-hash(id)+1)/1e6 in (0, 1], keep the 20 LOWEST priorities
+    per type.  The hash is the bit-exact HUGEINT-mirrored house hash
+    (split_sample discipline) and the priority is two IEEE divisions
+    in the SAME op order as the oracle, so selection mirrors
+    bit-for-bit.  Block-local per-key candidate pruning + one slim
+    re-rank exchange (stages/topk.top_k_by_key) — at most k rows per
+    key leave any block."""
+    from ..stages.sampling import hash_bucket_fine
+    from ..stages.topk import top_k_by_key
+
+    ds = _events_nonnull(sf_dir, ["event_type", "event_id", "value"])
+
+    def _prio(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["value"], 0.0))
+        if len(batch) == 0:
+            return pa.schema([("event_type", pa.string()),
+                              ("event_id", pa.int64()),
+                              ("prio", pa.float64())]).empty_table()
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        u = (hash_bucket_fine(ids, salt=5).astype(np.float64) + 1.0) \
+            / 1_000_000.0
+        return pa.table({"event_type": batch["event_type"],
+                         "event_id": batch["event_id"],
+                         "prio": pa.array(u / v)})
+
+    keyed = ds.map_batches(_prio, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    top = top_k_by_key(keyed, ["event_type"], "prio", 20,
+                       tiebreak_col="event_id", descending=False)
+    return _collect(top.map_batches(
+        lambda t: t.select(["event_type", "event_id", "rn"]),
+        batch_format="pyarrow"))
+
+
 KMV_OVERLAP_SQL = """
 WITH d AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -7312,6 +7674,10 @@ def build_queries() -> dict:
         "covisit_pairs": q_covisit_pairs,
         "benford_prices": q_benford_prices,
         "anomaly_mad": q_anomaly_mad,
+        "rfm_segments": q_rfm_segments,
+        "dow_profile": q_dow_profile,
+        "kanon_rollup": q_kanon_rollup,
+        "weighted_sample": q_weighted_sample,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -7532,6 +7898,10 @@ WHERE rn <= 2
         "covisit_pairs": COVISIT_PAIRS_SQL,
         "benford_prices": BENFORD_PRICES_SQL,
         "anomaly_mad": ANOMALY_MAD_SQL,
+        "rfm_segments": RFM_SEGMENTS_SQL,
+        "dow_profile": DOW_PROFILE_SQL,
+        "kanon_rollup": KANON_ROLLUP_SQL,
+        "weighted_sample": _weighted_sample_sql(),
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -110,3 +110,71 @@ def test_anomaly_mad_matches_pandas_rolling(ray_session):
         assert row["n_days"] == len(m)
         assert row["n_anomalies"] == int((dev > 3.0 * mad).sum())
         np.testing.assert_allclose(row["max_dev"], dev.max(), atol=5e-7)
+
+
+def test_rfm_segments_ntile_marginals(ray_session):
+    from light_curve_ray.pipelines.queries import q_rfm_segments
+
+    got = q_rfm_segments(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet").dropna(
+        subset=["o_custkey", "o_orderdate", "o_totalprice"])
+    n_cust = orders["o_custkey"].nunique()
+    assert int(got["n_customers"].sum()) == n_cust
+    size, rem = divmod(n_cust, 4)
+    expected = [size + (1 if i < rem else 0) for i in range(4)]
+    # each dimension's marginal must be EXACTLY the SQL NTILE sizes
+    for dim in ("r", "f", "m"):
+        marg = got.groupby(dim)["n_customers"].sum().sort_index()
+        assert list(marg) == expected, dim
+
+
+def test_kanon_rollup_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_kanon_rollup
+
+    got = q_kanon_rollup(SF).to_pandas().set_index("event_type")
+    ev = _events().dropna(subset=["event_type", "user_id"])
+    g = ev.groupby(["event_type", "user_id"]).size().rename("n"
+                                                            ).reset_index()
+    for et, grp in g.groupby("event_type"):
+        kept = grp["n"] >= 3
+        row = got.loc[et]
+        assert row["groups_kept"] == int(kept.sum())
+        assert row["groups_suppressed"] == int((~kept).sum())
+        assert row["rows_kept"] == int(grp["n"][kept].sum())
+        assert row["rows_suppressed"] == int(grp["n"][~kept].sum())
+
+
+def test_weighted_sample_matches_bruteforce(ray_session):
+    from light_curve_ray.pipelines.queries import q_weighted_sample
+    from light_curve_ray.stages.sampling import hash_bucket_fine
+
+    got = q_weighted_sample(SF).to_pandas()
+    ev = _events().dropna(subset=["event_type", "event_id", "value"])
+    ev = ev[ev["value"] > 0].copy()
+    u = (hash_bucket_fine(ev["event_id"].to_numpy(), salt=5)
+         .astype(np.float64) + 1.0) / 1_000_000.0
+    ev["prio"] = u / ev["value"].to_numpy()
+    ref = (ev.sort_values(["event_type", "prio", "event_id"])
+           .groupby("event_type").head(20))
+    for et, grp in ref.groupby("event_type"):
+        sel = got[got["event_type"] == et].sort_values("rn")
+        assert list(sel["event_id"]) == list(grp["event_id"])
+        assert list(sel["rn"]) == list(range(1, len(grp) + 1))
+
+
+def test_dow_profile_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_dow_profile
+
+    got = q_dow_profile(SF).to_pandas().sort_values(
+        ["event_type", "dow"]).reset_index(drop=True)
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    day = ev["ts"].astype("int64") // 86_400_000_000
+    ev = ev.assign(dow=(day + 4) % 7)
+    ref = (ev.groupby(["event_type", "dow"])["value"]
+           .agg(["count", "sum"]).reset_index()
+           .sort_values(["event_type", "dow"]).reset_index(drop=True))
+    assert list(got["n"]) == list(ref["count"])
+    np.testing.assert_allclose(got["mean_value"],
+                               ref["sum"] / ref["count"], atol=5e-7)
+    shares = got.groupby("event_type")["share"].sum()
+    np.testing.assert_allclose(shares, 1.0, atol=5e-6)
