@@ -3356,6 +3356,266 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+p AS (SELECT COALESCE(channel, '(none)') AS channel FROM s
+      WHERE event_type = 'purchase')
+SELECT channel, COUNT(*) AS n_purchases FROM p GROUP BY 1
+"""
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch conversion attribution (the marketing-analytics op):
+    every purchase is credited to the user's most recent PRECEDING
+    non-purchase event type ('(none)' when the purchase opens the
+    journey).  One user-keyed exchange; the block kernel is a
+    segmented conditional forward-fill — a global cummax over
+    non-purchase row indices, shifted one row, then reset at user
+    boundaries by comparing against each row's run start (all
+    vectorized; index monotonicity makes the cross-user leak check a
+    single >= compare).  Partials are |channels| rows per block."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    part_schema = pa.schema([("channel", pa.string()),
+                             ("n_purchases", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        run_start = idx[first][np.cumsum(first) - 1]
+        nonp = et != "purchase"
+        cm = np.maximum.accumulate(np.where(nonp, idx, -1))
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = cm[:-1]
+        # a previous user's index survived the global cummax iff it is
+        # below this row's run start
+        attrib = np.where(prev >= run_start, prev, -1)
+        purch = et == "purchase"
+        src = attrib[purch]
+        channels = np.where(src >= 0, et[np.maximum(src, 0)], "(none)")
+        t = pa.table({"channel": pa.array(channels, pa.string())})
+        g = t.group_by(["channel"]).aggregate([([], "count_all")])
+        return pa.table({"channel": g["channel"],
+                         "n_purchases": g["count_all"]},
+                        schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        ds, ["user_id"], None, part_schema, block_fn=_block))
+    g = parts.group_by(["channel"]).aggregate([("n_purchases", "sum")])
+    return pa.table({"channel": g["channel"],
+                     "n_purchases": g["n_purchases_sum"].cast(
+                         pa.int64())})
+
+
+SCD2_HISTORY_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+c AS (
+  SELECT user_id, event_type AS state, ts, event_id FROM s
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, state, epoch_us(ts) AS valid_from_us,
+       LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS valid_to_us
+FROM c
+"""
+
+
+def q_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension (type-2) history build — the
+    dimension-table maintenance op: collapse each user's event stream
+    into validity intervals of their current state (consecutive equal
+    states merge; each interval closes when the state CHANGES, the
+    open interval has valid_to NULL).  One user-keyed exchange; the
+    block kernel is one lexsort + a change mask + one shift — rows out
+    are change-point scale, never event scale when states are sticky."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("state", pa.string()),
+                            ("valid_from_us", pa.int64()),
+                            ("valid_to_us", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t_us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        change = first.copy()
+        change[1:] |= et[1:] != et[:-1]
+        cu, cs, ct = uid[change], et[change], t_us[change]
+        m = len(cu)
+        # int64 end-to-end: epoch-µs magnitudes exceed float64's 2^53
+        nxt_i = np.empty(m, dtype=np.int64)
+        nxt_i[:-1] = ct[1:]
+        nxt_i[-1] = 0
+        same_user = np.empty(m, dtype=bool)
+        same_user[:-1] = cu[1:] == cu[:-1]
+        same_user[-1] = False
+        valid_to = pa.array(nxt_i, pa.int64(), mask=~same_user)
+        return pa.table({
+            "user_id": pa.array(cu, pa.int64()),
+            "state": pa.array(cs, pa.string()),
+            "valid_from_us": pa.array(ct, pa.int64()),
+            "valid_to_us": valid_to,
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(ds, ["user_id"], None, out_schema,
+                                     block_fn=_block))
+
+
+CHANGEPOINT_CUSUM_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+c AS (
+  SELECT event_type, day, mi,
+         SUM(mi) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(mi) OVER (PARTITION BY event_type) AS total
+  FROM d),
+s AS (
+  SELECT event_type, day, n,
+         ABS(CAST(n AS BIGINT) * cum - CAST(k AS BIGINT) * total)
+           AS stat_i
+  FROM c WHERE k < n),
+r AS (
+  SELECT event_type, day, stat_i, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY stat_i DESC, day) AS rn
+  FROM s)
+SELECT event_type, day AS change_day,
+       ROUND(CAST(stat_i AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS stat
+FROM r WHERE rn = 1
+"""
+
+
+def q_changepoint_cusum(sf_dir: str):
+    """Change-point detection per series (CUSUM / binary-segmentation
+    first split): the day k maximizing |S_k - (k/n)·S_n| over the daily
+    mean series — where a level shift most likely happened.  PARITY BY
+    INTEGER ALGEBRA: daily means are 6-dp rounded then scaled to exact
+    int64 micro-units, and the argmax statistic is computed as
+    |n·cum_k - k·total| in pure int64 — immune to the windowed-SUM
+    association-order difference between engines (DuckDB's segment-tree
+    window sum vs numpy's sequential cumsum would otherwise diverge at
+    the ulp and could flip the argmax between near-tied days).  The
+    float statistic is recovered by ONE exact division at the end.
+    One series-keyed exchange; ties break to the earliest day."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("change_day", pa.int64()),
+                            ("stat", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n_ = tbl["n"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        s = np.add.reduceat(s, kstarts)
+        n_ = np.add.reduceat(n_, kstarts)
+        et, day = et[kstarts], day[kstarts]
+        mi = np.floor(round6_tie_robust(s / n_) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"event_type": [], "change_day": [], "stat": []}
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            m = mi[st:st + ln]
+            cum = np.cumsum(m)
+            total = int(cum[-1])
+            k = np.arange(1, ln, dtype=np.int64)  # k < n
+            stat_i = np.abs(ln * cum[:-1] - k * total)
+            best = int(np.argmax(stat_i))
+            rows["event_type"].append(et[st])
+            rows["change_day"].append(int(day[st + best]))
+            rows["stat"].append(float(stat_i[best])
+                                / (float(ln) * 1_000_000.0))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "change_day": pa.array(rows["change_day"], pa.int64()),
+            "stat": pa.array(round6_tie_robust(
+                np.array(rows["stat"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
 RFM_SEGMENTS_SQL = """
 WITH c AS (
   SELECT o_custkey AS custkey,
@@ -7678,6 +7938,9 @@ def build_queries() -> dict:
         "dow_profile": q_dow_profile,
         "kanon_rollup": q_kanon_rollup,
         "weighted_sample": q_weighted_sample,
+        "attribution": q_attribution,
+        "scd2_history": q_scd2_history,
+        "changepoint_cusum": q_changepoint_cusum,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -7902,6 +8165,9 @@ WHERE rn <= 2
         "dow_profile": DOW_PROFILE_SQL,
         "kanon_rollup": KANON_ROLLUP_SQL,
         "weighted_sample": _weighted_sample_sql(),
+        "attribution": ATTRIBUTION_SQL,
+        "scd2_history": SCD2_HISTORY_SQL,
+        "changepoint_cusum": CHANGEPOINT_CUSUM_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

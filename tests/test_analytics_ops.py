@@ -178,3 +178,68 @@ def test_dow_profile_matches_pandas(ray_session):
                                ref["sum"] / ref["count"], atol=5e-7)
     shares = got.groupby("event_type")["share"].sum()
     np.testing.assert_allclose(shares, 1.0, atol=5e-6)
+
+
+def test_attribution_matches_pandas_ffill(ray_session):
+    from light_curve_ray.pipelines.queries import q_attribution
+
+    got = q_attribution(SF).to_pandas().set_index("channel")
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ch = ev["event_type"].where(ev["event_type"] != "purchase")
+    last = ch.groupby(ev["user_id"]).transform(
+        lambda s: s.shift(1).ffill())
+    ref = (last[ev["event_type"] == "purchase"].fillna("(none)")
+           .value_counts())
+    assert got["n_purchases"].sum() == ref.sum()
+    for channel, n in ref.items():
+        assert got.loc[channel, "n_purchases"] == n
+
+
+def test_scd2_intervals_are_consistent(ray_session):
+    from light_curve_ray.pipelines.queries import q_scd2_history
+
+    got = q_scd2_history(SF).to_pandas().sort_values(
+        ["user_id", "valid_from_us"]).reset_index(drop=True)
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    # interval chain: within a user, valid_to == next valid_from,
+    # exactly one open interval, consecutive states always differ
+    for uid, grp in got.groupby("user_id"):
+        vt = grp["valid_to_us"].to_numpy()
+        vf = grp["valid_from_us"].to_numpy()
+        st = grp["state"].to_numpy()
+        assert np.isnan(vt[-1]) or vt[-1] is None or pd.isna(vt[-1])
+        assert (vt[:-1] == vf[1:]).all()
+        assert (st[1:] != st[:-1]).all()
+    # row count == number of state change points
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    n_changes = int((prev.isna() | (prev != ev["event_type"])).sum())
+    assert len(got) == n_changes
+
+
+def test_changepoint_cusum_matches_bruteforce(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_changepoint_cusum
+
+    got = q_changepoint_cusum(SF).to_pandas().set_index("event_type")
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    daily = (ev.groupby(["event_type", "day"])["value"]
+             .agg(["sum", "count"]).reset_index()
+             .sort_values(["event_type", "day"]))
+    for et, grp in daily.groupby("event_type"):
+        m = round6_tie_robust(
+            grp["sum"].to_numpy() / grp["count"].to_numpy())
+        mi = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        cum = np.cumsum(mi)
+        n = len(mi)
+        k = np.arange(1, n)
+        stat_i = np.abs(n * cum[:-1] - k * cum[-1])
+        best = int(np.argmax(stat_i))
+        row = got.loc[et]
+        assert row["change_day"] == grp["day"].to_numpy()[best]
+        np.testing.assert_allclose(
+            row["stat"], stat_i[best] / (n * 1e6), atol=5e-7)
