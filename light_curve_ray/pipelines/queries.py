@@ -3356,6 +3356,128 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+VOCAB_BUILD_SQL = """
+WITH w AS (
+  SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT term, COUNT(*) AS tf FROM w WHERE term <> ''
+  GROUP BY 1 HAVING COUNT(*) >= 10)
+SELECT term, CAST(tf AS BIGINT) AS tf,
+       ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS vocab_id
+FROM c
+"""
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer vocabulary construction (the training-prep op every
+    text pipeline starts with): corpus term frequencies -> dense
+    frequency-ordered integer ids (most frequent term = id 1, ties
+    alphabetical).  Reuses the wordcount combiner (distinct-term
+    partials leave each block, one keyed merge), then the id is the
+    engine's GLOBAL rank — one distributed sort over (−tf, term) + the
+    prefix-scan offset (stages/scan.prefix_sum), the same machinery as
+    epoch_shuffle; no term-scale driver collect before the final
+    bounded (min_count-filtered) result."""
+    import ray.data as rd
+
+    from ..stages.scan import prefix_sum
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    counts = term_counts(ds, [], "text")
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n"], 10)
+        t = batch.filter(keep)
+        return pa.table({
+            "term": t["term"],
+            "tf": t["n"].cast(pa.int64()),
+            "neg_tf": pc.multiply(t["n"].cast(pa.int64()), -1),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    kept = counts.map_batches(_prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ranked = prefix_sum(kept, ["neg_tf", "term"], "one", out_col="rk")
+    return _collect(ranked.map_batches(
+        lambda t: pa.table({"term": t["term"], "tf": t["tf"],
+                            "vocab_id": pc.add(t["rk"], 1)}),
+        batch_format="pyarrow"))
+
+
+EMBEDDING_DIM_STATS_SQL = """
+SELECT i AS dim, COUNT(*) AS n,
+       ROUND(SUM(CAST(embedding[i + 1] AS DOUBLE)) / COUNT(*), 6)
+         AS mean,
+       ROUND((SUM(CAST(embedding[i + 1] AS DOUBLE)
+                  * CAST(embedding[i + 1] AS DOUBLE))
+              - SUM(CAST(embedding[i + 1] AS DOUBLE))
+                * SUM(CAST(embedding[i + 1] AS DOUBLE)) / COUNT(*))
+             / (COUNT(*) - 1), 6) AS var
+FROM embeddings, UNNEST(range(64)) t(i)
+WHERE embedding IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION statistics of the embedding column (embedding-QA:
+    a wrong per-dim mean/variance is how normalization bugs surface) —
+    the engine's vector-columnar aggregate: each block's list column
+    reshapes to an (n, 64) float64 matrix and contributes ONE
+    (sum-vector, sumsq-vector, count) partial via two np.add.reduce
+    calls; the driver merge is 64 rows regardless of corpus size.  The
+    float32 elements are widened to float64 BEFORE squaring on both
+    sides (the SQL casts mirror it) so the products are the identical
+    doubles."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    part_schema = pa.schema([("dim", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.float64()), ("ss", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        col = pc.filter(col, pc.is_valid(col))
+        if len(col) == 0:
+            return part_schema.empty_table()
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        mat = flat.reshape(len(arr), -1)
+        return pa.table({
+            "dim": pa.array(np.arange(mat.shape[1]), pa.int64()),
+            "n": pa.array(np.full(mat.shape[1], mat.shape[0],
+                                  np.int64)),
+            "s": pa.array(np.add.reduce(mat, axis=0)),
+            "ss": pa.array(np.add.reduce(mat * mat, axis=0)),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    g = parts.group_by(["dim"]).aggregate(
+        [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = g["s_sum"].to_numpy(zero_copy_only=False)
+    ss = g["ss_sum"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "dim": g["dim"].cast(pa.int64()),
+        "n": g["n_sum"].cast(pa.int64()),
+        "mean": pa.array(round6_tie_robust(s / n)),
+        "var": pa.array(round6_tie_robust(
+            (ss - s * s / n) / (n - 1.0))),
+    })
+
+
 ATTRIBUTION_SQL = """
 WITH s AS (
   SELECT user_id, event_type,
@@ -7941,6 +8063,8 @@ def build_queries() -> dict:
         "attribution": q_attribution,
         "scd2_history": q_scd2_history,
         "changepoint_cusum": q_changepoint_cusum,
+        "vocab_build": q_vocab_build,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -8168,6 +8292,8 @@ WHERE rn <= 2
         "attribution": ATTRIBUTION_SQL,
         "scd2_history": SCD2_HISTORY_SQL,
         "changepoint_cusum": CHANGEPOINT_CUSUM_SQL,
+        "vocab_build": VOCAB_BUILD_SQL,
+        "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -243,3 +243,37 @@ def test_changepoint_cusum_matches_bruteforce(ray_session):
         assert row["change_day"] == grp["day"].to_numpy()[best]
         np.testing.assert_allclose(
             row["stat"], stat_i[best] / (n * 1e6), atol=5e-7)
+
+
+def test_vocab_build_ids_are_frequency_ordered(ray_session):
+    from light_curve_ray.pipelines.queries import q_vocab_build
+
+    got = q_vocab_build(SF).to_pandas().sort_values("vocab_id"
+                                                    ).reset_index(drop=True)
+    assert (got["tf"] >= 10).all()
+    assert list(got["vocab_id"]) == list(range(1, len(got) + 1))
+    # ids follow (tf desc, term asc) exactly
+    ref = got.sort_values(["tf", "term"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert list(ref["vocab_id"]) == list(range(1, len(got) + 1))
+    # cross-check one frequency against a direct count
+    docs = pd.read_parquet(f"{SF}/documents.parquet")["text"].dropna()
+    import re
+    toks = re.split(r"[^a-z0-9]+", " ".join(docs).lower())
+    from collections import Counter
+    c = Counter(t for t in toks if t)
+    top = got.iloc[0]
+    assert c[top["term"]] == top["tf"]
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    from light_curve_ray.pipelines.queries import q_embedding_dim_stats
+
+    got = q_embedding_dim_stats(SF).to_pandas().sort_values("dim"
+                                                            ).reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"]
+    mat = np.stack(emb.to_numpy()).astype(np.float64)
+    assert list(got["n"]) == [len(mat)] * mat.shape[1]
+    np.testing.assert_allclose(got["mean"], mat.mean(axis=0), atol=5e-7)
+    np.testing.assert_allclose(got["var"], mat.var(axis=0, ddof=1),
+                               atol=5e-7)
