@@ -3356,6 +3356,267 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+RANGE_SPLITS_SQL = """
+WITH v AS (
+  SELECT value, event_id FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+r AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v)
+SELECT i AS split_idx, value AS split_value
+FROM r, UNNEST(range(1, 8)) t(i)
+WHERE rn = (i * n) // 8
+"""
+
+
+def q_range_splits(sf_dir: str):
+    """Range-partition planning (the infrastructure op behind every
+    balanced distributed sort): the 7 split values that divide the
+    value column into 8 equal-count ranges — exact rank boundaries,
+    not samples.  One distributed sort + prefix-scan rank
+    (stages/scan.prefix_sum), then ONLY the boundary rows (O(buckets))
+    are collected; boundary ranks are floor(i*n/8) in exact integer
+    arithmetic on both sides."""
+    from ..stages.scan import prefix_sum
+
+    ds = _events_nonnull(sf_dir, ["value", "event_id"])
+
+    def _one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": batch["value"], "event_id": batch["event_id"],
+            "one": pa.array(np.ones(len(batch), np.int64)),
+        })
+
+    keyed = ds.map_batches(_one, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n = keyed.count()
+    targets = [(i * n) // 8 for i in range(1, 8)]
+    t_idx = {t: i for i, t in enumerate(targets, start=1)}
+    ranked = prefix_sum(keyed, ["value", "event_id"], "one",
+                        out_col="rk")
+
+    def _sel(batch: pa.Table) -> pa.Table:
+        rn = pc.add(batch["rk"], 1)
+        keep = pc.is_in(rn, value_set=pa.array(targets, pa.int64()))
+        t = batch.filter(keep)
+        rn_k = pc.add(t["rk"], 1).to_pylist()
+        return pa.table({
+            "split_idx": pa.array([t_idx[r] for r in rn_k], pa.int64()),
+            "split_value": t["value"],
+        })
+
+    return _collect(ranked.map_batches(_sel, batch_format="pyarrow"))
+
+
+SNAPSHOT_FFILL_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) AS t_us, event_id, value
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND value IS NOT NULL),
+d AS (
+  SELECT event_type, day,
+         FIRST(value ORDER BY t_us DESC, event_id DESC) AS close
+  FROM e GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, UNNEST(range(mn, mx + 1)) AS day
+  FROM (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+        FROM d GROUP BY 1)),
+j AS (
+  SELECT s.event_type, s.day, d.close,
+         d.close IS NULL AS filled
+  FROM spine s LEFT JOIN d ON s.event_type = d.event_type
+                           AND s.day = d.day)
+SELECT event_type, day,
+       ROUND(LAST_VALUE(close IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY day), 6) AS close,
+       filled
+FROM j
+"""
+
+
+def q_snapshot_ffill(sf_dir: str):
+    """Daily snapshot densification with forward-fill (how state tables
+    are built from event streams): each series' daily CLOSE (last value
+    of the day in total (ts, event_id) order) on a dense day spine from
+    the series' first to last active day, gaps carrying the previous
+    close (flagged).  Unlike gapfill (which zero-fills counts), this is
+    the last-observation-carried-forward semantic.  Map-side per-day
+    candidate pruning (only each block's last row per (type, day)
+    survives), one series-keyed exchange, then a vectorized
+    searchsorted fill per series."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "event_id",
+                                  "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("t_us", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("value", pa.float64())])
+
+    def _day_last(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "t_us": t_us,
+                      "event_id": batch["event_id"],
+                      "value": batch["value"]})
+        tbl = t.sort_by([("event_type", "ascending"),
+                         ("day", "ascending"), ("t_us", "ascending"),
+                         ("event_id", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        last = np.empty(len(et), dtype=bool)
+        last[-1] = True
+        last[:-1] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        return tbl.filter(pa.array(last)).cast(part_schema)
+
+    partials = ds.map_batches(_day_last, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("day", pa.int64()),
+                            ("close", pa.float64()),
+                            ("filled", pa.bool_())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending"), ("t_us", "ascending"),
+                             ("event_id", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        last = np.empty(len(et), dtype=bool)
+        last[-1] = True
+        last[:-1] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        et, day, v = et[last], day[last], v[last]
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        cols = {"event_type": [], "day": [], "close": [], "filled": []}
+        for st, ln in zip(starts, lens):
+            d = day[st:st + ln]
+            val = v[st:st + ln]
+            spine = np.arange(d[0], d[-1] + 1, dtype=np.int64)
+            pos = np.searchsorted(d, spine, side="right") - 1
+            cols["event_type"].append(
+                np.full(len(spine), et[st], dtype=object))
+            cols["day"].append(spine)
+            cols["close"].append(val[pos])
+            cols["filled"].append(~np.isin(spine, d))
+        return pa.table({
+            "event_type": pa.array(np.concatenate(cols["event_type"]),
+                                   pa.string()),
+            "day": pa.array(np.concatenate(cols["day"]), pa.int64()),
+            "close": pa.array(round6_tie_robust(
+                np.concatenate(cols["close"]))),
+            "filled": pa.array(np.concatenate(cols["filled"]),
+                               pa.bool_()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+BOUNCE_RATE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+l AS (
+  SELECT *, CASE WHEN LAG(t_us) OVER w IS NULL
+                   OR t_us - LAG(t_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY t_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l),
+g AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         FIRST(event_type ORDER BY t_us, event_id) AS entry_type
+  FROM s GROUP BY 1, 2)
+SELECT entry_type, COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(SUM(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS bounce_rate
+FROM g GROUP BY 1
+"""
+
+
+def q_bounce_rate(sf_dir: str):
+    """Bounce-rate by session entry type (the funnel-health readout):
+    sessions split at 30-minute inactivity gaps in total (t, event_id)
+    order, a single-event session is a bounce, each session is keyed by
+    its FIRST event's type.  One user-keyed exchange; the block kernel
+    is one lexsort + a gap diff + cumsum session ids + run-start takes
+    — all vectorized; partials are |types| rows per block.  Unlike
+    `sessions` (which emits the session table), this rolls straight to
+    the per-entry-type counters so nothing event-scale leaves the
+    exchange."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    part_schema = pa.schema([("entry_type", pa.string()),
+                             ("n_sessions", pa.int64()),
+                             ("n_bounces", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t_us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (t_us[1:] - t_us[:-1]
+                                           > 1_800_000_000)
+        sess_start = np.nonzero(brk)[0]
+        sess_len = np.diff(np.append(sess_start, n))
+        entry = et[sess_start]
+        bounce = (sess_len == 1).astype(np.int64)
+        t = pa.table({"entry_type": pa.array(entry, pa.string()),
+                      "b": pa.array(bounce, pa.int64())})
+        g = t.group_by(["entry_type"]).aggregate(
+            [([], "count_all"), ("b", "sum")])
+        return pa.table({"entry_type": g["entry_type"],
+                         "n_sessions": g["count_all"],
+                         "n_bounces": g["b_sum"]}, schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        ds, ["user_id"], None, part_schema, block_fn=_block))
+    g = parts.group_by(["entry_type"]).aggregate(
+        [("n_sessions", "sum"), ("n_bounces", "sum")])
+    ns = g["n_sessions_sum"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    nb = g["n_bounces_sum"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    from ..kernels.rounding import round6_tie_robust
+
+    return pa.table({
+        "entry_type": g["entry_type"],
+        "n_sessions": pa.array(ns, pa.int64()),
+        "n_bounces": pa.array(nb, pa.int64()),
+        "bounce_rate": pa.array(round6_tie_robust(
+            nb.astype(np.float64) / ns)),
+    })
+
+
 VOCAB_BUILD_SQL = """
 WITH w AS (
   SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
@@ -8065,6 +8326,9 @@ def build_queries() -> dict:
         "changepoint_cusum": q_changepoint_cusum,
         "vocab_build": q_vocab_build,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "range_splits": q_range_splits,
+        "snapshot_ffill": q_snapshot_ffill,
+        "bounce_rate": q_bounce_rate,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -8294,6 +8558,9 @@ WHERE rn <= 2
         "changepoint_cusum": CHANGEPOINT_CUSUM_SQL,
         "vocab_build": VOCAB_BUILD_SQL,
         "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+        "range_splits": RANGE_SPLITS_SQL,
+        "snapshot_ffill": SNAPSHOT_FFILL_SQL,
+        "bounce_rate": BOUNCE_RATE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

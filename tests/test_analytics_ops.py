@@ -277,3 +277,57 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
     np.testing.assert_allclose(got["mean"], mat.mean(axis=0), atol=5e-7)
     np.testing.assert_allclose(got["var"], mat.var(axis=0, ddof=1),
                                atol=5e-7)
+
+
+def test_range_splits_are_exact_rank_boundaries(ray_session):
+    from light_curve_ray.pipelines.queries import q_range_splits
+
+    got = q_range_splits(SF).to_pandas().sort_values("split_idx")
+    ev = _events().dropna(subset=["value", "event_id"])
+    v = ev.sort_values(["value", "event_id"])["value"].to_numpy()
+    n = len(v)
+    ref = [v[(i * n) // 8 - 1] for i in range(1, 8)]
+    np.testing.assert_array_equal(got["split_value"].to_numpy(), ref)
+    assert (np.diff(got["split_value"]) >= 0).all()
+
+
+def test_snapshot_ffill_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_snapshot_ffill
+
+    got = q_snapshot_ffill(SF).to_pandas()
+    ev = _events().dropna(subset=["event_type", "ts", "event_id",
+                                  "value"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    closes = (ev.sort_values(["ts", "event_id"])
+              .groupby(["event_type", "day"])["value"].last())
+    for et, grp in got.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        c = closes.loc[et]
+        spine = pd.RangeIndex(c.index.min(), c.index.max() + 1)
+        ref = c.reindex(spine)
+        filled = ref.isna().to_numpy()
+        ref = ref.ffill().to_numpy()
+        assert (grp["day"].to_numpy() == spine.to_numpy()).all()
+        np.testing.assert_allclose(grp["close"], ref, atol=5e-7)
+        assert (grp["filled"].to_numpy() == filled).all()
+
+
+def test_bounce_rate_matches_pandas_sessions(ray_session):
+    from light_curve_ray.pipelines.queries import q_bounce_rate
+
+    got = q_bounce_rate(SF).to_pandas().set_index("entry_type")
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    t = ev["ts"].astype("int64")
+    new_user = ev["user_id"].ne(ev["user_id"].shift())
+    gap = t.diff() > 1_800_000_000
+    brk = (new_user | gap).to_numpy()
+    sid = np.cumsum(brk)
+    sizes = pd.Series(sid).value_counts().sort_index().to_numpy()
+    entries = ev["event_type"].to_numpy()[brk]
+    ref = pd.DataFrame({"entry": entries, "bounce": sizes == 1})
+    agg = ref.groupby("entry")["bounce"].agg(["count", "sum"])
+    for et, row in agg.iterrows():
+        assert got.loc[et, "n_sessions"] == row["count"]
+        assert got.loc[et, "n_bounces"] == row["sum"]
