@@ -2264,6 +2264,39 @@ def _docs_roundtrip(sf_dir: str, fmt: str):
         elif fmt == "csv":
             docs.write_csv(tmp)
             back = rd.read_csv(tmp)
+        elif fmt == "ipc":
+            # custom binary source/sink: one Arrow IPC file per block
+            # (atomic .tmp rename publish — the resumable layout), read
+            # back through read_binary_files + a per-FILE decode stage
+            # (the pattern for any format Ray Data has no reader for)
+            import os
+            import uuid
+
+            def _write_block(batch: pa.Table) -> pa.Table:
+                name = os.path.join(
+                    tmp, f"part-{uuid.uuid4().hex}.arrow")
+                with pa.OSFile(name + ".tmp", "wb") as f:
+                    with pa.ipc.new_file(f, batch.schema) as w:
+                        w.write_table(batch)
+                os.rename(name + ".tmp", name)
+                return pa.table({"path": pa.array([name], pa.string()),
+                                 "rows": pa.array([len(batch)],
+                                                  pa.int64())})
+
+            manifest = docs.map_batches(
+                _write_block, batch_format="pyarrow").materialize()
+            assert manifest.count() > 0
+
+            def _read_ipc(batch: pa.Table) -> pa.Table:
+                tables = [
+                    pa.ipc.open_file(pa.BufferReader(b)).read_all()
+                    for b in batch["bytes"].to_pylist()  # per FILE
+                ]
+                return pa.concat_tables(tables)
+
+            back = rd.read_binary_files(
+                tmp, file_extensions=["arrow"]).map_batches(
+                _read_ipc, batch_format="pyarrow")
         else:  # "compact": many tiny shards -> bin-packed rewrite
             import os
 
@@ -2334,6 +2367,14 @@ def q_csv_roundtrip(sf_dir: str):
     """See _docs_roundtrip — CSV sink + source (Arrow CSV writer quotes
     embedded commas/newlines; the reader re-parses them)."""
     return _docs_roundtrip(sf_dir, "csv")
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """See _docs_roundtrip — Arrow IPC (Feather v2) sink + source: the
+    custom-binary-format pattern (read_binary_files + a per-file decode
+    stage) for formats Ray Data has no native reader for; zero-copy
+    schema fidelity (no JSON/CSV type erasure)."""
+    return _docs_roundtrip(sf_dir, "ipc")
 
 
 def q_compact_roundtrip(sf_dir: str):
@@ -3354,6 +3395,227 @@ def q_anomaly_mad(sf_dir: str):
 
     return _collect(sorted_group_map(partials, ["event_type"], None,
                                      out_schema, block_fn=_series))
+
+
+GAP_QUANTILES_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+l AS (
+  SELECT event_type,
+         CAST(t_us - LAG(t_us) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY t_us, event_id)
+              AS DOUBLE) / 1000000.0 AS gap_s
+  FROM s),
+g AS (SELECT event_type, gap_s FROM l WHERE gap_s IS NOT NULL)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(QUANTILE_CONT(gap_s, 0.50), 6) AS p50_s,
+       ROUND(QUANTILE_CONT(gap_s, 0.90), 6) AS p90_s,
+       ROUND(QUANTILE_CONT(gap_s, 0.99), 6) AS p99_s
+FROM g GROUP BY 1
+"""
+
+
+def q_gap_quantiles(sf_dir: str):
+    """Inter-arrival latency percentiles per series (the p50/p90/p99
+    readout every telemetry pipeline publishes): gaps between a user's
+    consecutive events OF THE SAME TYPE, exact linear-interpolation
+    quantiles per type.  Two exchanges: a user-keyed one computes the
+    gaps (lexsort + one diff, pairs never cross (user, type) runs),
+    then a type-keyed one holds each type's gap population for the
+    exact quantile (np.percentile == QUANTILE_CONT, the pinned
+    parity); at crawl scale the second exchange's exact kernel swaps
+    for the mergeable quantile sketch (kernels/sketch) — same query
+    shape, documented trade.  Gaps convert µs -> s by one exact
+    division so the 6-dp round keeps full precision."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    gap_schema = pa.schema([("event_type", pa.string()),
+                            ("gap_s", pa.float64())])
+
+    def _gaps(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return gap_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("event_type", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t_us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        if not same.any():
+            return gap_schema.empty_table()
+        gaps = (t_us[1:] - t_us[:-1])[same].astype(np.float64) \
+            / 1_000_000.0
+        return pa.table({"event_type": pa.array(et[1:][same],
+                                                pa.string()),
+                         "gap_s": pa.array(gaps)}, schema=gap_schema)
+
+    gaps = sorted_group_map(ds, ["user_id"], None, gap_schema,
+                            block_fn=_gaps)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_gaps", pa.int64()),
+                            ("p50_s", pa.float64()),
+                            ("p90_s", pa.float64()),
+                            ("p99_s", pa.float64())])
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        g = tbl["gap_s"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"event_type": [], "n_gaps": [], "p50_s": [],
+                "p90_s": [], "p99_s": []}
+        for st, ln in zip(starts, lens):
+            q50, q90, q99 = np.percentile(g[st:st + ln],
+                                          [50.0, 90.0, 99.0])
+            rows["event_type"].append(et[st])
+            rows["n_gaps"].append(int(ln))
+            rows["p50_s"].append(q50)
+            rows["p90_s"].append(q90)
+            rows["p99_s"].append(q99)
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_gaps": pa.array(rows["n_gaps"], pa.int64()),
+            "p50_s": pa.array(round6_tie_robust(
+                np.array(rows["p50_s"]))),
+            "p90_s": pa.array(round6_tie_robust(
+                np.array(rows["p90_s"]))),
+            "p99_s": pa.array(round6_tie_robust(
+                np.array(rows["p99_s"]))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(gaps, ["event_type"], None,
+                                     out_schema, block_fn=_quant))
+
+
+PARETO_SHARE_SQL = """
+WITH c AS (
+  SELECT o_custkey AS custkey,
+         CAST(FLOOR(ROUND(SUM(o_totalprice), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS r
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1),
+r AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, custkey) AS rn,
+         COUNT(*) OVER () AS n, SUM(r) OVER () AS total
+  FROM c)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(n) // 10 AS BIGINT) AS top_k,
+       ROUND(CAST(SUM(CASE WHEN rn <= n // 10 THEN r ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(MAX(total) AS DOUBLE), 6) AS top_decile_share
+FROM r
+"""
+
+
+def q_pareto_share(sf_dir: str):
+    """Revenue concentration (the Pareto/80-20 readout): the share of
+    total revenue held by the top decile of customers.  INTEGER-EXACT
+    end to end: per-customer revenue rounds to int64 micro-units, the
+    top-decile boundary is an exact rank (distributed sort over
+    (−r, custkey) + prefix-scan of the revenue VALUES — the same
+    prefix_sum that ranks also accumulates the running revenue, so the
+    top-k sum is read off ONE boundary row), and the share is a single
+    exact division at the end.  No customer-scale driver collect."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.scan import prefix_sum
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    part_schema = pa.schema([("custkey", pa.int64()),
+                             ("s", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["o_custkey"]),
+                    pc.is_valid(batch["o_totalprice"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        t = pa.table({"custkey": batch["o_custkey"],
+                      "price": batch["o_totalprice"]})
+        g = t.group_by(["custkey"]).aggregate([("price", "sum")])
+        return g.rename_columns(["custkey", "s"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cust_schema = pa.schema([("custkey", pa.int64()),
+                             ("r", pa.int64()),
+                             ("neg_r", pa.int64())])
+
+    def _cust(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return cust_schema.empty_table()
+        tbl = batch.sort_by([("custkey", "ascending")])
+        ck = tbl["custkey"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(ck), dtype=bool)
+        first[0] = True
+        first[1:] = ck[1:] != ck[:-1]
+        starts = np.nonzero(first)[0]
+        r = np.floor(round6_tie_robust(np.add.reduceat(s, starts))
+                     * 1_000_000.0 + 0.5).astype(np.int64)
+        return pa.table({"custkey": pa.array(ck[starts], pa.int64()),
+                         "r": pa.array(r, pa.int64()),
+                         "neg_r": pa.array(-r, pa.int64())},
+                        schema=cust_schema)
+
+    cust = sorted_group_map(partials, ["custkey"], None, cust_schema,
+                            block_fn=_cust).materialize()
+    n = cust.count()
+    top_k = n // 10
+    totals = _collect_raw(cust.map_batches(
+        lambda t: pa.table({"tot": pa.array(
+            [int(t["r"].to_numpy(zero_copy_only=False).sum())],
+            pa.int64())}),
+        batch_format="pyarrow"))
+    total = int(totals["tot"].to_numpy().sum())
+
+    # two prefix scans over the SAME (−r, custkey) order: unit weights
+    # give the rank, revenue weights give the running sum; the single
+    # boundary row (rank == top_k) carries cum_r (exclusive) + its own
+    # r = the exact top-decile revenue
+    ones = cust.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), np.int64))),
+        batch_format="pyarrow")
+    ranked = prefix_sum(ones, ["neg_r", "custkey"], "one",
+                        out_col="rk")
+    brow = _collect_raw(ranked.map_batches(
+        lambda t: t.filter(pc.equal(pc.add(t["rk"], 1), top_k))
+        .select(["custkey"]),
+        batch_format="pyarrow"))
+    bck = int(brow["custkey"][0].as_py())
+    rev_ranked = prefix_sum(ones, ["neg_r", "custkey"], "r",
+                            out_col="cum_r")
+    rrow = _collect_raw(rev_ranked.map_batches(
+        lambda t: t.filter(pc.equal(t["custkey"], bck))
+        .select(["cum_r", "r"]),
+        batch_format="pyarrow"))
+    top_sum = int(rrow["cum_r"][0].as_py()) + int(rrow["r"][0].as_py())
+    share = float(top_sum) / float(total)
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "top_k": pa.array([top_k], pa.int64()),
+        "top_decile_share": pa.array(round6_tie_robust(
+            np.array([share]))),
+    })
 
 
 RANGE_SPLITS_SQL = """
@@ -8329,6 +8591,9 @@ def build_queries() -> dict:
         "range_splits": q_range_splits,
         "snapshot_ffill": q_snapshot_ffill,
         "bounce_rate": q_bounce_rate,
+        "gap_quantiles": q_gap_quantiles,
+        "pareto_share": q_pareto_share,
+        "ipc_roundtrip": q_ipc_roundtrip,
         # -- never driver-verified as of r03 (judge-verified only) --
         "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
         "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
@@ -8561,6 +8826,9 @@ WHERE rn <= 2
         "range_splits": RANGE_SPLITS_SQL,
         "snapshot_ffill": SNAPSHOT_FFILL_SQL,
         "bounce_rate": BOUNCE_RATE_SQL,
+        "gap_quantiles": GAP_QUANTILES_SQL,
+        "pareto_share": PARETO_SHARE_SQL,
+        "ipc_roundtrip": JSONL_ROUNDTRIP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

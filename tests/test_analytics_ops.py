@@ -331,3 +331,59 @@ def test_bounce_rate_matches_pandas_sessions(ray_session):
     for et, row in agg.iterrows():
         assert got.loc[et, "n_sessions"] == row["count"]
         assert got.loc[et, "n_bounces"] == row["sum"]
+
+
+def test_gap_quantiles_matches_numpy(ray_session):
+    from light_curve_ray.pipelines.queries import q_gap_quantiles
+
+    got = q_gap_quantiles(SF).to_pandas().set_index("event_type")
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+    t = ev["ts"].astype("int64")
+    same = (ev["user_id"].eq(ev["user_id"].shift())
+            & ev["event_type"].eq(ev["event_type"].shift()))
+    gaps = (t.diff()[same] / 1e6)
+    key = ev["event_type"][same]
+    for et, grp in gaps.groupby(key):
+        row = got.loc[et]
+        assert row["n_gaps"] == len(grp)
+        q = np.percentile(grp.to_numpy(), [50, 90, 99])
+        np.testing.assert_allclose(
+            [row["p50_s"], row["p90_s"], row["p99_s"]], q, atol=5e-7)
+
+
+def test_pareto_share_matches_bruteforce(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_pareto_share
+
+    got = q_pareto_share(SF).to_pandas().iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet").dropna(
+        subset=["o_custkey", "o_totalprice"])
+    rev = orders.groupby("o_custkey")["o_totalprice"].sum()
+    r = np.floor(round6_tie_robust(rev.to_numpy()) * 1e6
+                 + 0.5).astype(np.int64)
+    order = np.lexsort((rev.index.to_numpy(), -r))
+    n = len(r)
+    k = n // 10
+    top = int(r[order[:k]].sum())
+    assert got["n_customers"] == n
+    assert got["top_k"] == k
+    np.testing.assert_allclose(got["top_decile_share"],
+                               top / r.sum(), atol=5e-7)
+    assert got["top_decile_share"] > 0.1  # top decile is above-average
+
+
+def test_ipc_roundtrip_preserves_docs(ray_session):
+    from light_curve_ray.pipelines.queries import q_ipc_roundtrip
+
+    got = q_ipc_roundtrip(SF).to_pandas().set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ref = docs.groupby("lang").agg(
+        n_docs=("doc_id", "size"), min_id=("doc_id", "min"),
+        max_id=("doc_id", "max"), sum_chars=("n_chars", "sum"))
+    for lang, row in ref.iterrows():
+        assert got.loc[lang, "n_docs"] == row["n_docs"]
+        assert got.loc[lang, "min_id"] == row["min_id"]
+        assert got.loc[lang, "max_id"] == row["max_id"]
+        assert got.loc[lang, "sum_chars"] == row["sum_chars"]
