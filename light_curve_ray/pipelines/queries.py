@@ -8529,6 +8529,13 @@ def build_queries() -> dict:
     # text/multimodal tail, so round 4 leads with exactly that tail (plus
     # the queries new this round), then the r03-verified set.
     return {
+        # -- never driver-verified as of r03 (VERDICT r03 item #2:
+        # these four lead the dict so the driver's bounded prefix
+        # finally records them) --
+        "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
+        "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
+        "embedding_components": q_embedding_components,
         # -- new in round 4 --
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
@@ -8594,11 +8601,6 @@ def build_queries() -> dict:
         "gap_quantiles": q_gap_quantiles,
         "pareto_share": q_pareto_share,
         "ipc_roundtrip": q_ipc_roundtrip,
-        # -- never driver-verified as of r03 (judge-verified only) --
-        "dedup_lsh_recall_floor": q_dedup_lsh_recall_floor,
-        "dedup_simhash_recall_floor": q_dedup_simhash_recall_floor,
-        "ann_topk_ivf_full": q_ann_topk_ivf_full,
-        "embedding_components": q_embedding_components,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
