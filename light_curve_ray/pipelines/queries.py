@@ -3397,6 +3397,176 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+CHI2_INDEPENDENCE_SQL = """
+WITH d AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+o AS (SELECT event_type, dow, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+m AS (
+  SELECT event_type, dow, obs,
+         SUM(obs) OVER (PARTITION BY event_type) AS row_n,
+         SUM(obs) OVER (PARTITION BY dow) AS col_n,
+         SUM(obs) OVER () AS n
+  FROM o)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(POWER(obs - CAST(row_n AS DOUBLE) * col_n / n, 2)
+                 / (CAST(row_n AS DOUBLE) * col_n / n)), 6) AS chi2
+FROM m
+"""
+
+
+def q_chi2_independence(sf_dir: str):
+    """Chi-squared independence test between event type and weekday
+    (the contingency-table readout behind every segmentation sanity
+    check).  Map-side (type, dow) integer counts, one tiny driver
+    merge (|types|·7 cells), then the statistic over the full
+    contingency table.  Expected counts row_n·col_n/n use only exact
+    int->double conversions, one multiply and one divide in the SAME
+    op order as the oracle; POWER(x, 2) is x*x on the engine side
+    (squaring is exact either way).  Cell-count scale everywhere —
+    never row scale."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("dow", pa.int64()), ("obs", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (t_us // _DAY_US + 4) % 7
+        t = pa.table({"event_type": batch["event_type"],
+                      "dow": pa.array(dow, pa.int64())})
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "dow": g["dow"], "obs": g["count_all"]},
+                        schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    g = parts.group_by(["event_type", "dow"]).aggregate([("obs", "sum")])
+    et = g["event_type"].to_pylist()
+    dow = g["dow"].to_numpy(zero_copy_only=False).astype(np.int64)
+    obs = g["obs_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_n, col_n = {}, {}
+    for t_, d_, o_ in zip(et, dow, obs):
+        row_n[t_] = row_n.get(t_, 0) + int(o_)
+        col_n[int(d_)] = col_n.get(int(d_), 0) + int(o_)
+    n = float(obs.sum())
+    rn = np.array([row_n[t_] for t_ in et], dtype=np.float64)
+    cn = np.array([col_n[int(d_)] for d_ in dow], dtype=np.float64)
+    exp = rn * cn / n
+    dev = obs.astype(np.float64) - exp
+    chi2 = float(np.sum(dev * dev / exp))
+    return pa.table({
+        "n_cells": pa.array([len(obs)], pa.int64()),
+        "dof": pa.array([(len(row_n) - 1) * (len(col_n) - 1)],
+                        pa.int64()),
+        "chi2": pa.array(round6_tie_robust(np.array([chi2]))),
+    })
+
+
+TIME_TO_CONVERT_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  GROUP BY 1),
+d AS (
+  SELECT CAST(t_purchase - t_signup AS DOUBLE) / 86400000000.0
+           AS delay_days
+  FROM f
+  WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+    AND t_purchase >= t_signup)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(QUANTILE_CONT(delay_days, 0.50), 6) AS p50_days,
+       ROUND(QUANTILE_CONT(delay_days, 0.90), 6) AS p90_days,
+       ROUND(MAX(delay_days), 6) AS max_days
+FROM d
+"""
+
+
+def q_time_to_convert(sf_dir: str):
+    """Time-to-convert distribution (the activation-latency funnel
+    metric): per user, first 'signup' to first subsequent 'purchase',
+    exact delay percentiles over the converted population.  Map-side
+    per-user conditional-MIN partials (two int64 mins per user per
+    block — the exchange carries user-count-scale slim rows, never
+    events), one user-keyed merge, delays to the driver at CONVERTED-
+    user scale for the exact quantile (np.percentile == QUANTILE_CONT,
+    the pinned parity; the sketch swap is the documented crawl-scale
+    path).  µs -> days by one exact division."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_type"])
+    _I64MAX = np.int64(np.iinfo(np.int64).max)
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("t_signup", pa.int64()),
+                             ("t_purchase", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        batch = batch.filter(keep)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        sign = np.where(et == "signup", t_us, _I64MAX)
+        purch = np.where(et == "purchase", t_us, _I64MAX)
+        t = pa.table({"user_id": batch["user_id"],
+                      "s": pa.array(sign, pa.int64()),
+                      "p": pa.array(purch, pa.int64())})
+        g = t.group_by(["user_id"]).aggregate([("s", "min"),
+                                               ("p", "min")])
+        return g.rename_columns(["user_id", "t_signup", "t_purchase"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    delay_schema = pa.schema([("delay_days", pa.float64())])
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return delay_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        s = tbl["t_signup"].to_numpy(zero_copy_only=False)
+        p = tbl["t_purchase"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        s = np.minimum.reduceat(s, starts)
+        p = np.minimum.reduceat(p, starts)
+        ok = (s != _I64MAX) & (p != _I64MAX) & (p >= s)
+        d = (p[ok] - s[ok]).astype(np.float64) / 86_400_000_000.0
+        return pa.table({"delay_days": pa.array(d)},
+                        schema=delay_schema)
+
+    delays = _collect_raw(sorted_group_map(
+        partials, ["user_id"], None, delay_schema, block_fn=_merge))
+    d = delays["delay_days"].to_numpy(zero_copy_only=False)
+    q50, q90 = np.percentile(d, [50.0, 90.0])
+    return pa.table({
+        "n_converted": pa.array([len(d)], pa.int64()),
+        "p50_days": pa.array(round6_tie_robust(np.array([q50]))),
+        "p90_days": pa.array(round6_tie_robust(np.array([q90]))),
+        "max_days": pa.array(round6_tie_robust(
+            np.array([float(d.max())]))),
+    })
+
+
 GAP_QUANTILES_SQL = """
 WITH s AS (
   SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
@@ -8601,6 +8771,8 @@ def build_queries() -> dict:
         "gap_quantiles": q_gap_quantiles,
         "pareto_share": q_pareto_share,
         "ipc_roundtrip": q_ipc_roundtrip,
+        "chi2_independence": q_chi2_independence,
+        "time_to_convert": q_time_to_convert,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -8831,6 +9003,8 @@ WHERE rn <= 2
         "gap_quantiles": GAP_QUANTILES_SQL,
         "pareto_share": PARETO_SHARE_SQL,
         "ipc_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "chi2_independence": CHI2_INDEPENDENCE_SQL,
+        "time_to_convert": TIME_TO_CONVERT_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -387,3 +387,35 @@ def test_ipc_roundtrip_preserves_docs(ray_session):
         assert got.loc[lang, "min_id"] == row["min_id"]
         assert got.loc[lang, "max_id"] == row["max_id"]
         assert got.loc[lang, "sum_chars"] == row["sum_chars"]
+
+
+def test_chi2_independence_matches_scipy_free_formula(ray_session):
+    from light_curve_ray.pipelines.queries import q_chi2_independence
+
+    got = q_chi2_independence(SF).to_pandas().iloc[0]
+    ev = _events().dropna(subset=["event_type", "ts"])
+    dow = (ev["ts"].astype("int64") // 86_400_000_000 + 4) % 7
+    ct = pd.crosstab(ev["event_type"], dow)
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / ct.to_numpy().sum()
+    chi2 = float((((ct.to_numpy() - exp) ** 2) / exp).sum())
+    assert got["n_cells"] == int((ct.to_numpy() > 0).size)
+    assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    np.testing.assert_allclose(got["chi2"], chi2, atol=5e-7)
+
+
+def test_time_to_convert_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_time_to_convert
+
+    got = q_time_to_convert(SF).to_pandas().iloc[0]
+    ev = _events().dropna(subset=["user_id", "ts", "event_type"])
+    t = ev["ts"].astype("int64")
+    s = t.where(ev["event_type"] == "signup").groupby(
+        ev["user_id"]).min()
+    p = t.where(ev["event_type"] == "purchase").groupby(
+        ev["user_id"]).min()
+    d = ((p - s)[(p >= s)].dropna() / 86_400_000_000.0).to_numpy()
+    assert got["n_converted"] == len(d)
+    np.testing.assert_allclose(
+        [got["p50_days"], got["p90_days"], got["max_days"]],
+        [np.percentile(d, 50), np.percentile(d, 90), d.max()],
+        atol=5e-7)
