@@ -3397,6 +3397,295 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+ROLLING_CORR_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.day, a.mi AS x, b.mi AS y
+  FROM d a JOIN d b ON a.day = b.day
+  WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+w AS (
+  SELECT day,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         SUM(CAST(x AS HUGEINT)) OVER win AS sx,
+         SUM(CAST(y AS HUGEINT)) OVER win AS sy,
+         SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) OVER win AS syy,
+         SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy
+  FROM j
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                 AND CURRENT ROW))
+SELECT day,
+       ROUND(CAST(14 * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(14 * sxx - sx * sx AS DOUBLE)
+                    * CAST(14 * syy - sy * sy AS DOUBLE)), 6)
+         AS corr14
+FROM w WHERE rn >= 14
+"""
+
+
+def q_rolling_corr(sf_dir: str):
+    """Trailing 14-day rolling correlation between two daily series
+    (click vs purchase means) — the co-movement monitor.  PARITY BY
+    INTEGER ALGEBRA (the changepoint discipline, extended to second
+    moments): daily means round to int64 micro-units, every window
+    moment (Sx, Sy, Sxx, Syy, Sxy) is an EXACT integer (arbitrary-
+    precision on the engine side, HUGEINT in the oracle — the products
+    overflow int64 by design), and Pearson's r emerges from ONE
+    float conversion + sqrt + divide in the same op order both sides.
+    The distributed part is the daily-mean exchange; the joined series
+    is day-count scale (bounded by the time window), so the window
+    loop runs on exact Python ints driver-side."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        batch = batch.filter(keep)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"])
+
+    daily_schema = pa.schema([("event_type", pa.string()),
+                              ("day", pa.int64()),
+                              ("mi", pa.int64())])
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return daily_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        ks = np.nonzero(key_new)[0]
+        s, n = np.add.reduceat(s, ks), np.add.reduceat(n, ks)
+        mi = np.floor(round6_tie_robust(s / n) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        return pa.table({"event_type": pa.array(et[ks], pa.string()),
+                         "day": pa.array(day[ks], pa.int64()),
+                         "mi": pa.array(mi, pa.int64())},
+                        schema=daily_schema)
+
+    daily = _collect_raw(sorted_group_map(
+        ds.map_batches(_daily, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "day"], None, daily_schema, block_fn=_merge))
+    et = daily["event_type"].to_pylist()
+    day = daily["day"].to_numpy(zero_copy_only=False)
+    mi = daily["mi"].to_numpy(zero_copy_only=False)
+    series = {}
+    for t_ in ("click", "purchase"):
+        mask = np.array([e == t_ for e in et])
+        o = np.argsort(day[mask])
+        series[t_] = dict(zip(day[mask][o].tolist(),
+                              mi[mask][o].tolist()))
+    days = sorted(set(series["click"]) & set(series["purchase"]))
+    x = [int(series["click"][d]) for d in days]
+    y = [int(series["purchase"][d]) for d in days]
+    out_day, out_corr = [], []
+    for i in range(13, len(days)):  # exact Python-int window moments
+        xs, ys = x[i - 13:i + 1], y[i - 13:i + 1]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = 14 * sxy - sx * sy
+        d1, d2 = 14 * sxx - sx * sx, 14 * syy - sy * sy
+        out_day.append(days[i])
+        out_corr.append(float(num)
+                        / np.sqrt(float(d1) * float(d2)))
+    return pa.table({
+        "day": pa.array(out_day, pa.int64()),
+        "corr14": pa.array(round6_tie_robust(
+            np.array(out_corr, dtype=np.float64))),
+    })
+
+
+SESSION_PATH_TOPK_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+l AS (
+  SELECT *, CASE WHEN LAG(t_us) OVER w IS NULL
+                   OR t_us - LAG(t_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+s0 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                           ORDER BY t_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l),
+s AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                               ORDER BY t_us, event_id) AS rn
+  FROM s0),
+p AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY t_us, event_id) AS path
+  FROM s WHERE rn <= 3 GROUP BY 1, 2),
+c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+SELECT path, n_sessions FROM (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk
+  FROM c)
+WHERE rk <= 10
+"""
+
+
+def q_session_path_topk(sf_dir: str):
+    """Top session OPENING PATHS (sequence-pattern mining): sessions
+    split at 30-minute gaps, each keyed by its first up-to-three event
+    types joined with '>'; the 10 most common openings.  One user-keyed
+    exchange; paths build VECTORIZED by session-length class (len-1/2/
+    3+ masks, elementwise object-string concatenation — no per-session
+    Python), partial counts per block are path-cardinality scale
+    (≤ |types|³), global top-k at the driver."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    part_schema = pa.schema([("path", pa.string()),
+                             ("n_sessions", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("ts", "ascending"),
+                             ("event_id", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t_us = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (t_us[1:] - t_us[:-1]
+                                           > 1_800_000_000)
+        starts = np.nonzero(brk)[0]
+        lens = np.diff(np.append(starts, n))
+        paths = np.empty(len(starts), dtype=object)
+        m1 = lens == 1
+        paths[m1] = et[starts[m1]]
+        m2 = lens == 2
+        paths[m2] = (et[starts[m2]] + ">") + et[starts[m2] + 1]
+        m3 = lens >= 3
+        paths[m3] = ((et[starts[m3]] + ">") + et[starts[m3] + 1]
+                     + ">") + et[starts[m3] + 2]
+        t = pa.table({"path": pa.array(paths, pa.string())})
+        g = t.group_by(["path"]).aggregate([([], "count_all")])
+        return pa.table({"path": g["path"],
+                         "n_sessions": g["count_all"]},
+                        schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        ds, ["user_id"], None, part_schema, block_fn=_block))
+    g = parts.group_by(["path"]).aggregate([("n_sessions", "sum")])
+    path = np.array(g["path"].to_pylist(), dtype=object)
+    cnt = g["n_sessions_sum"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    order = np.lexsort((path, -cnt))[:10]
+    return pa.table({
+        "path": pa.array(path[order], pa.string()),
+        "n_sessions": pa.array(cnt[order], pa.int64()),
+    })
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH r AS (
+  SELECT lang,
+         ROW_NUMBER() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents WHERE text IS NOT NULL)
+SELECT lang,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM r GROUP BY 1
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup (keep-BEST, not keep-first): within
+    each exact-duplicate text group the survivor is the (max n_chars,
+    min doc_id) row — the policy real corpus dedup uses when copies
+    differ in provenance quality.  Same slim 16-byte fingerprint
+    exchange as exact_dedup; the per-group argmax is one lexsort +
+    run-first mask; output is per-lang kept/dropped counters."""
+    import ray.data as rd
+
+    from ..stages.dedup import add_fingerprint
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text", "n_chars"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        out = add_fingerprint(batch, "doc_id", "text")
+        return pa.table({"fp": out["fp"], "doc_id": batch["doc_id"],
+                         "lang": batch["lang"],
+                         "n_chars": batch["n_chars"]})
+
+    keyed = ds.map_batches(_fp, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("n_kept", pa.int64()),
+                             ("n_dropped", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -nc, fp))
+        fps = fp[order]
+        first = np.empty(len(fps), dtype=bool)
+        first[0] = True
+        first[1:] = fps[1:] != fps[:-1]
+        kept = np.empty(len(fps), dtype=bool)
+        kept[order] = first
+        t = pa.table({"lang": batch["lang"],
+                      "k": pa.array(kept.astype(np.int64)),
+                      "d": pa.array((~kept).astype(np.int64))})
+        g = t.group_by(["lang"]).aggregate([("k", "sum"), ("d", "sum")])
+        return g.rename_columns(["lang", "n_kept",
+                                 "n_dropped"]).cast(part_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        keyed, ["fp"], None, part_schema, block_fn=_block))
+    g = parts.group_by(["lang"]).aggregate([("n_kept", "sum"),
+                                            ("n_dropped", "sum")])
+    return g.rename_columns(["lang", "n_kept",
+                             "n_dropped"]).cast(part_schema)
+
+
 CHI2_INDEPENDENCE_SQL = """
 WITH d AS (
   SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
@@ -8773,6 +9062,9 @@ def build_queries() -> dict:
         "ipc_roundtrip": q_ipc_roundtrip,
         "chi2_independence": q_chi2_independence,
         "time_to_convert": q_time_to_convert,
+        "rolling_corr": q_rolling_corr,
+        "session_path_topk": q_session_path_topk,
+        "dedup_keep_best": q_dedup_keep_best,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -9005,6 +9297,9 @@ WHERE rn <= 2
         "ipc_roundtrip": JSONL_ROUNDTRIP_SQL,
         "chi2_independence": CHI2_INDEPENDENCE_SQL,
         "time_to_convert": TIME_TO_CONVERT_SQL,
+        "rolling_corr": ROLLING_CORR_SQL,
+        "session_path_topk": SESSION_PATH_TOPK_SQL,
+        "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -419,3 +419,64 @@ def test_time_to_convert_matches_pandas(ray_session):
         [got["p50_days"], got["p90_days"], got["max_days"]],
         [np.percentile(d, 50), np.percentile(d, 90), d.max()],
         atol=5e-7)
+
+
+def test_rolling_corr_matches_pandas(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_rolling_corr
+
+    got = q_rolling_corr(SF).to_pandas()
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    daily = ev.groupby(["event_type", "day"])["value"].mean().unstack(0)
+    daily = daily.dropna()
+    x = np.floor(round6_tie_robust(daily["click"].to_numpy())
+                 * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(round6_tie_robust(daily["purchase"].to_numpy())
+                 * 1e6 + 0.5).astype(np.int64)
+    ref = (pd.Series(x).rolling(14).corr(pd.Series(y.astype(float)))
+           .to_numpy()[13:])
+    assert len(got) == len(ref)
+    assert (got["day"].to_numpy() == daily.index.to_numpy()[13:]).all()
+    np.testing.assert_allclose(got["corr14"], ref, atol=1e-6)
+    assert got["corr14"].abs().max() <= 1.0 + 1e-9
+
+
+def test_session_path_topk_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_session_path_topk
+
+    got = q_session_path_topk(SF).to_pandas()
+    ev = _events().dropna(subset=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    t = ev["ts"].astype("int64")
+    brk = (ev["user_id"].ne(ev["user_id"].shift())
+           | (t.diff() > 1_800_000_000)).to_numpy()
+    sid = np.cumsum(brk)
+    et = ev["event_type"].to_numpy()
+    paths = pd.Series(et).groupby(sid).apply(
+        lambda s: ">".join(s.iloc[:3]))
+    ref = paths.value_counts()
+    top = ref.reset_index()
+    top.columns = ["path", "n"]
+    top = top.sort_values(["n", "path"],
+                          ascending=[False, True]).head(10)
+    assert list(got["path"]) == list(top["path"])
+    assert list(got["n_sessions"]) == list(top["n"])
+
+
+def test_dedup_keep_best_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_dedup_keep_best
+
+    got = q_dedup_keep_best(SF).to_pandas().set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet").dropna(
+        subset=["text"])
+    docs = docs.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True])
+    kept_mask = ~docs.duplicated("text", keep="first")
+    agg = docs.assign(kept=kept_mask).groupby("lang")["kept"].agg(
+        ["sum", "count"])
+    for lang, row in agg.iterrows():
+        assert got.loc[lang, "n_kept"] == row["sum"]
+        assert got.loc[lang, "n_dropped"] == row["count"] - row["sum"]
