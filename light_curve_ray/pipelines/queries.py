@@ -3397,6 +3397,313 @@ def q_anomaly_mad(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+WOW_CHANGE_SQL = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         COUNT(*) AS n,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS sv
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+l AS (
+  SELECT event_type, week, n, sv,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS pn,
+         LAG(sv) OVER (PARTITION BY event_type ORDER BY week) AS psv
+  FROM w)
+SELECT event_type, week, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n - pn AS DOUBLE) / pn, 6) AS n_wow,
+       ROUND(CAST(sv - psv AS DOUBLE) / psv, 6) AS value_wow
+FROM l WHERE pn IS NOT NULL
+"""
+
+
+def q_wow_change(sf_dir: str):
+    """Week-over-week growth per series (the period-over-period KPI):
+    weekly count and value-sum deltas as fractions of the prior week.
+    Weekly sums are held in exact int64 micro-units (the integer-
+    algebra discipline) so the delta NUMERATOR is exact and the single
+    float division mirrors the oracle; counts are pure ints.  Map-side
+    (type, week) partials, |types|·weeks driver merge, one shift per
+    series."""
+    from ..kernels.rounding import round6_tie_robust
+
+    _WEEK_US = 604_800_000_000
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("week", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "week": pc.divide(t_us, _WEEK_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "week"]).aggregate(
+            [("v", "count"), ("v", "sum")])
+        return g.rename_columns(["event_type", "week", "n", "s"])
+
+    parts = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    g = parts.group_by(["event_type", "week"]).aggregate(
+        [("n", "sum"), ("s", "sum")])
+    df_et = np.array(g["event_type"].to_pylist(), dtype=object)
+    wk = g["week"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sv = np.floor(round6_tie_robust(
+        g["s_sum"].to_numpy(zero_copy_only=False)) * 1_000_000.0
+        + 0.5).astype(np.int64)
+    order = np.lexsort((wk, df_et))
+    df_et, wk, n, sv = df_et[order], wk[order], n[order], sv[order]
+    same = np.empty(len(wk), dtype=bool)
+    same[0] = False
+    same[1:] = df_et[1:] == df_et[:-1]
+    pn = np.roll(n, 1)
+    psv = np.roll(sv, 1)
+    return pa.table({
+        "event_type": pa.array(df_et[same], pa.string()),
+        "week": pa.array(wk[same], pa.int64()),
+        "n": pa.array(n[same], pa.int64()),
+        "n_wow": pa.array(round6_tie_robust(
+            (n[same] - pn[same]).astype(np.float64) / pn[same])),
+        "value_wow": pa.array(round6_tie_robust(
+            (sv[same] - psv[same]).astype(np.float64) / psv[same])),
+    })
+
+
+LINES_PER_ORDER_HIST_SQL = """
+WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1
+"""
+
+
+def q_lines_per_order_hist(sf_dir: str):
+    """Distribution of group sizes (the aggregate-of-aggregate
+    profiling op): how many orders have k line items.  First level is
+    map-side per-order partial counts + ONE orderkey exchange; the
+    second level collapses to |distinct sizes| rows inside the same
+    exchange block (sizes are bounded), so the driver merge is
+    histogram-scale."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = pc.filter(batch["l_orderkey"],
+                        pc.is_valid(batch["l_orderkey"]))
+        t = pa.table({"l_orderkey": col})
+        g = t.group_by(["l_orderkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_orderkey", "n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    hist_schema = pa.schema([("n_lines", pa.int64()),
+                             ("n_orders", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return hist_schema.empty_table()
+        tbl = batch.sort_by([("l_orderkey", "ascending")])
+        ok = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        cnt = tbl["n"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(ok), dtype=bool)
+        first[0] = True
+        first[1:] = ok[1:] != ok[:-1]
+        sizes = np.add.reduceat(cnt, np.nonzero(first)[0])
+        uniq, counts = np.unique(sizes, return_counts=True)
+        return pa.table({"n_lines": pa.array(uniq, pa.int64()),
+                         "n_orders": pa.array(counts, pa.int64())},
+                        schema=hist_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        partials, ["l_orderkey"], None, hist_schema, block_fn=_hist))
+    g = parts.group_by(["n_lines"]).aggregate([("n_orders", "sum")])
+    return pa.table({"n_lines": g["n_lines"].cast(pa.int64()),
+                     "n_orders": g["n_orders_sum"].cast(pa.int64())})
+
+
+THEILSEN_TREND_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         ROUND(SUM(value) / COUNT(*), 6) AS m
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         (b.m - a.m) / (b.day - a.day) AS slope
+  FROM d a JOIN d b
+    ON a.event_type = b.event_type AND a.day < b.day)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MEDIAN(slope), 6) AS theil_sen_slope
+FROM p GROUP BY 1
+"""
+
+
+def q_theilsen_trend(sf_dir: str):
+    """Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    day-slopes of the daily-mean series — the estimator that shrugs off
+    the outlier days that break least-squares.  Daily means pre-round
+    to 6dp on BOTH sides, so every pairwise slope (one subtract, one
+    exact int divide) is the identical double and the median is
+    selection-exact.  Pair enumeration is day-count² per series
+    (bounded by the time window) and fully vectorized via triu
+    indices inside the series exchange."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_pairs", pa.int64()),
+                            ("theil_sen_slope", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        ks = np.nonzero(key_new)[0]
+        s, n = np.add.reduceat(s, ks), np.add.reduceat(n, ks)
+        et, day = et[ks], day[ks]
+        m = round6_tie_robust(s / n)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"event_type": [], "n_pairs": [], "slope": []}
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(ln, 1)
+            mm, dd = m[st:st + ln], day[st:st + ln]
+            slopes = (mm[jj] - mm[ii]) / (dd[jj] - dd[ii])
+            rows["event_type"].append(et[st])
+            rows["n_pairs"].append(len(slopes))
+            rows["slope"].append(float(np.median(slopes)))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "theil_sen_slope": pa.array(round6_tie_robust(
+                np.array(rows["slope"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem_without_order' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE l.l_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'order_without_customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'order_without_lineitem' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders o
+WHERE o.o_orderkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across three relationships (the
+    data-quality gate a warehouse load runs): orphaned lineitems,
+    orders without customers, childless orders.  Each check is a
+    broadcast anti-probe: the KEY SIDE collapses to distinct int64 keys
+    (semi-join reduction map-side), broadcasts under the collect_small
+    gate, and the fact side counts misses in one streaming pass — the
+    documented Dataset.join switch applies above the gate.  Output is
+    3 rows."""
+    import ray.data as rd
+
+    from ..stages.joins import collect_small
+
+    def _distinct_keys(path: str, col: str) -> np.ndarray:
+        t = collect_small(rd.read_parquet(path, columns=[col]))
+        keys = t[col].to_numpy(zero_copy_only=False)
+        return np.unique(keys[~pd_isnull_safe(keys)])
+
+    def pd_isnull_safe(a):
+        try:
+            return np.isnan(a)
+        except TypeError:
+            return np.zeros(len(a), dtype=bool)
+
+    def _count_misses(path: str, col: str, keys: np.ndarray) -> int:
+        ds = rd.read_parquet(f"{sf_dir}/{path}", columns=[col])
+
+        def _miss(batch: pa.Table) -> pa.Table:
+            v = pc.filter(batch[col], pc.is_valid(batch[col]))
+            a = v.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, a)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            miss = int((keys[pos_c] != a).sum()) if len(keys) \
+                else len(a)
+            return pa.table({"miss": pa.array([miss], pa.int64())})
+
+        parts = _collect_raw(ds.map_batches(_miss,
+                                            batch_format="pyarrow",
+                                            zero_copy_batch=True))
+        return int(parts["miss"].to_numpy().sum())
+
+    order_keys = _distinct_keys(f"{sf_dir}/orders.parquet",
+                                "o_orderkey")
+    cust_keys = _distinct_keys(f"{sf_dir}/customer.parquet",
+                               "c_custkey")
+    li_keys = _distinct_keys(f"{sf_dir}/lineitem.parquet",
+                             "l_orderkey")
+    return pa.table({
+        "relation": pa.array(["lineitem_without_order",
+                              "order_without_customer",
+                              "order_without_lineitem"], pa.string()),
+        "n_orphans": pa.array([
+            _count_misses("lineitem.parquet", "l_orderkey",
+                          order_keys),
+            _count_misses("orders.parquet", "o_custkey", cust_keys),
+            _count_misses("orders.parquet", "o_orderkey", li_keys),
+        ], pa.int64()),
+    })
+
+
 ROLLING_CORR_SQL = """
 WITH d AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
@@ -9065,6 +9372,10 @@ def build_queries() -> dict:
         "rolling_corr": q_rolling_corr,
         "session_path_topk": q_session_path_topk,
         "dedup_keep_best": q_dedup_keep_best,
+        "wow_change": q_wow_change,
+        "lines_per_order_hist": q_lines_per_order_hist,
+        "theilsen_trend": q_theilsen_trend,
+        "integrity_audit": q_integrity_audit,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -9300,6 +9611,10 @@ WHERE rn <= 2
         "rolling_corr": ROLLING_CORR_SQL,
         "session_path_topk": SESSION_PATH_TOPK_SQL,
         "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+        "wow_change": WOW_CHANGE_SQL,
+        "lines_per_order_hist": LINES_PER_ORDER_HIST_SQL,
+        "theilsen_trend": THEILSEN_TREND_SQL,
+        "integrity_audit": INTEGRITY_AUDIT_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),

@@ -480,3 +480,75 @@ def test_dedup_keep_best_matches_pandas(ray_session):
     for lang, row in agg.iterrows():
         assert got.loc[lang, "n_kept"] == row["sum"]
         assert got.loc[lang, "n_dropped"] == row["count"] - row["sum"]
+
+
+def test_wow_change_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_wow_change
+
+    got = q_wow_change(SF).to_pandas().sort_values(
+        ["event_type", "week"]).reset_index(drop=True)
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    ev["week"] = ev["ts"].astype("int64") // 604_800_000_000
+    w = (ev.groupby(["event_type", "week"])["value"]
+         .agg(["count", "sum"]).reset_index()
+         .sort_values(["event_type", "week"]))
+    w["pn"] = w.groupby("event_type")["count"].shift()
+    w = w.dropna(subset=["pn"])
+    assert len(got) == len(w)
+    np.testing.assert_allclose(
+        got["n_wow"],
+        (w["count"] - w["pn"]) / w["pn"], atol=5e-7)
+
+
+def test_lines_per_order_hist_sums_to_orders(ray_session):
+    from light_curve_ray.pipelines.queries import q_lines_per_order_hist
+
+    got = q_lines_per_order_hist(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")["l_orderkey"
+                                                   ].dropna()
+    sizes = li.value_counts()
+    ref = sizes.value_counts().sort_index()
+    got = got.sort_values("n_lines").reset_index(drop=True)
+    assert list(got["n_lines"]) == list(ref.index)
+    assert list(got["n_orders"]) == list(ref.values)
+    assert int((got["n_lines"] * got["n_orders"]).sum()) == len(li)
+
+
+def test_theilsen_trend_matches_bruteforce(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_theilsen_trend
+
+    got = q_theilsen_trend(SF).to_pandas().set_index("event_type")
+    ev = _events().dropna(subset=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    daily = (ev.groupby(["event_type", "day"])["value"]
+             .agg(["sum", "count"]).reset_index())
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        m = round6_tie_robust(
+            grp["sum"].to_numpy() / grp["count"].to_numpy())
+        d = grp["day"].to_numpy()
+        ii, jj = np.triu_indices(len(m), 1)
+        slopes = (m[jj] - m[ii]) / (d[jj] - d[ii])
+        row = got.loc[et]
+        assert row["n_pairs"] == len(slopes)
+        np.testing.assert_allclose(row["theil_sen_slope"],
+                                   np.median(slopes), atol=5e-7)
+
+
+def test_integrity_audit_counts(ray_session):
+    from light_curve_ray.pipelines.queries import q_integrity_audit
+
+    got = q_integrity_audit(SF).to_pandas().set_index("relation")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    ok = set(orders["o_orderkey"].dropna())
+    ck = set(cust["c_custkey"].dropna())
+    lk = set(li["l_orderkey"].dropna())
+    assert got.loc["lineitem_without_order", "n_orphans"] == int(
+        (~li["l_orderkey"].dropna().isin(ok)).sum())
+    assert got.loc["order_without_customer", "n_orphans"] == int(
+        (~orders["o_custkey"].dropna().isin(ck)).sum())
+    assert got.loc["order_without_lineitem", "n_orphans"] == int(
+        (~orders["o_orderkey"].dropna().isin(lk)).sum())
