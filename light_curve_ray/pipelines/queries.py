@@ -9285,6 +9285,395 @@ def q_multimodal_features(sf_dir: str):
                                    batch_size=64))
 
 
+MAX_DRAWDOWN_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5) AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+c AS (
+  SELECT event_type, day,
+         SUM(mi) OVER (PARTITION BY event_type ORDER BY day) AS cum
+  FROM d),
+p AS (
+  SELECT event_type, day,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY day) - cum AS dd
+  FROM c),
+r AS (
+  SELECT event_type, day, dd,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dd DESC, day) AS rn
+  FROM p)
+SELECT event_type, day AS trough_day,
+       ROUND(dd / 1000000.0, 6) AS max_drawdown
+FROM r WHERE rn = 1
+"""
+
+
+def q_max_drawdown(sf_dir: str):
+    """Maximum drawdown per series (the risk metric over the cumulative
+    daily-flow curve): deepest drop from a running peak, with the
+    trough day (ties -> earliest).  PARITY BY INTEGER ALGEBRA
+    (changepoint_cusum discipline): daily sums are two-step-rounded to
+    6 dp then scaled to exact int64 micro-units, and cumsum / running
+    max / argmax all run in pure int64 — immune to the windowed-SUM
+    association-order ulp difference between engines that could flip
+    the argmax between near-tied troughs.  One series-keyed exchange;
+    map-side daily partials keep it day-count scale."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate([("v", "sum")])
+        return g.rename_columns(["event_type", "day", "s"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("trough_day", pa.int64()),
+                            ("max_drawdown", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        s = np.add.reduceat(s, kstarts)
+        et, day = et[kstarts], day[kstarts]
+        mi = np.floor(round6_tie_robust(s) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows_et, rows_day, rows_dd = [], [], []
+        for st, ln in zip(starts, lens):
+            cum = np.cumsum(mi[st:st + ln])
+            dd = np.maximum.accumulate(cum) - cum
+            best = int(np.argmax(dd))
+            rows_et.append(et[st])
+            rows_day.append(int(day[st + best]))
+            rows_dd.append(float(dd[best]) / 1_000_000.0)
+        return pa.table({
+            "event_type": pa.array(rows_et, pa.string()),
+            "trough_day": pa.array(rows_day, pa.int64()),
+            "max_drawdown": pa.array(round6_tie_robust(
+                np.array(rows_dd, dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+FORECAST_BACKTEST_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2)
+SELECT a.event_type,
+       COUNT(*) AS n_days,
+       ROUND(AVG(ABS(a.c - b.c)), 6) AS mae,
+       ROUND(AVG(2.0 * ABS(a.c - b.c) / (a.c + b.c)), 6) AS smape
+FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7
+GROUP BY 1
+"""
+
+
+def q_forecast_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest per series (the forecasting
+    baseline every pipeline evaluates against): predict day d's event
+    count with day d-7's, score MAE and sMAPE over every day that has
+    a lag-7 predecessor.  Counts are exact integers, so MAE is
+    order-immune (integer sum / count); sMAPE's float term-sum order
+    difference is absorbed by the two-step output round.  Map-side
+    daily count partials -> one series-keyed exchange; the lag-7 match
+    is one np.searchsorted per series block."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US)})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("mae", pa.float64()),
+                            ("smape", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        c = np.add.reduceat(c, kstarts).astype(np.int64)
+        et, day = et[kstarts], day[kstarts]
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"event_type": [], "n_days": [], "mae": [], "smape": []}
+        for st, ln in zip(starts, lens):
+            d = day[st:st + ln]
+            cc = c[st:st + ln]
+            pos = np.searchsorted(d, d - 7)
+            ok = (pos < ln) & (d[np.minimum(pos, ln - 1)] == d - 7)
+            if not ok.any():
+                continue
+            actual = cc[ok]
+            pred = cc[pos[ok]]
+            err = np.abs(actual - pred)
+            rows["event_type"].append(et[st])
+            rows["n_days"].append(int(ok.sum()))
+            rows["mae"].append(float(err.sum()) / float(ok.sum()))
+            rows["smape"].append(float(np.sum(
+                2.0 * err / (actual + pred))) / float(ok.sum()))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_days": pa.array(rows["n_days"], pa.int64()),
+            "mae": pa.array(round6_tie_robust(
+                np.array(rows["mae"], dtype=np.float64))),
+            "smape": pa.array(round6_tie_robust(
+                np.array(rows["smape"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+TRIANGLE_COUNT_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p)
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+"""
+
+
+def _emit_run_pairs(vals: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray):
+    """i<j pair emission over sorted runs, vectorized by length class
+    (the covisit_pairs trick): runs of equal length are one reshape +
+    one precomputed triu gather — no per-run Python."""
+    us_parts, vs_parts = [], []
+    for length in np.unique(lens):
+        if length < 2:
+            continue
+        sel = starts[lens == length]
+        idx = sel[:, None] + np.arange(length)
+        m = vals[idx]
+        iu, ju = np.triu_indices(int(length), 1)
+        us_parts.append(m[:, iu].ravel())
+        vs_parts.append(m[:, ju].ravel())
+    if not us_parts:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(us_parts), np.concatenate(vs_parts)
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangle counting on the part co-purchase graph (nodes =
+    partkeys, an edge where two parts share an order) — the classic
+    graph-analytics kernel for community structure.  The algorithm is
+    degree-ordered wedge counting (O(m^1.5) work, the web-scale
+    standard): edges are oriented from the (degree, id)-lower endpoint,
+    wedges are emitted only from each node's out-neighborhood, and a
+    wedge closes a triangle iff its (b, c) endpoint pair is itself an
+    edge — each triangle counted exactly once at its order-minimal
+    vertex.  Shuffles: one orderkey exchange (pair emission), one
+    edge-key exchange (global distinct), one src exchange (wedges).
+    The degree table is node-count scale (broadcast); the edge-key
+    membership probe broadcasts the sorted int64 key set under the
+    collect gate — above ~2M edges the documented switch is a
+    (b,c)-keyed Dataset.join of wedges against edges."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def _distinct_op(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["l_orderkey"]),
+                                     pc.is_valid(batch["l_partkey"])))
+        return batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = ds.map_batches(_distinct_op, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ek_schema = pa.schema([("k", pa.int64())])
+
+    def _order_pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return ek_schema.empty_table()
+        tbl = batch.sort_by([("l_orderkey", "ascending"),
+                             ("l_partkey", "ascending")])
+        o = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        # re-dedup across merged map partials
+        keep = np.empty(len(o), dtype=bool)
+        keep[0] = True
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(o)))
+        u, v = _emit_run_pairs(p, starts, lens)
+        # u < v within each sorted run; pack to one int64 edge key
+        return pa.table({"k": (u << np.int64(32)) | v}, schema=ek_schema)
+
+    pairs = sorted_group_map(op, ["l_orderkey"], None, ek_schema,
+                             block_fn=_order_pairs)
+
+    def _block_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["k"]).aggregate([])
+
+    def _run_distinct(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return ek_schema.empty_table()
+        k = batch.sort_by([("k", "ascending")])["k"].to_numpy(
+            zero_copy_only=False)
+        keep = np.empty(len(k), dtype=bool)
+        keep[0] = True
+        keep[1:] = k[1:] != k[:-1]
+        return pa.table({"k": k[keep]}, schema=ek_schema)
+
+    edges = sorted_group_map(
+        pairs.map_batches(_block_distinct, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["k"], None, ek_schema, block_fn=_run_distinct).materialize()
+    n_edges = edges.count()
+
+    # degree table: node-count scale (|parts|), merged on the driver
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    def _block_deg(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([k >> np.int64(32),
+                                k & np.int64(0xFFFFFFFF)])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": uniq, "d": cnt.astype(np.int64)},
+                        schema=deg_schema)
+
+    deg_parts = _collect_raw(edges.map_batches(
+        _block_deg, batch_format="pyarrow", zero_copy_batch=True))
+    node_all = deg_parts["node"].to_numpy(zero_copy_only=False)
+    d_all = deg_parts["d"].to_numpy(zero_copy_only=False)
+    order = np.argsort(node_all, kind="stable")
+    node_all, d_all = node_all[order], d_all[order]
+    first = np.empty(len(node_all), dtype=bool)
+    if len(node_all):
+        first[0] = True
+        first[1:] = node_all[1:] != node_all[:-1]
+        nstarts = np.nonzero(first)[0]
+        nodes = node_all[nstarts]
+        deg = np.add.reduceat(d_all, nstarts)
+    else:
+        nodes = np.empty(0, np.int64)
+        deg = np.empty(0, np.int64)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+    # sorted edge-key set for the closure probe (gated broadcast; the
+    # >2M-edge path is a (b,c)-keyed Dataset.join documented above)
+    edge_keys = np.sort(np.concatenate(
+        [t["k"].to_numpy(zero_copy_only=False)
+         for t in ray.get(edges.to_arrow_refs()) if len(t)] or
+        [np.empty(0, np.int64)]))
+    ek_ref = ray.put(edge_keys)
+
+    dir_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        nd = _ray.get(nodes_ref)
+        dg = _ray.get(deg_ref)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        # orient low (degree, id) -> high: u < v already breaks ties
+        flip = du > dv
+        src = np.where(flip, v, u)
+        dst = np.where(flip, u, v)
+        return pa.table({"src": src, "dst": dst}, schema=dir_schema)
+
+    directed = edges.map_batches(_orient, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    cnt_schema = pa.schema([("n", pa.int64())])
+
+    def _wedge_close(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        ek = _ray.get(ek_ref)
+        if len(batch) < 2:
+            return pa.table({"n": np.zeros(1, np.int64)},
+                            schema=cnt_schema)
+        tbl = batch.sort_by([("src", "ascending"), ("dst", "ascending")])
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(src), dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(src)))
+        b, c = _emit_run_pairs(dst, starts, lens)
+        if len(b) == 0:
+            return pa.table({"n": np.zeros(1, np.int64)},
+                            schema=cnt_schema)
+        lo = np.minimum(b, c)
+        hi = np.maximum(b, c)
+        wk = (lo << np.int64(32)) | hi
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)
+        return pa.table({"n": np.array([int(hit.sum())], np.int64)},
+                        schema=cnt_schema)
+
+    closed = sorted_group_map(directed, ["src"], None, cnt_schema,
+                              block_fn=_wedge_close)
+    n_tri = int(sum(t["n"].to_numpy(zero_copy_only=False).sum()
+                    for t in ray.get(closed.materialize().to_arrow_refs())
+                    if len(t)))
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -9376,6 +9765,9 @@ def build_queries() -> dict:
         "lines_per_order_hist": q_lines_per_order_hist,
         "theilsen_trend": q_theilsen_trend,
         "integrity_audit": q_integrity_audit,
+        "max_drawdown": q_max_drawdown,
+        "forecast_backtest": q_forecast_backtest,
+        "triangle_count": q_triangle_count,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -9615,6 +10007,9 @@ WHERE rn <= 2
         "lines_per_order_hist": LINES_PER_ORDER_HIST_SQL,
         "theilsen_trend": THEILSEN_TREND_SQL,
         "integrity_audit": INTEGRITY_AUDIT_SQL,
+        "max_drawdown": MAX_DRAWDOWN_SQL,
+        "forecast_backtest": FORECAST_BACKTEST_SQL,
+        "triangle_count": TRIANGLE_COUNT_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
