@@ -9674,6 +9674,258 @@ def q_triangle_count(sf_dir: str):
                      "n_triangles": pa.array([n_tri], pa.int64())})
 
 
+TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS text_norm,
+       length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                  '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Corpus text normalization (the canonical LLM-data cleanup pass
+    before dedup/tokenization): Unicode NFC, casefold, whitespace-run
+    collapse, trim — emitted as the cleaned text column itself.  Fully
+    vectorized Arrow kernels (utf8_normalize / utf8_lower /
+    replace_substring_regex are all RE2/utf8proc-backed, byte-identical
+    to DuckDB's nfc_normalize + lower + regexp_replace — probed on the
+    corpus); zero Python in the row path; streams map-only with no
+    shuffle."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("text_norm", pa.string()),
+                            ("n_chars_norm", pa.int64())])
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["doc_id"]),
+                                     pc.is_valid(batch["text"])))
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(batch["text"], form="NFC")),
+            r"\s+", " "))
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "text_norm": t,
+                         "n_chars_norm": pc.utf8_length(t).cast(pa.int64())},
+                        schema=out_schema)
+
+    return _collect(ds.map_batches(_norm, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+def _negative_sampling_sql() -> str:
+    from ..stages.sampling import hash_bucket_fine_sql
+
+    h = hash_bucket_fine_sql("(uw.user_id * 64 + ty.idx)", 7)
+    return f"""
+WITH pos AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week,
+         event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+ty AS (
+  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM pos)),
+uw AS (SELECT DISTINCT user_id, week FROM pos),
+cand AS (
+  SELECT uw.user_id, uw.week, ty.event_type, {h} AS h
+  FROM uw CROSS JOIN ty
+  WHERE NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.user_id = uw.user_id
+                      AND pos.week = uw.week
+                      AND pos.event_type = ty.event_type)),
+r AS (
+  SELECT user_id, week, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, week
+                            ORDER BY h, event_type) AS rn
+  FROM cand)
+SELECT user_id, week, event_type AS neg_type, rn AS rank
+FROM r WHERE rn <= 2
+"""
+
+
+def q_negative_sampling(sf_dir: str):
+    """Deterministic negative sampling for training pairs (the
+    contrastive / recommender data-prep op): for every active
+    (user, week), the 2 event types the user did NOT touch that week,
+    ranked by the house SQL-mirrorable integer hash
+    (stages/sampling.hash_bucket_fine) over (user, type) — so the
+    sample is reproducible run-to-run and shard-invariant.  The type
+    vocabulary is tiny and broadcast; positives shrink map-side to
+    distinct (user, week, type) and take ONE user-keyed exchange; the
+    per-block kernel builds the (user, week) x type presence mask and
+    ranks the complement fully vectorized (nonzero/lexsort — no
+    per-group Python)."""
+    from ..stages.sampling import hash_bucket_fine
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_type"])
+    _WEEK_US = 604_800_000_000
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "week": pc.divide(batch["ts"].cast(pa.int64()),
+                                        _WEEK_US),
+                      "event_type": batch["event_type"]})
+        return t.group_by(["user_id", "week", "event_type"]).aggregate([])
+
+    pairs = ds.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # vocabulary: bounded type set, merged on the driver (per-key scale)
+    voc_parts = _collect_raw(pairs.map_batches(
+        lambda b: b.select(["event_type"]).group_by(
+            ["event_type"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True))
+    vocab = np.unique(np.asarray(
+        voc_parts["event_type"].to_pylist(), dtype=object))
+    v_n = len(vocab)
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("week", pa.int64()),
+                            ("neg_type", pa.string()),
+                            ("rank", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("user_id", "ascending"),
+                             ("week", "ascending"),
+                             ("event_type", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        wk = tbl["week"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        keep = np.empty(len(uid), dtype=bool)
+        keep[0] = True
+        keep[1:] = ((uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+                    | (et[1:] != et[:-1]))
+        uid, wk, et = uid[keep], wk[keep], et[keep]
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = (uid[1:] != uid[:-1]) | (wk[1:] != wk[:-1])
+        run = np.cumsum(first) - 1
+        users, weeks = uid[first], wk[first]
+        present = np.zeros((len(users), v_n), dtype=bool)
+        present[run, np.searchsorted(vocab, et)] = True
+        cu, ct = np.nonzero(~present)
+        if len(cu) == 0:
+            return out_schema.empty_table()
+        h = hash_bucket_fine(users[cu] * 64 + ct, salt=7)
+        order = np.lexsort((ct, h, cu))
+        cu, ct = cu[order], ct[order]
+        nfirst = np.empty(len(cu), dtype=bool)
+        nfirst[0] = True
+        nfirst[1:] = cu[1:] != cu[:-1]
+        rank = np.arange(len(cu)) - np.maximum.accumulate(
+            np.where(nfirst, np.arange(len(cu)), 0)) + 1
+        sel = rank <= 2
+        return pa.table({
+            "user_id": pa.array(users[cu[sel]], pa.int64()),
+            "week": pa.array(weeks[cu[sel]], pa.int64()),
+            "neg_type": pa.array(vocab[ct[sel]], pa.string()),
+            "rank": pa.array(rank[sel], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(pairs, ["user_id"], None,
+                                     out_schema, block_fn=_block))
+
+
+HOURLY_ENTROPY_SQL = """
+WITH h AS (
+  SELECT event_type,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         COUNT(*) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1),
+ent AS (
+  SELECT h.event_type,
+         SUM(-(CAST(h.n AS DOUBLE) / t.tot)
+             * LN(CAST(h.n AS DOUBLE) / t.tot)) AS e
+  FROM h JOIN t USING (event_type) GROUP BY 1),
+pk AS (
+  SELECT event_type, hour,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hour) AS rn
+  FROM h)
+SELECT ent.event_type, ROUND(ent.e, 6) AS hour_entropy,
+       pk.hour AS peak_hour
+FROM ent JOIN pk USING (event_type) WHERE pk.rn = 1
+"""
+
+
+def q_hourly_entropy(sf_dir: str):
+    """Temporal-regularity profile per series: Shannon entropy of the
+    hour-of-day activity histogram (low = strongly diurnal, ln 24 =
+    uniform) plus the peak hour (integer-count argmax, ties -> earliest
+    hour, so the argmax is order-immune).  Map-side (type, hour) count
+    partials -> one series-keyed exchange over <= 24 rows per series;
+    the ln term-sum order difference vs the SQL oracle is absorbed by
+    the two-step output round (conditional_entropy precedent)."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    _HOUR_US = 3_600_000_000
+
+    def _hourly(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pc.divide(
+                          pc.subtract(t_us, pc.multiply(
+                              pc.divide(t_us, _DAY_US), _DAY_US)),
+                          _HOUR_US)})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    partials = ds.map_batches(_hourly, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("hour_entropy", pa.float64()),
+                            ("peak_hour", pa.int64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("hour", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        hour = tbl["hour"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (hour[1:] != hour[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        n = np.add.reduceat(n, kstarts).astype(np.int64)
+        et, hour = et[kstarts], hour[kstarts]
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows_et, rows_e, rows_pk = [], [], []
+        for st, ln in zip(starts, lens):
+            cnt = n[st:st + ln]
+            p = cnt / cnt.sum()
+            rows_et.append(et[st])
+            rows_e.append(float(np.sum(-p * np.log(p))))
+            rows_pk.append(int(hour[st + int(np.argmax(cnt))]))
+        return pa.table({
+            "event_type": pa.array(rows_et, pa.string()),
+            "hour_entropy": pa.array(round6_tie_robust(
+                np.array(rows_e, dtype=np.float64))),
+            "peak_hour": pa.array(rows_pk, pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -9768,6 +10020,9 @@ def build_queries() -> dict:
         "max_drawdown": q_max_drawdown,
         "forecast_backtest": q_forecast_backtest,
         "triangle_count": q_triangle_count,
+        "text_normalize": q_text_normalize,
+        "negative_sampling": q_negative_sampling,
+        "hourly_entropy": q_hourly_entropy,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -10010,6 +10265,9 @@ WHERE rn <= 2
         "max_drawdown": MAX_DRAWDOWN_SQL,
         "forecast_backtest": FORECAST_BACKTEST_SQL,
         "triangle_count": TRIANGLE_COUNT_SQL,
+        "text_normalize": TEXT_NORMALIZE_SQL,
+        "negative_sampling": _negative_sampling_sql(),
+        "hourly_entropy": HOURLY_ENTROPY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
