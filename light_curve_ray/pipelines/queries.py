@@ -9471,13 +9471,16 @@ def q_forecast_backtest(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
-TRIANGLE_COUNT_SQL = """
-WITH op AS (
+_COPURCHASE_EDGES_CTE = """
+op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
 e AS (
   SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p)
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p)"""
+
+TRIANGLE_COUNT_SQL = f"""
+WITH {_COPURCHASE_EDGES_CTE}
 SELECT (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT COUNT(*)
         FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
@@ -9506,22 +9509,12 @@ def _emit_run_pairs(vals: np.ndarray, starts: np.ndarray,
     return np.concatenate(us_parts), np.concatenate(vs_parts)
 
 
-def q_triangle_count(sf_dir: str):
-    """Triangle counting on the part co-purchase graph (nodes =
-    partkeys, an edge where two parts share an order) — the classic
-    graph-analytics kernel for community structure.  The algorithm is
-    degree-ordered wedge counting (O(m^1.5) work, the web-scale
-    standard): edges are oriented from the (degree, id)-lower endpoint,
-    wedges are emitted only from each node's out-neighborhood, and a
-    wedge closes a triangle iff its (b, c) endpoint pair is itself an
-    edge — each triangle counted exactly once at its order-minimal
-    vertex.  Shuffles: one orderkey exchange (pair emission), one
-    edge-key exchange (global distinct), one src exchange (wedges).
-    The degree table is node-count scale (broadcast); the edge-key
-    membership probe broadcasts the sorted int64 key set under the
-    collect gate — above ~2M edges the documented switch is a
-    (b,c)-keyed Dataset.join of wedges against edges."""
-    import ray
+def _copurchase_edges(sf_dir: str):
+    """Distinct undirected part co-purchase edges (u < v, packed to one
+    int64 key u<<32|v), materialized: distinct (order, part) map-side,
+    one orderkey exchange for sorted-run pair emission, one edge-key
+    exchange for the global distinct.  Shared by triangle_count and
+    pagerank_parts (SQL mirror: _COPURCHASE_EDGES_CTE)."""
     import ray.data as rd
 
     from ..stages.sorted_groups import sorted_group_map
@@ -9575,13 +9568,15 @@ def q_triangle_count(sf_dir: str):
         keep[1:] = k[1:] != k[:-1]
         return pa.table({"k": k[keep]}, schema=ek_schema)
 
-    edges = sorted_group_map(
+    return sorted_group_map(
         pairs.map_batches(_block_distinct, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["k"], None, ek_schema, block_fn=_run_distinct).materialize()
-    n_edges = edges.count()
 
-    # degree table: node-count scale (|parts|), merged on the driver
+
+def _copurchase_degrees(edges):
+    """(sorted node ids, degree) of the packed-edge dataset — node-count
+    scale, merged on the driver from per-block partials."""
     deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
 
     def _block_deg(batch: pa.Table) -> pa.Table:
@@ -9598,16 +9593,37 @@ def q_triangle_count(sf_dir: str):
     d_all = deg_parts["d"].to_numpy(zero_copy_only=False)
     order = np.argsort(node_all, kind="stable")
     node_all, d_all = node_all[order], d_all[order]
+    if not len(node_all):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     first = np.empty(len(node_all), dtype=bool)
-    if len(node_all):
-        first[0] = True
-        first[1:] = node_all[1:] != node_all[:-1]
-        nstarts = np.nonzero(first)[0]
-        nodes = node_all[nstarts]
-        deg = np.add.reduceat(d_all, nstarts)
-    else:
-        nodes = np.empty(0, np.int64)
-        deg = np.empty(0, np.int64)
+    first[0] = True
+    first[1:] = node_all[1:] != node_all[:-1]
+    nstarts = np.nonzero(first)[0]
+    return node_all[nstarts], np.add.reduceat(d_all, nstarts)
+
+
+def q_triangle_count(sf_dir: str):
+    """Triangle counting on the part co-purchase graph (nodes =
+    partkeys, an edge where two parts share an order) — the classic
+    graph-analytics kernel for community structure.  The algorithm is
+    degree-ordered wedge counting (O(m^1.5) work, the web-scale
+    standard): edges are oriented from the (degree, id)-lower endpoint,
+    wedges are emitted only from each node's out-neighborhood, and a
+    wedge closes a triangle iff its (b, c) endpoint pair is itself an
+    edge — each triangle counted exactly once at its order-minimal
+    vertex.  Shuffles: one orderkey exchange (pair emission), one
+    edge-key exchange (global distinct), one src exchange (wedges).
+    The degree table is node-count scale (broadcast); the edge-key
+    membership probe broadcasts the sorted int64 key set under the
+    collect gate — above ~2M edges the documented switch is a
+    (b,c)-keyed Dataset.join of wedges against edges."""
+    import ray
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    edges = _copurchase_edges(sf_dir)
+    n_edges = edges.count()
+    nodes, deg = _copurchase_degrees(edges)
     nodes_ref = ray.put(nodes)
     deg_ref = ray.put(deg)
     # sorted edge-key set for the closure probe (gated broadcast; the
@@ -9926,6 +9942,192 @@ def q_hourly_entropy(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+PAGERANK_PARTS_SQL = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY 1),
+r1 AS (
+  SELECT s.a, ROUND(0.15 + 0.85 * SUM(1.0 / db.d), 6) AS r
+  FROM sym s JOIN deg db ON db.a = s.b GROUP BY s.a),
+r2 AS (
+  SELECT s.a, ROUND(0.15 + 0.85 * SUM(r1.r / db.d), 6) AS r
+  FROM sym s JOIN deg db ON db.a = s.b JOIN r1 ON r1.a = s.b
+  GROUP BY s.a)
+SELECT a AS part, r AS pagerank FROM r2
+"""
+
+
+def q_pagerank_parts(sf_dir: str):
+    """PageRank (2 fixed power iterations, damping 0.85, uniform init)
+    over the part co-purchase graph — the iterative-graph-computation
+    pattern (each iteration: broadcast the node-rank vector, stream the
+    edge list once, merge node-scale partial contribution sums).
+    PARITY: ranks are two-step-rounded after EVERY iteration on both
+    sides, so cross-engine ulp drift cannot compound; the per-node
+    contribution terms (rank/degree) are then bitwise-identical doubles
+    and the remaining term-sum order difference is absorbed by the next
+    round.  Edges stream per iteration (never collected); node state is
+    per-key scale — at web scale the documented switch is hash-
+    partitioned rank join instead of the broadcast vector."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+
+    edges = _copurchase_edges(sf_dir)
+    nodes, deg = _copurchase_degrees(edges)
+    if len(nodes) == 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "pagerank": pa.array([], pa.float64())})
+    nodes_ref = ray.put(nodes)
+    part_schema = pa.schema([("node", pa.int64()), ("c", pa.float64())])
+    rank = np.ones(len(nodes), dtype=np.float64)
+
+    for _ in range(2):
+        contrib_ref = ray.put(rank / deg)
+
+        def _block_contrib(batch: pa.Table) -> pa.Table:
+            nd = ray.get(nodes_ref)
+            cv = ray.get(contrib_ref)
+            k = batch["k"].to_numpy(zero_copy_only=False)
+            u = np.searchsorted(nd, k >> np.int64(32))
+            v = np.searchsorted(nd, k & np.int64(0xFFFFFFFF))
+            acc = np.bincount(u, weights=cv[v], minlength=len(nd))
+            acc += np.bincount(v, weights=cv[u], minlength=len(nd))
+            nz = np.nonzero(acc)[0]
+            return pa.table({"node": nd[nz], "c": acc[nz]},
+                            schema=part_schema)
+
+        parts = _collect_raw(edges.map_batches(
+            _block_contrib, batch_format="pyarrow", zero_copy_batch=True))
+        total = np.zeros(len(nodes), dtype=np.float64)
+        idx = np.searchsorted(nodes, parts["node"].to_numpy(
+            zero_copy_only=False))
+        np.add.at(total, idx, parts["c"].to_numpy(zero_copy_only=False))
+        rank = round6_tie_robust(0.15 + 0.85 * total)
+
+    return pa.table({"part": pa.array(nodes, pa.int64()),
+                     "pagerank": pa.array(rank, pa.float64())})
+
+
+KNN_ACCURACY_SQL = """
+WITH nv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+            WHERE vec_id IS NOT NULL AND label IS NOT NULL
+              AND embedding IS NOT NULL),
+s AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS vid,
+         b.label AS vlab, list_cosine_similarity(a.e, b.e) AS cos
+  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY ROUND(cos, 6) DESC, vid) AS r
+  FROM s)
+SELECT CAST(qlab AS BIGINT) AS label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN vlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN vlab = qlab THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS accuracy
+FROM rk WHERE r = 1 GROUP BY 1
+"""
+
+
+def q_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embedding corpus (the
+    embedding-quality eval every retrieval pipeline runs): each vector's
+    nearest neighbor by cosine (rounded-6dp rank, vec_id tie-break — the
+    ann_topk ordering discipline) votes its label; accuracy reported per
+    label.  Engine path: the corpus broadcasts once (query side), every
+    block matmuls against it and keeps a per-block best-per-query, one
+    query-keyed exchange merges block winners; labels attach from the
+    broadcast node-scale lookup.  Accuracy is exact integer counts /
+    division at the end."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import load_corpus
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["vec_id"]),
+                            pc.is_valid(batch["label"])),
+                    pc.is_valid(batch["embedding"]))
+        return batch.filter(m)
+
+    ds = ds.map_batches(_clean, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    ids, mat = load_corpus(ds)
+    # node-scale label lookup aligned to the sorted ids
+    lab_parts = _collect_raw(ds.map_batches(
+        lambda b: b.select(["vec_id", "label"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+    lid = lab_parts["vec_id"].to_numpy(zero_copy_only=False)
+    lv = lab_parts["label"].to_numpy(zero_copy_only=False)
+    labels = np.empty(len(ids), dtype=lv.dtype)
+    labels[np.searchsorted(ids, lid)] = lv
+    qref = ray.put((ids, mat, labels))
+    part_schema = pa.schema([("qid", pa.int64()), ("vid", pa.int64()),
+                             ("cos", pa.float64())])
+
+    def _block_best(batch: pa.Table) -> pa.Table:
+        from ..stages.similarity import _emb_matrix, _normalize
+        qids, qmat, _ = ray.get(qref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, "embedding"))
+        sims = qmat @ bmat.T
+        sims[qids[:, None] == vids[None, :]] = -np.inf
+        # per-query block winner by (rounded cos desc, vid asc)
+        r = round6_tie_robust(sims)
+        vorder = np.argsort(vids, kind="stable")
+        r = r[:, vorder]
+        best = np.argmax(r, axis=1)
+        rows = np.arange(len(qids))
+        keep = np.isfinite(r[rows, best])
+        return pa.table({
+            "qid": pa.array(qids[keep], pa.int64()),
+            "vid": pa.array(vids[vorder][best[keep]], pa.int64()),
+            "cos": pa.array(r[rows[keep], best[keep]], pa.float64()),
+        }, schema=part_schema)
+
+    partials = ds.map_batches(_block_best, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    win_schema = pa.schema([("qid", pa.int64()), ("vid", pa.int64())])
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return win_schema.empty_table()
+        tbl = batch.sort_by([("qid", "ascending"), ("cos", "descending"),
+                             ("vid", "ascending")])
+        q = tbl["qid"].to_numpy(zero_copy_only=False)
+        v = tbl["vid"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(q), dtype=bool)
+        first[0] = True
+        first[1:] = q[1:] != q[:-1]
+        return pa.table({"qid": q[first], "vid": v[first]},
+                        schema=win_schema)
+
+    winners = _collect_raw(sorted_group_map(partials, ["qid"], None,
+                                            win_schema, block_fn=_merge))
+    qi = np.searchsorted(ids, winners["qid"].to_numpy(
+        zero_copy_only=False))
+    vi = np.searchsorted(ids, winners["vid"].to_numpy(
+        zero_copy_only=False))
+    qlab, vlab = labels[qi], labels[vi]
+    uniq = np.unique(qlab)
+    n = np.array([(qlab == u).sum() for u in uniq], dtype=np.int64)
+    ok = np.array([((qlab == u) & (vlab == qlab)).sum() for u in uniq],
+                  dtype=np.int64)
+    return pa.table({
+        "label": pa.array(uniq.astype(np.int64), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "n_correct": pa.array(ok, pa.int64()),
+        "accuracy": pa.array(round6_tie_robust(ok / n), pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -10023,6 +10225,8 @@ def build_queries() -> dict:
         "text_normalize": q_text_normalize,
         "negative_sampling": q_negative_sampling,
         "hourly_entropy": q_hourly_entropy,
+        "pagerank_parts": q_pagerank_parts,
+        "knn_accuracy": q_knn_accuracy,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -10268,6 +10472,8 @@ WHERE rn <= 2
         "text_normalize": TEXT_NORMALIZE_SQL,
         "negative_sampling": _negative_sampling_sql(),
         "hourly_entropy": HOURLY_ENTROPY_SQL,
+        "pagerank_parts": PAGERANK_PARTS_SQL,
+        "knn_accuracy": KNN_ACCURACY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
