@@ -10128,6 +10128,197 @@ def q_knn_accuracy(sf_dir: str):
     })
 
 
+TEMPORAL_MOTIFS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs
+FROM ev a JOIN ev b ON b.user_id = a.user_id
+  AND b.t > a.t AND b.t <= a.t + 3600000000
+GROUP BY 1, 2
+"""
+
+
+def q_temporal_motifs(sf_dir: str):
+    """Temporal motif counts (the event-sequence mining op): for every
+    ordered type pair (A, B), how many times some user did B within one
+    hour strictly AFTER doing A — the windowed generalization of the
+    adjacent-transition Markov counts.  One user-keyed exchange; per
+    user run the window bounds come from two searchsorted calls on the
+    time-sorted run (strict > excludes equal-timestamp pairs, so the
+    count is order-convention-free) and the pair expansion is the
+    repeat/cumsum gather.  Block partials collapse to the bounded
+    |types|^2 key space before the driver merge."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "event_type", "ts"])
+    _H_US = 3_600_000_000
+    part_schema = pa.schema([("type_a", pa.string()),
+                             ("type_b", pa.string()),
+                             ("n_pairs", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return part_schema.empty_table()
+        tbl = pa.table({"user_id": batch["user_id"],
+                        "t": batch["ts"].cast(pa.int64()),
+                        "event_type": batch["event_type"]}).sort_by(
+            [("user_id", "ascending"), ("t", "ascending")])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        t = tbl["t"].to_numpy(zero_copy_only=False)
+        et = np.asarray(tbl["event_type"].to_pylist(), dtype=object)
+        first = np.empty(len(uid), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(uid)))
+        a_parts, b_parts = [], []
+        # per-run searchsorted (runs are single users; the window scan
+        # is two sorted probes + one gather per run)
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            tr = t[st:st + ln]
+            lo = np.searchsorted(tr, tr, side="right")
+            hi = np.searchsorted(tr, tr + _H_US, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            rep_i = np.repeat(np.arange(ln), cnt)
+            base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            j = np.repeat(lo, cnt) + (np.arange(tot) - base)
+            a_parts.append(et[st + rep_i])
+            b_parts.append(et[st + j])
+        if not a_parts:
+            return part_schema.empty_table()
+        pairs = pa.table({
+            "type_a": pa.array(np.concatenate(a_parts), pa.string()),
+            "type_b": pa.array(np.concatenate(b_parts), pa.string()),
+        })
+        g = pairs.group_by(["type_a", "type_b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["type_a", "type_b", "n_pairs"]).cast(
+            part_schema)
+
+    partials = _collect_raw(sorted_group_map(
+        ds, ["user_id"], None, part_schema, block_fn=_block))
+    merged = partials.group_by(["type_a", "type_b"]).aggregate(
+        [("n_pairs", "sum")])
+    return merged.rename_columns(["type_a", "type_b", "n_pairs"])
+
+
+LAG_FEATURES_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5) AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+f AS (
+  SELECT event_type, day, mi,
+         LAG(mi, 1) OVER w AS l1,
+         LAG(mi, 7) OVER w AS l7,
+         SUM(mi) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, day,
+       ROUND(mi / 1000000.0, 6) AS v,
+       ROUND(l1 / 1000000.0, 6) AS lag1,
+       ROUND(l7 / 1000000.0, 6) AS lag7,
+       ROUND(CAST(s7 AS DOUBLE) / c7 / 1000000.0, 6) AS rmean7
+FROM f
+"""
+
+
+def q_lag_features(sf_dir: str):
+    """Per-series lag-feature matrix (the feature-engineering
+    materialization a forecasting / anomaly model trains on): daily
+    value, row-lag-1, row-lag-7 and trailing-7-row mean per series.
+    PARITY BY INTEGER ALGEBRA: daily sums are two-step-rounded then
+    scaled to exact int64 micro-units; lags are exact gathers and the
+    rolling mean is an int cumsum difference divided once at the end —
+    no float accumulates across rows on either side.  Leading rows
+    keep NULL lags (both engines).  Map-side daily partials -> one
+    series-keyed exchange."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate([("v", "sum")])
+        return g.rename_columns(["event_type", "day", "s"])
+
+    partials = ds.map_batches(_daily, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("day", pa.int64()),
+                            ("v", pa.float64()),
+                            ("lag1", pa.float64()),
+                            ("lag7", pa.float64()),
+                            ("rmean7", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("day", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(et), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        s = np.add.reduceat(s, kstarts)
+        et, day = et[kstarts], day[kstarts]
+        mi = np.floor(round6_tie_robust(s) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(et)), 0))
+        pos = np.arange(len(et)) - run_start  # row index within series
+        n = len(et)
+
+        def _lag(k: int):
+            out = np.full(n, np.nan)
+            ok = pos >= k
+            out[ok] = mi[np.nonzero(ok)[0] - k] / 1_000_000.0
+            return out
+
+        cum = np.cumsum(mi)
+        # trailing-7-row sum: cum[i] - cum[i-w] within the run
+        w = np.minimum(pos + 1, 7)
+        prev = np.arange(n) - w
+        sum7 = cum - np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
+        # rows whose window would cross the run start use pos+1 rows,
+        # so prev = run_start - 1 and the subtraction stays in-run
+        rmean = sum7.astype(np.float64) / w / 1_000_000.0
+        return pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "v": pa.array(round6_tie_robust(mi / 1_000_000.0)),
+            "lag1": pa.array(round6_tie_robust(_lag(1))),
+            "lag7": pa.array(round6_tie_robust(_lag(7))),
+            "rmean7": pa.array(round6_tie_robust(rmean)),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -10227,6 +10418,8 @@ def build_queries() -> dict:
         "hourly_entropy": q_hourly_entropy,
         "pagerank_parts": q_pagerank_parts,
         "knn_accuracy": q_knn_accuracy,
+        "temporal_motifs": q_temporal_motifs,
+        "lag_features": q_lag_features,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -10474,6 +10667,8 @@ WHERE rn <= 2
         "hourly_entropy": HOURLY_ENTROPY_SQL,
         "pagerank_parts": PAGERANK_PARTS_SQL,
         "knn_accuracy": KNN_ACCURACY_SQL,
+        "temporal_motifs": TEMPORAL_MOTIFS_SQL,
+        "lag_features": LAG_FEATURES_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
