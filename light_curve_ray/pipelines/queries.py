@@ -10319,6 +10319,320 @@ def q_lag_features(sf_dir: str):
                                      out_schema, block_fn=_series))
 
 
+WEIGHTED_MEDIAN_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS rf,
+         CAST(FLOOR(ROUND(l_extendedprice, 6) * 1000000 + 0.5)
+              AS BIGINT) AS pi,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity IS NOT NULL),
+g AS (SELECT rf, pi, SUM(w) AS w FROM x GROUP BY 1, 2),
+c AS (
+  SELECT rf, pi,
+         SUM(w) OVER (PARTITION BY rf ORDER BY pi) AS cw,
+         SUM(w) OVER (PARTITION BY rf) AS tw
+  FROM g),
+m AS (SELECT rf, MIN(pi) AS med_pi FROM c WHERE 2 * cw >= tw GROUP BY 1)
+SELECT m.rf AS l_returnflag,
+       ROUND(m.med_pi / 1000000.0, 6) AS wmedian_price,
+       CAST(t.tw AS BIGINT) AS total_weight
+FROM m JOIN (SELECT rf, CAST(SUM(w) AS BIGINT) AS tw FROM g
+             GROUP BY 1) t ON t.rf = m.rf
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median price per return flag (the weighted
+    percentile every pricing / billing readout needs — the unweighted
+    quantile sketch can't express it).  PARITY BY INTEGER ALGEBRA:
+    prices two-step-round to exact int64 micro-units, weights are
+    integer quantities, and the median is the smallest price whose
+    cumulative weight satisfies 2*cw >= tw in pure integers — no float
+    compare anywhere.  Map-side (flag, price) weight partials collapse
+    the exchange to distinct-price scale; one key exchange."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    part_schema = pa.schema([("rf", pa.string()), ("pi", pa.int64()),
+                             ("w", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["l_returnflag"]),
+                            pc.is_valid(batch["l_extendedprice"])),
+                    pc.is_valid(batch["l_quantity"]))
+        batch = batch.filter(m)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        pi = np.floor(round6_tie_robust(price) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        w = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        t = pa.table({"rf": batch["l_returnflag"], "pi": pi, "w": w})
+        g = t.group_by(["rf", "pi"]).aggregate([("w", "sum")])
+        return g.rename_columns(["rf", "pi", "w"]).cast(part_schema)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("wmedian_price", pa.float64()),
+                            ("total_weight", pa.int64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("rf", "ascending"), ("pi", "ascending")])
+        rf = tbl["rf"].to_numpy(zero_copy_only=False)
+        pi = tbl["pi"].to_numpy(zero_copy_only=False)
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        key_new = np.empty(len(rf), dtype=bool)
+        key_new[0] = True
+        key_new[1:] = (rf[1:] != rf[:-1]) | (pi[1:] != pi[:-1])
+        kstarts = np.nonzero(key_new)[0]
+        w = np.add.reduceat(w, kstarts)
+        rf, pi = rf[kstarts], pi[kstarts]
+        first = np.empty(len(rf), dtype=bool)
+        first[0] = True
+        first[1:] = rf[1:] != rf[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(rf)))
+        rows_rf, rows_m, rows_t = [], [], []
+        for st, ln in zip(starts, lens):
+            ww = w[st:st + ln]
+            cw = np.cumsum(ww)
+            tw = int(cw[-1])
+            k = int(np.searchsorted(2 * cw, tw))
+            rows_rf.append(rf[st])
+            rows_m.append(float(pi[st + k]) / 1_000_000.0)
+            rows_t.append(tw)
+        return pa.table({
+            "l_returnflag": pa.array(rows_rf, pa.string()),
+            "wmedian_price": pa.array(round6_tie_robust(
+                np.array(rows_m, dtype=np.float64))),
+            "total_weight": pa.array(rows_t, pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(partials, ["rf"], None,
+                                     out_schema, block_fn=_series))
+
+
+BURSTINESS_SQL = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts) // 1000000 AS t
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+g AS (
+  SELECT event_type,
+         t - LAG(t) OVER (PARTITION BY event_type ORDER BY t) AS gap
+  FROM s),
+a AS (
+  SELECT event_type, COUNT(gap) AS n, SUM(gap) AS s1,
+         SUM(gap * gap) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_gap_s,
+       ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) / s1, 6) AS cv_gap,
+       ROUND((SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) - s1)
+             / (SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) + s1), 6)
+         AS burstiness
+FROM a
+"""
+
+
+def q_burstiness(sf_dir: str):
+    """Burstiness / coefficient-of-variation of inter-arrival times per
+    series (Goh & Barabasi B = (sigma-mu)/(sigma+mu): -1 periodic, 0
+    Poisson, ->1 bursty).  PARITY BY INTEGER ALGEBRA: gaps are
+    floor-second integers, the moment sums S1/S2 accumulate as exact
+    Python ints (SQL: HUGEINT), and sigma enters only as
+    SQRT(n*S2 - S1^2) of the SAME exact integer on both sides — the n
+    denominators cancel in B, so no intermediate float exists to
+    diverge.  Equal timestamps contribute gap 0 regardless of tie
+    order (the gap multiset of a sorted sequence is order-free).  One
+    series-keyed exchange."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "t": pc.divide(batch["ts"].cast(pa.int64()),
+                                        1_000_000)})
+
+    pts = ds.map_batches(_secs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_gaps", pa.int64()),
+                            ("mean_gap_s", pa.float64()),
+                            ("cv_gap", pa.float64()),
+                            ("burstiness", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("t", "ascending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        t = tbl["t"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"event_type": [], "n_gaps": [], "mean": [], "cv": [],
+                "b": []}
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            gap = np.diff(t[st:st + ln])
+            n = int(len(gap))
+            s1 = int(gap.sum())
+            s2 = int((gap * gap).sum())
+            var_num = n * s2 - s1 * s1  # exact Python int
+            sq = float(np.sqrt(float(var_num)))
+            rows["event_type"].append(et[st])
+            rows["n_gaps"].append(n)
+            rows["mean"].append(float(s1) / n)
+            rows["cv"].append(sq / s1 if s1 else float("nan"))
+            rows["b"].append((sq - s1) / (sq + s1)
+                             if (sq + s1) else float("nan"))
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "n_gaps": pa.array(rows["n_gaps"], pa.int64()),
+            "mean_gap_s": pa.array(round6_tie_robust(
+                np.array(rows["mean"], dtype=np.float64))),
+            "cv_gap": pa.array(round6_tie_robust(
+                np.array(rows["cv"], dtype=np.float64))),
+            "burstiness": pa.array(round6_tie_robust(
+                np.array(rows["b"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(pts, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH u AS (
+  SELECT vec_id, label, d.dim AS dim,
+         CAST(embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+    AND embedding IS NOT NULL),
+mm AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM u GROUP BY 1),
+q AS (
+  SELECT u.vec_id, u.label, u.x,
+         CASE WHEN mm.hi > mm.lo THEN
+           mm.lo + FLOOR((u.x - mm.lo) / (mm.hi - mm.lo) * 255.0 + 0.5)
+                   * (mm.hi - mm.lo) / 255.0
+         ELSE u.x END AS recon
+  FROM u JOIN mm USING (dim))
+SELECT CAST(label AS BIGINT) AS label, COUNT(DISTINCT vec_id) AS n_vecs,
+       ROUND(AVG((x - recon) * (x - recon)) * 1000000.0, 6)
+         AS mse_e6
+FROM q GROUP BY 1
+"""
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Scalar int8 quantization of the embedding corpus (the SQ8
+    compression every vector store offers) with per-label mean squared
+    reconstruction error: per-dimension [min, max] trains on ONE
+    streaming pass (dim-scale state on the driver), codes are
+    FLOOR(t * 255 + 0.5) on identical doubles both sides, and the MSE
+    term values are bitwise-identical cross-engine (float32 inputs
+    widen exactly; min/max are elementwise-exact) so only the term-sum
+    order differs — absorbed by the two-step output round.  Scaled by
+    1e6 so 6-dp rounding keeps real precision."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["vec_id"]),
+                            pc.is_valid(batch["label"])),
+                    pc.is_valid(batch["embedding"]))
+        return batch.filter(m)
+
+    ds = ds.map_batches(_clean, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    mm_schema = pa.schema([("dim", pa.int64()), ("lo", pa.float64()),
+                           ("hi", pa.float64())])
+
+    def _block_minmax(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, "embedding").astype(np.float64)
+        d = mat.shape[1]
+        return pa.table({"dim": np.arange(d, dtype=np.int64),
+                         "lo": mat.min(axis=0), "hi": mat.max(axis=0)},
+                        schema=mm_schema)
+
+    parts = _collect_raw(ds.map_batches(_block_minmax,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    dims = parts["dim"].to_numpy(zero_copy_only=False)
+    n_dim = int(dims.max()) + 1
+    lo = np.full(n_dim, np.inf)
+    hi = np.full(n_dim, -np.inf)
+    np.minimum.at(lo, dims, parts["lo"].to_numpy(zero_copy_only=False))
+    np.maximum.at(hi, dims, parts["hi"].to_numpy(zero_copy_only=False))
+    mm_ref = ray.put((lo, hi))
+    err_schema = pa.schema([("label", pa.int64()), ("n_vecs", pa.int64()),
+                            ("se", pa.float64()), ("n_terms", pa.int64())])
+
+    def _block_err(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(mm_ref)
+        mat = _emb_matrix(batch, "embedding").astype(np.float64)
+        span = hi_ - lo_
+        ok = span > 0
+        t = np.zeros_like(mat)
+        t[:, ok] = (mat[:, ok] - lo_[ok]) / span[ok]
+        code = np.floor(t * 255.0 + 0.5)
+        recon = np.where(ok, lo_ + code * span / 255.0, mat)
+        se = (mat - recon) ** 2
+        lab = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(lab)
+        rows_se = np.array([se[lab == u].sum() for u in uniq])
+        rows_nv = np.array([(lab == u).sum() for u in uniq],
+                           dtype=np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n_vecs": pa.array(rows_nv, pa.int64()),
+            "se": pa.array(rows_se, pa.float64()),
+            "n_terms": pa.array(rows_nv * mat.shape[1], pa.int64()),
+        }, schema=err_schema)
+
+    parts = _collect_raw(ds.map_batches(_block_err,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    lab = parts["label"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(lab)
+    nv = np.array([parts["n_vecs"].to_numpy(
+        zero_copy_only=False)[lab == u].sum() for u in uniq],
+        dtype=np.int64)
+    se = np.array([parts["se"].to_numpy(
+        zero_copy_only=False)[lab == u].sum() for u in uniq])
+    nt = np.array([parts["n_terms"].to_numpy(
+        zero_copy_only=False)[lab == u].sum() for u in uniq],
+        dtype=np.int64)
+    return pa.table({
+        "label": pa.array(uniq, pa.int64()),
+        "n_vecs": pa.array(nv, pa.int64()),
+        "mse_e6": pa.array(round6_tie_robust(se / nt * 1_000_000.0),
+                           pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -10420,6 +10734,9 @@ def build_queries() -> dict:
         "knn_accuracy": q_knn_accuracy,
         "temporal_motifs": q_temporal_motifs,
         "lag_features": q_lag_features,
+        "weighted_median": q_weighted_median,
+        "burstiness": q_burstiness,
+        "embedding_quantize": q_embedding_quantize,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -10669,6 +10986,9 @@ WHERE rn <= 2
         "knn_accuracy": KNN_ACCURACY_SQL,
         "temporal_motifs": TEMPORAL_MOTIFS_SQL,
         "lag_features": LAG_FEATURES_SQL,
+        "weighted_median": WEIGHTED_MEDIAN_SQL,
+        "burstiness": BURSTINESS_SQL,
+        "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
