@@ -10633,6 +10633,248 @@ def q_embedding_quantize(sf_dir: str):
     })
 
 
+TRENDING_DECAY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+mx AS (SELECT MAX(day) AS dmax FROM d)
+SELECT event_type, COUNT(*) AS n_days,
+       ROUND(SUM(c * POWER(2.0, day - dmax)), 6) AS trending_score
+FROM d CROSS JOIN mx GROUP BY 1
+"""
+
+
+def q_trending_decay(sf_dir: str):
+    """Exponentially time-decayed activity score per series (the
+    trending readout: half-life one day, anchored at the corpus's
+    newest day).  The decay factor is a DYADIC power 2^(day-dmax), so
+    every term c*2^-k is an exact float64 (count 17 bits + 30-day span
+    < the 53-bit mantissa) and the score is sum-order-free at this
+    window length — POWER(2.0, -k) is exact in both engines.  Map-side
+    daily count partials collapse to |types| x |days| rows (bounded at
+    any corpus scale) before the driver merge."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US)})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    parts = _collect_raw(ds.map_batches(_daily, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    et = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    day = parts["day"].to_numpy(zero_copy_only=False)
+    c = parts["c"].to_numpy(zero_copy_only=False)
+    if len(et) == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_days": pa.array([], pa.int64()),
+                         "trending_score": pa.array([], pa.float64())})
+    order = np.lexsort((day, et))
+    et, day, c = et[order], day[order], c[order]
+    key_new = np.empty(len(et), dtype=bool)
+    key_new[0] = True
+    key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+    ks = np.nonzero(key_new)[0]
+    c = np.add.reduceat(c, ks)
+    et, day = et[ks], day[ks]
+    dmax = int(day.max())
+    w = np.ldexp(1.0, (day - dmax).astype(np.int64))
+    score = c * w
+    first = np.empty(len(et), dtype=bool)
+    first[0] = True
+    first[1:] = et[1:] != et[:-1]
+    starts = np.nonzero(first)[0]
+    return pa.table({
+        "event_type": pa.array(et[starts], pa.string()),
+        "n_days": pa.array(np.diff(np.append(starts, len(et))),
+                           pa.int64()),
+        "trending_score": pa.array(round6_tie_robust(
+            np.add.reduceat(score, starts))),
+    })
+
+
+TYPE_JACCARD_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+s AS (SELECT event_type, COUNT(*) AS n FROM p GROUP BY 1),
+i AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS nb
+  FROM p a JOIN p b ON b.user_id = a.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.ta AS type_a, i.tb AS type_b, sa.n AS n_a, sb.n AS n_b,
+       i.nb AS n_both,
+       ROUND(CAST(i.nb AS DOUBLE) / (sa.n + sb.n - i.nb), 6) AS jaccard
+FROM i JOIN s sa ON sa.event_type = i.ta
+       JOIN s sb ON sb.event_type = i.tb
+"""
+
+
+def q_type_jaccard(sf_dir: str):
+    """Exact Jaccard similarity of user AUDIENCES between event-type
+    pairs (the segment-overlap readout; the KMV query estimates this,
+    here it's exact): |A∩B| comes from the covisit pair counts
+    (map-side distinct + one user-keyed exchange), |A| from per-type
+    distinct-user counts, and J = both/(na+nb-both) is one division of
+    exact integers.  Everything after the user exchange is
+    |types|^2-scale."""
+    from ..kernels.rounding import round6_tie_robust
+
+    from ..stages.sketch import distinct_count_exact
+
+    both = q_covisit_pairs(sf_dir)  # (type_a, type_b, n_users), exact
+    singles = distinct_count_exact(
+        _events_nonnull(sf_dir, ["event_type", "user_id"]),
+        ["event_type"], ["user_id"], out_col="n_users")
+    st = _collect_raw(singles)
+    s_map = dict(zip(st["event_type"].to_pylist(),
+                     st["n_users"].to_pylist()))
+    bt = both
+    ta = bt["type_a"].to_pylist()
+    tb = bt["type_b"].to_pylist()
+    nb = np.asarray(bt["n_users"].to_pylist(), dtype=np.int64)
+    na = np.array([s_map[t] for t in ta], dtype=np.int64)
+    nbb = np.array([s_map[t] for t in tb], dtype=np.int64)
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nbb, pa.int64()),
+        "n_both": pa.array(nb, pa.int64()),
+        "jaccard": pa.array(round6_tie_robust(
+            nb / (na + nbb - nb)), pa.float64()),
+    })
+
+
+KEYNESS_TERMS_SQL = """
+WITH toks AS (
+  SELECT lang, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+),
+tl AS (SELECT lang, term, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+lt AS (SELECT lang, SUM(a) AS tot_l FROM tl GROUP BY 1),
+tt AS (SELECT term, SUM(a) AS tot_t FROM tl GROUP BY 1),
+nn AS (SELECT SUM(a) AS n FROM tl),
+x AS (
+  SELECT tl.lang, tl.term, tl.a,
+         tt.tot_t - tl.a AS b, lt.tot_l - tl.a AS c,
+         nn.n - tt.tot_t - lt.tot_l + tl.a AS d, nn.n AS n
+  FROM tl JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN nn
+  WHERE CAST(tl.a AS HUGEINT) * nn.n
+        > CAST(tt.tot_t AS HUGEINT) * lt.tot_l),
+k AS (
+  SELECT lang, term, a,
+         CAST(a * d - b * c AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+           * CAST(n AS DOUBLE)
+           / (CAST((a + b) * (c + d) AS DOUBLE)
+              * CAST((a + c) * (b + d) AS DOUBLE)) AS chi2
+  FROM x)
+SELECT lang, term, CAST(a AS BIGINT) AS n, ROUND(chi2, 6) AS keyness, rn
+FROM (SELECT lang, term, a, chi2,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY chi2 DESC, term) AS rn
+      FROM k)
+WHERE rn <= 5
+"""
+
+
+def q_keyness_terms(sf_dir: str):
+    """Distinctive vocabulary per language (corpus-linguistics keyness;
+    the 'what words characterize this slice' readout of every corpus
+    audit): chi-squared of each term's 2x2 contingency vs the rest of
+    the corpus, top-5 OVER-represented terms per language.  PARITY BY
+    CONSTRUCTION: a/b/c/d are exact int64 counts, the over-representation
+    filter is an exact integer cross-multiply (a*N > tot_t*tot_l), and
+    chi2 is built from casts of exact integers combined in the SAME
+    left-associated float ops as the oracle — so the unrounded doubles
+    are bitwise identical and the DESC rank needs no pre-round.  Uses
+    the shared wordcount tokenizer (stages/wordcount); one (lang, term)
+    exchange, then a term-keyed exchange for the term marginals; the
+    per-language totals are |langs|-scale broadcast state."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+    from ..stages.topk import top_k_by_key
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    tc = term_counts(ds, ["lang"], "text").materialize()
+    # per-language token totals + grand total: |langs|-scale
+    lt_parts = _collect_raw(tc.map_batches(
+        lambda b: b.select(["lang", "n"]).group_by(["lang"]).aggregate(
+            [("n", "sum")]).rename_columns(["lang", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True))
+    ll = np.asarray(lt_parts["lang"].to_pylist(), dtype=object)
+    ln = lt_parts["n"].to_numpy(zero_copy_only=False)
+    lkeys = np.unique(ll)
+    ltot = np.array([ln[ll == k].sum() for k in lkeys], dtype=np.int64)
+    n_total = int(ltot.sum())
+    lt_ref = ray.put((lkeys, ltot, n_total))
+    out_schema = pa.schema([("lang", pa.string()), ("term", pa.string()),
+                            ("n", pa.int64()), ("chi2", pa.float64())])
+
+    def _per_term(batch: pa.Table) -> pa.Table:
+        lkeys_, ltot_, n_ = ray.get(lt_ref)
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("term", "ascending"),
+                             ("lang", "ascending")])
+        term = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        lang = np.asarray(tbl["lang"].to_pylist(), dtype=object)
+        a = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = np.empty(len(term), dtype=bool)
+        first[0] = True
+        first[1:] = term[1:] != term[:-1]
+        run = np.cumsum(first) - 1
+        tot_t = np.bincount(run, weights=a).astype(np.int64)[run]
+        tl_ = ltot_[np.searchsorted(lkeys_, lang)]
+        keep = a * n_ > tot_t * tl_  # exact int cross-multiply
+        if not keep.any():
+            return out_schema.empty_table()
+        a, term, lang = a[keep], term[keep], lang[keep]
+        tot_t, tl_ = tot_t[keep], tl_[keep]
+        b = tot_t - a
+        c = tl_ - a
+        d = n_ - tot_t - tl_ + a
+        sq = (a * d - b * c).astype(np.float64)
+        chi2 = (sq * sq * np.float64(n_)
+                / (((a + b) * (c + d)).astype(np.float64)
+                   * ((a + c) * (b + d)).astype(np.float64)))
+        return pa.table({"lang": pa.array(lang, pa.string()),
+                         "term": pa.array(term, pa.string()),
+                         "n": pa.array(a, pa.int64()),
+                         "chi2": pa.array(chi2, pa.float64())},
+                        schema=out_schema)
+
+    scored = sorted_group_map(tc, ["term"], None, out_schema,
+                              block_fn=_per_term)
+    top = top_k_by_key(scored, ["lang"], "chi2", 5, tiebreak_col="term",
+                       descending=True)
+    out = _collect_raw(top)
+    return pa.table({
+        "lang": out["lang"],
+        "term": out["term"],
+        "n": out["n"],
+        "keyness": pa.array(round6_tie_robust(
+            out["chi2"].to_numpy(zero_copy_only=False))),
+        "rn": out["rn"],
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -10737,6 +10979,9 @@ def build_queries() -> dict:
         "weighted_median": q_weighted_median,
         "burstiness": q_burstiness,
         "embedding_quantize": q_embedding_quantize,
+        "trending_decay": q_trending_decay,
+        "type_jaccard": q_type_jaccard,
+        "keyness_terms": q_keyness_terms,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -10989,6 +11234,9 @@ WHERE rn <= 2
         "weighted_median": WEIGHTED_MEDIAN_SQL,
         "burstiness": BURSTINESS_SQL,
         "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+        "trending_decay": TRENDING_DECAY_SQL,
+        "type_jaccard": TYPE_JACCARD_SQL,
+        "keyness_terms": KEYNESS_TERMS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
