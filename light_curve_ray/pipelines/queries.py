@@ -9509,15 +9509,15 @@ def _emit_run_pairs(vals: np.ndarray, starts: np.ndarray,
     return np.concatenate(us_parts), np.concatenate(vs_parts)
 
 
-def _copurchase_edges(sf_dir: str):
-    """Distinct undirected part co-purchase edges (u < v, packed to one
-    int64 key u<<32|v), materialized: distinct (order, part) map-side,
-    one orderkey exchange for sorted-run pair emission, one edge-key
-    exchange for the global distinct.  Shared by triangle_count and
-    pagerank_parts (SQL mirror: _COPURCHASE_EDGES_CTE)."""
-    import ray.data as rd
+_EK_SCHEMA = pa.schema([("k", pa.int64())])
 
-    from ..stages.sorted_groups import sorted_group_map
+
+def _copurchase_order_parts(sf_dir: str):
+    """Distinct (l_orderkey, l_partkey) rows of lineitem — the bipartite
+    incidence every co-purchase graph query starts from (map-side
+    distinct; cross-block dups are finished inside the order-keyed
+    exchange downstream)."""
+    import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
@@ -9527,9 +9527,34 @@ def _copurchase_edges(sf_dir: str):
                                      pc.is_valid(batch["l_partkey"])))
         return batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
 
-    op = ds.map_batches(_distinct_op, batch_format="pyarrow",
-                        zero_copy_batch=True)
-    ek_schema = pa.schema([("k", pa.int64())])
+    return ds.map_batches(_distinct_op, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _distinct_order_count(op) -> int:
+    """Exact distinct l_orderkey count of the incidence dataset (block
+    pre-distinct partials -> one driver-side unique at order scale is
+    WRONG at crawl scale, so this goes through the house exact distinct
+    exchange)."""
+    from ..stages.sketch import distinct_count_exact
+
+    one = op.map_batches(
+        lambda b: pa.table({"g": np.zeros(len(b), np.int64),
+                            "o": b["l_orderkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = _collect_raw(distinct_count_exact(one, ["g"], ["o"],
+                                            out_col="n"))
+    return int(out["n"][0].as_py()) if len(out) else 0
+
+
+def _copurchase_pairs_raw(sf_dir: str):
+    """One row per (order, unordered part pair) occurrence, packed to
+    the int64 edge key u<<32|v: one orderkey exchange, sorted-run pair
+    emission (covisit length-class vectorization)."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    op = _copurchase_order_parts(sf_dir)
+    ek_schema = _EK_SCHEMA
 
     def _order_pairs(batch: pa.Table) -> pa.Table:
         if len(batch) < 2:
@@ -9552,8 +9577,52 @@ def _copurchase_edges(sf_dir: str):
         # u < v within each sorted run; pack to one int64 edge key
         return pa.table({"k": (u << np.int64(32)) | v}, schema=ek_schema)
 
-    pairs = sorted_group_map(op, ["l_orderkey"], None, ek_schema,
-                             block_fn=_order_pairs)
+    return sorted_group_map(op, ["l_orderkey"], None, ek_schema,
+                            block_fn=_order_pairs)
+
+
+def _copurchase_pair_counts(sf_dir: str):
+    """(k, nuv): how many orders contain each unordered part pair — one
+    more k-keyed exchange over the raw pair stream (block combiners
+    first, so the exchange carries distinct-pair partials)."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    raw = _copurchase_pairs_raw(sf_dir)
+    cnt_schema = pa.schema([("k", pa.int64()), ("nuv", pa.int64())])
+
+    def _block_count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["k"]).aggregate([([], "count_all")])
+        return g.rename_columns(["k", "nuv"]).cast(cnt_schema)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return cnt_schema.empty_table()
+        tbl = batch.sort_by([("k", "ascending")])
+        k = tbl["k"].to_numpy(zero_copy_only=False)
+        n = tbl["nuv"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(k), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({"k": k[ks], "nuv": np.add.reduceat(n, ks)},
+                        schema=cnt_schema)
+
+    return sorted_group_map(
+        raw.map_batches(_block_count, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["k"], None, cnt_schema, block_fn=_merge)
+
+
+def _copurchase_edges(sf_dir: str):
+    """Distinct undirected part co-purchase edges (u < v, packed to one
+    int64 key u<<32|v), materialized: distinct (order, part) map-side,
+    one orderkey exchange for sorted-run pair emission, one edge-key
+    exchange for the global distinct.  Shared by triangle_count and
+    pagerank_parts (SQL mirror: _COPURCHASE_EDGES_CTE)."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    pairs = _copurchase_pairs_raw(sf_dir)
+    ek_schema = _EK_SCHEMA
 
     def _block_distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(["k"]).aggregate([])
@@ -10875,6 +10944,274 @@ def q_keyness_terms(sf_dir: str):
     })
 
 
+REPEAT_PURCHASE_SQL = """
+WITH o AS (
+  SELECT o_custkey AS ck, epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+g AS (
+  SELECT ck, day - LAG(day) OVER (PARTITION BY ck ORDER BY day) AS gap
+  FROM o)
+SELECT CAST(COUNT(gap) AS BIGINT) AS n_repeat_orders,
+       CAST(SUM(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_7d,
+       ROUND(SUM(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(gap), 6) AS repeat_7d_rate
+FROM g WHERE gap IS NOT NULL
+"""
+
+
+def q_repeat_purchase(sf_dir: str):
+    """Repeat-purchase velocity (the loyalty readout): of all orders
+    that follow an earlier order by the same customer, the share placed
+    within 7 days.  Day gaps of a customer's sorted order dates are an
+    order-free multiset (equal dates give gap 0 whatever the tie
+    order), counts are exact integers, one customer-keyed exchange."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["o_custkey"]),
+                    pc.is_valid(batch["o_orderdate"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "ck": batch["o_custkey"],
+            "day": pc.divide(batch["o_orderdate"].cast(pa.int64()),
+                             _DAY_US)})
+
+    pts = ds.map_batches(_days, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    part_schema = pa.schema([("n", pa.int64()), ("w", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return pa.table({"n": [0], "w": [0]}, schema=part_schema)
+        tbl = batch.sort_by([("ck", "ascending"), ("day", "ascending")])
+        ck = tbl["ck"].to_numpy(zero_copy_only=False)
+        day = tbl["day"].to_numpy(zero_copy_only=False)
+        same = ck[1:] == ck[:-1]
+        gap = day[1:] - day[:-1]
+        n = int(same.sum())
+        w = int((same & (gap <= 7)).sum())
+        return pa.table({"n": [n], "w": [w]}, schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(pts, ["ck"], None, part_schema,
+                                          block_fn=_block))
+    n = int(parts["n"].to_numpy(zero_copy_only=False).sum())
+    w = int(parts["w"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({
+        "n_repeat_orders": pa.array([n], pa.int64()),
+        "n_within_7d": pa.array([w], pa.int64()),
+        "repeat_7d_rate": pa.array(round6_tie_robust(
+            np.array([w / n if n else float("nan")]))),
+    })
+
+
+COPURCHASE_LIFT_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+pu AS (SELECT p, COUNT(*) AS np FROM op GROUP BY 1),
+pr AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS nuv
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p GROUP BY 1, 2),
+x AS (
+  SELECT pr.u, pr.v, pr.nuv,
+         CAST(pr.nuv * n.n_orders AS DOUBLE)
+           / CAST(pa.np * pb.np AS DOUBLE) AS lift
+  FROM pr JOIN pu pa ON pa.p = pr.u JOIN pu pb ON pb.p = pr.v
+       CROSS JOIN n
+  WHERE pr.nuv >= 3)
+SELECT u AS part_a, v AS part_b, nuv AS n_both,
+       ROUND(lift, 6) AS lift, rn
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, u, v) AS rn
+      FROM x)
+WHERE rn <= 10
+"""
+
+
+def q_copurchase_lift(sf_dir: str):
+    """Market-basket lift: the 10 part pairs most over-represented in
+    shared orders relative to independence, lift = nuv*N/(nu*nv), at
+    support >= 3.  PARITY BY CONSTRUCTION: all four counts are exact
+    int64, the lift double is the same one division of the same exact
+    products on both sides (bitwise identical), so the global DESC rank
+    needs no pre-round; ties break (part_a, part_b).  Pair counts take
+    one orderkey exchange + one pair-key exchange; part frequencies are
+    part-count-scale broadcast; each block keeps only its local top-10
+    candidates before the driver's final merge."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    op = _copurchase_order_parts(sf_dir)
+    # part frequencies (part-count scale) + distinct order count
+    pf_schema = pa.schema([("p", pa.int64()), ("np", pa.int64())])
+
+    def _pfreq(batch: pa.Table) -> pa.Table:
+        g = batch.select(["l_partkey"]).group_by(
+            ["l_partkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p", "np"]).cast(pf_schema)
+
+    pf_parts = _collect_raw(op.map_batches(
+        _pfreq, batch_format="pyarrow", zero_copy_batch=True))
+    p_all = pf_parts["p"].to_numpy(zero_copy_only=False)
+    n_all = pf_parts["np"].to_numpy(zero_copy_only=False)
+    order = np.argsort(p_all, kind="stable")
+    p_all, n_all = p_all[order], n_all[order]
+    first = np.empty(len(p_all), dtype=bool)
+    first[0] = True
+    first[1:] = p_all[1:] != p_all[:-1]
+    ps = np.nonzero(first)[0]
+    p_ids = p_all[ps]
+    p_np = np.add.reduceat(n_all, ps)
+    n_orders = _distinct_order_count(op)
+    ref = ray.put((p_ids, p_np, n_orders))
+    cand_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                             ("nuv", pa.int64()), ("lift", pa.float64())])
+
+    def _block_top(batch: pa.Table) -> pa.Table:
+        pi, pn, no = ray.get(ref)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        nuv = batch["nuv"].to_numpy(zero_copy_only=False)
+        keep = nuv >= 3
+        if not keep.any():
+            return cand_schema.empty_table()
+        k, nuv = k[keep], nuv[keep]
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        nu = pn[np.searchsorted(pi, u)]
+        nv = pn[np.searchsorted(pi, v)]
+        lift = (nuv * no).astype(np.float64) / (nu * nv).astype(
+            np.float64)
+        top = np.lexsort((v, u, -lift))[:10]
+        return pa.table({"u": u[top], "v": v[top], "nuv": nuv[top],
+                         "lift": lift[top]}, schema=cand_schema)
+
+    cands = _collect_raw(pairs.map_batches(
+        _block_top, batch_format="pyarrow", zero_copy_batch=True))
+    u = cands["u"].to_numpy(zero_copy_only=False)
+    v = cands["v"].to_numpy(zero_copy_only=False)
+    nuv = cands["nuv"].to_numpy(zero_copy_only=False)
+    lift = cands["lift"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((v, u, -lift))[:10]
+    return pa.table({
+        "part_a": pa.array(u[top], pa.int64()),
+        "part_b": pa.array(v[top], pa.int64()),
+        "n_both": pa.array(nuv[top], pa.int64()),
+        "lift": pa.array(round6_tie_robust(lift[top]), pa.float64()),
+        "rn": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+    })
+
+
+DEDUP_NORMALIZED_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         substr(trim(regexp_replace(lower(nfc_normalize(text)),
+                                    '\s+', ' ', 'g')), 1, 120) AS tn
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+g AS (
+  SELECT tn, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_raw
+  FROM n GROUP BY 1 HAVING COUNT(*) > 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS n_docs_in_groups,
+       CAST(COALESCE(SUM(n_docs), 0) - COUNT(*) AS BIGINT)
+         AS n_removable,
+       CAST(COALESCE(SUM(CASE WHEN n_raw > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_groups_distinct_raw
+FROM g
+"""
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Prefix-fingerprint near-dup audit (the boilerplate / shared-
+    opening detector a corpus pipeline runs before expensive MinHash):
+    duplicate groups under the NFC/casefold/whitespace-collapsed
+    120-char PREFIX, how many docs they cover, how many are removable,
+    and how many groups hold byte-distinct raw texts (true near-miss
+    dups rather than exact copies).  Group keys travel as 64-bit
+    fingerprints of the normalized prefix and the raw text (16-byte
+    shuffle rows, the exact_dedup discipline); one fingerprint-keyed
+    exchange; the summary is exact integer partials."""
+    import ray.data as rd
+
+    from ..kernels.textkit import blake64
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    fp_schema = pa.schema([("fpn", pa.int64()), ("fpr", pa.int64())])
+
+    def _fp_i64(col) -> np.ndarray:
+        vals = col.to_pylist()
+        return np.fromiter(
+            (blake64((s or "").encode("utf-8")) for s in vals),
+            dtype=np.uint64, count=len(vals)).view(np.int64)
+
+    def _fps(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["doc_id"]),
+                                     pc.is_valid(batch["text"])))
+        tn = pc.utf8_slice_codeunits(
+            pc.utf8_trim_whitespace(pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_normalize(batch["text"],
+                                                form="NFC")),
+                r"\s+", " ")), 0, 120)
+        return pa.table({
+            "fpn": pa.array(_fp_i64(tn), pa.int64()),
+            "fpr": pa.array(_fp_i64(batch["text"]), pa.int64()),
+        }, schema=fp_schema)
+
+    keyed = ds.map_batches(_fps, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    part_schema = pa.schema([("ng", pa.int64()), ("nd", pa.int64()),
+                             ("no", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"ng": [0], "nd": [0], "no": [0]},
+                            schema=part_schema)
+        tbl = batch.sort_by([("fpn", "ascending"), ("fpr", "ascending")])
+        fpn = tbl["fpn"].to_numpy(zero_copy_only=False)
+        fpr = tbl["fpr"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(fpn), dtype=bool)
+        first[0] = True
+        first[1:] = fpn[1:] != fpn[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(fpn)))
+        dup = lens > 1
+        ng = int(dup.sum())
+        nd = int(lens[dup].sum())
+        # groups with >1 distinct raw text: count raw-fp changes per run
+        raw_new = np.empty(len(fpn), dtype=bool)
+        raw_new[0] = True
+        raw_new[1:] = (fpn[1:] != fpn[:-1]) | (fpr[1:] != fpr[:-1])
+        run = np.cumsum(first) - 1
+        n_raw = np.bincount(run, weights=raw_new).astype(np.int64)
+        no = int(((n_raw > 1) & dup).sum())
+        return pa.table({"ng": [ng], "nd": [nd], "no": [no]},
+                        schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(keyed, ["fpn"], None,
+                                          part_schema, block_fn=_block))
+    ng = int(parts["ng"].to_numpy(zero_copy_only=False).sum())
+    nd = int(parts["nd"].to_numpy(zero_copy_only=False).sum())
+    no = int(parts["no"].to_numpy(zero_copy_only=False).sum())
+    return pa.table({
+        "n_groups": pa.array([ng], pa.int64()),
+        "n_docs_in_groups": pa.array([nd], pa.int64()),
+        "n_removable": pa.array([nd - ng], pa.int64()),
+        "n_groups_distinct_raw": pa.array([no], pa.int64()),
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -10982,6 +11319,9 @@ def build_queries() -> dict:
         "trending_decay": q_trending_decay,
         "type_jaccard": q_type_jaccard,
         "keyness_terms": q_keyness_terms,
+        "repeat_purchase": q_repeat_purchase,
+        "copurchase_lift": q_copurchase_lift,
+        "dedup_normalized": q_dedup_normalized,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -11237,6 +11577,9 @@ WHERE rn <= 2
         "trending_decay": TRENDING_DECAY_SQL,
         "type_jaccard": TYPE_JACCARD_SQL,
         "keyness_terms": KEYNESS_TERMS_SQL,
+        "repeat_purchase": REPEAT_PURCHASE_SQL,
+        "copurchase_lift": COPURCHASE_LIFT_SQL,
+        "dedup_normalized": DEDUP_NORMALIZED_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
