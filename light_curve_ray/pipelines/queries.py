@@ -11212,6 +11212,160 @@ def q_dedup_normalized(sf_dir: str):
     })
 
 
+SHIP_DELAY_QUANTILES_SQL = """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(epoch_us(l.l_shipdate) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS DOUBLE)
+           AS delay_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    AND o.o_orderpriority IS NOT NULL)
+SELECT priority,
+       ROUND(QUANTILE_CONT(delay_d, 0.50), 6) AS p50_d,
+       ROUND(QUANTILE_CONT(delay_d, 0.90), 6) AS p90_d,
+       ROUND(QUANTILE_CONT(delay_d, 0.99), 6) AS p99_d
+FROM d GROUP BY 1
+"""
+
+
+def q_ship_delay_quantiles(sf_dir: str):
+    """Fulfilment-latency SLA percentiles: order-to-ship delay in whole
+    days, p50/p90/p99 per order priority — a fact-to-dimension join
+    feeding the exact mergeable quantile sketch (stages/sketch
+    .quantile_by_key, == QUANTILE_CONT under capacity).  The orders
+    side (orderkey -> priority, orderdate) broadcasts under the
+    collect_small gate with the documented Dataset.join switch above
+    it; delays are exact integer day differences so the only float is
+    the quantile interpolation itself."""
+    import ray.data as rd
+
+    from ..stages.joins import attach_broadcast, collect_small
+    from ..stages.sketch import quantile_by_key
+
+    orders = collect_small(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["l_orderkey"]),
+                    pc.is_valid(batch["l_shipdate"]))
+        batch = batch.filter(m)
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "ship_day": pc.divide(batch["l_shipdate"].cast(pa.int64()),
+                                  _DAY_US)})
+
+    pts = li.map_batches(_prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    odays = pa.table({
+        "o_orderkey": orders["o_orderkey"],
+        "priority": orders["o_orderpriority"],
+        "order_day": pc.divide(orders["o_orderdate"].cast(pa.int64()),
+                               _DAY_US)})
+    joined = attach_broadcast(pts, odays, "o_orderkey",
+                              ["priority", "order_day"])
+
+    def _delay(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["priority"]),
+                    pc.is_valid(batch["order_day"]))
+        batch = batch.filter(m)
+        d = pc.subtract(batch["ship_day"], batch["order_day"])
+        return pa.table({"priority": batch["priority"],
+                         "delay_d": d.cast(pa.float64())})
+
+    delays = joined.map_batches(_delay, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = quantile_by_key(delays, ["priority"], "delay_d",
+                          [0.50, 0.90, 0.99],
+                          ["p50_d", "p90_d", "p99_d"])
+    return _collect(out)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH u AS (
+  SELECT label, d.dim AS dim, CAST(embedding[d.dim] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+    AND embedding IS NOT NULL)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       COUNT(*) AS n, ROUND(AVG(x), 6) AS centroid
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding prototypes (the class-centroid table a
+    nearest-centroid classifier / drift monitor trains): mean vector
+    per label, emitted long-form as (label, dim, n, centroid).
+    Per-block partial sums are one bincount-weighted matmul per label
+    (vectorized; blocks emit |labels| x dim rows, never row scale);
+    the driver merge sums exact float32-widened doubles and the
+    term-order difference vs SQL AVG is absorbed by the two-step
+    round.  Dims are 1-based to match the SQL UNNEST subscript."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    part_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["vec_id"]),
+                            pc.is_valid(batch["label"])),
+                    pc.is_valid(batch["embedding"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        mat = _emb_matrix(batch, "embedding").astype(np.float64)
+        lab = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        n_lab, dim = len(uniq), mat.shape[1]
+        sums = np.zeros((n_lab, dim))
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=n_lab).astype(np.int64)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           n_lab),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, dim),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    lab = parts["label"].to_numpy(zero_copy_only=False)
+    dim = parts["dim"].to_numpy(zero_copy_only=False)
+    s = parts["s"].to_numpy(zero_copy_only=False)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dim, lab))
+    lab, dim, s, n = lab[order], dim[order], s[order], n[order]
+    first = np.empty(len(lab), dtype=bool)
+    if not len(lab):
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "centroid": pa.array([], pa.float64())})
+    first[0] = True
+    first[1:] = (lab[1:] != lab[:-1]) | (dim[1:] != dim[:-1])
+    ks = np.nonzero(first)[0]
+    s = np.add.reduceat(s, ks)
+    n = np.add.reduceat(n, ks)
+    return pa.table({
+        "label": pa.array(lab[ks], pa.int64()),
+        "dim": pa.array(dim[ks], pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "centroid": pa.array(round6_tie_robust(s / n), pa.float64()),
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -11322,6 +11476,8 @@ def build_queries() -> dict:
         "repeat_purchase": q_repeat_purchase,
         "copurchase_lift": q_copurchase_lift,
         "dedup_normalized": q_dedup_normalized,
+        "ship_delay_quantiles": q_ship_delay_quantiles,
+        "label_centroids": q_label_centroids,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -11580,6 +11736,8 @@ WHERE rn <= 2
         "repeat_purchase": REPEAT_PURCHASE_SQL,
         "copurchase_lift": COPURCHASE_LIFT_SQL,
         "dedup_normalized": DEDUP_NORMALIZED_SQL,
+        "ship_delay_quantiles": SHIP_DELAY_QUANTILES_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
