@@ -11366,6 +11366,224 @@ def q_label_centroids(sf_dir: str):
     })
 
 
+TAIL_MEAN_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT event_type, vi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY vi DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM x)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(SUM(vi) / 1000000.0 / COUNT(*), 6) AS tail_mean_p95
+FROM r WHERE rn <= CAST(CEIL(n / 20.0) AS BIGINT) GROUP BY 1
+"""
+
+
+def q_tail_mean(sf_dir: str):
+    """Expected shortfall / top-5% tail mean per series (the CVaR-style
+    risk readout a plain quantile can't give): mean of the k = ceil(n/20)
+    largest values.  PARITY BY INTEGER ALGEBRA: values two-step-round to
+    exact int64 micro-units BEFORE ranking, so the top-k MULTISET is
+    order-free (boundary ties have equal quantized value and identical
+    sums), k = (n+19)//20 == CEIL(n/20.0) exactly, and the mean is one
+    division of exact integers.  Map-side per-type partial top-k
+    candidate pruning would apply at crawl scale; here one series-keyed
+    exchange holds each series."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "vi": vi})
+
+    pts = ds.map_batches(_quant, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()), ("k", pa.int64()),
+                            ("tail_mean_p95", pa.float64())])
+
+    def _series(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        tbl = batch.sort_by([("event_type", "ascending"),
+                             ("vi", "descending")])
+        et = tbl["event_type"].to_numpy(zero_copy_only=False)
+        vi = tbl["vi"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = et[1:] != et[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(et)))
+        rows = {"et": [], "n": [], "k": [], "m": []}
+        for st, ln in zip(starts, lens):
+            k = (int(ln) + 19) // 20
+            top = vi[st:st + k]
+            rows["et"].append(et[st])
+            rows["n"].append(int(ln))
+            rows["k"].append(k)
+            rows["m"].append(float(int(top.sum())) / 1_000_000.0 / k)
+        return pa.table({
+            "event_type": pa.array(rows["et"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "k": pa.array(rows["k"], pa.int64()),
+            "tail_mean_p95": pa.array(round6_tie_robust(
+                np.array(rows["m"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(pts, ["event_type"], None,
+                                     out_schema, block_fn=_series))
+
+
+XCORR_LAG_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+l AS (SELECT UNNEST(range(-3, 4)) AS lag),
+j AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+         a.mi AS x, b.mi AS y
+  FROM d a JOIN l ON TRUE
+       JOIN d b ON b.event_type <> a.event_type
+        AND b.day = a.day + l.lag),
+s AS (
+  SELECT ta, tb, lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM j GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10),
+r AS (
+  SELECT ta, tb, lag, n,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                       AS DOUBLE)) AS r
+  FROM s
+  WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0),
+best AS (
+  SELECT ta, tb, lag, n, r,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb
+                            ORDER BY r DESC, lag) AS rn
+  FROM r)
+SELECT ta AS type_a, tb AS type_b, CAST(lag AS BIGINT) AS best_lag,
+       n, ROUND(r, 6) AS best_r
+FROM best WHERE rn = 1
+"""
+
+
+def q_xcorr_lag(sf_dir: str):
+    """Lead-lag detection between series (which signal anticipates
+    which): for every ordered type pair, the day offset in [-3, 3]
+    maximizing Pearson correlation of the daily-mean series.  PARITY BY
+    CONSTRUCTION: daily means quantize to exact int64 milli-units (the
+    quantization is part of the operator contract), all five moment
+    sums are exact integers (engine: Python bigints, oracle: HUGEINT),
+    and r is the SAME one division of the same exact casts on both
+    sides — so the per-pair argmax over identical doubles needs no
+    pre-round; ties break to the smaller lag.  Map-side daily partials
+    collapse to |types| x |days| rows before the driver's pair-lag
+    loop (bounded at any corpus scale)."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(_daily, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    et = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    day = parts["day"].to_numpy(zero_copy_only=False)
+    s = parts["s"].to_numpy(zero_copy_only=False)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((day, et))
+    et, day, s, n = et[order], day[order], s[order], n[order]
+    if len(et) == 0:
+        return pa.table({"type_a": pa.array([], pa.string()),
+                         "type_b": pa.array([], pa.string()),
+                         "best_lag": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "best_r": pa.array([], pa.float64())})
+    key_new = np.empty(len(et), dtype=bool)
+    key_new[0] = True
+    key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+    ks = np.nonzero(key_new)[0]
+    s = np.add.reduceat(s, ks)
+    n = np.add.reduceat(n, ks)
+    et, day = et[ks], day[ks]
+    mi = np.floor(round6_tie_robust(s / n) * 1000.0 + 0.5).astype(
+        np.int64)
+    series = {}
+    first = np.empty(len(et), dtype=bool)
+    first[0] = True
+    first[1:] = et[1:] != et[:-1]
+    for st, ln in zip(np.nonzero(first)[0],
+                      np.diff(np.append(np.nonzero(first)[0], len(et)))):
+        series[et[st]] = (day[st:st + ln], mi[st:st + ln])
+    rows = {"ta": [], "tb": [], "lag": [], "n": [], "r": []}
+    for ta in sorted(series):
+        da, xa = series[ta]
+        for tb in sorted(series):
+            if tb == ta:
+                continue
+            db, xb = series[tb]
+            best = None
+            for lag in range(-3, 4):
+                pos = np.searchsorted(db, da + lag)
+                ok = (pos < len(db)) & (db[np.minimum(pos, len(db) - 1)]
+                                        == da + lag)
+                nn = int(ok.sum())
+                if nn < 10:
+                    continue
+                x = [int(v) for v in xa[ok]]
+                y = [int(v) for v in xb[pos[ok]]]
+                sx, sy = sum(x), sum(y)
+                sxy = sum(a * b for a, b in zip(x, y))
+                sxx = sum(a * a for a in x)
+                syy = sum(b * b for b in y)
+                dx = nn * sxx - sx * sx
+                dy = nn * syy - sy * sy
+                if dx <= 0 or dy <= 0:
+                    continue
+                r = float(nn * sxy - sx * sy) / np.sqrt(float(dx * dy))
+                if best is None or r > best[0]:
+                    best = (r, lag, nn)
+            if best is not None:
+                rows["ta"].append(ta)
+                rows["tb"].append(tb)
+                rows["lag"].append(best[1])
+                rows["n"].append(best[2])
+                rows["r"].append(best[0])
+    return pa.table({
+        "type_a": pa.array(rows["ta"], pa.string()),
+        "type_b": pa.array(rows["tb"], pa.string()),
+        "best_lag": pa.array(rows["lag"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "best_r": pa.array(round6_tie_robust(
+            np.array(rows["r"], dtype=np.float64))),
+    })
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -11478,6 +11696,8 @@ def build_queries() -> dict:
         "dedup_normalized": q_dedup_normalized,
         "ship_delay_quantiles": q_ship_delay_quantiles,
         "label_centroids": q_label_centroids,
+        "tail_mean": q_tail_mean,
+        "xcorr_lag": q_xcorr_lag,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -11738,6 +11958,8 @@ WHERE rn <= 2
         "dedup_normalized": DEDUP_NORMALIZED_SQL,
         "ship_delay_quantiles": SHIP_DELAY_QUANTILES_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "tail_mean": TAIL_MEAN_SQL,
+        "xcorr_lag": XCORR_LAG_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
