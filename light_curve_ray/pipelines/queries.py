@@ -11584,6 +11584,406 @@ def q_xcorr_lag(sf_dir: str):
     })
 
 
+_BM25_QUERY_TERMS = ("join", "filter", "stream")
+
+BM25_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+tot AS (SELECT SUM(dl) AS tot FROM dl),
+qt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ('join', 'filter', 'stream') GROUP BY 1, 2),
+dfs AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY 1),
+sc AS (
+  SELECT qt.doc_id, COUNT(*) AS n_hit,
+         SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * (dl.dl * n_docs) / tot.tot)))
+           AS score
+  FROM qt JOIN dfs USING (term) JOIN dl USING (doc_id), nd, tot
+  GROUP BY 1)
+SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+       ROUND(score, 6) AS bm25
+FROM sc
+"""
+
+
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 relevance scoring of every document against a fixed
+    query-term set (k1=1.2, b=0.75) — the lexical half of a hybrid
+    retrieval pipeline.  Topology: ONE tokenize pass (the shared
+    combiner wordcount gives distinct (doc, term) rows), a doc-keyed
+    merge for per-doc length + query-term tfs, then TINY per-block
+    partials reduce the three global scalars (df per query term, total
+    token count) on the driver — corpus-size-independent — and a final
+    stateless map scores each matching doc.  No ranking decision rides
+    on floats: all score inputs are exact integers and the score is
+    output-only (6-dp-rounded), so engine/oracle parity is by
+    construction."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    n_docs = ds.count()
+    dt = term_counts(ds, ["doc_id"])  # distinct (doc_id, term, n)
+
+    qterms = list(_BM25_QUERY_TERMS)
+    stat_schema = pa.schema(
+        [("doc_id", pa.int64()), ("dl", pa.int64())]
+        + [(f"tf{i}", pa.int64()) for i in range(len(qterms))])
+
+    def _per_doc(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return stat_schema.empty_table()
+        starts, ends = _runs(batch, ["doc_id"])
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.add.reduceat(n, starts)
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        idx = pa.array(starts, pa.int64())
+        cols = {"doc_id": batch["doc_id"].take(idx),
+                "dl": pa.array(dl, pa.int64())}
+        # np.add.reduceat over a masked copy: tf of term q within each run
+        for i, q in enumerate(qterms):
+            masked = np.where(terms == q, n, 0)
+            cols[f"tf{i}"] = pa.array(np.add.reduceat(masked, starts),
+                                      pa.int64())
+        return pa.table(cols, schema=stat_schema)
+
+    stats = sorted_group_map(dt, ["doc_id"], None, stat_schema,
+                             block_fn=_per_doc).materialize()
+
+    # block partials -> driver: (sum dl, df per query term) — a handful
+    # of rows per block regardless of corpus size
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {"tot": pa.array(
+            [int(batch["dl"].to_numpy(zero_copy_only=False).sum())
+             if len(batch) else 0], pa.int64())}
+        for i in range(len(qterms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False)
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    part = _collect_raw(stats.map_batches(_partial, batch_format="pyarrow"))
+    tot = int(pc.sum(part["tot"]).as_py() or 0)
+    dfs = [int(pc.sum(part[f"df{i}"]).as_py() or 0)
+           for i in range(len(qterms))]
+    idf = [float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+           for df in dfs]
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_hit", pa.int64()),
+                            ("bm25", pa.float64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        norm = 1.0 - 0.75 + 0.75 * (dl * n_docs) / tot
+        score = np.zeros(len(batch), dtype=np.float64)
+        n_hit = np.zeros(len(batch), dtype=np.int64)
+        for i in range(len(qterms)):
+            tf = batch[f"tf{i}"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            hit = tf > 0
+            contrib = idf[i] * (tf * 2.2) / (tf + 1.2 * norm)
+            score = np.where(hit, score + contrib, score)
+            n_hit += hit.astype(np.int64)
+        keep = n_hit > 0
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "n_hit": pa.array(n_hit[keep], pa.int64()),
+            "bm25": pa.array(round6_tie_robust(score[keep])),
+        }, schema=out_schema)
+
+    return _collect(stats.map_batches(_score, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+
+RRF_FUSION_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+st AS (SELECT doc_id, COUNT(*) AS n_tok,
+              COUNT(DISTINCT term) AS n_terms
+       FROM toks GROUP BY 1),
+r AS (SELECT doc_id, n_tok, n_terms,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS ra,
+             ROW_NUMBER() OVER (ORDER BY n_terms DESC, doc_id) AS rb
+      FROM st),
+sc AS (SELECT doc_id, n_tok, n_terms,
+              CAST(ra AS BIGINT) AS rank_len,
+              CAST(rb AS BIGINT) AS rank_vocab,
+              ROUND(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS rrf
+       FROM r)
+SELECT doc_id, n_tok, n_terms, rank_len, rank_vocab, rrf, rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+  FROM sc)
+WHERE rn <= 20
+"""
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings (the standard
+    hybrid-search merge, k=60): rank by total tokens and rank by
+    distinct vocabulary, fuse with sum(1/(60+rank)), return the top-20
+    fused.  Both input rankings order by exact INTEGERS with doc_id
+    tie-break, the fused score is a sum of two exact rationals
+    (identical doubles cross-engine), and the final ranking orders by
+    the 6-dp-ROUNDED score — so no float-order ambiguity anywhere.
+    Per-doc stats come from the combiner wordcount; the slim
+    (doc_id, n_tok, n_terms) table passes the gated broadcast collect
+    (global ranking at crawl scale would use the range-partition
+    planner — q_range_splits — instead)."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import collect_small
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    dt = term_counts(ds, ["doc_id"])
+    stat_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_tok", pa.int64()),
+                             ("n_terms", pa.int64())])
+
+    def _per_doc(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return stat_schema.empty_table()
+        starts, ends = _runs(batch, ["doc_id"])
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pa.array(starts, pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"].take(idx),
+            "n_tok": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "n_terms": pa.array(ends - starts, pa.int64()),
+        }, schema=stat_schema)
+
+    st = collect_small(
+        sorted_group_map(dt, ["doc_id"], None, stat_schema,
+                         block_fn=_per_doc))
+    doc = st["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tok = st["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_terms = st["n_terms"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _rank(key: np.ndarray) -> np.ndarray:
+        order = np.lexsort((doc, -key))
+        rank = np.empty(len(doc), dtype=np.int64)
+        rank[order] = np.arange(1, len(doc) + 1)
+        return rank
+
+    ra, rb = _rank(n_tok), _rank(n_terms)
+    rrf = round6_tie_robust(1.0 / (60 + ra) + 1.0 / (60 + rb))
+    order = np.lexsort((doc, -rrf))[:20]
+    return _collect(pa.table({
+        "doc_id": pa.array(doc[order], pa.int64()),
+        "n_tok": pa.array(n_tok[order], pa.int64()),
+        "n_terms": pa.array(n_terms[order], pa.int64()),
+        "rank_len": pa.array(ra[order], pa.int64()),
+        "rank_vocab": pa.array(rb[order], pa.int64()),
+        "rrf": pa.array(rrf[order], pa.float64()),
+        "rn": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+    }))
+
+
+ZIPF_SLOPE_SQL = """
+WITH toks AS (
+  SELECT lang, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+tc AS (SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+rk AS (SELECT lang, n,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, term) AS rn
+       FROM tc),
+top AS (SELECT * FROM rk WHERE rn <= 100),
+s AS (SELECT lang, COUNT(*) AS k,
+             SUM(LN(CAST(rn AS DOUBLE))) AS sx,
+             SUM(LN(CAST(n AS DOUBLE))) AS sy,
+             SUM(LN(CAST(rn AS DOUBLE)) * LN(CAST(n AS DOUBLE))) AS sxy,
+             SUM(LN(CAST(rn AS DOUBLE)) * LN(CAST(rn AS DOUBLE))) AS sxx
+      FROM top GROUP BY 1)
+SELECT lang, CAST(k AS BIGINT) AS n_terms,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit per language: OLS slope of ln(frequency) on
+    ln(rank) over each language's top-100 terms — the corpus-health
+    readout (natural text ~ -1; templated/spam corpora flatten).  Term
+    ranking is on exact integer counts with the term string as
+    tie-break, so the top-100 SET is order-free; only the final slope
+    is float (logs of identical integers, 6-dp-rounded output).  One
+    combiner wordcount + one lang-keyed exchange; the per-lang fit
+    touches 100 rows."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    tc = term_counts(ds, ["lang"])
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("n_terms", pa.int64()),
+                            ("zipf_slope", pa.float64())])
+
+    def _fit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["lang"])
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        terms = batch["term"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"lang": [], "k": [], "slope": []}
+        for st_, en in zip(starts, ends):
+            sub_n, sub_t = n[st_:en], terms[st_:en]
+            order = np.lexsort((sub_t, -sub_n))[:100]
+            k = len(order)
+            if k < 2:
+                continue
+            x = np.log(np.arange(1, k + 1, dtype=np.float64))
+            y = np.log(sub_n[order].astype(np.float64))
+            sx, sy = x.sum(), y.sum()
+            sxy, sxx = (x * y).sum(), (x * x).sum()
+            rows["lang"].append(langs[st_])
+            rows["k"].append(k)
+            rows["slope"].append((k * sxy - sx * sy) / (k * sxx - sx * sx))
+        return pa.table({
+            "lang": pa.array(rows["lang"], pa.string()),
+            "n_terms": pa.array(rows["k"], pa.int64()),
+            "zipf_slope": pa.array(round6_tie_robust(
+                np.array(rows["slope"], dtype=np.float64))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(tc, ["lang"], None, out_schema,
+                                     block_fn=_fit))
+
+
+HEAPS_LAW_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+dt AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+ft AS (SELECT term, MIN(doc_id) AS first_doc FROM dt GROUP BY 1),
+tokdec AS (SELECT (doc_id * 10) // m AS dec, COUNT(*) AS toks_n,
+                  COUNT(DISTINCT doc_id) AS docs_n
+           FROM toks, mx GROUP BY 1),
+vocdec AS (SELECT (first_doc * 10) // m AS dec, COUNT(*) AS v
+           FROM ft, mx GROUP BY 1),
+d AS (SELECT UNNEST(range(10)) AS dec)
+SELECT CAST(d.dec AS BIGINT) AS decile,
+       CAST(SUM(COALESCE(t.docs_n, 0)) OVER (ORDER BY d.dec)
+            AS BIGINT) AS docs_cum,
+       CAST(SUM(COALESCE(t.toks_n, 0)) OVER (ORDER BY d.dec)
+            AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(v.v, 0)) OVER (ORDER BY d.dec)
+            AS BIGINT) AS vocab_cum
+FROM d LEFT JOIN tokdec t ON t.dec = d.dec
+       LEFT JOIN vocdec v ON v.dec = d.dec
+"""
+
+
+def q_heaps_law(sf_dir: str):
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct
+    vocabulary vs cumulative token count at 10 doc-id-decile
+    checkpoints — the dedup-planning readout (how fast does new text
+    stop contributing new types?).  Distributed shape: each term's
+    FIRST occurrence is a min-reduce over the distinct (doc, term)
+    rows (one term-keyed exchange), token/doc totals per decile come
+    from per-doc counts (one doc-keyed exchange shared with the
+    wordcount family), and only 10-row partials reach the driver for
+    the cumulative sum.  All outputs are exact integers — no float
+    parity surface at all."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import doc_token_counts, term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    m = int(ds.max("doc_id")) + 1
+
+    # per-doc token totals -> (decile, docs_n, toks_n) partials
+    per_doc = doc_token_counts(ds, "doc_id")
+
+    def _doc_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"dec": pa.array([], pa.int64()),
+                             "docs_n": pa.array([], pa.int64()),
+                             "toks_n": pa.array([], pa.int64())})
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = batch["n_tok"].to_numpy(zero_copy_only=False)
+        dec = (doc * 10) // m
+        docs = np.bincount(dec, minlength=10).astype(np.int64)
+        toks = np.bincount(dec, weights=ntok, minlength=10).astype(np.int64)
+        return pa.table({"dec": pa.array(np.arange(10), pa.int64()),
+                         "docs_n": pa.array(docs, pa.int64()),
+                         "toks_n": pa.array(toks, pa.int64())})
+
+    docp = _collect_raw(per_doc.map_batches(
+        _doc_partial, batch_format="pyarrow"))
+
+    # first occurrence per term -> vocab per decile partials
+    dt = term_counts(ds, ["doc_id"])
+    first_schema = pa.schema([("dec", pa.int64()), ("v", pa.int64())])
+
+    def _first(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return first_schema.empty_table()
+        starts, ends = _runs(batch, ["term"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        firsts = np.minimum.reduceat(doc, starts)
+        dec = (firsts * 10) // m
+        v = np.bincount(dec, minlength=10).astype(np.int64)
+        return pa.table({"dec": pa.array(np.arange(10), pa.int64()),
+                         "v": pa.array(v, pa.int64())},
+                        schema=first_schema)
+
+    vocp = _collect_raw(sorted_group_map(dt, ["term"], None, first_schema,
+                                         block_fn=_first))
+
+    def _accum(tbl: pa.Table, col: str) -> np.ndarray:
+        dec = tbl["dec"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(10, dtype=np.int64)
+        np.add.at(out, dec, val)
+        return out
+
+    docs_cum = np.cumsum(_accum(docp, "docs_n"))
+    toks_cum = np.cumsum(_accum(docp, "toks_n"))
+    voc_cum = np.cumsum(_accum(vocp, "v"))
+    return _collect(pa.table({
+        "decile": pa.array(np.arange(10), pa.int64()),
+        "docs_cum": pa.array(docs_cum, pa.int64()),
+        "tokens_cum": pa.array(toks_cum, pa.int64()),
+        "vocab_cum": pa.array(voc_cum, pa.int64()),
+    }))
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -11698,6 +12098,10 @@ def build_queries() -> dict:
         "label_centroids": q_label_centroids,
         "tail_mean": q_tail_mean,
         "xcorr_lag": q_xcorr_lag,
+        "bm25_scores": q_bm25_scores,
+        "rrf_fusion": q_rrf_fusion,
+        "zipf_slope": q_zipf_slope,
+        "heaps_law": q_heaps_law,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -11960,6 +12364,10 @@ WHERE rn <= 2
         "label_centroids": LABEL_CENTROIDS_SQL,
         "tail_mean": TAIL_MEAN_SQL,
         "xcorr_lag": XCORR_LAG_SQL,
+        "bm25_scores": BM25_SCORES_SQL,
+        "rrf_fusion": RRF_FUSION_SQL,
+        "zipf_slope": ZIPF_SLOPE_SQL,
+        "heaps_law": HEAPS_LAW_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
