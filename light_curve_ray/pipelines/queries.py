@@ -11984,6 +11984,351 @@ def q_heaps_law(sf_dir: str):
     }))
 
 
+WOE_IV_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders),
+c AS (SELECT bin, COUNT(*) AS n,
+             SUM(bad) AS n_bad, COUNT(*) - SUM(bad) AS n_good
+      FROM b GROUP BY 1),
+t AS (SELECT SUM(n_good) AS gt, SUM(n_bad) AS bt FROM c)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       ROUND(LN(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6) AS woe,
+       ROUND((((n_good + 0.5) / gt) - ((n_bad + 0.5) / bt))
+             * LN(((n_good + 0.5) / gt) / ((n_bad + 0.5) / bt)), 6)
+         AS iv_term
+FROM c, t
+"""
+
+
+def q_woe_iv(sf_dir: str):
+    """Weight-of-evidence / information-value binning of order price
+    against the 'failed order' outcome — the classic credit-scoring /
+    feature-selection transform.  Integer bin edges (floor(price/50k)),
+    per-block bincount partials reduce to ONE tiny (bin, good, bad)
+    table on the driver regardless of fact size, and the smoothed
+    (+0.5) WOE/IV formulas are computed identically from exact integer
+    counts on both sides (only ln is float, 6-dp-rounded output)."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice", "o_orderstatus"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        bad = pc.equal(batch["o_orderstatus"], "F").to_numpy(
+            zero_copy_only=False)
+        bins = np.floor(price / 50000).astype(np.int64)
+        nb = int(bins.max()) + 1 if len(bins) else 1
+        n_bad = np.bincount(bins, weights=bad, minlength=nb)
+        n_all = np.bincount(bins, minlength=nb)
+        return pa.table({
+            "bin": pa.array(np.arange(nb), pa.int64()),
+            "n": pa.array(n_all.astype(np.int64), pa.int64()),
+            "n_bad": pa.array(n_bad.astype(np.int64), pa.int64()),
+        })
+
+    part = _collect_raw(ds.map_batches(_partial, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    bins = part["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = int(bins.max()) + 1 if len(bins) else 1
+    n = np.zeros(nb, dtype=np.int64)
+    n_bad = np.zeros(nb, dtype=np.int64)
+    np.add.at(n, bins, part["n"].to_numpy(zero_copy_only=False))
+    np.add.at(n_bad, bins, part["n_bad"].to_numpy(zero_copy_only=False))
+    keep = n > 0
+    n, n_bad = n[keep], n_bad[keep]
+    idx = np.arange(nb)[keep]
+    n_good = n - n_bad
+    gt, bt = float(n_good.sum()), float(n_bad.sum())
+    pg = (n_good + 0.5) / gt
+    pb = (n_bad + 0.5) / bt
+    woe = np.log(pg / pb)
+    return _collect(pa.table({
+        "bin": pa.array(idx, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "n_good": pa.array(n_good, pa.int64()),
+        "n_bad": pa.array(n_bad, pa.int64()),
+        "woe": pa.array(round6_tie_robust(woe)),
+        "iv_term": pa.array(round6_tie_robust((pg - pb) * woe)),
+    }))
+
+
+TARGET_ENCODE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(ROUND(o_totalprice, 6) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM orders),
+j AS (SELECT o.o_orderkey, c.c_mktsegment AS segment, o.cents
+      FROM o JOIN customer c ON c.c_custkey = o.o_custkey),
+w AS (SELECT o_orderkey, segment, cents,
+             SUM(cents) OVER (PARTITION BY segment) AS seg_sum,
+             COUNT(*) OVER (PARTITION BY segment) AS seg_n
+      FROM j)
+SELECT o_orderkey, segment,
+       CASE WHEN seg_n > 1
+            THEN ROUND((seg_sum - cents) / (100.0 * (seg_n - 1)), 6)
+            END AS loo_price
+FROM w
+"""
+
+
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of the customer market segment by
+    order price — the leakage-safe categorical encoder of a training
+    feature pipeline.  Segment comes from a BROADCAST dimension lookup
+    (never a shuffle), per-segment (sum, count) reduce via per-block
+    partials to a 5-row driver table shipped back as scalars, and the
+    LOO mean (seg_sum - self)/(100*(seg_n - 1)) is one division of
+    exact integer cents on both sides — bitwise-identical doubles
+    before the shared 6-dp rounding."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import attach_broadcast, collect_small
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]))
+    cust = pa.table({"o_custkey": cust["c_custkey"],
+                     "segment": cust["c_mktsegment"]})
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(price) * 100.0 + 0.5).astype(
+            np.int64)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "cents": pa.array(vi, pa.int64())})
+
+    fact = attach_broadcast(
+        orders.map_batches(_cents, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, "o_custkey", ["segment"]).materialize()
+
+    def _seg_partial(batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by(["segment"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return grouped.rename_columns(["segment", "s", "c"])
+
+    part = _collect_raw(fact.map_batches(_seg_partial,
+                                         batch_format="pyarrow"))
+    seg_sum: dict = {}
+    seg_n: dict = {}
+    for seg, s, c in zip(part["segment"].to_pylist(),
+                         part["s"].to_pylist(), part["c"].to_pylist()):
+        seg_sum[seg] = seg_sum.get(seg, 0) + int(s)
+        seg_n[seg] = seg_n.get(seg, 0) + int(c)
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("segment", pa.string()),
+                            ("loo_price", pa.float64())])
+
+    def _loo(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        segs = batch["segment"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ssum = np.array([seg_sum[s] for s in segs], dtype=np.int64)
+        sn = np.array([seg_n[s] for s in segs], dtype=np.int64)
+        ok = sn > 1
+        loo = np.where(ok, (ssum - cents) / (100.0 * np.maximum(sn - 1, 1)),
+                       np.nan)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "segment": batch["segment"],
+            "loo_price": pa.array(round6_tie_robust(loo), pa.float64(),
+                                  mask=~ok),
+        }, schema=out_schema)
+
+    return _collect(fact.map_batches(_loo, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+PSI_DRIFT_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t_us,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (SELECT MIN(t_us) AS t0, MIN(vi) AS mn, MAX(vi) AS mx FROM e),
+b AS (
+  SELECT CASE WHEN (t_us - t0) // 86400000000 < 15 THEN 1 ELSE 0 END
+           AS is_base,
+         ((vi - mn) * 10) // (mx - mn + 1) AS bin
+  FROM e, s),
+c AS (SELECT bin,
+             SUM(is_base) AS n_base,
+             COUNT(*) - SUM(is_base) AS n_curr
+      FROM b GROUP BY 1),
+t AS (SELECT SUM(n_base) AS tb, SUM(n_curr) AS tc FROM c)
+SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       ROUND((((n_base + 0.5) / (tb + 5.0)) - ((n_curr + 0.5) / (tc + 5.0)))
+             * LN(((n_base + 0.5) / (tb + 5.0))
+                  / ((n_curr + 0.5) / (tc + 5.0))), 6) AS psi_term
+FROM c, t
+"""
+
+
+def q_psi_drift(sf_dir: str):
+    """Population-stability-index drift between the first 15 days and
+    the rest of the event stream — the binned distribution-shift
+    monitor (KS measures the max gap; PSI weights every bin).  Two
+    corpus passes, each reducing to a driver table whose size is the
+    BLOCK count: pass 1 finds (t0, value min/max) for the integer bin
+    edges, pass 2 bincounts per (half, bin).  Smoothed (+0.5/bin)
+    proportions and the (p-q)ln(p/q) terms are identical double ops
+    from exact integers on both sides."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["ts", "value"])
+
+    def _quant(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0 + 0.5).astype(
+            np.int64)
+        return pa.table({"t_us": pa.array(t_us, pa.int64()),
+                         "vi": pa.array(vi, pa.int64())})
+
+    pts = ds.map_batches(_quant, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    def _extent(batch: pa.Table) -> pa.Table:
+        t = batch["t_us"].to_numpy(zero_copy_only=False)
+        v = batch["vi"].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return pa.table({"t0": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({"t0": pa.array([int(t.min())], pa.int64()),
+                         "mn": pa.array([int(v.min())], pa.int64()),
+                         "mx": pa.array([int(v.max())], pa.int64())})
+
+    ext = _collect_raw(pts.map_batches(_extent, batch_format="pyarrow"))
+    t0 = int(pc.min(ext["t0"]).as_py())
+    mn = int(pc.min(ext["mn"]).as_py())
+    mx = int(pc.max(ext["mx"]).as_py())
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t = batch["t_us"].to_numpy(zero_copy_only=False)
+        v = batch["vi"].to_numpy(zero_copy_only=False)
+        is_base = ((t - t0) // 86_400_000_000) < 15
+        bins = ((v - mn) * 10) // (mx - mn + 1)
+        nb = np.bincount(bins[is_base], minlength=10).astype(np.int64)
+        nc = np.bincount(bins[~is_base], minlength=10).astype(np.int64)
+        return pa.table({"bin": pa.array(np.arange(10), pa.int64()),
+                         "n_base": pa.array(nb, pa.int64()),
+                         "n_curr": pa.array(nc, pa.int64())})
+
+    part = _collect_raw(pts.map_batches(_hist, batch_format="pyarrow"))
+    bins = part["bin"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = np.zeros(10, dtype=np.int64)
+    nc = np.zeros(10, dtype=np.int64)
+    np.add.at(nb, bins, part["n_base"].to_numpy(zero_copy_only=False))
+    np.add.at(nc, bins, part["n_curr"].to_numpy(zero_copy_only=False))
+    keep = (nb + nc) > 0
+    tb, tc = float(nb.sum()), float(nc.sum())
+    p = (nb[keep] + 0.5) / (tb + 5.0)
+    q = (nc[keep] + 0.5) / (tc + 5.0)
+    return _collect(pa.table({
+        "bin": pa.array(np.arange(10)[keep], pa.int64()),
+        "n_base": pa.array(nb[keep], pa.int64()),
+        "n_curr": pa.array(nc[keep], pa.int64()),
+        "psi_term": pa.array(round6_tie_robust((p - q) * np.log(p / q))),
+    }))
+
+
+CALIBRATION_DECILES_SQL = """
+WITH pos AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_totalprice > 300000),
+c AS (
+  SELECT c_custkey,
+         CAST(FLOOR(ROUND(c_acctbal, 6) * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM pos)
+              THEN 1 ELSE 0 END AS y
+  FROM customer),
+r AS (SELECT cents, y,
+             ROW_NUMBER() OVER (ORDER BY cents, c_custkey) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM c)
+SELECT CAST((r * 10) // n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(SUM(y) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+       ROUND(SUM(cents) / (100.0 * COUNT(*)), 6) AS mean_acctbal
+FROM r GROUP BY 1
+"""
+
+
+def q_calibration_deciles(sf_dir: str):
+    """Score-calibration decile table: customers ranked by account
+    balance (the 'model score'), outcome = placed a >300k order; per
+    decile the positive rate and mean score — the standard lift /
+    calibration readout for a propensity model.  Ranking is on exact
+    integer cents with custkey tie-break and the decile id is integer
+    algebra (r*10//n, NOT NTILE — NTILE front-loads remainders and is
+    not reproducible from a formula), so bucket membership is
+    order-free; rates and means are single divisions of exact
+    integers.  Both sides pass the gated dimension-scale collect
+    (the positive-custkey set broadcasts; a crawl-scale score table
+    would rank via the range-partition planner instead)."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import collect_small
+
+    def _big_spenders(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["o_totalprice"], 300000)
+        ids = batch["o_custkey"].filter(keep)
+        return pa.table({"o_custkey": pc.unique(ids)})
+
+    pos_t = collect_small(rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice"]
+    ).map_batches(_big_spenders, batch_format="pyarrow",
+                  zero_copy_batch=True))
+    pos = np.unique(pos_t["o_custkey"].to_numpy(zero_copy_only=False))
+
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]))
+    key = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bal = cust["c_acctbal"].to_numpy(zero_copy_only=False)
+    cents = np.floor(round6_tie_robust(bal) * 100.0 + 0.5).astype(np.int64)
+    y = np.isin(key, pos).astype(np.int64)
+    order = np.lexsort((key, cents))
+    cents, y = cents[order], y[order]
+    n = len(cents)
+    dec = (np.arange(n, dtype=np.int64) * 10) // n
+    cnt = np.bincount(dec, minlength=10).astype(np.int64)
+    npos = np.bincount(dec, weights=y, minlength=10).astype(np.int64)
+    csum_i = np.zeros(10, dtype=np.int64)
+    np.add.at(csum_i, dec, cents)
+    keep = cnt > 0
+    return _collect(pa.table({
+        "decile": pa.array(np.arange(10)[keep], pa.int64()),
+        "n": pa.array(cnt[keep], pa.int64()),
+        "n_pos": pa.array(npos[keep], pa.int64()),
+        "pos_rate": pa.array(round6_tie_robust(
+            npos[keep] / cnt[keep].astype(np.float64))),
+        "mean_acctbal": pa.array(round6_tie_robust(
+            csum_i[keep] / (100.0 * cnt[keep]))),
+    }))
+
+
 # ------------------------------------------------------------- registries
 
 def build_queries() -> dict:
@@ -12102,6 +12447,10 @@ def build_queries() -> dict:
         "rrf_fusion": q_rrf_fusion,
         "zipf_slope": q_zipf_slope,
         "heaps_law": q_heaps_law,
+        "woe_iv": q_woe_iv,
+        "target_encode": q_target_encode,
+        "psi_drift": q_psi_drift,
+        "calibration_deciles": q_calibration_deciles,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -12368,6 +12717,10 @@ WHERE rn <= 2
         "rrf_fusion": RRF_FUSION_SQL,
         "zipf_slope": ZIPF_SLOPE_SQL,
         "heaps_law": HEAPS_LAW_SQL,
+        "woe_iv": WOE_IV_SQL,
+        "target_encode": TARGET_ENCODE_SQL,
+        "psi_drift": PSI_DRIFT_SQL,
+        "calibration_deciles": CALIBRATION_DECILES_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
