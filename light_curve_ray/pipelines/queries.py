@@ -12329,7 +12329,341 @@ def q_calibration_deciles(sf_dir: str):
     }))
 
 
-# ------------------------------------------------------------- registries
+def _daily_milli_series(sf_dir: str) -> dict:
+    """Per-type daily-mean series quantized to exact int64 milli-units
+    (the shared quantization contract of xcorr_lag / the SF family):
+    map-side (type, day) partials collapse to |types| x |days| rows
+    before the driver merge — bounded at any corpus scale.  Returns
+    {event_type: (days:int64[], mi:int64[], n:int64[])}, days sorted."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(t_us, _DAY_US),
+                      "v": batch["value"]})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return g.rename_columns(["event_type", "day", "s", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(_daily, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    et = np.asarray(parts["event_type"].to_pylist(), dtype=object)
+    day = parts["day"].to_numpy(zero_copy_only=False)
+    s = parts["s"].to_numpy(zero_copy_only=False)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    if len(et) == 0:
+        return {}
+    order = np.lexsort((day, et))
+    et, day, s, n = et[order], day[order], s[order], n[order]
+    key_new = np.empty(len(et), dtype=bool)
+    key_new[0] = True
+    key_new[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+    ks = np.nonzero(key_new)[0]
+    s = np.add.reduceat(s, ks)
+    n = np.add.reduceat(n, ks)
+    et, day = et[ks], day[ks]
+    mi = np.floor(round6_tie_robust(s / n) * 1000.0 + 0.5).astype(np.int64)
+    out = {}
+    first = np.empty(len(et), dtype=bool)
+    first[0] = True
+    first[1:] = et[1:] != et[:-1]
+    starts = np.nonzero(first)[0]
+    for st, ln in zip(starts, np.diff(np.append(starts, len(et)))):
+        out[et[st]] = (day[st:st + ln], mi[st:st + ln],
+                       n[st:st + ln].astype(np.int64))
+    return out
+
+
+STRUCTURE_FUNCTION_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type, b.day - a.day AS dt, b.mi - a.mi AS dv
+  FROM d a JOIN d b ON b.event_type = a.event_type AND b.day > a.day),
+bb AS (
+  SELECT event_type,
+         CASE WHEN dt < 2 THEN 0 WHEN dt < 4 THEN 1 WHEN dt < 8 THEN 2
+              WHEN dt < 16 THEN 3 ELSE 4 END AS dt_bin, dv
+  FROM p)
+SELECT event_type, CAST(dt_bin AS BIGINT) AS dt_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(dv * dv) / (1000000.0 * COUNT(*)), 6) AS sf_value
+FROM bb GROUP BY 1, 2
+"""
+
+
+def q_structure_function(sf_dir: str):
+    """First-order structure function per series — the astronomy
+    variability-vs-timescale diagnostic (Simonetti et al. 1985; the
+    light-curve family's SF companion to the dm-dt map): mean squared
+    difference of the daily-mean series over all day pairs, bucketed
+    into doubling time-lag bins [1,2) [2,4) [4,8) [8,16) [16,inf).
+    PARITY BY INTEGER ALGEBRA: daily means quantize to exact milli
+    units (shared contract with xcorr_lag), bin edges are integer day
+    compares, squared-difference sums are exact integers, and sf is
+    ONE division.  The pair enumeration runs on the |types| x |days|
+    rollup — bounded at any corpus scale."""
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "bin": [], "n": [], "sf": []}
+    edges = np.array([2, 4, 8, 16], dtype=np.int64)
+    for et in sorted(series):
+        day, mi, _ = series[et]
+        i, j = np.triu_indices(len(day), k=1)
+        dt = day[j] - day[i]
+        dv = mi[j] - mi[i]
+        bins = np.searchsorted(edges, dt, side="right")
+        for b in np.unique(bins):
+            m = bins == b
+            npairs = int(m.sum())
+            ssum = int((dv[m].astype(object) ** 2).sum())
+            rows["et"].append(et)
+            rows["bin"].append(int(b))
+            rows["n"].append(npairs)
+            rows["sf"].append(float(ssum) / (1_000_000.0 * npairs))
+    from ..kernels.rounding import round6_tie_robust
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "dt_bin": pa.array(rows["bin"], pa.int64()),
+        "n_pairs": pa.array(rows["n"], pa.int64()),
+        "sf_value": pa.array(round6_tie_robust(
+            np.array(rows["sf"], dtype=np.float64))),
+    }))
+
+
+PHASE_FOLD_SQL = """
+WITH x AS (
+  SELECT event_type,
+         ((epoch_us(ts) % 604800000000) * 8) // 604800000000 AS phase_bin,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+SELECT event_type, CAST(phase_bin AS BIGINT) AS phase_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(vi) / (1000000.0 * COUNT(*)), 6) AS mean_value
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_phase_fold(sf_dir: str):
+    """Phase-folded profile per series: fold every timestamp on a
+    fixed 7-day period into 8 phase bins and aggregate the mean — the
+    periodic-signal readout (folded light curve) at a known period.
+    Bin ids are pure integer algebra on epoch microseconds, values
+    quantize to exact micro-units before the sum, and the mean is one
+    exact-integer division — no float parity surface.  One map-side
+    (type, bin) partial pass; the exchange carries at most
+    |types| x 8 rows per block."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    _P_US = 604_800_000_000
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("phase_bin", pa.int64()),
+                             ("s", pa.int64()), ("n", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0 + 0.5).astype(
+            np.int64)
+        pb = ((t_us % _P_US) * 8) // _P_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "phase_bin": pa.array(pb, pa.int64()),
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "phase_bin"]).aggregate(
+            [("vi", "sum"), ("vi", "count")])
+        return g.rename_columns(
+            ["event_type", "phase_bin", "s", "n"]).cast(part_schema)
+
+    parts = ds.map_batches(_fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("phase_bin", pa.int64()),
+                            ("n", pa.int64()),
+                            ("mean_value", pa.float64())])
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, _ = _runs(batch, ["event_type", "phase_bin"])
+        idx = pa.array(starts, pa.int64())
+        s = np.add.reduceat(
+            batch["s"].to_numpy(zero_copy_only=False), starts)
+        n = np.add.reduceat(
+            batch["n"].to_numpy(zero_copy_only=False), starts)
+        return pa.table({
+            "event_type": batch["event_type"].take(idx),
+            "phase_bin": batch["phase_bin"].take(idx),
+            "n": pa.array(n, pa.int64()),
+            "mean_value": pa.array(round6_tie_robust(
+                s / (1_000_000.0 * n))),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(parts, ["event_type", "phase_bin"],
+                                     None, out_schema, block_fn=_merge))
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled-iteration k-core oracle: exactly ``rounds`` peel steps
+    (the engine runs the SAME fixed count — the bounded-round contract
+    makes the operator reproducible without a convergence test)."""
+    # MATERIALIZED hints: every round references its predecessor three
+    # times — without them DuckDB inlines the base parquet scan once per
+    # reference and exhausts the process fd limit at 8 rounds
+    base = _COPURCHASE_EDGES_CTE.replace(
+        "op AS (", "op AS MATERIALIZED (").replace(
+        "e AS (", "e AS MATERIALIZED (")
+    sql = "WITH " + base
+    prev = "e"
+    for r in range(rounds):
+        sql += f""",
+d{r} AS (SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM {prev}
+    UNION ALL SELECT v AS node FROM {prev}) GROUP BY 1),
+n{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (SELECT u, v FROM {prev}
+         WHERE u IN (SELECT node FROM n{r})
+           AND v IN (SELECT node FROM n{r}))"""
+        prev = f"e{r}"
+    sql += f"""
+SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+GROUP BY 1
+"""
+    return sql
+
+
+def q_kcore_graph(sf_dir: str):
+    """k-core decomposition (k=3, 8 peel rounds) of the part
+    co-purchase graph — the dense-substructure filter that strips
+    low-degree fringe before community detection.  The peel is the
+    standard distributed iteration (degrees -> drop nodes < k ->
+    semi-join edges), run a FIXED 8 rounds so both sides compute the
+    identical residual graph without a convergence race; all state is
+    integer.  Edges reuse the shared co-purchase pipeline (one
+    orderkey exchange + one edge-key distinct); the peel runs on the
+    slim packed-int64 edge list under the gated broadcast collect —
+    above ~2M edges each round is the documented degree-groupby +
+    edge semi-join Dataset pass."""
+    import ray
+
+    from ..stages.joins import collect_small
+
+    edges = _copurchase_edges(sf_dir)
+    ek = collect_small(edges)["k"].to_numpy(zero_copy_only=False)
+    u = ek >> np.int64(32)
+    v = ek & np.int64(0xFFFFFFFF)
+    for _ in range(8):
+        nodes, deg = np.unique(np.concatenate([u, v]),
+                               return_counts=True)
+        keep_nodes = nodes[deg >= 3]
+        ku = np.isin(u, keep_nodes)
+        kv = np.isin(v, keep_nodes)
+        m = ku & kv
+        u, v = u[m], v[m]
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    return _collect(pa.table({
+        "part": pa.array(nodes, pa.int64()),
+        "degree": pa.array(deg.astype(np.int64), pa.int64()),
+    }))
+
+
+ISOTONIC_DAILY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi,
+         COUNT(*) AS n
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+idx AS (
+  SELECT event_type, day, mi, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM d),
+pre AS (
+  SELECT event_type, day, mi, n, i,
+         SUM(mi) OVER (PARTITION BY event_type ORDER BY i) AS s
+  FROM idx),
+a AS (
+  SELECT pj.event_type, pj.i AS j, pk.i AS k,
+         CAST(pk.s - pj.s + pj.mi AS DOUBLE)
+           / (1000.0 * (pk.i - pj.i + 1)) AS avg
+  FROM pre pj JOIN pre pk
+    ON pk.event_type = pj.event_type AND pk.i >= pj.i),
+m AS (
+  SELECT a.event_type, a.j, i.i AS i, MIN(a.avg) AS lo
+  FROM a JOIN idx i
+    ON i.event_type = a.event_type AND i.i >= a.j AND i.i <= a.k
+  GROUP BY 1, 2, 3),
+fit AS (
+  SELECT event_type, i, MAX(lo) AS fitted
+  FROM m WHERE j <= i GROUP BY 1, 2)
+SELECT p.event_type, p.day, CAST(p.n AS BIGINT) AS n,
+       ROUND(f.fitted, 6) AS fitted
+FROM pre p JOIN fit f ON f.event_type = p.event_type AND f.i = p.i
+"""
+
+
+def q_isotonic_daily(sf_dir: str):
+    """Isotonic (monotone non-decreasing) regression of the daily-mean
+    series per type via pool-adjacent-violators — the shape-constrained
+    trend fit (calibration curves, dose-response, monotone KPIs).
+    Engine: PAVA with EXACT integer block state (milli-unit sums,
+    counts; violation test by integer cross-multiplication — no float
+    compare anywhere in the algorithm); oracle: the classical minimax
+    identity fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) expanded
+    over prefix sums (O(n^3) rows — test-scale only, the identity IS
+    the proof of equivalence).  Both sides divide the same exact
+    integers once at output."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "day": [], "n": [], "fit": []}
+    for et in sorted(series):
+        day, mi, n = series[et]
+        # PAVA: blocks of (sum, count); merge while mean decreases
+        sums: list = []
+        cnts: list = []
+        for y in mi:
+            sums.append(int(y))
+            cnts.append(1)
+            while (len(sums) > 1
+                   and sums[-2] * cnts[-1] > sums[-1] * cnts[-2]):
+                s2, c2 = sums.pop(), cnts.pop()
+                sums[-1] += s2
+                cnts[-1] += c2
+        pos = 0
+        for s_, c_ in zip(sums, cnts):
+            val = float(s_) / (1000.0 * c_)
+            for _ in range(c_):
+                rows["et"].append(et)
+                rows["day"].append(int(day[pos]))
+                rows["n"].append(int(n[pos]))
+                rows["fit"].append(val)
+                pos += 1
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "day": pa.array(rows["day"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "fitted": pa.array(round6_tie_robust(
+            np.array(rows["fit"], dtype=np.float64))),
+    }))
+
 
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
@@ -12451,6 +12785,10 @@ def build_queries() -> dict:
         "target_encode": q_target_encode,
         "psi_drift": q_psi_drift,
         "calibration_deciles": q_calibration_deciles,
+        "structure_function": q_structure_function,
+        "phase_fold": q_phase_fold,
+        "kcore_graph": q_kcore_graph,
+        "isotonic_daily": q_isotonic_daily,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -12721,6 +13059,10 @@ WHERE rn <= 2
         "target_encode": TARGET_ENCODE_SQL,
         "psi_drift": PSI_DRIFT_SQL,
         "calibration_deciles": CALIBRATION_DECILES_SQL,
+        "structure_function": STRUCTURE_FUNCTION_SQL,
+        "phase_fold": PHASE_FOLD_SQL,
+        "kcore_graph": _kcore_sql(),
+        "isotonic_daily": ISOTONIC_DAILY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
