@@ -12665,6 +12665,228 @@ def q_isotonic_daily(sf_dir: str):
     }))
 
 
+_DAILY_MILLI_CTE = """
+d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2)"""
+
+
+VONNEUMANN_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+s AS (
+  SELECT event_type, mi,
+         LAG(mi) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM d)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(COUNT(*) * SUM(CASE WHEN prev IS NULL THEN 0
+                  ELSE (mi - prev) * (mi - prev) END) AS DOUBLE)
+             / (COUNT(*) * SUM(mi * mi) - SUM(mi) * SUM(mi)), 6) AS eta
+FROM s GROUP BY 1
+HAVING COUNT(*) > 1
+   AND COUNT(*) * SUM(mi * mi) - SUM(mi) * SUM(mi) > 0
+"""
+
+
+def q_vonneumann_daily(sf_dir: str):
+    """Von Neumann eta per series — the light-curve catalog's
+    variability-vs-noise ratio (Eta, von Neumann 1941; Malanchev et
+    al. 2021 catalog): mean squared successive difference of the
+    daily-mean series over its variance.  PARITY BY INTEGER ALGEBRA:
+    on the shared milli-quantized daily series both numerator
+    n*sum(d^2) and denominator n*sum(x^2)-sum(x)^2 are exact integers
+    (the milli scale cancels in the ratio) and eta is ONE division.
+    Bounded at |types| x |days| before the driver merge."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "n": [], "eta": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        if n <= 1:
+            continue
+        mo = mi.astype(object)
+        sd2 = int(((mo[1:] - mo[:-1]) ** 2).sum())
+        sxx = int((mo ** 2).sum())
+        sx = int(mo.sum())
+        den = n * sxx - sx * sx
+        if den <= 0:
+            continue
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["eta"].append(float(n * sd2) / den)
+    from ..kernels.rounding import round6_tie_robust
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_days": pa.array(rows["n"], pa.int64()),
+        "eta": pa.array(round6_tie_robust(
+            np.array(rows["eta"], dtype=np.float64))),
+    }))
+
+
+PERM_ENTROPY_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+w AS (
+  SELECT event_type,
+         LAG(mi, 2) OVER (PARTITION BY event_type ORDER BY day) AS a,
+         LAG(mi, 1) OVER (PARTITION BY event_type ORDER BY day) AS b,
+         mi AS c
+  FROM d),
+p AS (
+  SELECT event_type,
+         4 * CAST(b > a AS INT) + 2 * CAST(c > b AS INT)
+           + CAST(c > a AS INT) AS pat
+  FROM w WHERE a IS NOT NULL),
+cnts AS (SELECT event_type, pat, COUNT(*) AS cnt FROM p GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(cnt) AS n FROM cnts GROUP BY 1)
+SELECT c.event_type, CAST(t.n AS BIGINT) AS n_windows,
+       ROUND(SUM(-(CAST(c.cnt AS DOUBLE) / t.n)
+                 * LN(CAST(c.cnt AS DOUBLE) / t.n)), 6) AS pattern_entropy
+FROM cnts c JOIN tot t USING (event_type)
+GROUP BY 1, 2
+"""
+
+
+def q_perm_entropy(sf_dir: str):
+    """Permutation (ordinal-pattern) entropy per series (Bandt &
+    Pompe 2002): classify every 3-day window of the daily-mean series
+    by its comparison pattern (a 3-bit integer code b>a | c>b | c>a —
+    ties are part of the code, so the classification is exact integer
+    algebra on the shared milli series) and take the Shannon entropy
+    of the pattern histogram.  Low entropy = rigid trend, ln 6 =
+    fully disordered.  The ln term-sum order difference vs the SQL
+    oracle is absorbed by the two-step round (hourly_entropy
+    precedent); everything before the entropy is integer-exact."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "n": [], "h": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        if len(mi) < 3:
+            continue
+        a, b, c = mi[:-2], mi[1:-1], mi[2:]
+        pat = (4 * (b > a).astype(np.int64)
+               + 2 * (c > b).astype(np.int64)
+               + (c > a).astype(np.int64))
+        _, cnt = np.unique(pat, return_counts=True)
+        n = int(cnt.sum())
+        pr = cnt.astype(np.float64) / n
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["h"].append(float((-pr * np.log(pr)).sum()))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_windows": pa.array(rows["n"], pa.int64()),
+        "pattern_entropy": pa.array(round6_tie_robust(
+            np.array(rows["h"], dtype=np.float64))),
+    }))
+
+
+RUNS_TEST_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+t AS (SELECT event_type, SUM(mi) AS sx, COUNT(*) AS n FROM d GROUP BY 1),
+s AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.mi * t.n > t.sx THEN 1 ELSE -1 END AS sgn
+  FROM d JOIN t USING (event_type)
+  WHERE d.mi * t.n <> t.sx),
+r AS (
+  SELECT event_type, sgn,
+         LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM s)
+SELECT event_type,
+       CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+       CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+       CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+FROM r GROUP BY 1
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs statistic per series: sign the daily-mean
+    series about its own mean (above / below; exact equality drops —
+    the compare is the integer cross-multiply mi*n vs sum(mi), no
+    float threshold anywhere) and count the maximal same-sign runs in
+    day order.  Few runs = trending/clustered series, many = rapid
+    alternation.  All three outputs are exact integers, so the parity
+    surface is empty.  Bounded at |types| x |days|."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "p": [], "m": [], "r": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        sx = int(mi.astype(object).sum())
+        lhs = mi.astype(object) * n
+        sgn = np.where(lhs > sx, 1, -1)[lhs != sx]
+        if len(sgn) == 0:
+            continue
+        rows["et"].append(et)
+        rows["p"].append(int((sgn == 1).sum()))
+        rows["m"].append(int((sgn == -1).sum()))
+        rows["r"].append(1 + int((sgn[1:] != sgn[:-1]).sum()))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_plus": pa.array(rows["p"], pa.int64()),
+        "n_minus": pa.array(rows["m"], pa.int64()),
+        "n_runs": pa.array(rows["r"], pa.int64()),
+    }))
+
+
+SAX_WORDS_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+mm AS (SELECT event_type, MIN(mi) AS mn, MAX(mi) AS mx FROM d GROUP BY 1),
+sym AS (
+  SELECT d.event_type, d.day,
+         ((d.mi - mm.mn) * 4) // (mm.mx - mm.mn + 1) AS s
+  FROM d JOIN mm USING (event_type)),
+w AS (
+  SELECT event_type,
+         LAG(s, 2) OVER (PARTITION BY event_type ORDER BY day) AS s0,
+         LAG(s, 1) OVER (PARTITION BY event_type ORDER BY day) AS s1,
+         s AS s2
+  FROM sym)
+SELECT event_type, CAST(16 * s0 + 4 * s1 + s2 AS BIGINT) AS word,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE s0 IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_sax_words(sf_dir: str):
+    """SAX-style symbolization per series (Lin et al. 2003, with
+    equal-width instead of Gaussian breakpoints so every boundary is
+    integer): map each daily mean to one of 4 symbols by integer
+    range division ((mi-min)*4 // (max-min+1)), slide a 3-symbol
+    window in day order and count each word (word id = base-4 digits
+    16*s0+4*s1+s2).  The motif-histogram primitive behind symbolic
+    timeseries indexing — and a pure-integer pipeline end to end, so
+    the parity surface is empty."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "w": [], "n": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        if len(mi) < 3:
+            continue
+        mn, mx = int(mi.min()), int(mi.max())
+        s = ((mi.astype(object) - mn) * 4) // (mx - mn + 1)
+        s = s.astype(np.int64)
+        word = 16 * s[:-2] + 4 * s[1:-1] + s[2:]
+        wv, cnt = np.unique(word, return_counts=True)
+        rows["et"].extend([et] * len(wv))
+        rows["w"].extend(wv.tolist())
+        rows["n"].extend(cnt.tolist())
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "word": pa.array(rows["w"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -12789,6 +13011,10 @@ def build_queries() -> dict:
         "phase_fold": q_phase_fold,
         "kcore_graph": q_kcore_graph,
         "isotonic_daily": q_isotonic_daily,
+        "vonneumann_daily": q_vonneumann_daily,
+        "perm_entropy": q_perm_entropy,
+        "runs_test": q_runs_test,
+        "sax_words": q_sax_words,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -13063,6 +13289,10 @@ WHERE rn <= 2
         "phase_fold": PHASE_FOLD_SQL,
         "kcore_graph": _kcore_sql(),
         "isotonic_daily": ISOTONIC_DAILY_SQL,
+        "vonneumann_daily": VONNEUMANN_SQL,
+        "perm_entropy": PERM_ENTROPY_SQL,
+        "runs_test": RUNS_TEST_SQL,
+        "sax_words": SAX_WORDS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
