@@ -12887,6 +12887,291 @@ def q_sax_words(sf_dir: str):
     }))
 
 
+def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled fixed-round Lloyd's oracle on milli-quantized vectors:
+    distances are exact BIGINT sums, assignment breaks ties to the
+    lowest cluster id, and each centroid update re-quantizes with
+    FLOOR(sum/count + 0.5) on identical doubles — so every round is
+    reproducible cross-engine (the kcore unrolled-iteration contract).
+    MATERIALIZED hints keep DuckDB from re-inlining the base scan."""
+    sql = """WITH u AS MATERIALIZED (
+  SELECT vec_id, d.dim AS dim,
+         CAST(FLOOR(ROUND(CAST(embedding[d.dim] AS DOUBLE), 6) * 1000
+                    + 0.5) AS BIGINT) AS vi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+init AS (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT {k}),
+c0 AS MATERIALIZED (
+  SELECT r.cl, u.dim, u.vi AS cm
+  FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM init) r JOIN u USING (vec_id))""".format(k=k)
+    for r in range(rounds):
+        sql += """,
+d{r} AS (
+  SELECT u.vec_id, c.cl, SUM((u.vi - c.cm) * (u.vi - c.cm)) AS dist
+  FROM u JOIN c{r} c USING (dim) GROUP BY 1, 2),
+a{r} AS MATERIALIZED (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cl) AS rn
+    FROM d{r}) WHERE rn = 1),
+c{nxt} AS MATERIALIZED (
+  SELECT a.cl, u.dim,
+         CAST(FLOOR(CAST(SUM(u.vi) AS DOUBLE) / COUNT(*) + 0.5)
+              AS BIGINT) AS cm
+  FROM a{r} a JOIN u USING (vec_id) GROUP BY 1, 2)""".format(
+            r=r, nxt=r + 1)
+    sql += """
+SELECT c.cl AS cluster, CAST(c.dim AS BIGINT) AS dim,
+       s.n, c.cm AS centroid_milli
+FROM c{last} c JOIN (SELECT cl, COUNT(*) AS n FROM a{pl} GROUP BY 1) s
+  USING (cl)
+""".format(last=rounds, pl=rounds - 1)
+    return sql
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means (k=4, 3 fixed Lloyd rounds) over the
+    embedding corpus — the clustering primitive behind IVF index
+    training and corpus bucketing, here as a first-class query.
+    PARITY BY INTEGER ALGEBRA: vectors quantize to exact milli int64
+    (shared contract), distances are exact integer sums with ties to
+    the lowest cluster id, and each centroid update re-quantizes via
+    FLOOR(sum/count + 0.5) on identical doubles, so all three rounds
+    are bit-reproducible vs the unrolled SQL oracle.  Ray shape: init
+    picks the k lowest vec_ids (per-block candidates -> driver merge,
+    block-count scale); each round is one map_batches pass emitting
+    (cluster, dim) partial sums — a k x dim bounded exchange, never
+    row-scale; centroids broadcast via ray.put.  Empty clusters drop
+    exactly as the oracle's inner join drops them."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    K, ROUNDS = 4, 3
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.is_valid(batch["vec_id"]),
+                                    pc.is_valid(batch["embedding"])))
+
+    ds = ds.map_batches(_clean, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def _milli(batch: pa.Table) -> np.ndarray:
+        mat = _emb_matrix(batch, "embedding")
+        return np.floor(round6_tie_robust(mat) * 1000.0
+                        + 0.5).astype(np.int64)
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        vi = _milli(batch)
+        order = np.argsort(vid)[:K]
+        n_dim = vi.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid[order], n_dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(n_dim, dtype=np.int64),
+                                    len(order)), pa.int64()),
+            "vi": pa.array(vi[order].ravel(), pa.int64())})
+
+    cand = _collect_raw(ds.map_batches(_cand, batch_format="pyarrow",
+                                       zero_copy_batch=True)).to_pandas()
+    top = sorted(cand["vec_id"].unique())[:K]
+    piv = cand[cand["vec_id"].isin(top)].pivot(
+        index="vec_id", columns="dim", values="vi").sort_index()
+    cents = piv.values.astype(np.int64)           # (k, D), row i = cl i
+    cls = np.arange(len(cents), dtype=np.int64)   # live cluster ids
+    n_dim = cents.shape[1]
+    part_schema = pa.schema([("cl", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.int64()), ("n", pa.int64())])
+
+    sizes = None
+    for _ in range(ROUNDS):
+        cref = ray.put((cls, cents))
+
+        def _assign(batch: pa.Table) -> pa.Table:
+            cls_, c_ = ray.get(cref)
+            vi = _milli(batch)
+            d = ((vi[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)      # ties -> first = lowest cl
+            rows = {"cl": [], "dim": [], "s": [], "n": []}
+            for j, cl_id in enumerate(cls_):
+                m = a == j
+                cnt = int(m.sum())
+                if cnt == 0:
+                    continue
+                rows["cl"].extend([int(cl_id)] * n_dim)
+                rows["dim"].extend(range(n_dim))
+                rows["s"].extend(vi[m].sum(axis=0).tolist())
+                rows["n"].extend([cnt] * n_dim)
+            return pa.table({k_: pa.array(v, pa.int64())
+                             for k_, v in rows.items()},
+                            schema=part_schema)
+
+        parts = _collect_raw(ds.map_batches(
+            _assign, batch_format="pyarrow",
+            zero_copy_batch=True)).to_pandas()
+        agg = parts.groupby(["cl", "dim"]).agg(
+            s=("s", "sum"), n=("n", "sum")).reset_index()
+        cls = np.sort(agg["cl"].unique()).astype(np.int64)
+        piv_s = agg.pivot(index="cl", columns="dim",
+                          values="s").sort_index().values
+        piv_n = agg.pivot(index="cl", columns="dim",
+                          values="n").sort_index().values
+        cents = np.floor(piv_s.astype(np.float64) / piv_n
+                         + 0.5).astype(np.int64)
+        sizes = agg[agg["dim"] == 0].set_index("cl")["n"]
+
+    rows = {"cluster": [], "dim": [], "n": [], "cm": []}
+    for i, cl_id in enumerate(cls):
+        rows["cluster"].extend([int(cl_id)] * n_dim)
+        rows["dim"].extend(range(1, n_dim + 1))   # 1-based like the SQL
+        rows["n"].extend([int(sizes.loc[cl_id])] * n_dim)
+        rows["cm"].extend(cents[i].tolist())
+    return _collect(pa.table({
+        "cluster": pa.array(rows["cluster"], pa.int64()),
+        "dim": pa.array(rows["dim"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "centroid_milli": pa.array(rows["cm"], pa.int64()),
+    }))
+
+
+JSD_DRIFT_SQL = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT day, SUM(n) AS tot FROM c GROUP BY 1),
+days AS (SELECT day, LAG(day) OVER (ORDER BY day) AS prev FROM t),
+pairs AS (SELECT day, prev FROM days WHERE prev IS NOT NULL),
+u AS (SELECT p.day, p.prev, x.event_type
+      FROM pairs p CROSS JOIN (SELECT DISTINCT event_type FROM c) x),
+j AS (
+  SELECT u.day,
+         CAST(COALESCE(cq.n, 0) AS DOUBLE) / tq.tot AS q,
+         CAST(COALESCE(cp.n, 0) AS DOUBLE) / tp.tot AS p
+  FROM u
+  LEFT JOIN c cq ON cq.day = u.day AND cq.event_type = u.event_type
+  JOIN t tq ON tq.day = u.day
+  LEFT JOIN c cp ON cp.day = u.prev AND cp.event_type = u.event_type
+  JOIN t tp ON tp.day = u.prev)
+SELECT day,
+       ROUND(SUM(CASE WHEN p > 0
+                      THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END
+               + CASE WHEN q > 0
+                      THEN 0.5 * q * LN(q / ((p + q) / 2))
+                      ELSE 0 END), 6) AS jsd
+FROM j GROUP BY 1
+"""
+
+
+def q_jsd_drift(sf_dir: str):
+    """Day-over-day distribution drift of the event-type mix, scored
+    with Jensen-Shannon divergence — the bounded symmetric KL the
+    drift monitors of a corpus pipeline alarm on (0 = identical mix,
+    ln 2 = disjoint).  The (day, type) count table is map-side
+    partials -> a |days| x |types| bounded driver merge; each day's P
+    and Q are exact-integer ratios widened to identical doubles, the
+    per-type JS terms are bitwise-identical cross-engine, and the
+    term-sum order difference is absorbed by the two-step round
+    (hourly_entropy precedent)."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    part_schema = pa.schema([("day", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": pc.divide(batch["ts"].cast(pa.int64()),
+                                       _DAY_US),
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["day", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "event_type", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _daily, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    cnt = parts.groupby(["day", "event_type"])["n"].sum().unstack(
+        fill_value=0).sort_index()
+    mat = cnt.values.astype(np.float64)
+    tot = mat.sum(axis=1, keepdims=True)
+    pr = mat / tot
+    p, q = pr[:-1], pr[1:]
+    m = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = (np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+                 + np.where(q > 0, 0.5 * q * np.log(q / m), 0.0))
+    return _collect(pa.table({
+        "day": pa.array(cnt.index.values[1:].astype(np.int64), pa.int64()),
+        "jsd": pa.array(round6_tie_robust(terms.sum(axis=1))),
+    }))
+
+
+HOLT_DAILY_SQL = f"""
+WITH RECURSIVE {_DAILY_MILLI_CTE},
+rb AS (
+  SELECT event_type, day, CAST(mi AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d),
+s(event_type, rn, l, b) AS (
+  SELECT event_type, rn, x, CAST(0 AS DOUBLE) FROM rb WHERE rn = 1
+  UNION ALL
+  SELECT p.event_type, p.rn,
+         0.5 * p.x + 0.5 * (s.l + s.b),
+         0.5 * ((0.5 * p.x + 0.5 * (s.l + s.b)) - s.l) + 0.5 * s.b
+  FROM rb p JOIN s ON p.event_type = s.event_type AND p.rn = s.rn + 1)
+SELECT rb.event_type, rb.day,
+       ROUND(s.l / 1000.0, 6) AS level,
+       ROUND(s.b / 1000.0, 6) AS trend
+FROM rb JOIN s USING (event_type, rn)
+"""
+
+
+def q_holt_daily(sf_dir: str):
+    """Holt double exponential smoothing (level + trend, alpha = gamma
+    = 0.5) per series over the daily-mean sequence — the trend-aware
+    sibling of ewma_daily and the state of every short-horizon ops
+    forecaster.  The recursion runs on exact milli-int inputs widened
+    to identical doubles; every step is the same IEEE expression tree
+    as the recursive-CTE oracle (0.5 products are exact, one rounded
+    add per term), so the states track the oracle step-for-step.
+    Sequential per series but bounded at |types| x |days| on the
+    driver (the ewma_daily co-location argument)."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "day": [], "l": [], "b": []}
+    for et in sorted(series):
+        day, mi, _ = series[et]
+        x = mi.astype(np.float64)
+        lv, tr = x[0], 0.0
+        rows["et"].append(et)
+        rows["day"].append(int(day[0]))
+        rows["l"].append(lv)
+        rows["b"].append(tr)
+        for i in range(1, len(x)):
+            l_new = 0.5 * x[i] + 0.5 * (lv + tr)
+            tr = 0.5 * (l_new - lv) + 0.5 * tr
+            lv = l_new
+            rows["et"].append(et)
+            rows["day"].append(int(day[i]))
+            rows["l"].append(lv)
+            rows["b"].append(tr)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "day": pa.array(rows["day"], pa.int64()),
+        "level": pa.array(round6_tie_robust(
+            np.array(rows["l"]) / 1000.0)),
+        "trend": pa.array(round6_tie_robust(
+            np.array(rows["b"]) / 1000.0)),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -13015,6 +13300,9 @@ def build_queries() -> dict:
         "perm_entropy": q_perm_entropy,
         "runs_test": q_runs_test,
         "sax_words": q_sax_words,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "jsd_drift": q_jsd_drift,
+        "holt_daily": q_holt_daily,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -13293,6 +13581,9 @@ WHERE rn <= 2
         "perm_entropy": PERM_ENTROPY_SQL,
         "runs_test": RUNS_TEST_SQL,
         "sax_words": SAX_WORDS_SQL,
+        "kmeans_embeddings": _kmeans_sql(),
+        "jsd_drift": JSD_DRIFT_SQL,
+        "holt_daily": HOLT_DAILY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
