@@ -13172,6 +13172,314 @@ def q_holt_daily(sf_dir: str):
     }))
 
 
+LOCAL_PEAKS_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+w AS (
+  SELECT event_type, mi,
+         LAG(mi) OVER (PARTITION BY event_type ORDER BY day) AS prev,
+         LEAD(mi) OVER (PARTITION BY event_type ORDER BY day) AS nxt
+  FROM d)
+SELECT event_type,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                      AND mi > prev AND mi > nxt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                      AND mi < prev AND mi < nxt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
+FROM w GROUP BY 1
+"""
+
+
+def q_local_peaks(sf_dir: str):
+    """Local extrema census per series: count strict interior peaks
+    (mi > both neighbors) and valleys (mi < both) of the daily-mean
+    sequence in day order — the time-domain roughness companion to
+    the frequency-domain periodogram_peaks.  Pure integer compares on
+    the shared milli series, so the parity surface is empty; bounded
+    at |types| x |days| on the driver."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "p": [], "v": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        rows["et"].append(et)
+        if len(mi) < 3:
+            rows["p"].append(0)
+            rows["v"].append(0)
+            continue
+        a, b, c = mi[:-2], mi[1:-1], mi[2:]
+        rows["p"].append(int(((b > a) & (b > c)).sum()))
+        rows["v"].append(int(((b < a) & (b < c)).sum()))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_peaks": pa.array(rows["p"], pa.int64()),
+        "n_valleys": pa.array(rows["v"], pa.int64()),
+    }))
+
+
+LDIVERSITY_SQL = """
+WITH g AS (
+  SELECT event_type, (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         COUNT(DISTINCT user_id) AS l
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND user_id IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(CASE WHEN l >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_pass,
+       CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_fail,
+       CAST(MIN(l) AS BIGINT) AS min_diversity
+FROM g GROUP BY 1
+"""
+
+
+def q_ldiversity_audit(sf_dir: str):
+    """l-diversity audit (the companion gate to kanon_rollup): for
+    each quasi-identifier group (event_type, hour-of-day), count the
+    DISTINCT sensitive values (user_id) present; a group passes at
+    l = 3.  Emits pass/fail group counters and the minimum diversity
+    per type — the release/no-release privacy readout.  ONE
+    (type, hour)-keyed exchange co-locates each QI group, the distinct
+    count is an in-group sort-unique, and the per-type fold is a
+    bounded |types| x 24 driver merge.  All integers."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "user_id"])
+    _HOUR_US = 3_600_000_000
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64())
+        hour = pc.divide(pc.subtract(
+            t_us, pc.multiply(pc.divide(t_us, _DAY_US), _DAY_US)),
+            _HOUR_US)
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": hour,
+                         "user_id": batch["user_id"].cast(pa.int64())})
+
+    proj = ds.map_batches(_proj, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("hour", pa.int64()), ("l", pa.int64())])
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["event_type", "hour"])
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        idx = pa.array(starts, pa.int64())
+        ls = [len(np.unique(uid[s:e])) for s, e in zip(starts, ends)]
+        return pa.table({
+            "event_type": batch["event_type"].take(idx),
+            "hour": batch["hour"].take(idx),
+            "l": pa.array(ls, pa.int64())}, schema=out_schema)
+
+    groups = _collect_raw(sorted_group_map(
+        proj, ["event_type", "hour"], None, out_schema,
+        block_fn=_block)).to_pandas()
+    agg = groups.groupby("event_type").agg(
+        groups_pass=("l", lambda s: int((s >= 3).sum())),
+        groups_fail=("l", lambda s: int((s < 3).sum())),
+        min_diversity=("l", "min")).reset_index()
+    return _collect(pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "groups_pass": pa.array(agg["groups_pass"], pa.int64()),
+        "groups_fail": pa.array(agg["groups_fail"], pa.int64()),
+        "min_diversity": pa.array(agg["min_diversity"], pa.int64()),
+    }))
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH u AS MATERIALIZED (
+  SELECT vec_id, d.dim AS dim,
+         CAST(FLOOR(ROUND(CAST(embedding[d.dim] AS DOUBLE), 6) * 1000
+                    + 0.5) AS BIGINT) AS vi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+cp AS (
+  SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n,
+         SUM(a.vi * b.vi) AS sij
+  FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+  GROUP BY 1, 2),
+s AS (SELECT dim, SUM(vi) AS si FROM u GROUP BY 1)
+SELECT CAST(cp.i AS BIGINT) AS i, CAST(cp.j AS BIGINT) AS j,
+       CAST(cp.n AS BIGINT) AS n,
+       ROUND(CAST(cp.n * cp.sij - sa.si * sb.si AS DOUBLE)
+             / (1000000.0 * cp.n * (cp.n - 1)), 6) AS cov
+FROM cp JOIN s sa ON sa.dim = cp.i JOIN s sb ON sb.dim = cp.j
+"""
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Full sample covariance matrix of the embedding corpus (upper
+    triangle, 1-based dims) — the PCA/whitening precursor every
+    embedding pipeline trains.  Ray shape: each block contributes ONE
+    integer Gram-matrix partial (X^T X via int64 matmul on the shared
+    milli quantization) plus column sums — a dim^2-bounded exchange
+    regardless of corpus size, the canonical distributed-covariance
+    pattern.  PARITY BY INTEGER ALGEBRA: n*Sij - Si*Sj is exact int64
+    both sides and cov is ONE division (milli^2 scale folded into the
+    1e6 divisor)."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_(pc.is_valid(batch["vec_id"]),
+                                    pc.is_valid(batch["embedding"])))
+
+    part_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                             ("sij", pa.int64()), ("si", pa.int64()),
+                             ("sj", pa.int64()), ("n", pa.int64())])
+
+    def _gram(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, "embedding")
+        vi = np.floor(round6_tie_robust(mat) * 1000.0
+                      + 0.5).astype(np.int64)
+        n, d = vi.shape
+        gram = vi.T @ vi                      # (D, D) exact int64
+        si = vi.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "sij": pa.array(gram[iu, ju], pa.int64()),
+            "si": pa.array(si[iu], pa.int64()),
+            "sj": pa.array(si[ju], pa.int64()),
+            "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(_clean, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                         .map_batches(_gram, batch_format="pyarrow",
+                                      zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby(["i", "j"]).agg(
+        sij=("sij", "sum"), si=("si", "sum"), sj=("sj", "sum"),
+        n=("n", "sum")).reset_index()
+    num = (agg["n"].astype(object) * agg["sij"].astype(object)
+           - agg["si"].astype(object) * agg["sj"].astype(object))
+    den = 1_000_000.0 * agg["n"].values * (agg["n"].values - 1)
+    cov = np.array([float(v) for v in num]) / den
+    return _collect(pa.table({
+        "i": pa.array(agg["i"].values.astype(np.int64), pa.int64()),
+        "j": pa.array(agg["j"].values.astype(np.int64), pa.int64()),
+        "n": pa.array(agg["n"].values.astype(np.int64), pa.int64()),
+        "cov": pa.array(round6_tie_robust(cov)),
+    }))
+
+
+MAX_CONCURRENCY_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t_us FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+lagd AS (
+  SELECT user_id, t_us,
+    CASE WHEN LAG(t_us) OVER w IS NULL
+           OR t_us - LAG(t_us) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+s AS (
+  SELECT user_id, t_us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY t_us) AS session_id
+  FROM lagd),
+iv AS (
+  SELECT user_id, session_id, MIN(t_us) AS st, MAX(t_us) + 1 AS en
+  FROM s GROUP BY 1, 2),
+dl AS (SELECT st AS t, 1 AS dlt FROM iv
+       UNION ALL SELECT en AS t, -1 AS dlt FROM iv),
+net AS (SELECT t, SUM(dlt) AS nd FROM dl GROUP BY 1),
+run AS (SELECT t, SUM(nd) OVER (ORDER BY t) AS conc FROM net)
+SELECT t // 86400000000 AS day,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM run GROUP BY 1
+"""
+
+
+def q_max_concurrency(sf_dir: str):
+    """Peak concurrent sessions per day — the capacity-planning
+    sweep-line: sessionize per user (30-min gap, the sessions-query
+    contract), emit +1/-1 interval deltas (end exclusive at
+    t_end + 1), collapse deltas to a NET delta per timestamp (so tied
+    starts/ends are order-immune), run one global exclusive prefix
+    sum over time order, and take the per-day max of the running
+    concurrency at its change points.  Ray shape: sessionize is one
+    user-keyed exchange, the net collapse one t-keyed exchange, the
+    prefix sum block-totals-to-driver (block-count scale), and the
+    day max a bounded |days| driver fold.  All integers."""
+    from ..stages.scan import prefix_sum
+    from ..stages.session import sessionize
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+
+    def _us(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "t_us": batch["ts"].cast(pa.int64()),
+        })
+
+    pts = ds.map_batches(_us, batch_format="pyarrow", zero_copy_batch=True)
+    sess = sessionize(pts, ["user_id"], "t_us", gap_us=1_800_000_000)
+    delta_schema = pa.schema([("t", pa.int64()), ("dlt", pa.int64())])
+
+    def _deltas(batch: pa.Table) -> pa.Table:
+        st = batch["t_start_us"].to_numpy(zero_copy_only=False)
+        en = batch["t_end_us"].to_numpy(zero_copy_only=False) + 1
+        return pa.table({
+            "t": pa.array(np.concatenate([st, en]), pa.int64()),
+            "dlt": pa.array(np.concatenate(
+                [np.ones(len(st), dtype=np.int64),
+                 -np.ones(len(en), dtype=np.int64)]), pa.int64()),
+        }, schema=delta_schema)
+
+    deltas = sess.map_batches(_deltas, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    net_schema = pa.schema([("t", pa.int64()), ("nd", pa.int64())])
+
+    def _net(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return net_schema.empty_table()
+        starts, _ = _runs(batch, ["t"])
+        nd = np.add.reduceat(
+            batch["dlt"].to_numpy(zero_copy_only=False), starts)
+        return pa.table({
+            "t": batch["t"].take(pa.array(starts, pa.int64())),
+            "nd": pa.array(nd, pa.int64())}, schema=net_schema)
+
+    net = sorted_group_map(deltas, ["t"], None, net_schema,
+                           block_fn=_net)
+    run = prefix_sum(net, ["t"], "nd", out_col="cum_excl")
+    part_schema = pa.schema([("day", pa.int64()), ("mx", pa.int64())])
+
+    def _daymax(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        conc = (batch["cum_excl"].to_numpy(zero_copy_only=False)
+                + batch["nd"].to_numpy(zero_copy_only=False))
+        day = t // _DAY_US
+        uniq = np.unique(day)
+        mx = [int(conc[day == u].max()) for u in uniq]
+        return pa.table({"day": pa.array(uniq, pa.int64()),
+                         "mx": pa.array(mx, pa.int64())},
+                        schema=part_schema)
+
+    parts = _collect_raw(run.map_batches(
+        _daymax, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby("day")["mx"].max().reset_index()
+    return _collect(pa.table({
+        "day": pa.array(agg["day"].values.astype(np.int64), pa.int64()),
+        "max_concurrent": pa.array(agg["mx"].values.astype(np.int64),
+                                   pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -13303,6 +13611,10 @@ def build_queries() -> dict:
         "kmeans_embeddings": q_kmeans_embeddings,
         "jsd_drift": q_jsd_drift,
         "holt_daily": q_holt_daily,
+        "local_peaks": q_local_peaks,
+        "ldiversity_audit": q_ldiversity_audit,
+        "embedding_covariance": q_embedding_covariance,
+        "max_concurrency": q_max_concurrency,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -13584,6 +13896,10 @@ WHERE rn <= 2
         "kmeans_embeddings": _kmeans_sql(),
         "jsd_drift": JSD_DRIFT_SQL,
         "holt_daily": HOLT_DAILY_SQL,
+        "local_peaks": LOCAL_PEAKS_SQL,
+        "ldiversity_audit": LDIVERSITY_SQL,
+        "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+        "max_concurrency": MAX_CONCURRENCY_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
