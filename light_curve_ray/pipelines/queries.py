@@ -11051,28 +11051,20 @@ def q_copurchase_lift(sf_dir: str):
     from ..kernels.rounding import round6_tie_robust
     from ..stages.sorted_groups import sorted_group_map
 
+    from ..stages.sketch import distinct_count_exact
+
     pairs = _copurchase_pair_counts(sf_dir)
     op = _copurchase_order_parts(sf_dir)
-    # part frequencies (part-count scale) + distinct order count
-    pf_schema = pa.schema([("p", pa.int64()), ("np", pa.int64())])
-
-    def _pfreq(batch: pa.Table) -> pa.Table:
-        g = batch.select(["l_partkey"]).group_by(
-            ["l_partkey"]).aggregate([([], "count_all")])
-        return g.rename_columns(["p", "np"]).cast(pf_schema)
-
-    pf_parts = _collect_raw(op.map_batches(
-        _pfreq, batch_format="pyarrow", zero_copy_batch=True))
-    p_all = pf_parts["p"].to_numpy(zero_copy_only=False)
-    n_all = pf_parts["np"].to_numpy(zero_copy_only=False)
-    order = np.argsort(p_all, kind="stable")
-    p_all, n_all = p_all[order], n_all[order]
-    first = np.empty(len(p_all), dtype=bool)
-    first[0] = True
-    first[1:] = p_all[1:] != p_all[:-1]
-    ps = np.nonzero(first)[0]
-    p_ids = p_all[ps]
-    p_np = np.add.reduceat(n_all, ps)
+    # part frequencies (part-count scale) + distinct order count.
+    # Exact distinct-order count per part: _copurchase_order_parts'
+    # map-side distinct is block-local, so a plain count inflates on
+    # cross-block (order, part) dups (caught by item_cosine's oracle;
+    # lift's top-10 + support filter happened to mask it at test scale)
+    pf_tbl = _collect_raw(distinct_count_exact(
+        op, ["l_partkey"], ["l_orderkey"], out_col="np")).to_pandas()
+    pf = pf_tbl.groupby("l_partkey")["np"].sum().sort_index()
+    p_ids = pf.index.values.astype(np.int64)
+    p_np = pf.values.astype(np.int64)
     n_orders = _distinct_order_count(op)
     ref = ray.put((p_ids, p_np, n_orders))
     cand_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
@@ -13480,6 +13472,317 @@ def q_max_concurrency(sf_dir: str):
     }))
 
 
+ITEM_COSINE_SQL = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+pc AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p GROUP BY 1, 2),
+ic AS (SELECT p, COUNT(*) AS cu FROM op GROUP BY 1),
+sym AS (SELECT u AS item, v AS partner, c FROM pc
+        UNION ALL SELECT v AS item, u AS partner, c FROM pc),
+sc AS (
+  SELECT s.item, s.partner,
+         CAST(s.c AS DOUBLE) / SQRT(CAST(ci.cu * cj.cu AS DOUBLE)) AS cos
+  FROM sym s JOIN ic ci ON ci.p = s.item JOIN ic cj ON cj.p = s.partner)
+SELECT item, partner, ROUND(cos, 6) AS cosine, rn FROM (
+  SELECT item, partner, cos,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cos DESC, partner) AS rn
+  FROM sc)
+WHERE rn <= 3
+"""
+
+
+def q_item_cosine(sf_dir: str):
+    """Item-item cosine similarity over the co-purchase graph (the
+    neighborhood model behind item-to-item recommenders, Linden et
+    al. 2003): sim(u, v) = c_uv / sqrt(c_u * c_v) on exact integer
+    order counts, top-3 partners per item.  PARITY: the cosine is one
+    division of one IEEE sqrt of exact integers — bitwise identical
+    cross-engine, so the DESC rank needs no pre-round; ties break on
+    partner id.  Ray shape: shared co-purchase pair counts (one
+    orderkey exchange + one pair-key exchange), part frequencies
+    broadcast at part-catalog scale, pair rows scored in-block, ONE
+    item-keyed exchange for the per-item top-3."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    from ..stages.sketch import distinct_count_exact
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    op = _copurchase_order_parts(sf_dir)
+    # exact distinct-order count per part: the map-side distinct of
+    # _copurchase_order_parts is block-local only, so a plain count
+    # would inflate on cross-block (order, part) dups — route through
+    # the exact-distinct exchange instead
+    pf_tbl = _collect_raw(distinct_count_exact(
+        op, ["l_partkey"], ["l_orderkey"], out_col="np")).to_pandas()
+    pf = pf_tbl.groupby("l_partkey")["np"].sum().sort_index()
+    p_ids = pf.index.values.astype(np.int64)
+    p_np = pf.values.astype(np.int64)
+    ref = ray.put((p_ids, p_np))
+    sym_schema = pa.schema([("item", pa.int64()), ("partner", pa.int64()),
+                            ("cos", pa.float64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        pi, pn = ray.get(ref)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        nuv = batch["nuv"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        nu = pn[np.searchsorted(pi, u)]
+        nv = pn[np.searchsorted(pi, v)]
+        cos = nuv.astype(np.float64) / np.sqrt(
+            (nu * nv).astype(np.float64))
+        return pa.table({
+            "item": pa.array(np.concatenate([u, v]), pa.int64()),
+            "partner": pa.array(np.concatenate([v, u]), pa.int64()),
+            "cos": pa.array(np.concatenate([cos, cos]), pa.float64()),
+        }, schema=sym_schema)
+
+    sym = pairs.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out_schema = pa.schema([("item", pa.int64()), ("partner", pa.int64()),
+                            ("cosine", pa.float64()), ("rn", pa.int64())])
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["item"])
+        item = batch["item"].to_numpy(zero_copy_only=False)
+        part = batch["partner"].to_numpy(zero_copy_only=False)
+        cos = batch["cos"].to_numpy(zero_copy_only=False)
+        rows = {"item": [], "partner": [], "cosine": [], "rn": []}
+        for s, e in zip(starts, ends):
+            order = np.lexsort((part[s:e], -cos[s:e]))[:3]
+            rows["item"].extend(item[s:e][order].tolist())
+            rows["partner"].extend(part[s:e][order].tolist())
+            rows["cosine"].extend(cos[s:e][order].tolist())
+            rows["rn"].extend(range(1, len(order) + 1))
+        return pa.table({
+            "item": pa.array(rows["item"], pa.int64()),
+            "partner": pa.array(rows["partner"], pa.int64()),
+            "cosine": pa.array(round6_tie_robust(
+                np.array(rows["cosine"], dtype=np.float64))),
+            "rn": pa.array(rows["rn"], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(sym, ["item"], None, out_schema,
+                                     block_fn=_topk))
+
+
+SEASONAL_DECOMPOSE_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+t AS (SELECT event_type, SUM(mi) AS sall, COUNT(*) AS nall
+      FROM d GROUP BY 1),
+s AS (SELECT event_type, day % 7 AS dow, SUM(mi) AS sd, COUNT(*) AS nd
+      FROM d GROUP BY 1, 2)
+SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow,
+       CAST(s.nd AS BIGINT) AS n_days,
+       ROUND(CAST(s.sd AS DOUBLE) / s.nd / 1000.0
+             - CAST(t.sall AS DOUBLE) / t.nall / 1000.0, 6) AS seasonal
+FROM s JOIN t USING (event_type)
+"""
+
+
+def q_seasonal_decompose(sf_dir: str):
+    """Weekly seasonal profile per series (the classical-decomposition
+    seasonal component at period 7): mean daily value per day-of-week
+    minus the series' overall mean — the additive seasonal index a
+    forecaster subtracts before trend fitting.  PARITY: both terms are
+    single divisions of exact integer sums in the same IEEE order
+    (sd/nd/1000 - sall/nall/1000); bounded at |types| x 7."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "dow": [], "n": [], "s": []}
+    for et in sorted(series):
+        day, mi, _ = series[et]
+        sall, nall = int(mi.astype(object).sum()), len(mi)
+        dow = day % 7
+        for dw in np.unique(dow):
+            m = dow == dw
+            sd, nd = int(mi[m].astype(object).sum()), int(m.sum())
+            rows["et"].append(et)
+            rows["dow"].append(int(dw))
+            rows["n"].append(nd)
+            rows["s"].append(float(sd) / nd / 1000.0
+                             - float(sall) / nall / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "dow": pa.array(rows["dow"], pa.int64()),
+        "n_days": pa.array(rows["n"], pa.int64()),
+        "seasonal": pa.array(round6_tie_robust(
+            np.array(rows["s"], dtype=np.float64))),
+    }))
+
+
+SHIFT_WEIGHTS_SQL = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS thr FROM v),
+b AS (SELECT event_type, vi // 25000000 AS bin,
+             CASE WHEN day <= (SELECT thr FROM mm) THEN 1 ELSE 2 END
+               AS period
+      FROM v),
+c AS (SELECT event_type, bin,
+        SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2
+      FROM b GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2
+      FROM c GROUP BY 1)
+SELECT c.event_type, CAST(c.bin AS BIGINT) AS bin,
+       CAST(c.n1 AS BIGINT) AS n_source, CAST(c.n2 AS BIGINT) AS n_target,
+       ROUND(CAST(c.n2 * t.t1 AS DOUBLE) / (c.n1 * t.t2), 6) AS weight
+FROM c JOIN t USING (event_type)
+WHERE c.n1 > 0
+"""
+
+
+def q_shift_weights(sf_dir: str):
+    """Covariate-shift importance weights (density-ratio by binning —
+    the reweighting every train/serve drift correction starts from):
+    split the timeline at its midpoint day, histogram each period's
+    value distribution per type on fixed 25-unit integer bins, and
+    weight each source bin by (n2/t2)/(n1/t1) — the factor that
+    reweights period-1 data to the period-2 distribution.  All counts
+    exact integers; the weight is ONE division of exact integer
+    products.  Map-side (type, bin, period) partials -> a bounded
+    |types| x |bins| driver merge."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    # period can't be assigned until the global midpoint day is known,
+    # so partials carry the day: (type, bin, day) counts are still
+    # bounded (|types| x |bins| x |days|) before the driver merge
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("bin", pa.int64()), ("day", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), _DAY_US)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "bin": pa.array(vi // 25_000_000, pa.int64()),
+                      "day": day})
+        g = t.group_by(["event_type", "bin", "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            ["event_type", "bin", "day", "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _bins, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    day = parts["day"].values
+    thr = (int(day.min()) + int(day.max())) // 2
+    parts["p"] = np.where(day <= thr, 1, 2)
+    c = parts.groupby(["event_type", "bin", "p"])["n"].sum().unstack(
+        "p", fill_value=0).reset_index()
+    n1 = c[1].values.astype(np.int64) if 1 in c.columns else \
+        np.zeros(len(c), dtype=np.int64)
+    n2 = c[2].values.astype(np.int64) if 2 in c.columns else \
+        np.zeros(len(c), dtype=np.int64)
+    c["n1"], c["n2"] = n1, n2
+    t = c.groupby("event_type").agg(t1=("n1", "sum"),
+                                    t2=("n2", "sum")).reset_index()
+    m = c.merge(t, on="event_type")
+    m = m[m["n1"] > 0]
+    w = (m["n2"].values * m["t1"].values).astype(np.float64) / (
+        m["n1"].values * m["t2"].values)
+    return _collect(pa.table({
+        "event_type": pa.array(m["event_type"].values, pa.string()),
+        "bin": pa.array(m["bin"].values.astype(np.int64), pa.int64()),
+        "n_source": pa.array(m["n1"].values.astype(np.int64), pa.int64()),
+        "n_target": pa.array(m["n2"].values.astype(np.int64), pa.int64()),
+        "weight": pa.array(round6_tie_robust(w)),
+    }))
+
+
+POT_CLUSTERS_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+r AS (
+  SELECT event_type, day, mi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mi DESC, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+thr AS (SELECT event_type, mi AS thr FROM r WHERE rk = (n + 9) // 10),
+f AS (
+  SELECT d.event_type, d.day,
+         CASE WHEN d.mi >= t.thr THEN 1 ELSE 0 END AS ex
+  FROM d JOIN thr t USING (event_type)),
+g AS (
+  SELECT event_type, day, ex,
+         LAG(ex) OVER (PARTITION BY event_type ORDER BY day) AS pex
+  FROM f),
+c AS (
+  SELECT event_type, ex,
+         SUM(CASE WHEN ex = 1 AND (pex IS NULL OR pex = 0)
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY day) AS cid
+  FROM g),
+cl AS (SELECT event_type, cid, COUNT(*) AS len
+       FROM c WHERE ex = 1 GROUP BY 1, 2)
+SELECT t.event_type, t.thr AS thr_milli, s.n_exceed, x.n_clusters,
+       x.max_len
+FROM thr t
+JOIN (SELECT event_type, CAST(SUM(ex) AS BIGINT) AS n_exceed
+      FROM f GROUP BY 1) s USING (event_type)
+JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(MAX(len) AS BIGINT) AS max_len
+      FROM cl GROUP BY 1) x USING (event_type)
+"""
+
+
+def q_pot_clusters(sf_dir: str):
+    """Peaks-over-threshold exceedance clustering (the extremal-index
+    diagnostic of extreme-value theory): threshold each series at its
+    exact empirical 90th-percentile order statistic (the rank
+    ceil(n/10) value DESC — an integer, no interpolated quantile
+    anywhere), flag exceedance days, and measure the maximal
+    consecutive-day runs: exceedance count, cluster count and longest
+    cluster.  Clustered exceedances (long runs) mean extremes arrive
+    dependent, not i.i.d.  Pure integer algebra on the shared milli
+    series; bounded at |types| x |days|."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "thr": [], "ne": [], "nc": [], "ml": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        k = (n + 9) // 10
+        thr = int(np.sort(mi)[::-1][k - 1])
+        ex = (mi >= thr).astype(np.int64)
+        starts = ((ex == 1)
+                  & np.concatenate([[True], ex[:-1] == 0])).astype(bool)
+        n_clusters = int(starts.sum())
+        # run lengths: distance between cluster starts and run ends
+        max_len = 0
+        run = 0
+        for e in ex:
+            run = run + 1 if e else 0
+            max_len = max(max_len, run)
+        rows["et"].append(et)
+        rows["thr"].append(thr)
+        rows["ne"].append(int(ex.sum()))
+        rows["nc"].append(n_clusters)
+        rows["ml"].append(max_len)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "thr_milli": pa.array(rows["thr"], pa.int64()),
+        "n_exceed": pa.array(rows["ne"], pa.int64()),
+        "n_clusters": pa.array(rows["nc"], pa.int64()),
+        "max_len": pa.array(rows["ml"], pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -13615,6 +13918,10 @@ def build_queries() -> dict:
         "ldiversity_audit": q_ldiversity_audit,
         "embedding_covariance": q_embedding_covariance,
         "max_concurrency": q_max_concurrency,
+        "item_cosine": q_item_cosine,
+        "seasonal_decompose": q_seasonal_decompose,
+        "shift_weights": q_shift_weights,
+        "pot_clusters": q_pot_clusters,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -13900,6 +14207,10 @@ WHERE rn <= 2
         "ldiversity_audit": LDIVERSITY_SQL,
         "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
         "max_concurrency": MAX_CONCURRENCY_SQL,
+        "item_cosine": ITEM_COSINE_SQL,
+        "seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
+        "shift_weights": SHIFT_WEIGHTS_SQL,
+        "pot_clusters": POT_CLUSTERS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
