@@ -13783,6 +13783,315 @@ def q_pot_clusters(sf_dir: str):
     }))
 
 
+OHLC_DAILY_SQL = """
+WITH v AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t_us,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL)
+SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+       FIRST(vi ORDER BY t_us, event_id) AS open_micro,
+       MAX(vi) AS high_micro, MIN(vi) AS low_micro,
+       FIRST(vi ORDER BY t_us DESC, event_id DESC) AS close_micro
+FROM v GROUP BY 1, 2
+"""
+
+
+def q_ohlc_daily(sf_dir: str):
+    """Daily OHLC bars per series — the open/high/low/close compaction
+    every market-data and metrics pipeline runs: first and last value
+    by (ts, event_id) order plus the min/max, on exact micro-int
+    values so the parity surface is empty.  Mergeable by construction
+    (argmin/argmax over the totally-ordered (ts, event_id) key merge
+    associatively), so blocks emit one partial row per (type, day) and
+    the exchange is |types| x |days| bounded."""
+    import pandas as pd
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value",
+                                  "event_id"])
+    from ..kernels.rounding import round6_tie_robust
+
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("day", pa.int64()),
+        ("n", pa.int64()),
+        ("ot", pa.int64()), ("oe", pa.int64()), ("ov", pa.int64()),
+        ("ct", pa.int64()), ("ce", pa.int64()), ("cv", pa.int64()),
+        ("hi", pa.int64()), ("lo", pa.int64())])
+
+    def _bars(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        day = t_us // _DAY_US
+        order = np.lexsort((eid, t_us, day, et))
+        et, day = et[order], day[order]
+        t_us, eid, vi = t_us[order], eid[order], vi[order]
+        first = np.empty(len(et), dtype=bool)
+        first[0] = True
+        first[1:] = (et[1:] != et[:-1]) | (day[1:] != day[:-1])
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(et))
+        rows = {k: [] for k in part_schema.names}
+        for s, e in zip(starts, ends):
+            rows["event_type"].append(et[s])
+            rows["day"].append(int(day[s]))
+            rows["n"].append(int(e - s))
+            rows["ot"].append(int(t_us[s]))
+            rows["oe"].append(int(eid[s]))
+            rows["ov"].append(int(vi[s]))
+            rows["ct"].append(int(t_us[e - 1]))
+            rows["ce"].append(int(eid[e - 1]))
+            rows["cv"].append(int(vi[e - 1]))
+            rows["hi"].append(int(vi[s:e].max()))
+            rows["lo"].append(int(vi[s:e].min()))
+        return pa.table(
+            {"event_type": pa.array(rows["event_type"], pa.string()),
+             **{k: pa.array(rows[k], pa.int64())
+                for k in part_schema.names[1:]}}, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _bars, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+
+    def _merge(g: pd.DataFrame) -> pd.Series:
+        o = g.sort_values(["ot", "oe"]).iloc[0]
+        c = g.sort_values(["ct", "ce"]).iloc[-1]
+        return pd.Series({
+            "n": int(g["n"].sum()),
+            "open_micro": int(o["ov"]), "high_micro": int(g["hi"].max()),
+            "low_micro": int(g["lo"].min()), "close_micro": int(c["cv"])})
+
+    agg = parts.groupby(["event_type", "day"]).apply(
+        _merge, include_groups=False).reset_index()
+    return _collect(pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "day": pa.array(agg["day"].values.astype(np.int64), pa.int64()),
+        "n": pa.array(agg["n"].values.astype(np.int64), pa.int64()),
+        "open_micro": pa.array(
+            agg["open_micro"].values.astype(np.int64), pa.int64()),
+        "high_micro": pa.array(
+            agg["high_micro"].values.astype(np.int64), pa.int64()),
+        "low_micro": pa.array(
+            agg["low_micro"].values.astype(np.int64), pa.int64()),
+        "close_micro": pa.array(
+            agg["close_micro"].values.astype(np.int64), pa.int64()),
+    }))
+
+
+CONTINGENCY_RESIDUALS_SQL = """
+WITH o AS (
+  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+         COUNT(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(n) AS r FROM o GROUP BY 1),
+ct AS (SELECT dow, SUM(n) AS c FROM o GROUP BY 1),
+tt AS (SELECT SUM(n) AS t FROM o)
+SELECT o.event_type, CAST(o.dow AS BIGINT) AS dow,
+       CAST(o.n AS BIGINT) AS n,
+       ROUND((o.n - CAST(rt.r * ct.c AS DOUBLE) / tt.t)
+             / SQRT(CAST(rt.r * ct.c AS DOUBLE) / tt.t), 6) AS residual
+FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tt
+"""
+
+
+def q_contingency_residuals(sf_dir: str):
+    """Standardized Pearson residuals of the event_type x day-of-week
+    contingency table — the per-cell readout behind the global
+    chi2_independence test (which cells drive the dependence, and in
+    which direction).  All marginals are exact integers; each residual
+    is the same IEEE expression (obs - rc/t)/sqrt(rc/t) cross-engine.
+    Map-side (type, dow) partials -> a |types| x 7 bounded merge."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("dow", pa.int64()), ("n", pa.int64())])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), _DAY_US)
+        t = pa.table({"event_type": batch["event_type"],
+                      "dow": pc.subtract(
+                          day, pc.multiply(pc.divide(day, 7), 7))})
+        g = t.group_by(["event_type", "dow"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _cells, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    o = parts.groupby(["event_type", "dow"])["n"].sum().reset_index()
+    rt = o.groupby("event_type")["n"].sum()
+    ct = o.groupby("dow")["n"].sum()
+    t = int(o["n"].sum())
+    exp = (rt.loc[o["event_type"]].values.astype(np.int64)
+           * ct.loc[o["dow"]].values.astype(np.int64)).astype(
+               np.float64) / t
+    resid = (o["n"].values - exp) / np.sqrt(exp)
+    return _collect(pa.table({
+        "event_type": pa.array(o["event_type"].values, pa.string()),
+        "dow": pa.array(o["dow"].values.astype(np.int64), pa.int64()),
+        "n": pa.array(o["n"].values.astype(np.int64), pa.int64()),
+        "residual": pa.array(round6_tie_robust(resid)),
+    }))
+
+
+SOURCE_LANG_COSINE_SQL = """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(a.n * b.n) AS dot
+  FROM c a JOIN c b ON b.lang = a.lang AND a.source < b.source
+  GROUP BY 1, 2),
+nr AS (SELECT source, SUM(n * n) AS nrm FROM c GROUP BY 1)
+SELECT p.source_a, p.source_b,
+       ROUND(CAST(p.dot AS DOUBLE)
+             / SQRT(CAST(na.nrm * nb.nrm AS DOUBLE)), 6) AS cosine
+FROM p JOIN nr na ON na.source = p.source_a
+       JOIN nr nb ON nb.source = p.source_b
+"""
+
+
+def q_source_lang_cosine(sf_dir: str):
+    """Pairwise source similarity by language mix: cosine between the
+    per-source language count vectors — the corpus-composition
+    comparison a crawl-curation pipeline uses to spot redundant or
+    anomalous sources.  Counts, dots and norms are exact integers; the
+    cosine is one division of one IEEE sqrt (item_cosine parity).
+    Map-side (source, lang) partials -> |sources| x |langs| bounded
+    merge; the pair space is |sources|^2 — catalog scale."""
+    from ..kernels.rounding import round6_tie_robust
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "lang"])
+    part_schema = pa.schema([("source", pa.string()),
+                             ("lang", pa.string()), ("n", pa.int64())])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["source"]),
+                                     pc.is_valid(batch["lang"])))
+        g = batch.group_by(["source", "lang"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "lang", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _cnt, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    c = parts.groupby(["source", "lang"])["n"].sum().unstack(
+        fill_value=0).sort_index()
+    mat = c.values.astype(np.int64)
+    srcs = list(c.index)
+    rows = {"a": [], "b": [], "cos": []}
+    nrm = (mat.astype(object) ** 2).sum(axis=1)
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            dot = int((mat[i].astype(object) * mat[j].astype(
+                object)).sum())
+            rows["a"].append(srcs[i])
+            rows["b"].append(srcs[j])
+            rows["cos"].append(
+                float(dot) / np.sqrt(float(int(nrm[i]) * int(nrm[j]))))
+    return _collect(pa.table({
+        "source_a": pa.array(rows["a"], pa.string()),
+        "source_b": pa.array(rows["b"], pa.string()),
+        "cosine": pa.array(round6_tie_robust(
+            np.array(rows["cos"], dtype=np.float64))),
+    }))
+
+
+MANNWHITNEY_U_SQL = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS thr FROM v),
+s AS (SELECT event_type, vi,
+             CASE WHEN day <= (SELECT thr FROM mm) THEN 1 ELSE 2 END
+               AS period
+      FROM v),
+u AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN a.vi > b.vi THEN 2
+                  WHEN a.vi = b.vi THEN 1 ELSE 0 END) AS u2
+  FROM (SELECT event_type, vi FROM s WHERE period = 1) a
+  JOIN (SELECT event_type, vi FROM s WHERE period = 2) b
+    USING (event_type)
+  GROUP BY 1),
+n AS (SELECT event_type,
+        SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2
+      FROM s GROUP BY 1)
+SELECT n.event_type, CAST(n.n1 AS BIGINT) AS n1,
+       CAST(n.n2 AS BIGINT) AS n2,
+       CAST(u.u2 AS BIGINT) AS u_times_2
+FROM n JOIN u USING (event_type)
+"""
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """Mann-Whitney U between each series' first and second half of
+    the timeline (split at the midpoint day) — the nonparametric
+    location-shift test drift monitors prefer over the t-test.  The
+    statistic is kept EXACT: 2U = 2*#(x1 > x2) + #(x1 == x2) over all
+    cross-period pairs, an integer.  Ray shape: per-block (type, vi,
+    period) count partials collapse to the distinct-value histogram
+    (micro-quantization bounds it), the driver merges histograms and
+    computes 2U from cumulative counts — never materializing pairs."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("day", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), _DAY_US)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64()), "day": day})
+        g = t.group_by(["event_type", "vi", "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi", "day", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    thr = (int(parts["day"].min()) + int(parts["day"].max())) // 2
+    parts["p"] = np.where(parts["day"].values <= thr, 1, 2)
+    h = parts.groupby(["event_type", "vi", "p"])["n"].sum().unstack(
+        "p", fill_value=0).reset_index()
+    rows = {"et": [], "n1": [], "n2": [], "u2": []}
+    for et, sub in h.groupby("event_type"):
+        sub = sub.sort_values("vi")
+        n1v = sub[1].values.astype(object) if 1 in sub.columns else \
+            np.zeros(len(sub), dtype=object)
+        n2v = sub[2].values.astype(object) if 2 in sub.columns else \
+            np.zeros(len(sub), dtype=object)
+        cum2 = np.concatenate([[0], np.cumsum(n2v)[:-1]])
+        u2 = int((n1v * (2 * cum2 + n2v)).sum())
+        rows["et"].append(et)
+        rows["n1"].append(int(n1v.sum()))
+        rows["n2"].append(int(n2v.sum()))
+        rows["u2"].append(u2)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n1": pa.array(rows["n1"], pa.int64()),
+        "n2": pa.array(rows["n2"], pa.int64()),
+        "u_times_2": pa.array(rows["u2"], pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -13922,6 +14231,10 @@ def build_queries() -> dict:
         "seasonal_decompose": q_seasonal_decompose,
         "shift_weights": q_shift_weights,
         "pot_clusters": q_pot_clusters,
+        "ohlc_daily": q_ohlc_daily,
+        "contingency_residuals": q_contingency_residuals,
+        "source_lang_cosine": q_source_lang_cosine,
+        "mannwhitney_u": q_mannwhitney_u,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -14211,6 +14524,10 @@ WHERE rn <= 2
         "seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
         "shift_weights": SHIFT_WEIGHTS_SQL,
         "pot_clusters": POT_CLUSTERS_SQL,
+        "ohlc_daily": OHLC_DAILY_SQL,
+        "contingency_residuals": CONTINGENCY_RESIDUALS_SQL,
+        "source_lang_cosine": SOURCE_LANG_COSINE_SQL,
+        "mannwhitney_u": MANNWHITNEY_U_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
