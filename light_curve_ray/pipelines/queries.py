@@ -12879,10 +12879,10 @@ def q_sax_words(sf_dir: str):
     }))
 
 
-def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
-    """Unrolled fixed-round Lloyd's oracle on milli-quantized vectors:
-    distances are exact BIGINT sums, assignment breaks ties to the
-    lowest cluster id, and each centroid update re-quantizes with
+def _kmeans_ctes(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled fixed-round Lloyd's oracle CTE chain on milli-quantized
+    vectors: distances are exact BIGINT sums, assignment breaks ties to
+    the lowest cluster id, and each centroid update re-quantizes with
     FLOOR(sum/count + 0.5) on identical doubles — so every round is
     reproducible cross-engine (the kcore unrolled-iteration contract).
     MATERIALIZED hints keep DuckDB from re-inlining the base scan."""
@@ -12914,38 +12914,45 @@ c{nxt} AS MATERIALIZED (
               AS BIGINT) AS cm
   FROM a{r} a JOIN u USING (vec_id) GROUP BY 1, 2)""".format(
             r=r, nxt=r + 1)
-    sql += """
+    return sql
+
+
+def _kmeans_sql(k: int = 4, rounds: int = 3) -> str:
+    return _kmeans_ctes(k, rounds) + """
 SELECT c.cl AS cluster, CAST(c.dim AS BIGINT) AS dim,
        s.n, c.cm AS centroid_milli
 FROM c{last} c JOIN (SELECT cl, COUNT(*) AS n FROM a{pl} GROUP BY 1) s
   USING (cl)
 """.format(last=rounds, pl=rounds - 1)
-    return sql
 
 
-def q_kmeans_embeddings(sf_dir: str):
-    """Distributed k-means (k=4, 3 fixed Lloyd rounds) over the
-    embedding corpus — the clustering primitive behind IVF index
-    training and corpus bucketing, here as a first-class query.
-    PARITY BY INTEGER ALGEBRA: vectors quantize to exact milli int64
-    (shared contract), distances are exact integer sums with ties to
-    the lowest cluster id, and each centroid update re-quantizes via
-    FLOOR(sum/count + 0.5) on identical doubles, so all three rounds
-    are bit-reproducible vs the unrolled SQL oracle.  Ray shape: init
-    picks the k lowest vec_ids (per-block candidates -> driver merge,
-    block-count scale); each round is one map_batches pass emitting
-    (cluster, dim) partial sums — a k x dim bounded exchange, never
-    row-scale; centroids broadcast via ray.put.  Empty clusters drop
-    exactly as the oracle's inner join drops them."""
+def _kmeans_mix_sql(k: int = 4, rounds: int = 3) -> str:
+    """Final-partition label mix: the oracle's last assignment
+    a{rounds-1} joined back to the labels column."""
+    return _kmeans_ctes(k, rounds) + """
+SELECT a.cl AS cluster, CAST(e.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a{pl} a JOIN embeddings e ON e.vec_id = a.vec_id
+WHERE e.label IS NOT NULL
+GROUP BY 1, 2
+""".format(pl=rounds - 1)
+
+
+def _kmeans_lloyd(sf_dir: str, k: int = 4, rounds: int = 3,
+                  columns: list | None = None) -> dict:
+    """Shared fixed-round Lloyd driver (see q_kmeans_embeddings for the
+    parity contract).  Returns {ds, milli, cls, cents, sizes, n_dim,
+    cls_assign, cents_assign} where (cls_assign, cents_assign) is the
+    state the LAST assignment ran with — the state that reproduces the
+    oracle's final a{rounds-1} partition for downstream passes."""
     import ray
     import ray.data as rd
 
     from ..kernels.rounding import round6_tie_robust
     from ..stages.similarity import _emb_matrix
 
-    K, ROUNDS = 4, 3
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=columns or ["vec_id", "embedding"])
 
     def _clean(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.and_(pc.is_valid(batch["vec_id"]),
@@ -12962,7 +12969,7 @@ def q_kmeans_embeddings(sf_dir: str):
     def _cand(batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         vi = _milli(batch)
-        order = np.argsort(vid)[:K]
+        order = np.argsort(vid)[:k]
         n_dim = vi.shape[1]
         return pa.table({
             "vec_id": pa.array(np.repeat(vid[order], n_dim), pa.int64()),
@@ -12972,7 +12979,7 @@ def q_kmeans_embeddings(sf_dir: str):
 
     cand = _collect_raw(ds.map_batches(_cand, batch_format="pyarrow",
                                        zero_copy_batch=True)).to_pandas()
-    top = sorted(cand["vec_id"].unique())[:K]
+    top = sorted(cand["vec_id"].unique())[:k]
     piv = cand[cand["vec_id"].isin(top)].pivot(
         index="vec_id", columns="dim", values="vi").sort_index()
     cents = piv.values.astype(np.int64)           # (k, D), row i = cl i
@@ -12982,7 +12989,9 @@ def q_kmeans_embeddings(sf_dir: str):
                              ("s", pa.int64()), ("n", pa.int64())])
 
     sizes = None
-    for _ in range(ROUNDS):
+    cls_assign, cents_assign = cls, cents
+    for _ in range(rounds):
+        cls_assign, cents_assign = cls, cents
         cref = ray.put((cls, cents))
 
         def _assign(batch: pa.Table) -> pa.Table:
@@ -13018,6 +13027,28 @@ def q_kmeans_embeddings(sf_dir: str):
                          + 0.5).astype(np.int64)
         sizes = agg[agg["dim"] == 0].set_index("cl")["n"]
 
+    return {"ds": ds, "milli": _milli, "cls": cls, "cents": cents,
+            "sizes": sizes, "n_dim": n_dim, "cls_assign": cls_assign,
+            "cents_assign": cents_assign}
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means (k=4, 3 fixed Lloyd rounds) over the
+    embedding corpus — the clustering primitive behind IVF index
+    training and corpus bucketing, here as a first-class query.
+    PARITY BY INTEGER ALGEBRA: vectors quantize to exact milli int64
+    (shared contract), distances are exact integer sums with ties to
+    the lowest cluster id, and each centroid update re-quantizes via
+    FLOOR(sum/count + 0.5) on identical doubles, so all three rounds
+    are bit-reproducible vs the unrolled SQL oracle.  Ray shape: init
+    picks the k lowest vec_ids (per-block candidates -> driver merge,
+    block-count scale); each round is one map_batches pass emitting
+    (cluster, dim) partial sums — a k x dim bounded exchange, never
+    row-scale; centroids broadcast via ray.put.  Empty clusters drop
+    exactly as the oracle's inner join drops them."""
+    st = _kmeans_lloyd(sf_dir)
+    cls, cents, sizes, n_dim = (st["cls"], st["cents"], st["sizes"],
+                                st["n_dim"])
     rows = {"cluster": [], "dim": [], "n": [], "cm": []}
     for i, cl_id in enumerate(cls):
         rows["cluster"].extend([int(cl_id)] * n_dim)
@@ -14092,6 +14123,221 @@ def q_mannwhitney_u(sf_dir: str):
     }))
 
 
+def q_cluster_label_mix(sf_dir: str):
+    """Label composition of the final k-means partition — the cluster
+    purity readout (does unsupervised structure recover the labels?):
+    rerun the LAST Lloyd assignment (the state that produced the final
+    centroids, so the partition is exactly the oracle's a2) and count
+    labels per cluster.  One extra map_batches pass emitting
+    (cluster, label) count partials — a k x |labels| bounded exchange;
+    null labels cluster but drop from the mix, matching the oracle's
+    inner join.  All-integer output: empty parity surface."""
+    import ray
+
+    st = _kmeans_lloyd(sf_dir, columns=["vec_id", "embedding", "label"])
+    cref = ray.put((st["cls_assign"], st["cents_assign"]))
+    milli = st["milli"]
+    part_schema = pa.schema([("cluster", pa.int64()),
+                             ("label", pa.int64()), ("n", pa.int64())])
+
+    def _mix(batch: pa.Table) -> pa.Table:
+        cls_, c_ = ray.get(cref)
+        vi = milli(batch)
+        d = ((vi[:, None, :] - c_[None, :, :]) ** 2).sum(axis=2)
+        a = cls_[np.argmin(d, axis=1)]
+        lab = batch["label"]
+        ok = pc.is_valid(lab).to_numpy(zero_copy_only=False)
+        lab = lab.to_numpy(zero_copy_only=False)
+        t = pa.table({"cluster": pa.array(a[ok], pa.int64()),
+                      "label": pa.array(
+                          lab[ok].astype(np.int64), pa.int64())})
+        g = t.group_by(["cluster", "label"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cluster", "label", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(st["ds"].map_batches(
+        _mix, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby(["cluster", "label"])["n"].sum().reset_index()
+    return _collect(pa.table({
+        "cluster": pa.array(agg["cluster"].values.astype(np.int64),
+                            pa.int64()),
+        "label": pa.array(agg["label"].values.astype(np.int64),
+                          pa.int64()),
+        "n": pa.array(agg["n"].values.astype(np.int64), pa.int64()),
+    }))
+
+
+DEGREE_HIST_SQL = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+dg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM dg GROUP BY 1
+"""
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the part co-purchase graph — the
+    first-look structural census (scale-free tail? disconnected
+    fringe?) every graph pipeline reports before running components /
+    PageRank.  Edges reuse the shared co-purchase pipeline; degrees
+    and the histogram are pure integer counts (empty parity surface).
+    The slim packed-int64 edge list rides the gated broadcast collect
+    (kcore contract); above the gate each step is the documented
+    degree-groupby Dataset pass."""
+    from ..stages.joins import collect_small
+
+    edges = _copurchase_edges(sf_dir)
+    ek = collect_small(edges)["k"].to_numpy(zero_copy_only=False)
+    u = ek >> np.int64(32)
+    v = ek & np.int64(0xFFFFFFFF)
+    _, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    dv, cnt = np.unique(deg, return_counts=True)
+    return _collect(pa.table({
+        "degree": pa.array(dv.astype(np.int64), pa.int64()),
+        "n_nodes": pa.array(cnt.astype(np.int64), pa.int64()),
+    }))
+
+
+OVERDISPERSION_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS mean_count,
+       ROUND(CAST(COUNT(*) * SUM(cnt * cnt) - SUM(cnt) * SUM(cnt)
+                  AS DOUBLE)
+             / ((COUNT(*) - 1) * SUM(cnt)), 6) AS dispersion
+FROM c GROUP BY 1
+HAVING COUNT(*) > 1 AND SUM(cnt) > 0
+"""
+
+
+def q_overdispersion(sf_dir: str):
+    """Count-process overdispersion per series: variance-to-mean ratio
+    of the daily event counts (1 = Poisson, >1 = bursty/clumped — the
+    diagnostic that decides Poisson vs negative-binomial modeling).
+    Both the mean and the ratio [n*S2 - S^2]/[(n-1)*S] are single
+    divisions of exact integer sums.  Map-side (type, day) count
+    partials -> |types| x |days| bounded driver merge."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()), ("n", pa.int64())])
+
+    def _daily(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pc.divide(batch["ts"].cast(pa.int64()),
+                                       _DAY_US)})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _daily, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    c = parts.groupby(["event_type", "day"])["n"].sum().reset_index()
+    rows = {"et": [], "nd": [], "mc": [], "disp": []}
+    for et, sub in c.groupby("event_type"):
+        cnt = sub["n"].values.astype(object)
+        n = len(cnt)
+        s = int(cnt.sum())
+        s2 = int((cnt ** 2).sum())
+        if n <= 1 or s == 0:
+            continue
+        rows["et"].append(et)
+        rows["nd"].append(n)
+        rows["mc"].append(float(s) / n)
+        rows["disp"].append(float(n * s2 - s * s) / ((n - 1) * s))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_days": pa.array(rows["nd"], pa.int64()),
+        "mean_count": pa.array(round6_tie_robust(
+            np.array(rows["mc"], dtype=np.float64))),
+        "dispersion": pa.array(round6_tie_robust(
+            np.array(rows["disp"], dtype=np.float64))),
+    }))
+
+
+HHI_USERS_SQL = """
+WITH g AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(n * n) AS DOUBLE) / (SUM(n) * SUM(n)), 6) AS hhi
+FROM g GROUP BY 1
+"""
+
+
+def q_hhi_users(sf_dir: str):
+    """Herfindahl-Hirschman concentration of activity per series: the
+    sum of squared user shares (1/n_users = perfectly even, 1 = one
+    user dominates) — the audience-concentration companion to
+    pareto_share.  HHI = sum(n_u^2) / (sum n_u)^2 on exact integer
+    per-user counts — ONE division.  One (type, user)-keyed exchange
+    finishes the counts; the per-type fold is sum(n^2)/sum(n) partials
+    at |types| scale."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    pre_schema = pa.schema([("event_type", pa.string()),
+                            ("user_id", pa.int64()), ("n", pa.int64())])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            ["event_type", "user_id", "n"]).cast(pre_schema)
+
+    pre = ds.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("nu", pa.int64()), ("s", pa.int64()),
+                            ("s2", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["event_type", "user_id"])
+        nv = batch["n"].to_numpy(zero_copy_only=False)
+        n_user = np.add.reduceat(nv, starts)
+        et = batch["event_type"].take(pa.array(starts, pa.int64()))
+        t = pa.table({"event_type": et,
+                      "nu": pa.array(np.ones(len(starts), np.int64)),
+                      "s": pa.array(n_user, pa.int64()),
+                      "s2": pa.array(n_user * n_user, pa.int64())},
+                     schema=out_schema)
+        g = t.group_by(["event_type"]).aggregate(
+            [("nu", "sum"), ("s", "sum"), ("s2", "sum")])
+        return g.rename_columns(
+            ["event_type", "nu", "s", "s2"]).cast(out_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        pre, ["event_type", "user_id"], None, out_schema,
+        block_fn=_fold)).to_pandas()
+    agg = parts.groupby("event_type").agg(
+        nu=("nu", "sum"), s=("s", "sum"), s2=("s2", "sum")).reset_index()
+    # square in INTEGER space like the oracle's SUM(n)*SUM(n) — a float
+    # product would round differently once sums pass 2^26
+    hhi = np.array([float(int(a)) / float(int(s) ** 2)
+                    for a, s in zip(agg["s2"].values, agg["s"].values)])
+    return _collect(pa.table({
+        "event_type": pa.array(agg["event_type"], pa.string()),
+        "n_users": pa.array(agg["nu"].values.astype(np.int64),
+                            pa.int64()),
+        "hhi": pa.array(round6_tie_robust(hhi)),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -14235,6 +14481,10 @@ def build_queries() -> dict:
         "contingency_residuals": q_contingency_residuals,
         "source_lang_cosine": q_source_lang_cosine,
         "mannwhitney_u": q_mannwhitney_u,
+        "cluster_label_mix": q_cluster_label_mix,
+        "degree_hist": q_degree_hist,
+        "overdispersion": q_overdispersion,
+        "hhi_users": q_hhi_users,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -14528,6 +14778,10 @@ WHERE rn <= 2
         "contingency_residuals": CONTINGENCY_RESIDUALS_SQL,
         "source_lang_cosine": SOURCE_LANG_COSINE_SQL,
         "mannwhitney_u": MANNWHITNEY_U_SQL,
+        "cluster_label_mix": _kmeans_mix_sql(),
+        "degree_hist": DEGREE_HIST_SQL,
+        "overdispersion": OVERDISPERSION_SQL,
+        "hhi_users": HHI_USERS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
