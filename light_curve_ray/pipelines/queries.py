@@ -14338,6 +14338,220 @@ def q_hhi_users(sf_dir: str):
     }))
 
 
+QUANTILE_BANDS_SQL = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(value, 6) * 1000000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT event_type, day, vi,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY vi) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM v)
+SELECT event_type, day, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 9) // 10 THEN vi END) AS p10_micro,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN vi END) AS p50_micro,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN vi END) AS p90_micro
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_quantile_bands_daily(sf_dir: str):
+    """Daily p10/p50/p90 bands per series — the percentile ribbon
+    behind every latency/metric dashboard, kept EXACT: each band is
+    the ceil(q*n)-th ascending order statistic of the day's micro-int
+    values (no interpolated quantile, no float threshold), so the
+    parity surface is empty.  ONE (type, day)-keyed exchange
+    co-locates each day; the block kernel sorts each run once and
+    gathers the three ranks."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1_000_000.0
+                      + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "day": pc.divide(batch["ts"].cast(pa.int64()), _DAY_US),
+            "vi": pa.array(vi, pa.int64())})
+
+    proj = ds.map_batches(_proj, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("day", pa.int64()),
+        ("n", pa.int64()), ("p10_micro", pa.int64()),
+        ("p50_micro", pa.int64()), ("p90_micro", pa.int64())])
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["event_type", "day"])
+        vi = batch["vi"].to_numpy(zero_copy_only=False)
+        idx = pa.array(starts, pa.int64())
+        rows = {"n": [], "p10": [], "p50": [], "p90": []}
+        for s, e in zip(starts, ends):
+            x = np.sort(vi[s:e])
+            n = len(x)
+            rows["n"].append(n)
+            rows["p10"].append(int(x[(n + 9) // 10 - 1]))
+            rows["p50"].append(int(x[(n + 1) // 2 - 1]))
+            rows["p90"].append(int(x[(9 * n + 9) // 10 - 1]))
+        return pa.table({
+            "event_type": batch["event_type"].take(idx),
+            "day": batch["day"].take(idx),
+            "n": pa.array(rows["n"], pa.int64()),
+            "p10_micro": pa.array(rows["p10"], pa.int64()),
+            "p50_micro": pa.array(rows["p50"], pa.int64()),
+            "p90_micro": pa.array(rows["p90"], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(proj, ["event_type", "day"], None,
+                                     out_schema, block_fn=_bands))
+
+
+CHARCLASS_STATS_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')))
+            AS BIGINT) AS letters,
+       CAST(SUM(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+            AS BIGINT) AS digits,
+       CAST(SUM(LENGTH(text)
+                - LENGTH(REGEXP_REPLACE(text, ' ', '', 'g')))
+            AS BIGINT) AS spaces
+FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_charclass_stats(sf_dir: str):
+    """Character-class census per language — the byte-level corpus
+    profile (ASCII-letter / digit / space mass) a crawl pipeline uses
+    to catch mis-tagged languages and binary-contaminated text.  Per
+    character counts via one vectorized RE2 pass per class
+    (pc.count_substring_regex == DuckDB regexp semantics, the
+    pii_redact precedent); all outputs exact integers.  Map-side
+    per-lang partials -> |langs| bounded merge."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("n_docs", pa.int64()),
+        ("n_chars", pa.int64()), ("letters", pa.int64()),
+        ("digits", pa.int64()), ("spaces", pa.int64())])
+
+    def _census(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["text"])))
+        t = pa.table({
+            "lang": batch["lang"],
+            "n_docs": pa.array(np.ones(len(batch), np.int64)),
+            "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            "letters": pc.count_substring_regex(
+                batch["text"], "[a-zA-Z]").cast(pa.int64()),
+            "digits": pc.count_substring_regex(
+                batch["text"], "[0-9]").cast(pa.int64()),
+            "spaces": pc.count_substring_regex(
+                batch["text"], " ").cast(pa.int64()),
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("n_chars", "sum"), ("letters", "sum"),
+             ("digits", "sum"), ("spaces", "sum")])
+        return g.rename_columns(part_schema.names).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _census, batch_format="pyarrow", zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby("lang").sum().reset_index()
+    return _collect(pa.table({
+        "lang": pa.array(agg["lang"], pa.string()),
+        **{c: pa.array(agg[c].values.astype(np.int64), pa.int64())
+           for c in ["n_docs", "n_chars", "letters", "digits",
+                     "spaces"]},
+    }))
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH cp AS (
+  SELECT text, COUNT(*) AS n_copies FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY 1)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cp.n_copies > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs
+FROM documents d JOIN cp ON cp.text = d.text
+WHERE d.source IS NOT NULL AND d.text IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Duplicate contamination per source — the curation readout that
+    decides which feeds to throttle: for every source, how many of its
+    docs share their exact text with ANY doc corpus-wide.  Engine:
+    blake2b-64 raw-text fingerprints (the exact-dedup contract), ONE
+    fingerprint-keyed exchange co-locates all copies, the block kernel
+    tags each doc with its group size and folds to per-source
+    counters in-block — the driver merge is |sources| bounded.  All
+    integer."""
+    import ray.data as rd
+
+    from ..kernels.textkit import blake64
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    fp_schema = pa.schema([("fp", pa.int64()), ("source", pa.string())])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["source"]),
+                                     pc.is_valid(batch["text"])))
+        fps = [blake64(t.encode("utf-8"))
+               for t in batch["text"].to_pylist()]
+        return pa.table({
+            "fp": pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
+                           pa.int64()),
+            "source": batch["source"]}, schema=fp_schema)
+
+    fps = ds.map_batches(_fp, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_dup_docs", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["fp"])
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        sizes = ends - starts
+        dup = np.repeat(sizes > 1, sizes)
+        t = pa.table({"source": pa.array(src, pa.string()),
+                      "n_docs": pa.array(np.ones(len(src), np.int64)),
+                      "n_dup_docs": pa.array(
+                          dup.astype(np.int64), pa.int64())})
+        g = t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_dup_docs", "sum")])
+        return g.rename_columns(out_schema.names).cast(out_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        fps, ["fp"], None, out_schema, block_fn=_fold)).to_pandas()
+    agg = parts.groupby("source").sum().reset_index()
+    return _collect(pa.table({
+        "source": pa.array(agg["source"], pa.string()),
+        "n_docs": pa.array(agg["n_docs"].values.astype(np.int64),
+                           pa.int64()),
+        "n_dup_docs": pa.array(
+            agg["n_dup_docs"].values.astype(np.int64), pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -14485,6 +14699,9 @@ def build_queries() -> dict:
         "degree_hist": q_degree_hist,
         "overdispersion": q_overdispersion,
         "hhi_users": q_hhi_users,
+        "quantile_bands_daily": q_quantile_bands_daily,
+        "charclass_stats": q_charclass_stats,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -14782,6 +14999,9 @@ WHERE rn <= 2
         "degree_hist": DEGREE_HIST_SQL,
         "overdispersion": OVERDISPERSION_SQL,
         "hhi_users": HHI_USERS_SQL,
+        "quantile_bands_daily": QUANTILE_BANDS_SQL,
+        "charclass_stats": CHARCLASS_STATS_SQL,
+        "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
