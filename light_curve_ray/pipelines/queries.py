@@ -14552,6 +14552,256 @@ def q_dup_rate_by_source(sf_dir: str):
     }))
 
 
+SKYLINE_DAILY_SQL = f"""
+WITH {_DAILY_MILLI_CTE},
+s AS (
+  SELECT event_type, day, mi,
+         MAX(mi) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 1 FOLLOWING
+                                AND UNBOUNDED FOLLOWING) AS sufmax
+  FROM d)
+SELECT event_type, day, mi AS mean_milli
+FROM s WHERE sufmax IS NULL OR mi > sufmax
+"""
+
+
+def q_skyline_daily(sf_dir: str):
+    """Skyline (Pareto-maxima) of each daily series: the days whose
+    mean strictly exceeds every LATER day's mean — the
+    record-from-the-right frontier (the 2-D skyline operator of
+    Borzsony et al. 2001 specialized to the time axis), i.e. the
+    all-time-high staircase read backwards.  Pure integer compares via
+    one suffix-max sweep on the shared milli series; bounded at
+    |types| x |days|."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "day": [], "mi": []}
+    for et in sorted(series):
+        day, mi, _ = series[et]
+        sufmax = np.concatenate(
+            [np.maximum.accumulate(mi[::-1])[::-1][1:],
+             [np.iinfo(np.int64).min]])
+        keep = mi > sufmax
+        rows["et"].extend([et] * int(keep.sum()))
+        rows["day"].extend(day[keep].tolist())
+        rows["mi"].extend(mi[keep].tolist())
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "day": pa.array(rows["day"], pa.int64()),
+        "mean_milli": pa.array(rows["mi"], pa.int64()),
+    }))
+
+
+BOOLEAN_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) AS BIGINT)
+         AS tf_data,
+       CAST(SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+         AS tf_merge
+FROM toks GROUP BY 1
+HAVING SUM(CASE WHEN term = 'data' THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_boolean_search(sf_dir: str):
+    """Conjunctive boolean retrieval: documents whose token stream
+    contains BOTH query terms ('data' AND 'merge'), with per-doc term
+    frequencies — the AND-of-postings primitive a search stack runs
+    before ranking.  Fully row-local (one vectorized tokenize + two
+    equality counts per block, house tokenizer), so it's a pure
+    map/filter with NO exchange at any corpus size.  All integer."""
+    import ray.data as rd
+
+    from ..stages.wordcount import TOKEN_SPLIT_RE
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("tf_data", pa.int64()),
+                            ("tf_merge", pa.int64())])
+
+    def _search(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["doc_id"]),
+                                     pc.is_valid(batch["text"])))
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]),
+                                      TOKEN_SPLIT_RE)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        tfd = np.zeros(len(batch), dtype=np.int64)
+        tfm = np.zeros(len(batch), dtype=np.int64)
+        isd = pc.equal(flat, "data").to_numpy(zero_copy_only=False)
+        ism = pc.equal(flat, "merge").to_numpy(zero_copy_only=False)
+        np.add.at(tfd, owner[isd], 1)
+        np.add.at(tfm, owner[ism], 1)
+        keep = (tfd > 0) & (tfm > 0)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(
+                pa.array(np.nonzero(keep)[0], pa.int64())),
+            "tf_data": pa.array(tfd[keep], pa.int64()),
+            "tf_merge": pa.array(tfm[keep], pa.int64()),
+        }, schema=out_schema)
+
+    return _collect(ds.map_batches(_search, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+ASSORTATIVITY_SQL = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+dg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+pts AS (
+  SELECT du.degree AS x, dv.degree AS y
+  FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.degree AS x, du.degree AS y
+  FROM e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+         AS assortativity
+FROM pts
+"""
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over all directed edge
+    incidences — do hubs attach to hubs (r > 0, social-style) or to
+    the fringe (r < 0, hub-and-spoke)?  Because the incidence set is
+    symmetric, Sx = Sy and Sxx = Syy, so the correlation reduces to
+    (n*Sxy - Sx^2-style) — ONE division of exact integer sums, no
+    sqrt.  Degrees ride the gated edge-list collect (kcore contract);
+    all sums are bounded driver folds."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import collect_small
+
+    edges = _copurchase_edges(sf_dir)
+    ek = collect_small(edges)["k"].to_numpy(zero_copy_only=False)
+    u = ek >> np.int64(32)
+    v = ek & np.int64(0xFFFFFFFF)
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    du = deg[np.searchsorted(nodes, u)].astype(object)
+    dv = deg[np.searchsorted(nodes, v)].astype(object)
+    x = np.concatenate([du, dv])
+    y = np.concatenate([dv, du])
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    r = float(n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return _collect(pa.table({
+        "n_points": pa.array([n], pa.int64()),
+        "assortativity": pa.array(round6_tie_robust(
+            np.array([r], dtype=np.float64))),
+    }))
+
+
+TYPE_WJACCARD_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+u AS (SELECT DISTINCT user_id FROM c),
+tt AS (SELECT DISTINCT a.event_type AS ta, b.event_type AS tb
+       FROM c a JOIN c b ON a.event_type < b.event_type),
+j AS (
+  SELECT tt.ta, tt.tb,
+         COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+  FROM tt CROSS JOIN u
+  LEFT JOIN c ca ON ca.user_id = u.user_id AND ca.event_type = tt.ta
+  LEFT JOIN c cb ON cb.user_id = u.user_id AND cb.event_type = tt.tb)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(SUM(LEAST(na, nb)) AS BIGINT) AS sum_min,
+       CAST(SUM(GREATEST(na, nb)) AS BIGINT) AS sum_max,
+       ROUND(CAST(SUM(LEAST(na, nb)) AS DOUBLE)
+             / SUM(GREATEST(na, nb)), 6) AS wjaccard
+FROM j GROUP BY 1, 2
+"""
+
+
+def q_type_weighted_jaccard(sf_dir: str):
+    """Weighted (multiset) Jaccard between event-type activity
+    profiles: sum over users of min(count_a, count_b) over sum of
+    max — the frequency-aware sibling of type_jaccard (binary
+    presence), the standard weighted-set similarity of histogram
+    sketching.  ONE user-keyed exchange co-locates each user's type
+    counts; the block kernel folds per-user min/max into |type-pair|
+    partials, so nothing user-scale reaches the driver.  Exact
+    integers + one division."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id"])
+    pre_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            ["user_id", "event_type", "n"]).cast(pre_schema)
+
+    pre = ds.map_batches(_pre, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    part_schema = pa.schema([("ta", pa.string()), ("tb", pa.string()),
+                             ("smin", pa.int64()), ("smax", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        starts, ends = _runs(batch, ["user_id"])
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        nv = batch["n"].to_numpy(zero_copy_only=False)
+        acc: dict = {}
+        for s, e in zip(starts, ends):
+            # merge duplicate (user, type) partials within the run
+            types, inv = np.unique(et[s:e], return_inverse=True)
+            cnt = np.zeros(len(types), dtype=np.int64)
+            np.add.at(cnt, inv, nv[s:e])
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    key = (types[i], types[j])
+                    mn, mx = acc.get(key, (0, 0))
+                    acc[key] = (mn + min(int(cnt[i]), int(cnt[j])),
+                                mx + max(int(cnt[i]), int(cnt[j])))
+        if not acc:
+            return part_schema.empty_table()
+        ks = sorted(acc)
+        return pa.table({
+            "ta": pa.array([k[0] for k in ks], pa.string()),
+            "tb": pa.array([k[1] for k in ks], pa.string()),
+            "smin": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "smax": pa.array([acc[k][1] for k in ks], pa.int64()),
+        }, schema=part_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        pre, ["user_id"], None, part_schema,
+        block_fn=_fold)).to_pandas()
+    agg = parts.groupby(["ta", "tb"]).agg(
+        smin=("smin", "sum"), smax=("smax", "sum")).reset_index()
+    wj = agg["smin"].values.astype(np.float64) / agg["smax"].values
+    return _collect(pa.table({
+        "type_a": pa.array(agg["ta"], pa.string()),
+        "type_b": pa.array(agg["tb"], pa.string()),
+        "sum_min": pa.array(agg["smin"].values.astype(np.int64),
+                            pa.int64()),
+        "sum_max": pa.array(agg["smax"].values.astype(np.int64),
+                            pa.int64()),
+        "wjaccard": pa.array(round6_tie_robust(wj)),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -14702,6 +14952,10 @@ def build_queries() -> dict:
         "quantile_bands_daily": q_quantile_bands_daily,
         "charclass_stats": q_charclass_stats,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "skyline_daily": q_skyline_daily,
+        "boolean_search": q_boolean_search,
+        "assortativity": q_assortativity,
+        "type_weighted_jaccard": q_type_weighted_jaccard,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -15002,6 +15256,10 @@ WHERE rn <= 2
         "quantile_bands_daily": QUANTILE_BANDS_SQL,
         "charclass_stats": CHARCLASS_STATS_SQL,
         "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
+        "skyline_daily": SKYLINE_DAILY_SQL,
+        "boolean_search": BOOLEAN_SEARCH_SQL,
+        "assortativity": ASSORTATIVITY_SQL,
+        "type_weighted_jaccard": TYPE_WJACCARD_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
