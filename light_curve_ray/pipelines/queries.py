@@ -14802,6 +14802,518 @@ def q_type_weighted_jaccard(sf_dir: str):
     }))
 
 
+
+
+ADAMIC_ADAR_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+inc AS (SELECT u AS w, v AS nbr FROM e
+        UNION ALL SELECT v AS w, u AS nbr FROM e),
+wed AS (
+  SELECT i1.nbr AS u, i2.nbr AS v, i1.w AS w
+  FROM inc i1 JOIN inc i2 ON i2.w = i1.w AND i1.nbr < i2.nbr),
+aa AS (
+  SELECT wed.u AS u, wed.v AS v, COUNT(*) AS n_common,
+         SUM(1.0 / LN(deg.d)) AS s
+  FROM wed JOIN deg ON deg.node = wed.w
+  GROUP BY 1, 2)
+SELECT aa.u AS u, aa.v AS v, CAST(aa.n_common AS BIGINT) AS n_common,
+       ROUND(aa.s, 6) AS adamic_adar
+FROM aa LEFT JOIN e ON e.u = aa.u AND e.v = aa.v
+WHERE e.u IS NULL
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the SUPPORTED part co-purchase
+    graph (edges = part pairs sharing >= 2 orders — the market-basket
+    support convention; the unsupported graph is hub-dense and AA over
+    it is quadratic noise): for every non-adjacent candidate pair the
+    score sums 1/ln(deg(w)) over common neighbors w.  Engine path: the
+    supported edge list comes off the existing pair-count exchange;
+    degrees merge on the driver (node-scale, the pagerank discipline)
+    and broadcast as a weight vector; wedge enumeration is one
+    neighbor-keyed exchange with vectorized per-run pair emission (each
+    wedge row carries ONLY the packed pair key + its center's weight);
+    one pair-keyed exchange sums terms; existing edges leave via the
+    broadcast anti-join (edge-scale key set; the partitioned-join switch
+    applies beyond the gate).  Common neighbors have deg >= 2 by
+    definition, so ln(deg) never hits ln(1) = 0.  Term-sum order
+    differences are absorbed by the two-step output rounding;
+    ORACLE-CHECKED against the SQL wedge self-join."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import anti_join_broadcast
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"k": t.filter(pc.greater_equal(t["nuv"], 2))["k"]},
+            schema=_EK_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes, deg = _copurchase_degrees(edges)
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64()),
+                      "adamic_adar": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return empty
+    w_aa = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
+    wref = ray.put((nodes, w_aa))
+
+    inc_schema = pa.schema([("w", pa.int64()), ("nbr", pa.int64())])
+
+    def _inc(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        return pa.table({"w": np.concatenate([u, v]),
+                         "nbr": np.concatenate([v, u])},
+                        schema=inc_schema)
+
+    inc = edges.map_batches(_inc, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    term_schema = pa.schema([("k", pa.int64()), ("s", pa.float64()),
+                             ("nc", pa.int64())])
+
+    def _wedge_terms(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return term_schema.empty_table()
+        tbl = batch.sort_by([("w", "ascending"), ("nbr", "ascending")])
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        nb = tbl["nbr"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(w), dtype=bool)
+        first[0] = True
+        first[1:] = w[1:] != w[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(w)))
+        nd, wv = ray.get(wref)
+        # run-pair emission with the CENTER's weight carried per pair
+        # (the _emit_run_pairs trick, plus a repeat of w per length class)
+        us, vs, ws = [], [], []
+        for length in np.unique(lens):
+            if length < 2:
+                continue
+            sel = starts[lens == length]
+            idx = sel[:, None] + np.arange(length)
+            m = nb[idx]
+            iu, ju = np.triu_indices(int(length), 1)
+            us.append(m[:, iu].ravel())
+            vs.append(m[:, ju].ravel())
+            cw = wv[np.searchsorted(nd, w[sel])]
+            ws.append(np.repeat(cw, len(iu)))
+        if not us:
+            return term_schema.empty_table()
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        weight = np.concatenate(ws)
+        # block combiner: sum terms per pair before the exchange
+        key = (u << np.int64(32)) | v
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        weight = weight[order]
+        kf = np.empty(len(key), dtype=bool)
+        kf[0] = True
+        kf[1:] = key[1:] != key[:-1]
+        ks = np.nonzero(kf)[0]
+        return pa.table({"k": key[ks],
+                         "s": np.add.reduceat(weight, ks),
+                         "nc": np.diff(np.append(ks, len(key)))
+                                 .astype(np.int64)},
+                        schema=term_schema)
+
+    from ..stages.sorted_groups import sorted_group_map
+    terms = sorted_group_map(
+        inc, ["w"], None, term_schema, block_fn=_wedge_terms)
+    scored = terms.groupby("k").aggregate(
+        Sum("s", alias_name="s"), Sum("nc", alias_name="n_common"))
+    cand = anti_join_broadcast(scored, "k", edges)
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(k >> np.int64(32), pa.int64()),
+            "v": pa.array(k & np.int64(0xFFFFFFFF), pa.int64()),
+            "n_common": batch["n_common"].cast(pa.int64()),
+            "adamic_adar": batch["s"].cast(pa.float64()),
+        })
+
+    return _collect(cand.map_batches(_unpack, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
+_Q3_CUTOFF_US = 883612800000000  # 1998-01-01 in epoch microseconds
+
+SHIPPING_PRIORITY_SQL = """
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')),
+r AS (
+  SELECT l.l_orderkey AS l_orderkey,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS rev_total
+  FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT l_orderkey, orderdate_us, o_orderpriority, rev_total,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT r.l_orderkey, o.orderdate_us, o.o_orderpriority, r.rev_total,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(FLOOR(r.rev_total * 1e6 + 0.5) AS BIGINT) DESC,
+                    r.l_orderkey) AS rn
+  FROM r JOIN o ON o.o_orderkey = r.l_orderkey)
+WHERE rn <= 10
+"""
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority top-k: unshipped revenue of
+    BUILDING-segment orders placed before the cutoff, top 10 orders by
+    revenue.  Engine path: the segment key set broadcasts into a
+    semi-join filter on orders (no exchange); qualifying orders collect
+    under collect_small's loud 2M gate and broadcast into lineitem
+    (beyond the gate the documented switch is stages/joins.join_skew_safe
+    — orders-after-filter is fact-scale on a real crawl); revenue sums
+    per order through one keyed exchange; the global top-10 rides
+    top_k_by_key's two-level partial top-k (at most 10 rows leave each
+    block).  ORDERING discipline: revenue is two-step-rounded FIRST,
+    scaled to exact int64 micro-units, and ranked integer-side on both
+    engines (sum-order ulps can never flip the rank)."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import (attach_broadcast, collect_small,
+                                semi_join_broadcast)
+    from ..stages.topk import top_k_by_key
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    seg = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(pc.equal(
+            t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def _ord_clean(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.is_valid(ts), pc.less(ts, _Q3_CUTOFF_US))
+        batch = batch.filter(keep)
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "orderdate_us": batch["o_orderdate"].cast(pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    ord_f = semi_join_broadcast(
+        orders.map_batches(_ord_clean, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "o_custkey", seg)
+    lookup = collect_small(ord_f.map_batches(
+        lambda t: t.select(["l_orderkey", "orderdate_us",
+                            "o_orderpriority"]),
+        batch_format="pyarrow"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def _li_rev(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.is_valid(ts), pc.greater(ts, _Q3_CUTOFF_US))
+        batch = batch.filter(keep)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = ep * (1.0 - dc)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev": pa.array(rev, pa.float64())})
+        # block combiner before the keyed exchange
+        return t.group_by(["l_orderkey"]).aggregate([("rev", "sum")]) \
+                .rename_columns(["l_orderkey", "rev"])
+
+    from ray.data.aggregate import Sum
+    joined = semi_join_broadcast(
+        li.map_batches(_li_rev, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_orderkey",
+        pa.table({"l_orderkey": lookup["l_orderkey"]}))
+    sums = joined.groupby("l_orderkey").aggregate(
+        Sum("rev", alias_name="rev"))
+
+    def _rank_prep(batch: pa.Table) -> pa.Table:
+        rev = round6_tie_robust(
+            batch["rev"].to_numpy(zero_copy_only=False))
+        micro = np.floor(rev * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "g": pa.array(np.zeros(len(batch), np.int64)),
+            "l_orderkey": batch["l_orderkey"],
+            "rev_total": pa.array(rev, pa.float64()),
+            "micro": pa.array(micro, pa.int64()),
+        })
+
+    ranked = top_k_by_key(
+        sums.map_batches(_rank_prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["g"], "micro", 10, tiebreak_col="l_orderkey", descending=True)
+    out = attach_broadcast(ranked, lookup, "l_orderkey",
+                           ["orderdate_us", "o_orderpriority"])
+    out = out.map_batches(
+        lambda t: t.select(["l_orderkey", "orderdate_us",
+                            "o_orderpriority", "rev_total", "rn"]),
+        batch_format="pyarrow")
+    return _collect(out)
+
+
+REGIONAL_VOLUME_SQL = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+_Q5_LO_US = 820454400000000   # 1996-01-01 epoch-us
+_Q5_HI_US = 883612800000000   # 1998-01-01 epoch-us
+
+
+def q_regional_volume(sf_dir: str):
+    """TPC-H Q5-shaped regional supplier volume: revenue per ASIA nation
+    where the supplier and the ordering customer share the nation, over
+    a two-year order window.  Engine path: a star-join flattened into
+    broadcast lookups — region->nation (tiny), supplier->nationkey and
+    the date-filtered orders->customer-nationkey map each collect under
+    collect_small's loud gate and attach map-side (customer and orders
+    are user/fact-scale on a real crawl: the documented switch is
+    join_skew_safe on l_orderkey, then on o_custkey); the lineitem fact
+    table STREAMS with zero exchange — per-block partial sums by
+    supplier nation (25 keys) merge on the driver.  ORACLE-CHECKED
+    against the 6-table SQL join."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.joins import attach_broadcast, collect_small
+
+    region = collect_small(rd.read_parquet(f"{sf_dir}/region.parquet"))
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"].to_numpy(zero_copy_only=False)
+    nation = collect_small(rd.read_parquet(f"{sf_dir}/nation.parquet"))
+    nmask = np.isin(nation["n_regionkey"].to_numpy(zero_copy_only=False),
+                    asia_rk)
+    asia_keys = nation["n_nationkey"].to_numpy(
+        zero_copy_only=False)[nmask]
+    asia_names = nation["n_name"].to_numpy(zero_copy_only=False)[nmask]
+    nm_order = np.argsort(asia_keys, kind="stable")
+    asia_keys, asia_names = asia_keys[nm_order], asia_names[nm_order]
+
+    supp = collect_small(rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]))
+    smask = np.isin(supp["s_nationkey"].to_numpy(zero_copy_only=False),
+                    asia_keys)
+    supp_tbl = pa.table({
+        "l_suppkey": supp["s_suppkey"].filter(pa.array(smask)),
+        "s_nationkey": supp["s_nationkey"].filter(pa.array(smask))})
+
+    cust = collect_small(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]))
+    cmask = np.isin(cust["c_nationkey"].to_numpy(zero_copy_only=False),
+                    asia_keys)
+    cust_tbl = pa.table({
+        "o_custkey": cust["c_custkey"].filter(pa.array(cmask)),
+        "c_nationkey": cust["c_nationkey"].filter(pa.array(cmask))})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def _ord_win(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.and_(pc.is_valid(ts),
+                               pc.greater_equal(ts, _Q5_LO_US)),
+                       pc.less(ts, _Q5_HI_US))
+        batch = batch.filter(keep)
+        return pa.table({"l_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"]})
+
+    ord_map = collect_small(attach_broadcast(
+        orders.map_batches(_ord_win, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust_tbl, "o_custkey", ["c_nationkey"]).map_batches(
+            lambda t: t.select(["l_orderkey", "c_nationkey"]),
+            batch_format="pyarrow"))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    part_schema = pa.schema([("nationkey", pa.int64()),
+                             ("rev", pa.float64())])
+    fact = attach_broadcast(
+        attach_broadcast(li, ord_map, "l_orderkey", ["c_nationkey"]),
+        supp_tbl, "l_suppkey", ["s_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        m = cn == sn
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        sn = sn[m]
+        rev = ep * (1.0 - dc)
+        order = np.argsort(sn, kind="stable")
+        sn, rev = sn[order], rev[order]
+        if not len(sn):
+            return part_schema.empty_table()
+        first = np.empty(len(sn), dtype=bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({"nationkey": sn[ks],
+                         "rev": np.add.reduceat(rev, ks)},
+                        schema=part_schema)
+
+    parts = _collect_raw(fact.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True))
+    nk = parts["nationkey"].to_numpy(zero_copy_only=False)
+    rv = parts["rev"].to_numpy(zero_copy_only=False)
+    total = np.zeros(len(asia_keys), dtype=np.float64)
+    np.add.at(total, np.searchsorted(asia_keys, nk), rv)
+    present = np.zeros(len(asia_keys), dtype=bool)
+    present[np.searchsorted(asia_keys, nk)] = True
+    return _collect(pa.table({
+        "nation": pa.array(asia_names[present]),
+        "volume": pa.array(round6_tie_robust(total[present]),
+                            pa.float64()),
+    }))
+
+
+GINI_STUMP_SQL = """
+WITH d AS (
+  SELECT LEAST(CAST(LENGTH(text) // 16 AS BIGINT), 63) AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+pb AS (SELECT b, COUNT(*) AS n, SUM(y) AS pos FROM d GROUP BY 1),
+cum AS (
+  SELECT b,
+         SUM(n) OVER (ORDER BY b) AS nl,
+         SUM(pos) OVER (ORDER BY b) AS pl,
+         (SELECT SUM(n) FROM pb) AS nt,
+         (SELECT SUM(pos) FROM pb) AS pt
+  FROM pb),
+sc AS (
+  SELECT b, nl, nt - nl AS nr, pl, pt - pl AS pr,
+         (pl * pl + (nl - pl) * (nl - pl)) * 1.0 / nl
+           + ((pt - pl) * (pt - pl)
+              + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)))
+             * 1.0 / (nt - nl) AS h,
+         nt
+  FROM cum WHERE nl < nt)
+SELECT CAST((b + 1) * 16 AS BIGINT) AS threshold,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(pl AS BIGINT) AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+       ROUND((nt - h) / nt, 6) AS gini
+FROM sc ORDER BY h DESC, b LIMIT 1
+"""
+
+
+def q_gini_stump(sf_dir: str):
+    """Gini decision stump (the feature-binning split a quality
+    classifier bootstraps from): best length threshold separating
+    English from non-English docs by weighted Gini impurity, over 64
+    fixed-width length bins (bounded candidate set — scale-safe where
+    per-distinct-value candidates are not).  Engine path: per-block
+    (bin, count, pos) partials stream to a driver fold (64 keys x
+    blocks, no exchange at all); the split scan is a cumsum over the
+    sorted bins.  PARITY: the score h = sum-of-squares/side is computed
+    as exact-int numerators converted to double then divided —
+    bit-identical in DuckDB and numpy — so the argmax needs no rounding
+    guard; tie-break on the lower bin."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    part_schema = pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                             ("pos", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["text"]),
+                                     pc.is_valid(batch["lang"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        ln = pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.minimum(ln // 16, 63)
+        y = pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        b, y = b[order], y[order]
+        first = np.empty(len(b), dtype=bool)
+        first[0] = True
+        first[1:] = b[1:] != b[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({"b": b[ks],
+                         "n": np.diff(np.append(ks, len(b)))
+                                .astype(np.int64),
+                         "pos": np.add.reduceat(y, ks)},
+                        schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True))
+    bb = parts["b"].to_numpy(zero_copy_only=False)
+    nn = parts["n"].to_numpy(zero_copy_only=False)
+    pp = parts["pos"].to_numpy(zero_copy_only=False)
+    bins = np.zeros(64, dtype=np.int64)
+    poss = np.zeros(64, dtype=np.int64)
+    np.add.at(bins, bb, nn)
+    np.add.at(poss, bb, pp)
+    present = bins > 0
+    bvals = np.nonzero(present)[0].astype(np.int64)
+    nl = np.cumsum(bins[present])
+    pl = np.cumsum(poss[present])
+    nt, pt = int(nl[-1]), int(pl[-1])
+    cand = nl < nt
+    bvals, nl, pl = bvals[cand], nl[cand], pl[cand]
+    nr, pr = nt - nl, pt - pl
+    ql, qr = nl - pl, nr - pr
+    h = (pl * pl + ql * ql).astype(np.float64) / nl.astype(np.float64) \
+        + (pr * pr + qr * qr).astype(np.float64) / nr.astype(np.float64)
+    best = np.lexsort((bvals, -h))[0]
+    gini = (float(nt) - h[best]) / float(nt)
+    return _collect(pa.table({
+        "threshold": pa.array([(int(bvals[best]) + 1) * 16], pa.int64()),
+        "n_left": pa.array([int(nl[best])], pa.int64()),
+        "n_right": pa.array([int(nr[best])], pa.int64()),
+        "pos_left": pa.array([int(pl[best])], pa.int64()),
+        "pos_right": pa.array([int(pr[best])], pa.int64()),
+        "gini": pa.array([gini], pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -14956,6 +15468,10 @@ def build_queries() -> dict:
         "boolean_search": q_boolean_search,
         "assortativity": q_assortativity,
         "type_weighted_jaccard": q_type_weighted_jaccard,
+        "adamic_adar": q_adamic_adar,
+        "shipping_priority": q_shipping_priority,
+        "regional_volume": q_regional_volume,
+        "gini_stump": q_gini_stump,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -15260,6 +15776,10 @@ WHERE rn <= 2
         "boolean_search": BOOLEAN_SEARCH_SQL,
         "assortativity": ASSORTATIVITY_SQL,
         "type_weighted_jaccard": TYPE_WJACCARD_SQL,
+        "adamic_adar": ADAMIC_ADAR_SQL,
+        "shipping_priority": SHIPPING_PRIORITY_SQL,
+        "regional_volume": REGIONAL_VOLUME_SQL,
+        "gini_stump": GINI_STUMP_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
