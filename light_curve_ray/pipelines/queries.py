@@ -15314,6 +15314,380 @@ def q_gini_stump(sf_dir: str):
     }))
 
 
+
+
+KENDALL_TAU_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v,
+         event_id
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+p AS (
+  SELECT a.event_type AS event_type,
+         SUM(CASE WHEN (a.t < b.t AND a.v < b.v)
+                    OR (a.t > b.t AND a.v > b.v) THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (a.t < b.t AND a.v > b.v)
+                    OR (a.t > b.t AND a.v < b.v) THEN 1 ELSE 0 END) AS d
+  FROM e a JOIN e b
+    ON b.event_type = a.event_type AND a.event_id < b.event_id
+  GROUP BY 1),
+n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+tx AS (
+  SELECT event_type, SUM(m * (m - 1) / 2) AS xtie
+  FROM (SELECT event_type, t, COUNT(*) AS m FROM e GROUP BY 1, 2)
+  GROUP BY 1),
+ty AS (
+  SELECT event_type, SUM(m * (m - 1) / 2) AS ytie
+  FROM (SELECT event_type, v, COUNT(*) AS m FROM e GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT n.event_type AS event_type, CAST(n.n AS BIGINT) AS n,
+       CAST(p.c AS BIGINT) AS concordant,
+       CAST(p.d AS BIGINT) AS discordant,
+       ROUND((p.c - p.d)
+             / SQRT((n.n * (n.n - 1) / 2 - tx.xtie)
+                    * (n.n * (n.n - 1) / 2 - ty.ytie)), 6) AS tau_b
+FROM n JOIN p USING (event_type) JOIN tx USING (event_type)
+       JOIN ty USING (event_type)
+"""
+
+
+def _count_inversions(a: np.ndarray):
+    """Strict inversions (pairs i<j with a[i] > a[j]) by vectorized
+    merge counting — O(n log^2 n), no Python per-element loop."""
+    n = len(a)
+    if n < 2:
+        return np.sort(a), 0
+    left, cl = _count_inversions(a[:n // 2])
+    right, cr = _count_inversions(a[n // 2:])
+    # elements of `left` strictly greater than each right element
+    idx = np.searchsorted(left, right, side="right")
+    cross = int((len(left) - idx).sum())
+    merged = np.concatenate([left, right])
+    merged.sort()
+    return merged, cl + cr + cross
+
+
+def _tie_pairs(sorted_vals) -> int:
+    """sum m*(m-1)/2 over runs of equal values (input pre-sorted)."""
+    n = len(sorted_vals)
+    if n == 0:
+        return 0
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    if sorted_vals.ndim == 1:
+        first[1:] = sorted_vals[1:] != sorted_vals[:-1]
+    else:
+        first[1:] = (sorted_vals[1:] != sorted_vals[:-1]).any(axis=1)
+    runs = np.diff(np.append(np.nonzero(first)[0], n))
+    return int((runs * (runs - 1) // 2).sum())
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall tau-b rank correlation of value vs time per event type —
+    the tie-aware monotone-trend test (Mann-Kendall's core statistic).
+    Engine path: one event_type-keyed exchange co-locates each series;
+    the per-group kernel is Knight's O(n log n) method (sort by (t, v),
+    count strict y-inversions via vectorized merge counting) instead of
+    the oracle's O(n^2) pair join — the whole point at crawl scale.
+    All counts are exact integers; tau_b divides the exact (c - d) by
+    sqrt of the exact tie-adjusted pair products (converted to double
+    once, mirroring the SQL), so no rounding guard is needed;
+    ORACLE-CHECKED against the brute-force pair enumeration."""
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value",
+                                  "event_id"])
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("concordant", pa.int64()), ("discordant", pa.int64()),
+        ("tau_b", pa.float64())])
+
+    def _group(group: pa.Table) -> pa.Table:
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = group["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.lexsort((v, t))
+        t, v = t[order], v[order]
+        n = len(t)
+        n0 = n * (n - 1) // 2
+        xtie = _tie_pairs(t)
+        ytie = _tie_pairs(np.sort(v))
+        xytie = _tie_pairs(np.stack([t, v.view(np.int64)], axis=1))
+        _, dis = _count_inversions(v)
+        cmd = n0 - xtie - ytie + xytie - 2 * dis   # c - d, exact
+        both = n0 - xtie - ytie + xytie             # untied pairs
+        c = (both + cmd) // 2
+        d = (both - cmd) // 2
+        denom = np.sqrt(float((n0 - xtie) * (n0 - ytie)))
+        tau = float(cmd) / denom if denom > 0 else float("nan")
+        return pa.table({
+            "event_type": pa.array([group["event_type"][0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+            "concordant": pa.array([c], pa.int64()),
+            "discordant": pa.array([d], pa.int64()),
+            "tau_b": pa.array([tau], pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(ds, ["event_type"], _group,
+                                     out_schema))
+
+
+MUTUAL_INFORMATION_SQL = """
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+cj AS (SELECT lang, source, COUNT(*) AS nij FROM d GROUP BY 1, 2),
+cl AS (SELECT lang, SUM(nij) AS ni FROM cj GROUP BY 1),
+cs AS (SELECT source, SUM(nij) AS nj FROM cj GROUP BY 1),
+nt AS (SELECT SUM(nij) AS n FROM cj),
+mi AS (
+  SELECT SUM((cj.nij * 1.0 / nt.n)
+             * LN((cj.nij * nt.n) * 1.0 / (cl.ni * cs.nj))) AS mi
+  FROM cj JOIN cl USING (lang) JOIN cs USING (source) CROSS JOIN nt),
+hl AS (SELECT -SUM((ni * 1.0 / nt.n) * LN(ni * 1.0 / nt.n)) AS h
+       FROM cl CROSS JOIN nt),
+hs AS (SELECT -SUM((nj * 1.0 / nt.n) * LN(nj * 1.0 / nt.n)) AS h
+       FROM cs CROSS JOIN nt)
+SELECT ROUND(mi.mi, 6) AS mi, ROUND(hl.h, 6) AS h_lang,
+       ROUND(hs.h, 6) AS h_source,
+       ROUND(mi.mi / SQRT(hl.h * hs.h), 6) AS nmi
+FROM mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+
+def q_mutual_information(sf_dir: str):
+    """Discrete mutual information between document language and source
+    (the field-dependence audit a corpus-mixing pipeline runs before
+    stratifying): MI, the two marginal entropies, and normalized MI
+    (MI / sqrt(H_lang * H_source)).  Engine path: per-block contingency
+    partials fold on the driver (langs x sources is category-scale,
+    bounded) — the fact table streams with no exchange; every cell term
+    divides exact integer products converted to double (bit-identical
+    to the SQL), and term-sum order differences are absorbed by the
+    two-step output rounding.  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("source", pa.string()),
+                             ("nij", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["source"])))
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "source", "nij"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True))
+    df = parts.to_pandas().groupby(["lang", "source"],
+                                   as_index=False)["nij"].sum()
+    nij = df["nij"].values.astype(np.int64)
+    ntot = int(nij.sum())
+    ni = df.groupby("lang")["nij"].transform("sum").values.astype(
+        np.int64)
+    nj = df.groupby("source")["nij"].transform("sum").values.astype(
+        np.int64)
+    mi = float(np.sum((nij * 1.0 / ntot)
+                      * np.log((nij * ntot) * 1.0 / (ni * nj))))
+    li = df.groupby("lang")["nij"].sum().values.astype(np.int64)
+    si = df.groupby("source")["nij"].sum().values.astype(np.int64)
+    hl = float(-np.sum((li * 1.0 / ntot) * np.log(li * 1.0 / ntot)))
+    hs = float(-np.sum((si * 1.0 / ntot) * np.log(si * 1.0 / ntot)))
+    return _collect(pa.table({
+        "mi": pa.array([mi], pa.float64()),
+        "h_lang": pa.array([hl], pa.float64()),
+        "h_source": pa.array([hs], pa.float64()),
+        "nmi": pa.array([mi / np.sqrt(hl * hs)], pa.float64()),
+    }))
+
+
+KAPLAN_MEIER_SQL = """
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+u AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld FROM e GROUP BY 1),
+g AS (SELECT MAX(ld) AS gmax FROM u),
+lt AS (
+  SELECT user_id, ld - fd AS lifetime,
+         CASE WHEN ld = (SELECT gmax FROM g) THEN 1 ELSE 0 END
+           AS censored
+  FROM u),
+days AS (
+  SELECT UNNEST(range(0, CAST((SELECT MAX(lifetime) FROM lt) AS BIGINT)
+                         + 1)) AS day),
+cnt AS (
+  SELECT d.day AS day,
+         (SELECT COUNT(*) FROM lt WHERE lifetime >= d.day) AS at_risk,
+         (SELECT COUNT(*) FROM lt
+          WHERE lifetime = d.day AND censored = 0) AS deaths
+  FROM days d),
+s(day, at_risk, deaths, surv) AS (
+  SELECT day, at_risk, deaths, 1.0 - deaths * 1.0 / at_risk
+  FROM cnt WHERE day = 0
+  UNION ALL
+  SELECT c.day, c.at_risk, c.deaths,
+         s.surv * (1.0 - c.deaths * 1.0 / c.at_risk)
+  FROM cnt c JOIN s ON c.day = s.day + 1)
+SELECT CAST(day AS BIGINT) AS day, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths, ROUND(surv, 6) AS survival
+FROM s
+"""
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve of user activity lifetime (days from
+    first to last event; users whose last event falls on the corpus's
+    final day are right-censored) — the churn/retention estimator.
+    Engine path: per-user (first, last) day via one user-keyed
+    aggregate exchange; lifetimes reduce to per-(lifetime, censored)
+    counts (day-scale, bounded) that fold on the driver; the survival
+    product is the sequential cumprod over exact factors
+    1 - deaths/at_risk — each factor divides exact ints (bit-identical
+    to the recursive-CTE oracle) and np.cumprod multiplies in the same
+    left-to-right order as the recursion, so the doubles match
+    step-for-step (the ewma_daily argument).  ORACLE-CHECKED."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def _days(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["user_id"]),
+                                     pc.is_valid(batch["ts"])))
+        day = pc.divide(batch["ts"].cast(pa.int64()), 86400000000)
+        return pa.table({"user_id": batch["user_id"], "day": day})
+
+    udays = ds.map_batches(_days, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    per_user = udays.groupby("user_id").aggregate(
+        Min("day", alias_name="fd"), Max("day", alias_name="ld"))
+
+    lt_schema = pa.schema([("lifetime", pa.int64()),
+                           ("censored", pa.int64()),
+                           ("n", pa.int64())])
+
+    def _lt_partial(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy(zero_copy_only=False)
+        ld = batch["ld"].to_numpy(zero_copy_only=False)
+        return pa.table({"lifetime": ld - fd, "ld": ld,
+                         "user_id": batch["user_id"]})
+
+    lt = per_user.map_batches(_lt_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    gmax = int(lt.max("ld"))
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        life = batch["lifetime"].to_numpy(zero_copy_only=False)
+        cen = (batch["ld"].to_numpy(zero_copy_only=False)
+               == gmax).astype(np.int64)
+        key = life * 2 + cen
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"lifetime": uniq // 2, "censored": uniq % 2,
+                         "n": cnt.astype(np.int64)}, schema=lt_schema)
+
+    parts = _collect_raw(lt.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True))
+    life = parts["lifetime"].to_numpy(zero_copy_only=False)
+    cen = parts["censored"].to_numpy(zero_copy_only=False)
+    n = parts["n"].to_numpy(zero_copy_only=False)
+    maxlt = int(life.max())
+    deaths = np.zeros(maxlt + 1, dtype=np.int64)
+    totals = np.zeros(maxlt + 1, dtype=np.int64)
+    np.add.at(deaths, life[cen == 0], n[cen == 0])
+    np.add.at(totals, life, n)
+    # at_risk[d] = users with lifetime >= d (suffix sum)
+    at_risk = np.cumsum(totals[::-1])[::-1]
+    factors = 1.0 - deaths.astype(np.float64) / at_risk.astype(
+        np.float64)
+    surv = np.cumprod(factors)
+    return _collect(pa.table({
+        "day": pa.array(np.arange(maxlt + 1, dtype=np.int64)),
+        "at_risk": pa.array(at_risk, pa.int64()),
+        "deaths": pa.array(deaths, pa.int64()),
+        "survival": pa.array(surv, pa.float64()),
+    }))
+
+
+# Horner weights for the 8-char ascii prefix hash (31^7 .. 31^0)
+_FH_POWS = [27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1]
+_FH_BUCKETS = 256
+
+FEATURE_HASHING_SQL = f"""
+WITH w AS (
+  SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents WHERE text IS NOT NULL),
+terms AS (SELECT DISTINCT term FROM w WHERE term <> ''),
+hb AS (
+  SELECT term,
+         ({" + ".join(
+             f"CAST(COALESCE(ascii(substr(term, {i + 1}, 1)), 0)"
+             f" AS BIGINT) * {p}" for i, p in enumerate(_FH_POWS))})
+           % {_FH_BUCKETS} AS bucket
+  FROM terms),
+loads AS (SELECT bucket, COUNT(*) AS load FROM hb GROUP BY 1),
+all_b AS (
+  SELECT r.range AS bucket, COALESCE(l.load, 0) AS load
+  FROM range({_FH_BUCKETS}) r LEFT JOIN loads l ON l.bucket = r.range)
+SELECT CAST(load AS BIGINT) AS load, COUNT(*) AS n_buckets
+FROM all_b GROUP BY 1
+"""
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick collision audit (the dimensionality check before
+    hashed bag-of-words features): every distinct corpus term hashes to
+    one of 256 buckets via an 8-char ascii-prefix Horner polynomial
+    (exact-integer, SQL-mirrorable — tokens are [a-z0-9]+ so the ascii
+    prefix is well-defined); the result is the bucket-load histogram
+    (how many buckets hold k distinct terms, zero-load buckets
+    included).  Engine path: rides the wordcount combiner's distinct
+    term stream (vocab-scale, Heaps-bounded); hashing is one vectorized
+    byte-matrix fold per block (terms -> fixed-width S8 -> uint8
+    matrix, no per-term Python); 256-wide partials fold on the driver.
+    ORACLE-CHECKED against the unrolled-ascii SQL."""
+    import ray.data as rd
+
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    terms = term_counts(ds, [], text_col="text")
+    part_schema = pa.schema([("bucket", pa.int64()),
+                             ("n_terms", pa.int64())])
+    pows = np.array(_FH_POWS, dtype=np.uint64)
+
+    def _bucket_partial(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return part_schema.empty_table()
+        s8 = t.astype("S8")  # ascii tokens: utf-8 == bytes, \0-padded
+        codes = np.frombuffer(s8.tobytes(), dtype=np.uint8).reshape(
+            -1, 8).astype(np.uint64)
+        h = codes @ pows
+        b = (h % np.uint64(_FH_BUCKETS)).astype(np.int64)
+        cnt = np.bincount(b, minlength=_FH_BUCKETS).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": nz.astype(np.int64),
+                         "n_terms": cnt[nz]}, schema=part_schema)
+
+    parts = _collect_raw(terms.map_batches(
+        _bucket_partial, batch_format="pyarrow", zero_copy_batch=True))
+    loads = np.zeros(_FH_BUCKETS, dtype=np.int64)
+    np.add.at(loads, parts["bucket"].to_numpy(zero_copy_only=False),
+              parts["n_terms"].to_numpy(zero_copy_only=False))
+    uniq, cnt = np.unique(loads, return_counts=True)
+    return _collect(pa.table({
+        "load": pa.array(uniq, pa.int64()),
+        "n_buckets": pa.array(cnt.astype(np.int64), pa.int64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -15472,6 +15846,10 @@ def build_queries() -> dict:
         "shipping_priority": q_shipping_priority,
         "regional_volume": q_regional_volume,
         "gini_stump": q_gini_stump,
+        "kendall_tau": q_kendall_tau,
+        "mutual_information": q_mutual_information,
+        "kaplan_meier": q_kaplan_meier,
+        "feature_hashing": q_feature_hashing,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -15780,6 +16158,10 @@ WHERE rn <= 2
         "shipping_priority": SHIPPING_PRIORITY_SQL,
         "regional_volume": REGIONAL_VOLUME_SQL,
         "gini_stump": GINI_STUMP_SQL,
+        "kendall_tau": KENDALL_TAU_SQL,
+        "mutual_information": MUTUAL_INFORMATION_SQL,
+        "kaplan_meier": KAPLAN_MEIER_SQL,
+        "feature_hashing": FEATURE_HASHING_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
