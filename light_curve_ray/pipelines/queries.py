@@ -15688,6 +15688,393 @@ def q_feature_hashing(sf_dir: str):
     }))
 
 
+
+
+CLUSTERING_COEF_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1),
+inc AS (SELECT u AS w, v AS nbr FROM e
+        UNION ALL SELECT v AS w, u AS nbr FROM e),
+wed AS (
+  SELECT i1.w AS x, i1.nbr AS u, i2.nbr AS v
+  FROM inc i1 JOIN inc i2 ON i2.w = i1.w AND i1.nbr < i2.nbr),
+tri AS (
+  SELECT x, COUNT(*) AS triangles
+  FROM wed JOIN e ON e.u = wed.u AND e.v = wed.v GROUP BY 1)
+SELECT d.node AS node, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(COALESCE(t.triangles, 0) * 2.0 / (d.d * (d.d - 1)), 6)
+         AS clustering
+FROM deg d LEFT JOIN tri t ON t.x = d.node
+WHERE d.d >= 2
+"""
+
+
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per node of the supported part
+    co-purchase graph (triangles through the node / C(deg, 2) — the
+    community-density feature next to [degree, pagerank] in any graph
+    feature table).  Engine path: shares the supported-edge derivation
+    with adamic_adar; the sorted edge-key array broadcasts ONCE and the
+    wedge stage (one neighbor-keyed exchange, vectorized run-pair
+    emission) closes each wedge against it with a searchsorted
+    membership probe — per-center triangle counts leave the block
+    pre-combined, one node-keyed fold on the driver (node-scale, the
+    pagerank discipline).  coefficient = exact-int 2*tri / d(d-1),
+    bit-identical both engines.  ORACLE-CHECKED."""
+    import ray
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"k": t.filter(pc.greater_equal(t["nuv"], 2))["k"]},
+            schema=_EK_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes, deg = _copurchase_degrees(edges)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "degree": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64()),
+                      "clustering": pa.array([], pa.float64())})
+    if len(nodes) == 0:
+        return empty
+    ek = np.sort(_collect_raw(edges)["k"].to_numpy(
+        zero_copy_only=False))
+    ekref = ray.put(ek)
+
+    inc_schema = pa.schema([("w", pa.int64()), ("nbr", pa.int64())])
+
+    def _inc(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        return pa.table({"w": np.concatenate([u, v]),
+                         "nbr": np.concatenate([v, u])},
+                        schema=inc_schema)
+
+    inc = edges.map_batches(_inc, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tri_schema = pa.schema([("node", pa.int64()),
+                            ("tri", pa.int64())])
+
+    def _close_wedges(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return tri_schema.empty_table()
+        tbl = batch.sort_by([("w", "ascending"), ("nbr", "ascending")])
+        w = tbl["w"].to_numpy(zero_copy_only=False)
+        nb = tbl["nbr"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(w), dtype=bool)
+        first[0] = True
+        first[1:] = w[1:] != w[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(w)))
+        ekeys = ray.get(ekref)
+        cs, ts = [], []
+        for length in np.unique(lens):
+            if length < 2:
+                continue
+            sel = starts[lens == length]
+            idx = sel[:, None] + np.arange(length)
+            m = nb[idx]
+            iu, ju = np.triu_indices(int(length), 1)
+            pk = (m[:, iu].astype(np.int64) << np.int64(32)) \
+                 | m[:, ju].astype(np.int64)
+            pos = np.minimum(np.searchsorted(ekeys, pk),
+                             len(ekeys) - 1)
+            closed = (ekeys[pos] == pk).sum(axis=1)
+            cs.append(w[sel])
+            ts.append(closed.astype(np.int64))
+        if not cs:
+            return tri_schema.empty_table()
+        return pa.table({"node": np.concatenate(cs),
+                         "tri": np.concatenate(ts)},
+                        schema=tri_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        inc, ["w"], None, tri_schema, block_fn=_close_wedges))
+    tri = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(tri, np.searchsorted(
+        nodes, parts["node"].to_numpy(zero_copy_only=False)),
+        parts["tri"].to_numpy(zero_copy_only=False))
+    keep = deg >= 2
+    coeff = (tri[keep] * 2.0) / (deg[keep] * (deg[keep] - 1))
+    return _collect(pa.table({
+        "node": pa.array(nodes[keep], pa.int64()),
+        "degree": pa.array(deg[keep], pa.int64()),
+        "triangles": pa.array(tri[keep], pa.int64()),
+        "clustering": pa.array(coeff, pa.float64()),
+    }))
+
+
+ANOVA_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+g AS (SELECT grp, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+      FROM e GROUP BY 1),
+tot AS (SELECT SUM(n) AS n, SUM(s) AS s,
+               CAST(COUNT(*) AS BIGINT) AS k FROM g),
+parts AS (
+  SELECT (SELECT SUM(s * s / n) FROM g) - tot.s * tot.s / tot.n AS ssb,
+         (SELECT SUM(ss - s * s / n) FROM g) AS ssw,
+         tot.k AS k, tot.n AS n
+  FROM tot)
+SELECT k, CAST(n AS BIGINT) AS n, ROUND(ssb, 6) AS ssb,
+       ROUND(ssw, 6) AS ssw,
+       ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+FROM parts
+"""
+
+
+def q_anova_events(sf_dir: str):
+    """One-way ANOVA F-test of event value across event types (the
+    does-this-category-matter screen before any per-type modeling):
+    between/within sums of squares via the algebraic identity
+    SSW = sum(ss_g - s_g^2/n_g), SSB = sum(s_g^2/n_g) - s^2/n over
+    per-group (n, sum, sum-of-squares) — the moments discipline: each
+    block emits 3-wide partials, one category-keyed fold on the driver,
+    the fact table never shuffles.  The oracle computes the SAME
+    identity so both engines share every operand; remaining term-order
+    ulps are absorbed by the two-step output rounding.  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+    part_schema = pa.schema([("grp", pa.string()), ("n", pa.int64()),
+                             ("s", pa.float64()), ("ss", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = g[1:] != g[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({
+            "grp": g[ks],
+            "n": np.diff(np.append(ks, len(g))).astype(np.int64),
+            "s": np.add.reduceat(v, ks),
+            "ss": np.add.reduceat(v * v, ks),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    g = parts.groupby("grp").agg(n=("n", "sum"), s=("s", "sum"),
+                                 ss=("ss", "sum"))
+    n = int(g.n.sum())
+    s = float(g.s.sum())
+    k = len(g)
+    ssb = float((g.s * g.s / g.n).sum()) - s * s / n
+    ssw = float((g.ss - g.s * g.s / g.n).sum())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return _collect(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+        "ssb": pa.array([ssb], pa.float64()),
+        "ssw": pa.array([ssw], pa.float64()),
+        "f_stat": pa.array([f], pa.float64()),
+    }))
+
+
+NTILE_STATS_SQL = """
+WITH e AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+t AS (SELECT v, NTILE(10) OVER (ORDER BY v, event_id) AS tile FROM e)
+SELECT CAST(tile AS BIGINT) AS tile, COUNT(*) AS n,
+       ROUND(MIN(v), 6) AS vmin, ROUND(MAX(v), 6) AS vmax,
+       ROUND(SUM(v) / COUNT(*), 6) AS vmean
+FROM t GROUP BY 1
+"""
+
+
+def q_ntile_stats(sf_dir: str):
+    """Global equi-depth decile stats of event value (the quantile
+    binning every feature-engineering pass runs): NTILE(10) over
+    (value, event_id) — first n%10 tiles one row larger, the SQL
+    convention — with per-tile count/min/max/mean.  Engine path: rank =
+    one distributed sort + the prefix-scan block offsets
+    (stages/scan.prefix_sum, the epoch_shuffle machinery); the
+    rank->tile map is closed-form integer arithmetic per block (no
+    second pass), and the 10-key aggregate folds on the driver from
+    block partials.  ORACLE-CHECKED against the window-function SQL."""
+    import ray.data as rd
+
+    from ..stages.scan import prefix_sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["event_id"]),
+                                     pc.is_valid(batch["value"])))
+        return pa.table({
+            "event_id": batch["event_id"],
+            "v": batch["value"].cast(pa.float64()),
+            "one": pa.array(np.ones(len(batch), np.int64)),
+        })
+
+    keyed = ds.map_batches(_clean, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    ranked = prefix_sum(keyed, ["v", "event_id"], "one",
+                        out_col="rk").materialize()
+    n = ranked.count()
+    q, r = divmod(n, 10)
+    part_schema = pa.schema([
+        ("tile", pa.int64()), ("n", pa.int64()),
+        ("vmin", pa.float64()), ("vmax", pa.float64()),
+        ("vsum", pa.float64())])
+
+    def _tile_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        rk = batch["rk"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        big = r * (q + 1)
+        tile = np.where(rk < big, rk // max(q + 1, 1) + 1,
+                        r + (rk - big) // max(q, 1) + 1)
+        order = np.argsort(tile, kind="stable")
+        tile, v = tile[order], v[order]
+        first = np.empty(len(tile), dtype=bool)
+        first[0] = True
+        first[1:] = tile[1:] != tile[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({
+            "tile": tile[ks],
+            "n": np.diff(np.append(ks, len(tile))).astype(np.int64),
+            "vmin": np.minimum.reduceat(v, ks),
+            "vmax": np.maximum.reduceat(v, ks),
+            "vsum": np.add.reduceat(v, ks),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ranked.map_batches(
+        _tile_partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    g = parts.groupby("tile").agg(n=("n", "sum"), vmin=("vmin", "min"),
+                                  vmax=("vmax", "max"),
+                                  vsum=("vsum", "sum")).reset_index()
+    return _collect(pa.table({
+        "tile": pa.array(g.tile.values.astype(np.int64)),
+        "n": pa.array(g.n.values.astype(np.int64)),
+        "vmin": pa.array(g.vmin.values, pa.float64()),
+        "vmax": pa.array(g.vmax.values, pa.float64()),
+        "vmean": pa.array(g.vsum.values / g.n.values, pa.float64()),
+    }))
+
+
+HITS_SCORES_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+a1 AS (SELECT p, COUNT(*) AS a1 FROM op GROUP BY 1),
+h1 AS (SELECT o, SUM(a1.a1) AS h1 FROM op JOIN a1 USING (p)
+       GROUP BY o),
+a2 AS (SELECT p, SUM(h1.h1) AS a2 FROM op JOIN h1 USING (o)
+       GROUP BY p),
+mx AS (SELECT MAX(a2) AS m FROM a2)
+SELECT a2.p AS part, CAST(a1.a1 AS BIGINT) AS degree,
+       CAST(a2.a2 AS BIGINT) AS authority_raw,
+       ROUND(a2.a2 * 1.0 / mx.m, 6) AS authority
+FROM a2 JOIN a1 USING (p) CROSS JOIN mx
+"""
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS authority scores (2 fixed iterations, hub init 1) over the
+    bipartite order-part incidence — the other classic link-analysis
+    ranking next to pagerank_parts.  UNNORMALIZED inner iterations keep
+    every intermediate an exact INTEGER (a1 = part degree, h1 = sum of
+    neighbor degrees, a2 = sum of hub scores), so there is no float
+    drift to round away; the single normalization (a2 / max a2)
+    happens once at the end on exact ints.  Engine path: two keyed
+    exchanges (order-sum, part-sum) with the order-scale hub table
+    attached through collect_small's loud gate (beyond it the
+    documented switch is join_skew_safe on l_orderkey).
+    ORACLE-CHECKED."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import attach_broadcast, collect_small
+
+    op = _copurchase_order_parts(sf_dir)
+
+    def _dedupe(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    op = op.map_batches(_dedupe, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    # finish the cross-block distinct inside one keyed exchange
+    from ..stages.sorted_groups import sorted_group_map
+    op_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_partkey", pa.int64())])
+
+    def _run_distinct(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return op_schema.empty_table()
+        t = batch.sort_by([("l_orderkey", "ascending"),
+                           ("l_partkey", "ascending")])
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.empty(len(o), dtype=bool)
+        keep[0] = True
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        return pa.table({"l_orderkey": o[keep], "l_partkey": p[keep]},
+                        schema=op_schema)
+
+    op = sorted_group_map(op, ["l_orderkey"], None, op_schema,
+                          block_fn=_run_distinct).materialize()
+
+    # a1 (part degree) = row count per part, from block partials
+    deg_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("a1", pa.int64())])
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_partkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_partkey", "a1"]).cast(deg_schema)
+
+    a1_tbl = _collect_raw(op.map_batches(
+        _deg_partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas().groupby(
+        "l_partkey", as_index=False)["a1"].sum()
+    a1_pa = pa.table({"l_partkey": a1_tbl.l_partkey.values,
+                      "a1": a1_tbl.a1.values.astype(np.int64)})
+
+    with_a1 = attach_broadcast(op, a1_pa, "l_partkey", ["a1"])
+    h1 = with_a1.groupby("l_orderkey").aggregate(
+        Sum("a1", alias_name="h1"))
+    h1_tbl = collect_small(h1)
+    with_h1 = attach_broadcast(op, h1_tbl, "l_orderkey", ["h1"])
+    a2 = _collect_raw(with_h1.groupby("l_partkey").aggregate(
+        Sum("h1", alias_name="a2")))
+    p = a2["l_partkey"].to_numpy(zero_copy_only=False)
+    a2v = a2["a2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a1k = a1_pa["l_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(a1k, kind="stable")
+    a1k_s = a1k[order]
+    a1v_s = a1_pa["a1"].to_numpy(zero_copy_only=False)[order]
+    a1v = a1v_s[np.searchsorted(a1k_s, p)]
+    m = int(a2v.max()) if len(a2v) else 1
+    return _collect(pa.table({
+        "part": pa.array(p, pa.int64()),
+        "degree": pa.array(a1v, pa.int64()),
+        "authority_raw": pa.array(a2v, pa.int64()),
+        "authority": pa.array(a2v * 1.0 / m, pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -15850,6 +16237,10 @@ def build_queries() -> dict:
         "mutual_information": q_mutual_information,
         "kaplan_meier": q_kaplan_meier,
         "feature_hashing": q_feature_hashing,
+        "clustering_coef": q_clustering_coef,
+        "anova_events": q_anova_events,
+        "ntile_stats": q_ntile_stats,
+        "hits_scores": q_hits_scores,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -16162,6 +16553,10 @@ WHERE rn <= 2
         "mutual_information": MUTUAL_INFORMATION_SQL,
         "kaplan_meier": KAPLAN_MEIER_SQL,
         "feature_hashing": FEATURE_HASHING_SQL,
+        "clustering_coef": CLUSTERING_COEF_SQL,
+        "anova_events": ANOVA_EVENTS_SQL,
+        "ntile_stats": NTILE_STATS_SQL,
+        "hits_scores": HITS_SCORES_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
