@@ -16075,6 +16075,326 @@ def q_hits_scores(sf_dir: str):
     }))
 
 
+
+
+PYTH_MEANS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(v) / COUNT(*), 6) AS mean_arith,
+       ROUND(EXP(SUM(LN(v)) / COUNT(*)), 6) AS mean_geo,
+       ROUND(COUNT(*) / SUM(1.0 / v), 6) AS mean_harm
+FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND value > 0)
+GROUP BY 1
+"""
+
+
+def q_pyth_means(sf_dir: str):
+    """The three Pythagorean means per event type (arithmetic,
+    geometric, harmonic — the robust-center triple for skewed rate
+    data).  All three are mergeable moments: each block emits
+    (n, sum v, sum ln v, sum 1/v) partials, one category-scale driver
+    fold, no exchange.  ln/exp ride the shared libm (the doc_logprob
+    precedent) and term-sum order differences are absorbed by the
+    two-step output rounding; positivity is part of the operator
+    contract (v > 0 filter on both sides).  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    ds = _events_nonnull(sf_dir, ["event_type", "value"])
+    part_schema = pa.schema([("grp", pa.string()), ("n", pa.int64()),
+                             ("s", pa.float64()),
+                             ("sln", pa.float64()),
+                             ("sinv", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = v > 0
+        g, v = g[m], v[m]
+        if not len(g):
+            return part_schema.empty_table()
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = g[1:] != g[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({
+            "grp": g[ks],
+            "n": np.diff(np.append(ks, len(g))).astype(np.int64),
+            "s": np.add.reduceat(v, ks),
+            "sln": np.add.reduceat(np.log(v), ks),
+            "sinv": np.add.reduceat(1.0 / v, ks),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    g = parts.groupby("grp").agg(n=("n", "sum"), s=("s", "sum"),
+                                 sln=("sln", "sum"),
+                                 sinv=("sinv", "sum")).reset_index()
+    n = g.n.values.astype(np.int64)
+    return _collect(pa.table({
+        "event_type": pa.array(g.grp.values, pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "mean_arith": pa.array(g.s.values / n, pa.float64()),
+        "mean_geo": pa.array(np.exp(g.sln.values / n), pa.float64()),
+        "mean_harm": pa.array(n / g.sinv.values, pa.float64()),
+    }))
+
+
+LEXICAL_RICHNESS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+           AS term
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+tc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> ''
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(COUNT(*) * 1.0 / SUM(tf), 6) AS ttr,
+       ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+             * 1.0 / SUM(tf), 6) AS hapax_share
+FROM tc GROUP BY 1
+"""
+
+
+def q_lexical_richness(sf_dir: str):
+    """Per-document lexical richness (type-token ratio + hapax share —
+    the repetition/diversity quality signals next to gopher_repetition):
+    every document is one row, so the whole computation is a SINGLE
+    stateless map over the corpus — tokenize with the arrow regex
+    splitter, flatten the list column once, and derive per-doc
+    type/hapax counts from one lexsort + run reduction (no per-doc
+    Python, no exchange at all).  Ratios divide exact ints;
+    ORACLE-CHECKED against the UNNEST SQL."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("n_types", pa.int64()), ("n_hapax", pa.int64()),
+        ("ttr", pa.float64()), ("hapax_share", pa.float64())])
+
+    def _doc_stats(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["doc_id"]),
+                                     pc.is_valid(batch["text"])))
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(batch)),
+                        np.diff(offs).astype(np.int64))
+        keep = flat != ""
+        flat, row = flat[keep], row[keep]
+        n_tokens = np.bincount(row, minlength=len(batch)).astype(
+            np.int64)
+        order = np.lexsort((flat, row))
+        rs, fs = row[order], flat[order]
+        first = np.empty(len(rs), dtype=bool)
+        if len(rs):
+            first[0] = True
+            first[1:] = (rs[1:] != rs[:-1]) | (fs[1:] != fs[:-1])
+        runs = np.diff(np.append(np.nonzero(first)[0], len(rs)))
+        run_row = rs[first] if len(rs) else np.empty(0, np.int64)
+        n_types = np.bincount(run_row, minlength=len(batch)).astype(
+            np.int64)
+        n_hapax = np.bincount(run_row[runs == 1],
+                              minlength=len(batch)).astype(np.int64)
+        nz = n_tokens > 0
+        return pa.table({
+            "doc_id": batch["doc_id"].to_numpy(
+                zero_copy_only=False)[nz],
+            "n_tokens": n_tokens[nz],
+            "n_types": n_types[nz],
+            "n_hapax": n_hapax[nz],
+            "ttr": n_types[nz] * 1.0 / n_tokens[nz],
+            "hapax_share": n_hapax[nz] * 1.0 / n_tokens[nz],
+        }, schema=out_schema)
+
+    return _collect(ds.map_batches(_doc_stats, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+GRUBBS_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+    AND value IS NOT NULL),
+st AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+  FROM e GROUP BY 1),
+sc AS (
+  SELECT e.event_type, e.event_id, e.v,
+         ABS(e.v - st.s / st.n)
+           / SQRT((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS score
+  FROM e JOIN st USING (event_type)),
+r AS (
+  SELECT event_type, event_id, v, ROUND(score, 6) AS score6,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(FLOOR(ROUND(score, 6) * 1e6 + 0.5) AS BIGINT)
+                      DESC, event_id) AS rn
+  FROM sc)
+SELECT event_type, event_id, ROUND(v, 6) AS value, score6 AS score,
+       CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+"""
+
+
+def q_grubbs_outliers(sf_dir: str):
+    """Grubbs-style studentized extreme outliers: the 3 most deviant
+    events per type by |v - mean| / std (sample std) — the
+    anomaly-triage readout after anomaly_mad's robust variant.  Engine
+    path: per-type (n, sum, sum-sq) moments fold on the driver and
+    broadcast; scoring is stateless per block, and the per-type top-3
+    rides top_k_by_key's two-level partial top-k.  ORDERING discipline:
+    mean/std carry sum-order ulps, so the score is two-step-rounded
+    FIRST, scaled to exact int64 micro-units, and ranked integer-side
+    on both engines.  ORACLE-CHECKED."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.topk import top_k_by_key
+
+    ds = _events_nonnull(sf_dir, ["event_type", "event_id", "value"])
+    part_schema = pa.schema([("grp", pa.string()), ("n", pa.int64()),
+                             ("s", pa.float64()), ("ss", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.argsort(g, kind="stable")
+        g, v = g[order], v[order]
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = g[1:] != g[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({
+            "grp": g[ks],
+            "n": np.diff(np.append(ks, len(g))).astype(np.int64),
+            "s": np.add.reduceat(v, ks),
+            "ss": np.add.reduceat(v * v, ks),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    st = parts.groupby("grp").agg(n=("n", "sum"), s=("s", "sum"),
+                                  ss=("ss", "sum"))
+    st["mean"] = st.s / st.n
+    st["std"] = np.sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1))
+    keys = np.sort(st.index.values)
+    mu = st["mean"].reindex(keys).values
+    sd = st["std"].reindex(keys).values
+    ref = ray.put((keys, mu, sd))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ks, m, s = ray.get(ref)
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pos = np.searchsorted(ks, g)
+        score = round6_tie_robust(np.abs(v - m[pos]) / s[pos])
+        return pa.table({
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"],
+            "value": pa.array(v, pa.float64()),
+            "score": pa.array(score, pa.float64()),
+            "micro": pa.array(np.floor(score * 1e6 + 0.5).astype(
+                np.int64), pa.int64()),
+        })
+
+    scored = ds.map_batches(_score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    top = top_k_by_key(scored, ["event_type"], "micro", 3,
+                       tiebreak_col="event_id", descending=True)
+    return _collect(top.map_batches(
+        lambda t: t.select(["event_type", "event_id", "value", "score",
+                            "rn"]),
+        batch_format="pyarrow"))
+
+
+_BLOCKLIST_PAT = "(^|[^a-z0-9])(slow|spark|big)([^a-z0-9]|$)"
+
+BLOCKLIST_RATE_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(lower(text),
+                          '{_BLOCKLIST_PAT}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       ROUND(SUM(CASE WHEN regexp_matches(lower(text),
+                          '{_BLOCKLIST_PAT}') THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS flag_rate
+FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_blocklist_rate(sf_dir: str):
+    """Blocklist hit rate per source (the safety/policy-filter audit a
+    corpus pipeline runs before mixing): share of documents containing
+    any blocked term as a standalone token, via one compiled RE2 regex
+    (token-boundary guarded — pc.match_substring_regex and DuckDB
+    regexp_matches share RE2 semantics, the pii_redact precedent).
+    Stateless per-block flag + per-source integer partials, one
+    category-scale driver fold; rates divide exact ints.
+    ORACLE-CHECKED."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_docs", pa.int64()),
+                             ("n_flagged", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["source"]),
+                                     pc.is_valid(batch["text"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        hit = pc.match_substring_regex(
+            pc.utf8_lower(batch["text"]), _BLOCKLIST_PAT).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, hit = src[order], hit[order]
+        first = np.empty(len(src), dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({
+            "source": src[ks],
+            "n_docs": np.diff(np.append(ks, len(src))).astype(
+                np.int64),
+            "n_flagged": np.add.reduceat(hit, ks),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    g = parts.groupby("source").agg(
+        n_docs=("n_docs", "sum"),
+        n_flagged=("n_flagged", "sum")).reset_index()
+    return _collect(pa.table({
+        "source": pa.array(g.source.values, pa.string()),
+        "n_docs": pa.array(g.n_docs.values.astype(np.int64)),
+        "n_flagged": pa.array(g.n_flagged.values.astype(np.int64)),
+        "flag_rate": pa.array(
+            g.n_flagged.values * 1.0 / g.n_docs.values, pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -16241,6 +16561,10 @@ def build_queries() -> dict:
         "anova_events": q_anova_events,
         "ntile_stats": q_ntile_stats,
         "hits_scores": q_hits_scores,
+        "pyth_means": q_pyth_means,
+        "lexical_richness": q_lexical_richness,
+        "grubbs_outliers": q_grubbs_outliers,
+        "blocklist_rate": q_blocklist_rate,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -16557,6 +16881,10 @@ WHERE rn <= 2
         "anova_events": ANOVA_EVENTS_SQL,
         "ntile_stats": NTILE_STATS_SQL,
         "hits_scores": HITS_SCORES_SQL,
+        "pyth_means": PYTH_MEANS_SQL,
+        "lexical_richness": LEXICAL_RICHNESS_SQL,
+        "grubbs_outliers": GRUBBS_OUTLIERS_SQL,
+        "blocklist_rate": BLOCKLIST_RATE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
