@@ -15999,15 +15999,16 @@ def q_hits_scores(sf_dir: str):
     every intermediate an exact INTEGER (a1 = part degree, h1 = sum of
     neighbor degrees, a2 = sum of hub scores), so there is no float
     drift to round away; the single normalization (a2 / max a2)
-    happens once at the end on exact ints.  Engine path: two keyed
-    exchanges (order-sum, part-sum) with the order-scale hub table
-    attached through collect_small's loud gate (beyond it the
-    documented switch is join_skew_safe on l_orderkey).
-    ORACLE-CHECKED."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    happens once at the end on exact ints.  Engine path: ONE keyed
+    exchange total — the order-keyed distinct leaves every block
+    holding whole order groups, so pass 1 folds part degrees from
+    block partials (part-scale, driver merge), and pass 2 broadcasts
+    a1, computes each order's hub score IN-BLOCK (groups are whole)
+    and emits per-part authority partials that fold on the driver; the
+    hub table never collects and never re-shuffles.  ORACLE-CHECKED."""
+    import ray
 
-    from ..stages.joins import attach_broadcast, collect_small
+    from ..stages.sorted_groups import sorted_group_map
 
     op = _copurchase_order_parts(sf_dir)
 
@@ -16016,8 +16017,8 @@ def q_hits_scores(sf_dir: str):
 
     op = op.map_batches(_dedupe, batch_format="pyarrow",
                         zero_copy_batch=True)
-    # finish the cross-block distinct inside one keyed exchange
-    from ..stages.sorted_groups import sorted_group_map
+    # finish the cross-block distinct inside one keyed exchange; blocks
+    # downstream hold WHOLE order groups (the sorted_group_map contract)
     op_schema = pa.schema([("l_orderkey", pa.int64()),
                            ("l_partkey", pa.int64())])
 
@@ -16037,7 +16038,6 @@ def q_hits_scores(sf_dir: str):
     op = sorted_group_map(op, ["l_orderkey"], None, op_schema,
                           block_fn=_run_distinct).materialize()
 
-    # a1 (part degree) = row count per part, from block partials
     deg_schema = pa.schema([("l_partkey", pa.int64()),
                             ("a1", pa.int64())])
 
@@ -16045,31 +16045,56 @@ def q_hits_scores(sf_dir: str):
         g = batch.group_by(["l_partkey"]).aggregate([([], "count_all")])
         return g.rename_columns(["l_partkey", "a1"]).cast(deg_schema)
 
-    a1_tbl = _collect_raw(op.map_batches(
+    a1_df = _collect_raw(op.map_batches(
         _deg_partial, batch_format="pyarrow",
         zero_copy_batch=True)).to_pandas().groupby(
         "l_partkey", as_index=False)["a1"].sum()
-    a1_pa = pa.table({"l_partkey": a1_tbl.l_partkey.values,
-                      "a1": a1_tbl.a1.values.astype(np.int64)})
-
-    with_a1 = attach_broadcast(op, a1_pa, "l_partkey", ["a1"])
-    h1 = with_a1.groupby("l_orderkey").aggregate(
-        Sum("a1", alias_name="h1"))
-    h1_tbl = collect_small(h1)
-    with_h1 = attach_broadcast(op, h1_tbl, "l_orderkey", ["h1"])
-    a2 = _collect_raw(with_h1.groupby("l_partkey").aggregate(
-        Sum("h1", alias_name="a2")))
-    p = a2["l_partkey"].to_numpy(zero_copy_only=False)
-    a2v = a2["a2"].to_numpy(zero_copy_only=False).astype(np.int64)
-    a1k = a1_pa["l_partkey"].to_numpy(zero_copy_only=False)
+    a1k = a1_df.l_partkey.values.astype(np.int64)
+    a1v = a1_df.a1.values.astype(np.int64)
     order = np.argsort(a1k, kind="stable")
-    a1k_s = a1k[order]
-    a1v_s = a1_pa["a1"].to_numpy(zero_copy_only=False)[order]
-    a1v = a1v_s[np.searchsorted(a1k_s, p)]
+    a1k, a1v = a1k[order], a1v[order]
+    a1ref = ray.put((a1k, a1v))
+
+    a2_schema = pa.schema([("l_partkey", pa.int64()),
+                           ("a2", pa.int64())])
+
+    def _a2_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return a2_schema.empty_table()
+        ks, vs = ray.get(a1ref)
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        a1p = vs[np.searchsorted(ks, p)]
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        run = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        h1 = np.add.reduceat(a1p, starts)      # whole groups per block
+        contrib = h1[run]                       # h1 of this row's order
+        po = np.argsort(p, kind="stable")
+        ps, cs = p[po], contrib[po]
+        pf = np.empty(len(ps), dtype=bool)
+        pf[0] = True
+        pf[1:] = ps[1:] != ps[:-1]
+        ks2 = np.nonzero(pf)[0]
+        return pa.table({"l_partkey": ps[ks2],
+                         "a2": np.add.reduceat(cs, ks2)},
+                        schema=a2_schema)
+
+    # batch_size=None: whole blocks — block boundaries are group-aligned
+    # by the sorted exchange above, a sliced default batch would not be
+    a2_df = _collect_raw(op.map_batches(
+        _a2_partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)).to_pandas().groupby(
+        "l_partkey", as_index=False)["a2"].sum()
+    p = a2_df.l_partkey.values.astype(np.int64)
+    a2v = a2_df.a2.values.astype(np.int64)
+    a1_out = a1v[np.searchsorted(a1k, p)]
     m = int(a2v.max()) if len(a2v) else 1
     return _collect(pa.table({
         "part": pa.array(p, pa.int64()),
-        "degree": pa.array(a1v, pa.int64()),
+        "degree": pa.array(a1_out, pa.int64()),
         "authority_raw": pa.array(a2v, pa.int64()),
         "authority": pa.array(a2v * 1.0 / m, pa.float64()),
     }))
