@@ -16420,6 +16420,454 @@ def q_blocklist_rate(sf_dir: str):
     }))
 
 
+
+
+_PCA_COV_CTE = """
+u AS MATERIALIZED (
+  SELECT vec_id, d.dim AS dim,
+         CAST(FLOOR(ROUND(CAST(embedding[d.dim] AS DOUBLE), 6) * 1000
+                    + 0.5) AS BIGINT) AS vi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+cp AS (
+  SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n,
+         SUM(a.vi * b.vi) AS sij
+  FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+  GROUP BY 1, 2),
+s AS (SELECT dim, SUM(vi) AS si FROM u GROUP BY 1),
+ctri AS (
+  SELECT cp.i AS i, cp.j AS j, cp.n AS n,
+         CAST(cp.n * cp.sij - sa.si * sb.si AS DOUBLE) AS c
+  FROM cp JOIN s sa ON sa.dim = cp.i JOIN s sb ON sb.dim = cp.j),
+cfull AS (
+  SELECT i, j, n, c FROM ctri
+  UNION ALL SELECT j AS i, i AS j, n, c FROM ctri WHERE i <> j)"""
+
+PCA_TOP_EIGEN_SQL = f"""
+WITH {_PCA_COV_CTE},
+v0 AS (SELECT DISTINCT i AS dim, 1.0 AS v FROM cfull),
+w1 AS (SELECT i AS dim, SUM(c * v0.v) AS w
+       FROM cfull JOIN v0 ON v0.dim = cfull.j GROUP BY 1),
+v1 AS (SELECT dim, ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w1), 6)
+                AS v FROM w1),
+w2 AS (SELECT i AS dim, SUM(c * v1.v) AS w
+       FROM cfull JOIN v1 ON v1.dim = cfull.j GROUP BY 1),
+v2 AS (SELECT dim, ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w2), 6)
+                AS v FROM w2),
+w3 AS (SELECT i AS dim, SUM(c * v2.v) AS w
+       FROM cfull JOIN v2 ON v2.dim = cfull.j GROUP BY 1),
+v3 AS (SELECT dim, ROUND(w / (SELECT SQRT(SUM(w * w)) FROM w3), 6)
+                AS v FROM w3),
+quad AS (
+  SELECT SUM(va.v * cfull.c * vb.v) AS q,
+         ANY_VALUE(cfull.n) AS n
+  FROM cfull JOIN v3 va ON va.dim = cfull.i
+             JOIN v3 vb ON vb.dim = cfull.j)
+SELECT v3.dim AS dim, v3.v AS loading,
+       ROUND(quad.q / (1000000.0 * quad.n * (quad.n - 1)), 6)
+         AS eigenvalue
+FROM v3 CROSS JOIN quad
+"""
+
+
+def q_pca_top_eigen(sf_dir: str):
+    """Top principal component of the embedding corpus by 3 fixed power
+    iterations (all-ones init) over the EXACT-INTEGER covariance
+    numerators n*Sij - Si*Sj from the shared milli quantization — the
+    PCA/whitening readout on top of embedding_covariance's Gram
+    exchange (each block ships ONE dim^2 int64 Gram partial; corpus
+    size never matters).  PARITY: the iteration vector is
+    two-step-rounded after every normalize (the pagerank discipline),
+    so matvec term-order ulps cannot compound; the Rayleigh-quotient
+    eigenvalue divides by the exact milli^2 * n(n-1) scale at the end.
+    ORACLE-CHECKED against the unrolled 3-iteration SQL."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    part_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                             ("sij", pa.int64()), ("si", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _gram(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["vec_id"]),
+                                     pc.is_valid(batch["embedding"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        mat = _emb_matrix(batch, "embedding")
+        vi = np.floor(round6_tie_robust(mat) * 1000.0
+                      + 0.5).astype(np.int64)
+        n, d = vi.shape
+        gram = vi.T @ vi
+        si = vi.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "sij": pa.array(gram[iu, ju], pa.int64()),
+            "si": pa.array(np.where(iu == ju, si[iu], 0), pa.int64()),
+            "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _gram, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    d = int(parts.i.max())
+    S = np.zeros((d, d), dtype=np.int64)
+    np.add.at(S, (parts.i.values - 1, parts.j.values - 1),
+              parts.sij.values)
+    si = np.zeros(d, dtype=np.int64)
+    diag = parts[parts.i == parts.j]
+    np.add.at(si, diag.i.values - 1, diag.si.values)
+    n = int(parts[(parts.i == 1) & (parts.j == 1)].n.sum())
+    S = S + np.triu(S, 1).T                    # mirror to full symmetric
+    C = (n * S - np.outer(si, si)).astype(np.float64)
+
+    v = np.ones(d, dtype=np.float64)
+    for _ in range(3):
+        w = C @ v
+        v = round6_tie_robust(w / np.sqrt(np.sum(w * w)))
+    quad = float(v @ (C @ v))
+    eig = quad / (1e6 * n * (n - 1))
+    return _collect(pa.table({
+        "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+        "loading": pa.array(v, pa.float64()),
+        "eigenvalue": pa.array(np.full(d, eig), pa.float64()),
+    }))
+
+
+MARKOV_PERPLEXITY_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+pr AS (
+  SELECT event_type AS f, nxt AS t, COUNT(*) AS nft
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+pf AS (SELECT f, SUM(nft) AS nf FROM pr GROUP BY 1),
+tr AS (SELECT user_id, event_type AS f, nxt AS t FROM s
+       WHERE nxt IS NOT NULL),
+sc AS (
+  SELECT tr.user_id AS user_id, COUNT(*) AS n_trans,
+         SUM(LN(pr.nft * 1.0 / pf.nf)) AS slogp
+  FROM tr JOIN pr ON pr.f = tr.f AND pr.t = tr.t
+          JOIN pf ON pf.f = tr.f
+  GROUP BY 1)
+SELECT user_id, CAST(n_trans AS BIGINT) AS n_trans,
+       ROUND(slogp / n_trans, 6) AS avg_logp,
+       ROUND(EXP(-slogp / n_trans), 6) AS perplexity
+FROM sc
+"""
+
+
+def q_markov_perplexity(sf_dir: str):
+    """Per-user sequence perplexity under the corpus-global first-order
+    Markov model (the behavioral-anomaly score: users whose event
+    streams the global model finds surprising): transition probabilities
+    from the full corpus, each user scored by exp(-mean ln p) over
+    their own transitions.  Engine path: ONE user-keyed exchange
+    groups sequences; pass 1 folds the (from, to) transition counts
+    from in-block pair partials (category^2-scale driver merge), pass 2
+    re-reads the SAME materialized grouped blocks (batch_size=None —
+    group-aligned) and scores each user in-block against the broadcast
+    log-prob matrix.  Each ln term divides exact ints (bit-identical
+    both engines); per-user sum order is absorbed by the two-step
+    output rounding.  ORACLE-CHECKED."""
+    import ray
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    grp_schema = pa.schema([("user_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("event_id", pa.int64()),
+                            ("event_type", pa.string())])
+
+    def _identity(batch: pa.Table) -> pa.Table:
+        return batch.cast(grp_schema)
+
+    grouped = sorted_group_map(ds, ["user_id"], None, grp_schema,
+                               block_fn=_identity).materialize()
+
+    def _seq_pairs(batch: pa.Table):
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        return u, et[:-1][same] if len(u) > 1 else et[:0], \
+            et[1:][same] if len(u) > 1 else et[:0], same
+
+    cnt_schema = pa.schema([("f", pa.string()), ("t", pa.string()),
+                            ("nft", pa.int64())])
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return cnt_schema.empty_table()
+        _, fr, to, _ = _seq_pairs(batch)
+        if not len(fr):
+            return cnt_schema.empty_table()
+        t = pa.table({"f": fr, "t": to})
+        g = t.group_by(["f", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["f", "t", "nft"]).cast(cnt_schema)
+
+    counts = _collect_raw(grouped.map_batches(
+        _count_partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)).to_pandas().groupby(
+        ["f", "t"], as_index=False)["nft"].sum()
+    nf = counts.groupby("f")["nft"].transform("sum")
+    counts["logp"] = np.log(counts.nft.values * 1.0 / nf.values)
+    keys = (counts.f + "\x00" + counts.t).values
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], counts.logp.values[order]))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_trans", pa.int64()),
+                            ("avg_logp", pa.float64()),
+                            ("perplexity", pa.float64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return out_schema.empty_table()
+        u_sorted, fr, to, same = _seq_pairs(batch)
+        if not len(fr):
+            return out_schema.empty_table()
+        ks, lp = ray.get(ref)
+        pk = np.char.add(np.char.add(fr.astype(str), "\x00"),
+                         to.astype(str))
+        logp = lp[np.searchsorted(ks, pk)]
+        uu = u_sorted[:-1][same]
+        first = np.empty(len(uu), dtype=bool)
+        first[0] = True
+        first[1:] = uu[1:] != uu[:-1]
+        starts = np.nonzero(first)[0]
+        nt = np.diff(np.append(starts, len(uu))).astype(np.int64)
+        slog = np.add.reduceat(logp, starts)
+        avg = slog / nt
+        return pa.table({
+            "user_id": pa.array(uu[starts], pa.int64()),
+            "n_trans": pa.array(nt, pa.int64()),
+            "avg_logp": pa.array(avg, pa.float64()),
+            "perplexity": pa.array(np.exp(-avg), pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(grouped.map_batches(
+        _score, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True))
+
+
+BFS_LEVELS_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+inc AS (SELECT u AS w, v AS nbr FROM e
+        UNION ALL SELECT v AS w, u AS nbr FROM e),
+l0 AS (SELECT MIN(u) AS node FROM
+       (SELECT u FROM e UNION ALL SELECT v FROM e) t(u)),
+n1 AS (SELECT DISTINCT nbr AS node FROM inc
+       JOIN l0 ON inc.w = l0.node),
+l1 AS (SELECT node FROM n1
+       WHERE node NOT IN (SELECT node FROM l0)),
+n2 AS (SELECT DISTINCT nbr AS node FROM inc
+       JOIN l1 ON inc.w = l1.node),
+l2 AS (SELECT node FROM n2
+       WHERE node NOT IN (SELECT node FROM l0)
+         AND node NOT IN (SELECT node FROM l1)),
+n3 AS (SELECT DISTINCT nbr AS node FROM inc
+       JOIN l2 ON inc.w = l2.node),
+l3 AS (SELECT node FROM n3
+       WHERE node NOT IN (SELECT node FROM l0)
+         AND node NOT IN (SELECT node FROM l1)
+         AND node NOT IN (SELECT node FROM l2))
+SELECT node, 0 AS level FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2
+UNION ALL SELECT node, 3 FROM l3
+"""
+
+
+def q_bfs_levels(sf_dir: str):
+    """3-hop BFS levels from the lowest-id node of the supported
+    co-purchase graph (the neighborhood-expansion primitive under
+    "related items within k hops"): frontier sets are node-scale
+    driver arrays (the pagerank state discipline); each hop streams
+    the edge list once with the frontier broadcast and folds the
+    discovered-neighbor partials — all set algebra on exact int ids,
+    no floats anywhere.  ORACLE-CHECKED against the unrolled
+    3-expansion SQL."""
+    import ray
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"k": t.filter(pc.greater_equal(t["nuv"], 2))["k"]},
+            schema=_EK_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes, _deg = _copurchase_degrees(edges)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "level": pa.array([], pa.int64())})
+    if len(nodes) == 0:
+        return empty
+    seed = int(nodes.min())
+    seen = {seed}
+    levels = [np.array([seed], dtype=np.int64)]
+    nbr_schema = pa.schema([("node", pa.int64())])
+    for _hop in range(3):
+        fref = ray.put(np.sort(levels[-1]))
+
+        def _expand(batch: pa.Table) -> pa.Table:
+            fr = ray.get(fref)
+            k = batch["k"].to_numpy(zero_copy_only=False)
+            u = k >> np.int64(32)
+            v = k & np.int64(0xFFFFFFFF)
+            pos_u = np.minimum(np.searchsorted(fr, u), len(fr) - 1)
+            pos_v = np.minimum(np.searchsorted(fr, v), len(fr) - 1)
+            hit_u = fr[pos_u] == u
+            hit_v = fr[pos_v] == v
+            out = np.unique(np.concatenate([v[hit_u], u[hit_v]]))
+            return pa.table({"node": out}, schema=nbr_schema)
+
+        found = _collect_raw(edges.map_batches(
+            _expand, batch_format="pyarrow", zero_copy_batch=True))
+        cand = np.unique(found["node"].to_numpy(zero_copy_only=False))
+        fresh = np.array([c for c in cand if c not in seen],
+                         dtype=np.int64)
+        if not len(fresh):
+            break
+        seen.update(fresh.tolist())
+        levels.append(fresh)
+    out_node = np.concatenate(levels)
+    out_level = np.concatenate([np.full(len(l), i, dtype=np.int64)
+                                for i, l in enumerate(levels)])
+    return _collect(pa.table({
+        "node": pa.array(out_node, pa.int64()),
+        "level": pa.array(out_level, pa.int64()),
+    }))
+
+
+FREQUENT_TRIPLES_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+tr AS (
+  SELECT a.p AS u, b.p AS v, c.p AS w
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+            JOIN op c ON c.o = a.o AND b.p < c.p)
+SELECT u, v, w, COUNT(*) AS support
+FROM tr GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+"""
+
+# itemsets pack into one int64 (3 x 21-bit ids) for the count exchange
+_TRIPLE_ID_BITS = 21
+
+
+def q_frequent_triples(sf_dir: str):
+    """Frequent 3-itemsets of the co-purchase baskets with support >= 2
+    (the Apriori step after copurchase_lift's pairs — candidate
+    bundles).  Engine path: rides the order-keyed exchange; per-order
+    triple emission is vectorized by basket-length class (the
+    covisit-pairs trick lifted to 3-combinations), triples pack into
+    ONE int64 key (3 x 21-bit ids — a loud guard raises if a partkey
+    ever outgrows the packing), block combiners shrink the key exchange
+    to distinct-triple partials, one keyed count merge + support
+    filter.  All integer arithmetic.  ORACLE-CHECKED against the
+    3-way self-join SQL."""
+    from itertools import combinations
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    op = _copurchase_order_parts(sf_dir)
+    key_schema = pa.schema([("k3", pa.int64()), ("n", pa.int64())])
+    bits = _TRIPLE_ID_BITS
+
+    def _order_triples(batch: pa.Table) -> pa.Table:
+        if len(batch) < 3:
+            return key_schema.empty_table()
+        tbl = batch.sort_by([("l_orderkey", "ascending"),
+                             ("l_partkey", "ascending")])
+        o = tbl["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = tbl["l_partkey"].to_numpy(zero_copy_only=False)
+        if p.max() >= (1 << bits):
+            raise ValueError(
+                "frequent_triples: partkey exceeds the 21-bit packing; "
+                "widen to a 3-column groupby for this catalog")
+        keep = np.empty(len(o), dtype=bool)
+        keep[0] = True
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(o)))
+        keys = []
+        for length in np.unique(lens):
+            if length < 3:
+                continue
+            sel = starts[lens == length]
+            idx = sel[:, None] + np.arange(length)
+            m = p[idx]
+            comb = np.array(list(combinations(range(int(length)), 3)),
+                            dtype=np.int64)
+            k3 = ((m[:, comb[:, 0]] << np.int64(2 * bits))
+                  | (m[:, comb[:, 1]] << np.int64(bits))
+                  | m[:, comb[:, 2]]).ravel()
+            keys.append(k3)
+        if not keys:
+            return key_schema.empty_table()
+        k3 = np.concatenate(keys)
+        uniq, cnt = np.unique(k3, return_counts=True)
+        return pa.table({"k3": uniq, "n": cnt.astype(np.int64)},
+                        schema=key_schema)
+
+    per_order = sorted_group_map(op, ["l_orderkey"], None, key_schema,
+                                 block_fn=_order_triples)
+
+    def _merge(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return key_schema.empty_table()
+        t = batch.sort_by([("k3", "ascending")])
+        k = t["k3"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(k), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        ks = np.nonzero(first)[0]
+        return pa.table({"k3": k[ks], "n": np.add.reduceat(n, ks)},
+                        schema=key_schema)
+
+    merged = sorted_group_map(per_order, ["k3"], None, key_schema,
+                              block_fn=_merge)
+    mask = np.int64((1 << bits) - 1)
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["n"], 2))
+        k = t["k3"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(k >> np.int64(2 * bits), pa.int64()),
+            "v": pa.array((k >> np.int64(bits)) & mask, pa.int64()),
+            "w": pa.array(k & mask, pa.int64()),
+            "support": t["n"],
+        })
+
+    return _collect(merged.map_batches(_unpack, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -16590,6 +17038,10 @@ def build_queries() -> dict:
         "lexical_richness": q_lexical_richness,
         "grubbs_outliers": q_grubbs_outliers,
         "blocklist_rate": q_blocklist_rate,
+        "pca_top_eigen": q_pca_top_eigen,
+        "markov_perplexity": q_markov_perplexity,
+        "bfs_levels": q_bfs_levels,
+        "frequent_triples": q_frequent_triples,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -16910,6 +17362,10 @@ WHERE rn <= 2
         "lexical_richness": LEXICAL_RICHNESS_SQL,
         "grubbs_outliers": GRUBBS_OUTLIERS_SQL,
         "blocklist_rate": BLOCKLIST_RATE_SQL,
+        "pca_top_eigen": PCA_TOP_EIGEN_SQL,
+        "markov_perplexity": MARKOV_PERPLEXITY_SQL,
+        "bfs_levels": BFS_LEVELS_SQL,
+        "frequent_triples": FREQUENT_TRIPLES_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
