@@ -16868,6 +16868,440 @@ def q_frequent_triples(sf_dir: str):
                                        zero_copy_batch=True))
 
 
+HURST_RS_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (SELECT event_type, mi,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               - 1 AS idx
+      FROM d),
+g AS (
+  SELECT event_type, w.wsz AS wsz, r.idx // w.wsz AS win,
+         ROW_NUMBER() OVER (PARTITION BY event_type, w.wsz,
+                            r.idx // w.wsz ORDER BY r.idx) AS k,
+         SUM(r.mi) OVER (PARTITION BY event_type, w.wsz,
+                         r.idx // w.wsz ORDER BY r.idx) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type, w.wsz,
+                        r.idx // w.wsz) AS cnt,
+         SUM(r.mi) OVER (PARTITION BY event_type, w.wsz,
+                         r.idx // w.wsz) AS tot,
+         SUM(r.mi * r.mi) OVER (PARTITION BY event_type, w.wsz,
+                                r.idx // w.wsz) AS tot2
+  FROM r CROSS JOIN (SELECT UNNEST([5, 10, 15]) AS wsz) w),
+s AS (
+  SELECT event_type, wsz, win,
+         MAX(cnt * cum - k * tot) - MIN(cnt * cum - k * tot) AS rn,
+         ANY_VALUE(cnt) AS n, ANY_VALUE(tot) AS si,
+         ANY_VALUE(tot2) AS s2
+  FROM g WHERE cnt = wsz GROUP BY 1, 2, 3),
+rs AS (
+  SELECT event_type, wsz, COUNT(*) AS n_windows,
+         ROUND(AVG(CAST(rn AS DOUBLE)
+                   / SQRT(CAST(n * s2 - si * si AS DOUBLE))), 6)
+           AS avg_rs
+  FROM s WHERE n * s2 - si * si > 0 GROUP BY 1, 2),
+h AS (
+  SELECT event_type, COUNT(*) AS m,
+         SUM(LN(CAST(wsz AS DOUBLE))) AS sx, SUM(LN(avg_rs)) AS sy,
+         SUM(LN(CAST(wsz AS DOUBLE)) * LN(avg_rs)) AS sxy,
+         SUM(LN(CAST(wsz AS DOUBLE)) * LN(CAST(wsz AS DOUBLE))) AS sxx
+  FROM rs WHERE avg_rs > 0 GROUP BY 1)
+SELECT rs.event_type AS event_type, CAST(rs.wsz AS BIGINT) AS w_size,
+       CAST(rs.n_windows AS BIGINT) AS n_windows, rs.avg_rs AS avg_rs,
+       ROUND((h.m * h.sxy - h.sx * h.sy)
+             / (h.m * h.sxx - h.sx * h.sx), 6) AS hurst
+FROM rs JOIN h USING (event_type)
+"""
+
+
+def q_hurst_rs(sf_dir: str):
+    """Hurst exponent by rescaled-range (R/S) analysis of each series'
+    daily-mean sequence — the long-memory / self-similarity diagnostic
+    (H > 0.5 trending, < 0.5 mean-reverting) astronomy and traffic
+    analysis both lean on.  The R/S algebra is kept EXACT on the shared
+    milli series: for a window of n integer values, n·cumdev_k =
+    n·cum_k − k·tot is an integer, so R·n = max − min of it, and
+    S·n = sqrt(n·S2 − Si²) — R/S = Rn / sqrt(n·S2 − Si²), one integer
+    divide + sqrt, bit-identical both engines.  Per-(type, window-size)
+    mean R/S is two-step-rounded, and the Hurst slope regresses
+    ln(R/S) on ln(w) from those ROUNDED means (same-libm logs on
+    identical doubles).  Driver work is |types| x |days| — bounded."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "w": [], "nw": [], "rs": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        for w in (5, 10, 15):
+            vals = []
+            for b in range(len(mi) // w):
+                x = mi[b * w:(b + 1) * w].astype(np.int64)
+                cum = np.cumsum(x)
+                k = np.arange(1, w + 1, dtype=np.int64)
+                nd = w * cum - k * cum[-1]
+                rn = int(nd.max() - nd.min())
+                s2n = int(w * int((x * x).sum()) - int(cum[-1]) ** 2)
+                if s2n > 0:
+                    vals.append(float(rn) / np.sqrt(float(s2n)))
+            if vals:
+                rows["et"].append(et)
+                rows["w"].append(w)
+                rows["nw"].append(len(vals))
+                rows["rs"].append(float(round6_tie_robust(
+                    np.array([np.mean(vals)]))[0]))
+    out = {"event_type": [], "w_size": [], "n_windows": [],
+           "avg_rs": [], "hurst": []}
+    ets = sorted(set(rows["et"]))
+    for et in ets:
+        idx = [i for i, e in enumerate(rows["et"])
+               if e == et and rows["rs"][i] > 0]
+        if not idx:          # mirror the oracle's inner join: no slope
+            continue         # row -> the type's rs rows drop too
+        lx = np.log(np.array([rows["w"][i] for i in idx], np.float64))
+        ly = np.log(np.array([rows["rs"][i] for i in idx], np.float64))
+        m = len(idx)
+        hurst = ((m * float((lx * ly).sum()) -
+                  float(lx.sum()) * float(ly.sum()))
+                 / (m * float((lx * lx).sum()) - float(lx.sum()) ** 2))
+        for i in [j for j, e in enumerate(rows["et"]) if e == et]:
+            out["event_type"].append(et)
+            out["w_size"].append(rows["w"][i])
+            out["n_windows"].append(rows["nw"][i])
+            out["avg_rs"].append(rows["rs"][i])
+            out["hurst"].append(hurst)
+    return _collect(pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "w_size": pa.array(out["w_size"], pa.int64()),
+        "n_windows": pa.array(out["n_windows"], pa.int64()),
+        "avg_rs": pa.array(out["avg_rs"], pa.float64()),
+        "hurst": pa.array(out["hurst"], pa.float64()),
+    }))
+
+
+WELCH_TTEST_SQL = """
+WITH v AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS thr FROM v),
+a AS (
+  SELECT event_type,
+         SUM(CASE WHEN day <= (SELECT thr FROM mm)
+                  THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN day <= (SELECT thr FROM mm)
+                  THEN vi ELSE 0 END) AS s1,
+         SUM(CASE WHEN day <= (SELECT thr FROM mm)
+                  THEN vi * vi ELSE 0 END) AS q1,
+         SUM(CASE WHEN day > (SELECT thr FROM mm)
+                  THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN day > (SELECT thr FROM mm)
+                  THEN vi ELSE 0 END) AS s2,
+         SUM(CASE WHEN day > (SELECT thr FROM mm)
+                  THEN vi * vi ELSE 0 END) AS q2
+  FROM v GROUP BY 1),
+b AS (
+  SELECT event_type, n1, n2,
+         CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+           / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS va,
+         CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+           / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS vb,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+  FROM a WHERE n1 > 1 AND n2 > 1)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(md / SQRT(va + vb), 6) AS t_stat,
+       ROUND((va + vb) * (va + vb)
+             / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 6) AS df
+FROM b
+"""
+
+
+def q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test between each series' first and
+    second timeline halves (midpoint-day split, the mannwhitney_u
+    design) — the parametric drift companion.  Everything derives from
+    FOUR exact integers per (type, period): n, Σvi, Σvi² on the milli
+    quantization, merged associatively from per-block partials; the
+    variance-of-mean va = (n·Q − S²)/(n²(n−1)) is one exact-int divide,
+    and t / Welch–Satterthwaite df are short IEEE chains on identical
+    doubles — bit-identical before the output rounding."""
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("day", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64()), ("q", pa.int64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from ..kernels.rounding import round6_tie_robust
+        day = pc.divide(batch["ts"].cast(pa.int64()), _DAY_US)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0 + 0.5).astype(
+            np.int64)
+        t = pa.table({"event_type": batch["event_type"], "day": day,
+                      "vi": pa.array(vi, pa.int64()),
+                      "qi": pa.array(vi * vi, pa.int64())})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all"), ("vi", "sum"), ("qi", "sum")])
+        return g.rename_columns(
+            ["event_type", "day", "n", "s", "q"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    thr = (int(parts["day"].min()) + int(parts["day"].max())) // 2
+    parts["p"] = np.where(parts["day"].values <= thr, 1, 2)
+    agg = parts.groupby(["event_type", "p"])[["n", "s", "q"]].sum()
+    rows = {"et": [], "n1": [], "n2": [], "t": [], "df": []}
+    for et in sorted({i[0] for i in agg.index}):
+        if (et, 1) not in agg.index or (et, 2) not in agg.index:
+            continue
+        g1, g2 = agg.loc[(et, 1)], agg.loc[(et, 2)]
+        n1, s1, q1 = (int(g1["n"]), int(g1["s"]), int(g1["q"]))
+        n2, s2, q2 = (int(g2["n"]), int(g2["s"]), int(g2["q"]))
+        if n1 < 2 or n2 < 2:
+            continue
+        va = float(n1 * q1 - s1 * s1) / float(n1 * n1 * (n1 - 1))
+        vb = float(n2 * q2 - s2 * s2) / float(n2 * n2 * (n2 - 1))
+        md = float(s1) / n1 - float(s2) / n2
+        se2 = va + vb
+        rows["et"].append(et)
+        rows["n1"].append(n1)
+        rows["n2"].append(n2)
+        rows["t"].append(md / np.sqrt(se2))
+        rows["df"].append(se2 * se2 / (va * va / (n1 - 1)
+                                       + vb * vb / (n2 - 1)))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n1": pa.array(rows["n1"], pa.int64()),
+        "n2": pa.array(rows["n2"], pa.int64()),
+        "t_stat": pa.array(rows["t"], pa.float64()),
+        "df": pa.array(rows["df"], pa.float64()),
+    }))
+
+
+CRAMERS_V_SQL = """
+WITH d AS (
+  SELECT lang, source FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+o AS (SELECT lang, source, COUNT(*) AS obs FROM d GROUP BY 1, 2),
+m AS (
+  SELECT obs,
+         SUM(obs) OVER (PARTITION BY lang) AS row_n,
+         SUM(obs) OVER (PARTITION BY source) AS col_n,
+         SUM(obs) OVER () AS n
+  FROM o),
+c AS (
+  SELECT SUM(POWER(obs - CAST(row_n AS DOUBLE) * col_n / n, 2)
+             / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2,
+         ANY_VALUE(n) AS n,
+         (SELECT COUNT(DISTINCT lang) FROM o) AS r,
+         (SELECT COUNT(DISTINCT source) FROM o) AS k
+  FROM m)
+SELECT CAST(r AS BIGINT) AS n_langs, CAST(k AS BIGINT) AS n_sources,
+       CAST(n AS BIGINT) AS n_docs, ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / (n * LEAST(r - 1, k - 1))), 6) AS cramers_v
+FROM c
+"""
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association strength between document language and
+    source — the normalized [0, 1] effect size on top of the
+    chi2_independence contingency discipline, over a DIFFERENT
+    table/pair (lang x source on documents).  Map-side integer cell
+    counts, |langs| x |sources| driver merge, expected counts in the
+    oracle's exact op order (row_n_float · col_n / n); V divides the
+    unrounded chi2 by n·min(r−1, k−1) before one sqrt."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("source", pa.string()),
+                             ("obs", pa.int64())])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["source"])))
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "source", "obs"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _cnt, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["lang", "source"], as_index=False)[
+        "obs"].sum()
+    row_n = cells.groupby("lang")["obs"].transform("sum").values.astype(
+        np.float64)
+    col_n = cells.groupby("source")["obs"].transform(
+        "sum").values.astype(np.float64)
+    obs = cells["obs"].values.astype(np.float64)
+    n = float(obs.sum())
+    exp = row_n * col_n / n
+    dev = obs - exp
+    chi2 = float(np.sum(dev * dev / exp))
+    r = cells["lang"].nunique()
+    k = cells["source"].nunique()
+    v = np.sqrt(chi2 / (n * min(r - 1, k - 1)))
+    return _collect(pa.table({
+        "n_langs": pa.array([r], pa.int64()),
+        "n_sources": pa.array([k], pa.int64()),
+        "n_docs": pa.array([int(n)], pa.int64()),
+        "chi2": pa.array(round6_tie_robust(np.array([chi2]))),
+        "cramers_v": pa.array(round6_tie_robust(np.array([v]))),
+    }))
+
+
+TCLOSENESS_SQL = """
+WITH v AS (
+  SELECT event_type, (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+mm AS (SELECT MIN(vi) AS lo, MAX(vi) AS hi FROM v),
+b AS (SELECT event_type, hour,
+             (vi - mm.lo) * 10 // (mm.hi - mm.lo + 1) AS bin
+      FROM v, mm),
+c AS (SELECT event_type, hour, bin, COUNT(*) AS n FROM b
+      GROUP BY 1, 2, 3),
+grp AS (SELECT DISTINCT event_type, hour FROM c),
+bins AS (SELECT UNNEST(range(10)) AS bin),
+gfull AS (
+  SELECT g.event_type AS event_type, g.hour AS hour,
+         bins.bin AS bin, COALESCE(c.n, 0) AS n
+  FROM grp g CROSS JOIN bins
+  LEFT JOIN c ON c.event_type = g.event_type AND c.hour = g.hour
+             AND c.bin = bins.bin),
+gc AS (
+  SELECT event_type, hour, bin,
+         SUM(n) OVER (PARTITION BY event_type, hour
+                      ORDER BY bin) AS cp,
+         SUM(n) OVER (PARTITION BY event_type, hour) AS ng
+  FROM gfull),
+t1 AS (SELECT event_type, bin, SUM(n) AS tn FROM gfull GROUP BY 1, 2),
+t2 AS (
+  SELECT event_type, bin,
+         SUM(tn) OVER (PARTITION BY event_type ORDER BY bin) AS cq,
+         SUM(tn) OVER (PARTITION BY event_type) AS nt
+  FROM t1),
+emd AS (
+  SELECT gc.event_type AS event_type, gc.hour AS hour,
+         ROUND(SUM(ABS(CAST(gc.cp AS DOUBLE) / gc.ng
+                       - CAST(t2.cq AS DOUBLE) / t2.nt)
+                   ORDER BY gc.bin) / 9.0, 6) AS t
+  FROM gc JOIN t2 ON t2.event_type = gc.event_type
+                 AND t2.bin = gc.bin
+  WHERE gc.bin < 9
+  GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_fail,
+       ROUND(MAX(t), 6) AS max_t
+FROM emd GROUP BY 1
+"""
+
+
+def q_tcloseness_audit(sf_dir: str):
+    """t-closeness audit — the third privacy gate after kanon_rollup
+    and ldiversity_audit: for each quasi-identifier group (event_type,
+    hour-of-day), the ordered earth-mover's distance between the
+    group's sensitive-value distribution (value in 10 equal-width
+    GLOBAL bins, integer edges on the milli quantization) and its
+    type's overall distribution; a group fails at t > 0.2.  EMD for an
+    ordered attribute is mean |cumP − cumQ| over interior bins — every
+    term an exact-int ratio, summed in bin order on both engines, and
+    the per-group t is two-step PRE-rounded before the threshold
+    compare and max (the changepoint_cusum discipline).  Two bounded
+    passes: global min/max, then |types| x 24 x 10 count partials."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    _HOUR_US = 3_600_000_000
+
+    def _vi(batch: pa.Table) -> np.ndarray:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return np.floor(round6_tie_robust(v) * 1000.0
+                        + 0.5).astype(np.int64)
+
+    mm_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def _minmax(batch: pa.Table) -> pa.Table:
+        vi = _vi(batch)
+        if not len(vi):
+            return mm_schema.empty_table()
+        return pa.table({"lo": pa.array([int(vi.min())], pa.int64()),
+                         "hi": pa.array([int(vi.max())], pa.int64())},
+                        schema=mm_schema)
+
+    mm = _collect_raw(ds.map_batches(_minmax, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    lo = int(pc.min(mm["lo"]).as_py())
+    hi = int(pc.max(mm["hi"]).as_py())
+    span = hi - lo + 1
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("hour", pa.int64()), ("bin", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _cnt(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (t_us % _DAY_US) // _HOUR_US
+        bins = (_vi(batch) - lo) * 10 // span
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pa.array(hour, pa.int64()),
+                      "bin": pa.array(bins, pa.int64())})
+        g = t.group_by(["event_type", "hour", "bin"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            ["event_type", "hour", "bin", "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _cnt, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["event_type", "hour", "bin"],
+                          as_index=False)["n"].sum()
+    rows = {"et": [], "ng": [], "gf": [], "mt": []}
+    for et, sub in cells.groupby("event_type"):
+        tq = np.zeros(10, dtype=np.int64)
+        np.add.at(tq, sub["bin"].values.astype(np.int64),
+                  sub["n"].values.astype(np.int64))
+        cq = np.cumsum(tq)
+        nt = int(cq[-1])
+        ts_ = []
+        for _hr, hsub in sub.groupby("hour"):
+            gp = np.zeros(10, dtype=np.int64)
+            np.add.at(gp, hsub["bin"].values.astype(np.int64),
+                      hsub["n"].values.astype(np.int64))
+            cp = np.cumsum(gp)
+            ng = int(cp[-1])
+            t = 0.0
+            for k in range(9):
+                t += abs(float(cp[k]) / ng - float(cq[k]) / nt)
+            ts_.append(float(round6_tie_robust(
+                np.array([t / 9.0]))[0]))
+        ts_ = np.array(ts_, dtype=np.float64)
+        rows["et"].append(et)
+        rows["ng"].append(len(ts_))
+        rows["gf"].append(int((ts_ > 0.2).sum()))
+        rows["mt"].append(float(ts_.max()))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_groups": pa.array(rows["ng"], pa.int64()),
+        "groups_fail": pa.array(rows["gf"], pa.int64()),
+        "max_t": pa.array(rows["mt"], pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -17042,6 +17476,10 @@ def build_queries() -> dict:
         "markov_perplexity": q_markov_perplexity,
         "bfs_levels": q_bfs_levels,
         "frequent_triples": q_frequent_triples,
+        "hurst_rs": q_hurst_rs,
+        "welch_ttest": q_welch_ttest,
+        "cramers_v": q_cramers_v,
+        "tcloseness_audit": q_tcloseness_audit,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -17366,6 +17804,10 @@ WHERE rn <= 2
         "markov_perplexity": MARKOV_PERPLEXITY_SQL,
         "bfs_levels": BFS_LEVELS_SQL,
         "frequent_triples": FREQUENT_TRIPLES_SQL,
+        "hurst_rs": HURST_RS_SQL,
+        "welch_ttest": WELCH_TTEST_SQL,
+        "cramers_v": CRAMERS_V_SQL,
+        "tcloseness_audit": TCLOSENESS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
