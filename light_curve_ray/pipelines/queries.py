@@ -17302,6 +17302,363 @@ def q_tcloseness_audit(sf_dir: str):
     }))
 
 
+ROLLING_MEDIAN_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2)
+SELECT event_type, day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       ROUND(MEDIAN(mi) OVER w / 1000.0, 6) AS med7
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_median_7d(sf_dir: str):
+    """Trailing 7-day rolling MEDIAN of each series' daily mean — the
+    robust smoother dashboards prefer over the rolling mean (one bad
+    day cannot drag it).  The window is a day-RANGE (missing days
+    shrink the window, they do not shift it).  Median over exact milli
+    ints is an int or int+0.5 — bit-exact both engines; the engine
+    side is a two-pointer day-range walk over the bounded
+    |types| x |days| driver series."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "day": [], "n": [], "m": []}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        for i in range(len(days)):
+            loi = int(np.searchsorted(days, days[i] - 6, side="left"))
+            w = mi[loi:i + 1]
+            rows["et"].append(et)
+            rows["day"].append(int(days[i]))
+            rows["n"].append(len(w))
+            rows["m"].append(float(np.median(w)) / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "day": pa.array(rows["day"], pa.int64()),
+        "n_in_window": pa.array(rows["n"], pa.int64()),
+        "med7": pa.array(rows["m"], pa.float64()),
+    }))
+
+
+OOV_RATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+vocab AS (SELECT term FROM tc WHERE n >= 5),
+dt AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, SUM(n) AS n_tok,
+         SUM(CASE WHEN term NOT IN (SELECT term FROM vocab)
+                  THEN n ELSE 0 END) AS n_oov
+  FROM dt GROUP BY 1)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       ROUND(CAST(n_oov AS DOUBLE) / n_tok, 6) AS oov_rate
+FROM d
+"""
+
+
+def q_oov_rate(sf_dir: str):
+    """Per-document out-of-vocabulary rate against the corpus
+    vocabulary (count >= 5 under the shared tokenizer) — the coverage
+    gate run before committing to a tokenizer/vocab for training.
+    Engine path: one term-keyed exchange builds the global counts
+    (block combiners first), the vocab broadcasts (Heaps-law bounded,
+    the unigram-LM discipline), and a second doc-keyed exchange scores
+    each doc via a sorted-vocab searchsorted probe — integer counts
+    end to end, one ratio at the output."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    gc_ = _collect_raw(term_counts(ds, [], "text"))
+    terms = np.asarray(gc_["term"].to_pylist(), dtype=object)
+    n = gc_["n"].to_numpy(zero_copy_only=False)
+    vocab = np.sort(terms[n >= 5].astype(str))
+    vref = ray.put(vocab)
+
+    per_doc = term_counts(ds, ["doc_id"], "text")
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tok", pa.int64()),
+                            ("n_oov", pa.int64()),
+                            ("oov_rate", pa.float64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        voc = ray.get(vref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tn = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tm = np.asarray(batch["term"].to_pylist(), dtype=str)
+        if len(voc):
+            pos = np.minimum(np.searchsorted(voc, tm), len(voc) - 1)
+            oov = voc[pos] != tm
+        else:
+            oov = np.ones(len(tm), dtype=bool)
+        first = np.empty(len(did), dtype=bool)
+        first[0] = True
+        first[1:] = did[1:] != did[:-1]
+        starts = np.nonzero(first)[0]
+        ntok = np.add.reduceat(tn, starts)
+        noov = np.add.reduceat(np.where(oov, tn, 0), starts)
+        return pa.table({
+            "doc_id": pa.array(did[starts], pa.int64()),
+            "n_tok": pa.array(ntok, pa.int64()),
+            "n_oov": pa.array(noov, pa.int64()),
+            "oov_rate": pa.array(noov.astype(np.float64)
+                                 / ntok.astype(np.float64)),
+        }, schema=out_schema)
+
+    from ..stages.sorted_groups import sorted_group_map
+    return _collect(sorted_group_map(per_doc, ["doc_id"], None,
+                                     out_schema, block_fn=_score))
+
+
+PAIRWISE_SCALE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type AS event_type, ABS(a.mi - b.mi) AS ad
+  FROM d a JOIN d b ON b.event_type = a.event_type AND b.day > a.day)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MEDIAN(ad) / 1000.0, 6) AS median_pair_diff,
+       ROUND(CAST(SUM(ad) AS DOUBLE) / COUNT(*) / 1000.0, 6)
+         AS mean_pair_diff
+FROM p GROUP BY 1
+"""
+
+
+def q_pairwise_scale(sf_dir: str):
+    """Rousseeuw-style pairwise robust scale per series: the median
+    and mean of |x_i − x_j| over ALL day pairs of the daily-mean
+    sequence (the Qn/Sn family's core statistic — a 50%-breakdown
+    scale estimate needing no location).  The pair space is
+    |days|²/2 per type — bounded by the calendar, enumerated on the
+    driver from the shared milli series; every |Δ| is an exact int,
+    so median (int or +0.5) and mean (int sum / n) are bit-identical
+    cross-engine before the closing unit conversion."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "np_": [], "md": [], "mn": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        if len(mi) < 2:
+            continue
+        diff = np.abs(mi[:, None] - mi[None, :])
+        iu = np.triu_indices(len(mi), k=1)
+        ad = diff[iu]
+        rows["et"].append(et)
+        rows["np_"].append(len(ad))
+        rows["md"].append(float(np.median(ad)) / 1000.0)
+        rows["mn"].append(float(int(ad.sum())) / len(ad) / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_pairs": pa.array(rows["np_"], pa.int64()),
+        "median_pair_diff": pa.array(rows["md"], pa.float64()),
+        "mean_pair_diff": pa.array(rows["mn"], pa.float64()),
+    }))
+
+
+_GEOMEDIAN_U_CTE = """
+u AS MATERIALIZED (
+  SELECT label, vec_id, d.dim AS dim,
+         CAST(FLOOR(ROUND(CAST(embedding[d.dim] AS DOUBLE), 6) * 1000
+                    + 0.5) AS BIGINT) AS vi
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS dim) d
+  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+    AND embedding IS NOT NULL)"""
+
+GEOMEDIAN_SQL = f"""
+WITH {_GEOMEDIAN_U_CTE},
+y0 AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(SUM(vi) AS DOUBLE) / COUNT(*) + 0.5)
+              AS BIGINT) AS y
+  FROM u GROUP BY 1, 2),
+d1 AS (
+  SELECT u.label AS label, u.vec_id AS vec_id,
+         SQRT(CAST(SUM((u.vi - y0.y) * (u.vi - y0.y)) AS DOUBLE)) AS d
+  FROM u JOIN y0 ON y0.label = u.label AND y0.dim = u.dim
+  GROUP BY 1, 2),
+w1 AS (
+  SELECT u.label AS label, u.dim AS dim,
+         SUM(u.vi / d1.d) AS sxd, SUM(1.0 / d1.d) AS sw
+  FROM u JOIN d1 ON d1.label = u.label AND d1.vec_id = u.vec_id
+  WHERE d1.d > 0 GROUP BY 1, 2),
+y1 AS (
+  SELECT label, dim,
+         CAST(FLOOR(ROUND(sxd / sw, 6) + 0.5) AS BIGINT) AS y
+  FROM w1),
+d2 AS (
+  SELECT u.label AS label, u.vec_id AS vec_id,
+         SQRT(CAST(SUM((u.vi - y1.y) * (u.vi - y1.y)) AS DOUBLE)) AS d
+  FROM u JOIN y1 ON y1.label = u.label AND y1.dim = u.dim
+  GROUP BY 1, 2),
+w2 AS (
+  SELECT u.label AS label, u.dim AS dim,
+         SUM(u.vi / d2.d) AS sxd, SUM(1.0 / d2.d) AS sw
+  FROM u JOIN d2 ON d2.label = u.label AND d2.vec_id = u.vec_id
+  WHERE d2.d > 0 GROUP BY 1, 2)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       ROUND(sxd / sw / 1000.0, 6) AS geomedian
+FROM w2
+"""
+
+
+def q_geometric_median(sf_dir: str):
+    """Per-label geometric median of the embedding cloud by two
+    Weiszfeld iterations from the (milli-quantized) mean — the robust
+    class prototype that, unlike label_centroids' mean, one outlier
+    vector cannot drag.  PARITY: the iterate is re-quantized to exact
+    milli ints after every step (floor(round6(x)+0.5) — the pagerank/
+    PCA iteration discipline), so each distance d_i = sqrt(int) is
+    bit-identical cross-engine and sum-order ulps in the Σx/d fold
+    cannot compound; exact-coincidence points (d = 0) drop from the
+    fold on both sides (the standard Weiszfeld guard).  Each pass
+    ships |labels| x dim partials per block — corpus size never
+    reaches the driver."""
+    import ray
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["vec_id"]),
+                            pc.is_valid(batch["label"])),
+                    pc.is_valid(batch["embedding"]))
+        return batch.filter(m)
+
+    def _vi_lab(batch: pa.Table):
+        mat = _emb_matrix(batch, "embedding")
+        vi = np.floor(round6_tie_robust(mat) * 1000.0
+                      + 0.5).astype(np.int64)
+        lab = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return vi, lab
+
+    mean_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.int64()), ("n", pa.int64())])
+
+    def _mean_partial(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        if len(batch) == 0:
+            return mean_schema.empty_table()
+        vi, lab = _vi_lab(batch)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = vi.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(sums, inv, vi)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": sums.ravel(), "n": np.repeat(cnt, dim),
+        }, schema=mean_schema)
+
+    mp = _collect_raw(ds.map_batches(
+        _mean_partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    mg = mp.groupby(["label", "dim"], as_index=False)[["s", "n"]].sum()
+    labels = np.sort(mg["label"].unique())
+    dim = int(mg["dim"].max())
+    y = np.zeros((len(labels), dim), dtype=np.int64)
+    li = {int(l_): i for i, l_ in enumerate(labels)}
+    y[[li[int(l_)] for l_ in mg["label"]],
+      mg["dim"].values.astype(np.int64) - 1] = np.floor(
+        mg["s"].values.astype(np.float64)
+        / mg["n"].values.astype(np.float64) + 0.5).astype(np.int64)
+
+    w_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                          ("sxd", pa.float64()), ("sw", pa.float64())])
+
+    def _weiszfeld_pass(y_now: np.ndarray,
+                        labels: np.ndarray) -> np.ndarray:
+        """One broadcast-y fold: per-block Σ vi/d and Σ 1/d partials."""
+        li = {int(l_): i for i, l_ in enumerate(labels)}
+        yref = ray.put((y_now, labels))
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            batch = _clean(batch)
+            if len(batch) == 0:
+                return w_schema.empty_table()
+            yb, labs = ray.get(yref)
+            vi, lab = _vi_lab(batch)
+            idx = np.minimum(np.searchsorted(labs, lab),
+                             max(len(labs) - 1, 0))
+            hit = labs[idx] == lab     # mirror the SQL join: labels
+            if not hit.any():          # absent from y drop entirely
+                return w_schema.empty_table()
+            vi, lab, idx = vi[hit], lab[hit], idx[hit]
+            dlt = vi - yb[idx]
+            d = np.sqrt((dlt * dlt).sum(axis=1).astype(np.float64))
+            keep = d > 0
+            if not keep.any():
+                return w_schema.empty_table()
+            vi, lab, d = vi[keep], lab[keep], d[keep]
+            uniq, inv = np.unique(lab, return_inverse=True)
+            nd = vi.shape[1]
+            sxd = np.zeros((len(uniq), nd))
+            np.add.at(sxd, inv, vi / d[:, None])
+            sw = np.zeros(len(uniq))
+            np.add.at(sw, inv, 1.0 / d)
+            return pa.table({
+                "label": np.repeat(uniq, nd),
+                "dim": np.tile(np.arange(1, nd + 1, dtype=np.int64),
+                               len(uniq)),
+                "sxd": sxd.ravel(), "sw": np.repeat(sw, nd),
+            }, schema=w_schema)
+
+        parts = _collect_raw(ds.map_batches(
+            _partial, batch_format="pyarrow",
+            zero_copy_batch=True)).to_pandas()
+        g = parts.groupby(["label", "dim"], as_index=False)[
+            ["sxd", "sw"]].sum()
+        raw = np.full((len(labels), dim), np.nan)
+        raw[[li[int(l_)] for l_ in g["label"]],
+            g["dim"].values.astype(np.int64) - 1] = (
+            g["sxd"].values / g["sw"].values)
+        return raw
+
+    raw1 = _weiszfeld_pass(y, labels)
+    fin = np.isfinite(raw1).all(axis=1)   # a label with no d>0 row has
+    labels, raw1 = labels[fin], raw1[fin]  # no y1 row (SQL join drops it)
+    y1 = np.floor(round6_tie_robust(raw1) + 0.5).astype(np.int64)
+    raw2 = _weiszfeld_pass(y1, labels)
+    out_lab = np.repeat(labels, dim)
+    out_dim = np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                      len(labels))
+    gm = raw2.ravel() / 1000.0
+    ok = np.isfinite(gm)
+    return _collect(pa.table({
+        "label": pa.array(out_lab[ok], pa.int64()),
+        "dim": pa.array(out_dim[ok], pa.int64()),
+        "geomedian": pa.array(gm[ok], pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -17480,6 +17837,10 @@ def build_queries() -> dict:
         "welch_ttest": q_welch_ttest,
         "cramers_v": q_cramers_v,
         "tcloseness_audit": q_tcloseness_audit,
+        "rolling_median_7d": q_rolling_median_7d,
+        "oov_rate": q_oov_rate,
+        "pairwise_scale": q_pairwise_scale,
+        "geometric_median": q_geometric_median,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -17808,6 +18169,10 @@ WHERE rn <= 2
         "welch_ttest": WELCH_TTEST_SQL,
         "cramers_v": CRAMERS_V_SQL,
         "tcloseness_audit": TCLOSENESS_SQL,
+        "rolling_median_7d": ROLLING_MEDIAN_SQL,
+        "oov_rate": OOV_RATE_SQL,
+        "pairwise_scale": PAIRWISE_SCALE_SQL,
+        "geometric_median": GEOMEDIAN_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
