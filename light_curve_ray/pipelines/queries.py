@@ -18087,6 +18087,310 @@ def q_brand_suppliers(sf_dir: str):
                                      out_schema, block_fn=_fold))
 
 
+MARKOV_ENTROPY_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+pr AS (
+  SELECT event_type AS f, nxt AS t, COUNT(*) AS nft
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+pf AS (SELECT f, SUM(nft) AS nf FROM pr GROUP BY 1),
+tot AS (SELECT SUM(nft) AS n FROM pr),
+hrow AS (
+  SELECT pr.f AS f, pf.nf AS nf,
+         SUM((pr.nft * 1.0 / pf.nf)
+             * LN(pr.nft * 1.0 / pf.nf) ORDER BY pr.t) AS negh
+  FROM pr JOIN pf USING (f) GROUP BY 1, 2)
+SELECT f AS event_type, CAST(nf AS BIGINT) AS n_from,
+       ROUND(-negh, 6) AS row_entropy,
+       ROUND(SUM(-(nf * 1.0 / tot.n) * negh)
+               OVER () / LN(2.0), 6) AS entropy_rate_bits
+FROM hrow, tot
+"""
+
+
+def q_markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the corpus-global first-order Markov chain over
+    event types (the sequence-compressibility ceiling the
+    markov_perplexity scores are measured against): per-state
+    conditional entropies H(next | from) weighted by the empirical
+    state frequencies, in bits.  Everything derives from the
+    transition count table — a |types|² driver merge of per-block
+    pair partials riding the SAME user-keyed exchange as
+    markov_perplexity; each p·ln p term divides exact ints and the
+    per-row fold runs in next-state order on both engines."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_id",
+                                  "event_type"])
+    grp_schema = pa.schema([("user_id", pa.int64()),
+                            ("ts", pa.timestamp("us")),
+                            ("event_id", pa.int64()),
+                            ("event_type", pa.string())])
+    grouped = sorted_group_map(ds, ["user_id"], None, grp_schema,
+                               block_fn=lambda b: b.cast(grp_schema))
+    cnt_schema = pa.schema([("f", pa.string()), ("t", pa.string()),
+                            ("nft", pa.int64())])
+
+    def _count_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) < 2:
+            return cnt_schema.empty_table()
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_ = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        fr, to = et[:-1][same], et[1:][same]
+        if not len(fr):
+            return cnt_schema.empty_table()
+        t = pa.table({"f": fr, "t": to})
+        g = t.group_by(["f", "t"]).aggregate([([], "count_all")])
+        return g.rename_columns(["f", "t", "nft"]).cast(cnt_schema)
+
+    counts = _collect_raw(grouped.map_batches(
+        _count_partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True)).to_pandas().groupby(
+        ["f", "t"], as_index=False)["nft"].sum()
+    n_all = int(counts["nft"].sum())
+    rows = {"f": [], "nf": [], "h": []}
+    for f, sub in counts.sort_values(["f", "t"]).groupby("f",
+                                                         sort=True):
+        nf = int(sub["nft"].sum())
+        p = sub["nft"].values.astype(np.float64) * 1.0 / nf
+        negh = float((p * np.log(p)).sum())
+        rows["f"].append(f)
+        rows["nf"].append(nf)
+        rows["h"].append(negh)
+    nfv = np.array(rows["nf"], dtype=np.float64)
+    nh = np.array(rows["h"], dtype=np.float64)
+    rate = float((-(nfv * 1.0 / n_all) * nh).sum()) / np.log(2.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["f"], pa.string()),
+        "n_from": pa.array(rows["nf"], pa.int64()),
+        "row_entropy": pa.array(round6_tie_robust(-nh)),
+        "entropy_rate_bits": pa.array(
+            round6_tie_robust(np.full(len(nh), rate))),
+    }))
+
+
+GUMBEL_MAXIMA_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+blk AS (
+  SELECT event_type, day // 7 AS blk, MAX(mi) AS bm
+  FROM d GROUP BY 1, 2),
+m AS (
+  SELECT event_type, COUNT(*) AS k, SUM(bm) AS sb, SUM(bm * bm) AS qb
+  FROM blk GROUP BY 1)
+SELECT event_type, CAST(k AS BIGINT) AS n_blocks,
+       ROUND(CAST(sb AS DOUBLE) / k / 1000.0, 6) AS max_mean,
+       ROUND(SQRT(CAST(k * qb - sb * sb AS DOUBLE)
+                  / CAST(k * (k - 1) AS DOUBLE))
+             * SQRT(6.0) / PI() / 1000.0, 6) AS gumbel_beta,
+       ROUND((CAST(sb AS DOUBLE) / k
+              - 0.5772156649015329
+                * SQRT(CAST(k * qb - sb * sb AS DOUBLE)
+                       / CAST(k * (k - 1) AS DOUBLE))
+                * SQRT(6.0) / PI()) / 1000.0, 6) AS gumbel_mu
+FROM m WHERE k > 1
+"""
+
+
+def q_gumbel_maxima(sf_dir: str):
+    """Gumbel extreme-value fit by block maxima + method of moments —
+    the classical EVT companion to pot_clusters: weekly maxima of each
+    series' daily mean, then β = s·√6/π and μ = m − γβ (γ =
+    Euler–Mascheroni) from the block-maxima moments.  The maxima and
+    their moment sums are exact ints off the shared milli series
+    (sample std via the k·Q − S² identity), so both engines feed
+    IDENTICAL doubles into the same two-constant chain; driver work
+    is |types| x |weeks|."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "k": [], "mm": [], "b": [], "mu": []}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        blk = days // 7
+        order = np.argsort(blk, kind="stable")
+        blk, v = blk[order], mi[order]
+        first = np.empty(len(blk), dtype=bool)
+        first[0] = True
+        first[1:] = blk[1:] != blk[:-1]
+        starts = np.nonzero(first)[0]
+        bm = np.maximum.reduceat(v, starts)
+        k = len(bm)
+        if k < 2:
+            continue
+        sb = int(bm.sum())
+        qb = int((bm.astype(np.int64) ** 2).sum())
+        mean = float(sb) / k
+        s = np.sqrt(float(k * qb - sb * sb) / float(k * (k - 1)))
+        beta = s * np.sqrt(6.0) / np.pi
+        mu = mean - 0.5772156649015329 * beta
+        rows["et"].append(et)
+        rows["k"].append(k)
+        rows["mm"].append(mean / 1000.0)
+        rows["b"].append(beta / 1000.0)
+        rows["mu"].append(mu / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_blocks": pa.array(rows["k"], pa.int64()),
+        "max_mean": pa.array(round6_tie_robust(
+            np.array(rows["mm"], np.float64))),
+        "gumbel_beta": pa.array(round6_tie_robust(
+            np.array(rows["b"], np.float64))),
+        "gumbel_mu": pa.array(round6_tie_robust(
+            np.array(rows["mu"], np.float64))),
+    }))
+
+
+RECORD_DAYS_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, mi,
+         MAX(mi) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max
+  FROM d)
+SELECT event_type,
+       CAST(SUM(CASE WHEN prev_max IS NULL OR mi > prev_max
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       CAST(MAX(CASE WHEN prev_max IS NULL OR mi > prev_max
+                     THEN day END) AS BIGINT) AS last_record_day,
+       CAST(MAX(mi) AS BIGINT) AS running_max_milli
+FROM r GROUP BY 1
+"""
+
+
+def q_record_days(sf_dir: str):
+    """Record statistics per series: how many days set a new running
+    maximum of the daily mean, when the last record fell, and the
+    final maximum — the 'is the series still making highs' readout
+    (record counts also calibrate i.i.d.-ness: ~H_n records expected
+    under exchangeability).  Strict integer compares on the shared
+    milli series; |types| x |days| driver walk."""
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "n": [], "last": [], "mx": []}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        run = np.maximum.accumulate(mi)
+        rec = np.empty(len(mi), dtype=bool)
+        rec[0] = True
+        rec[1:] = mi[1:] > run[:-1]
+        rows["et"].append(et)
+        rows["n"].append(int(rec.sum()))
+        rows["last"].append(int(days[np.nonzero(rec)[0][-1]]))
+        rows["mx"].append(int(run[-1]))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_records": pa.array(rows["n"], pa.int64()),
+        "last_record_day": pa.array(rows["last"], pa.int64()),
+        "running_max_milli": pa.array(rows["mx"], pa.int64()),
+    }))
+
+
+CHURN_LABELS_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS thr FROM v),
+u AS (
+  SELECT user_id,
+         COUNT(DISTINCT CASE WHEN day <= (SELECT thr FROM mm)
+                             THEN day END) AS days_a,
+         COUNT(DISTINCT CASE WHEN day > (SELECT thr FROM mm)
+                             THEN day END) AS days_b
+  FROM v GROUP BY 1)
+SELECT user_id, CAST(days_a AS BIGINT) AS days_a,
+       CAST(days_b AS BIGINT) AS days_b,
+       CAST(CASE WHEN days_b = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS churned
+FROM u WHERE days_a > 0
+"""
+
+
+def q_churn_labels(sf_dir: str):
+    """Churn-label construction — the supervised-training-set builder:
+    users active in the first timeline half (midpoint-day split),
+    labeled churned iff silent in the second half, with distinct-active-
+    day counts as base features.  One user-keyed exchange; blocks emit
+    distinct (user, day) pairs first (the exact-distinct discipline),
+    the per-user fold is an in-group unique split.  All integers."""
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts"])
+    pair_schema = pa.schema([("user_id", pa.int64()),
+                             ("day", pa.int64())])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"].cast(pa.int64()),
+                      "day": pc.divide(batch["ts"].cast(pa.int64()),
+                                       _DAY_US)})
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [([], "count_all")])
+        return g.drop_columns(["count_all"]).cast(pair_schema)
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    mm = _collect_raw(pairs.map_batches(
+        lambda t: pa.table({"lo": pa.array(
+            [pc.min(t["day"]).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t["day"]).as_py()], pa.int64())}),
+        batch_format="pyarrow"))
+    thr = (int(pc.min(mm["lo"]).as_py())
+           + int(pc.max(mm["hi"]).as_py())) // 2
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("days_a", pa.int64()),
+                            ("days_b", pa.int64()),
+                            ("churned", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["user_id"])
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        da, db = [], []
+        for s, e in zip(starts, ends):
+            d = np.unique(day[s:e])
+            da.append(int((d <= thr).sum()))
+            db.append(int((d > thr).sum()))
+        da = np.array(da, dtype=np.int64)
+        db = np.array(db, dtype=np.int64)
+        keep = da > 0
+        return pa.table({
+            "user_id": pa.array(uid[starts][keep], pa.int64()),
+            "days_a": pa.array(da[keep], pa.int64()),
+            "days_b": pa.array(db[keep], pa.int64()),
+            "churned": pa.array((db[keep] == 0).astype(np.int64),
+                                pa.int64())}, schema=out_schema)
+
+    return _collect(sorted_group_map(pairs, ["user_id"], None,
+                                     out_schema, block_fn=_fold))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -18273,6 +18577,10 @@ def build_queries() -> dict:
         "promo_share": q_promo_share,
         "returns_topk": q_returns_topk,
         "brand_suppliers": q_brand_suppliers,
+        "markov_entropy_rate": q_markov_entropy_rate,
+        "gumbel_maxima": q_gumbel_maxima,
+        "record_days": q_record_days,
+        "churn_labels": q_churn_labels,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -18609,6 +18917,10 @@ WHERE rn <= 2
         "promo_share": PROMO_SHARE_SQL,
         "returns_topk": RETURNS_TOPK_SQL,
         "brand_suppliers": BRAND_SUPPLIERS_SQL,
+        "markov_entropy_rate": MARKOV_ENTROPY_SQL,
+        "gumbel_maxima": GUMBEL_MAXIMA_SQL,
+        "record_days": RECORD_DAYS_SQL,
+        "churn_labels": CHURN_LABELS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
