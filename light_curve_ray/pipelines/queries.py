@@ -16627,7 +16627,9 @@ def q_markov_perplexity(sf_dir: str):
         ["f", "t"], as_index=False)["nft"].sum()
     nf = counts.groupby("f")["nft"].transform("sum")
     counts["logp"] = np.log(counts.nft.values * 1.0 / nf.values)
-    keys = (counts.f + "\x00" + counts.t).values
+    # "|" separator: numpy/pandas U-string concat silently DROPS \x00,
+    # so a NUL separator degrades to bare concatenation on both paths
+    keys = (counts.f + "|" + counts.t).values
     order = np.argsort(keys, kind="stable")
     ref = ray.put((keys[order], counts.logp.values[order]))
 
@@ -16643,7 +16645,7 @@ def q_markov_perplexity(sf_dir: str):
         if not len(fr):
             return out_schema.empty_table()
         ks, lp = ray.get(ref)
-        pk = np.char.add(np.char.add(fr.astype(str), "\x00"),
+        pk = np.char.add(np.char.add(fr.astype(str), "|"),
                          to.astype(str))
         logp = lp[np.searchsorted(ks, pk)]
         uu = u_sorted[:-1][same]
@@ -18391,6 +18393,317 @@ def q_churn_labels(sf_dir: str):
                                      out_schema, block_fn=_fold))
 
 
+INEQUALITY_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+h AS (SELECT event_type, vi, COUNT(*) AS n FROM v WHERE vi > 0
+      GROUP BY 1, 2),
+m AS (
+  SELECT event_type, SUM(n) AS nn, SUM(n * vi) AS s,
+         SUM(n * vi * vi) AS q,
+         SUM(n * (vi * LN(CAST(vi AS DOUBLE)))) AS a
+  FROM h GROUP BY 1),
+d AS (
+  SELECT h.event_type AS event_type,
+         SUM(h.n * ABS(h.vi - CAST(m.s AS DOUBLE) / m.nn)) AS adev
+  FROM h JOIN m USING (event_type) GROUP BY 1)
+SELECT m.event_type AS event_type, CAST(m.nn AS BIGINT) AS n,
+       ROUND(m.a / m.s - LN(CAST(m.s AS DOUBLE) / m.nn), 6)
+         AS theil_t,
+       ROUND(d.adev / (2.0 * m.s), 6) AS hoover,
+       ROUND(SQRT(CAST(m.nn * m.q - m.s * m.s AS DOUBLE)
+                  / CAST(m.nn * (m.nn - 1) AS DOUBLE))
+             / (CAST(m.s AS DOUBLE) / m.nn), 6) AS cv
+FROM m JOIN d USING (event_type)
+WHERE m.nn > 1
+"""
+
+
+def q_inequality_indices(sf_dir: str):
+    """Theil-T, Hoover (Robin Hood) index and coefficient of variation
+    of each series' positive values — the inequality/concentration
+    triple complementing gini_events and hhi_users.  All three fold
+    from the DISTINCT-VALUE histogram of the milli quantization (the
+    mannwhitney_u exchange shape — micro-bounded, never row scale):
+    S, N, Q are exact ints; Theil's Σ n·v·ln v and Hoover's
+    Σ n·|v − μ| run per distinct value with identical elementwise op
+    order, and sum-order ulps land only in the rounded outputs."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64())})
+        t = t.filter(pc.greater(t["vi"], 0))
+        g = t.group_by(["event_type", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    hist = parts.groupby(["event_type", "vi"], as_index=False)[
+        "n"].sum()
+    rows = {"et": [], "n": [], "th": [], "ho": [], "cv": []}
+    for et, sub in hist.sort_values(["event_type", "vi"]).groupby(
+            "event_type", sort=True):
+        v = sub["vi"].values.astype(np.int64)
+        n = sub["n"].values.astype(np.int64)
+        nn = int(n.sum())
+        if nn < 2:
+            continue
+        s = int((n * v).sum())
+        q = int((n * v * v).sum())
+        a = float((n * (v * np.log(v.astype(np.float64)))).sum())
+        mu = float(s) / nn
+        adev = float((n * np.abs(v - mu)).sum())
+        std = np.sqrt(float(nn * q - s * s) / float(nn * (nn - 1)))
+        rows["et"].append(et)
+        rows["n"].append(nn)
+        rows["th"].append(a / s - np.log(float(s) / nn))
+        rows["ho"].append(adev / (2.0 * s))
+        rows["cv"].append(std / mu)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "theil_t": pa.array(round6_tie_robust(
+            np.array(rows["th"], np.float64))),
+        "hoover": pa.array(round6_tie_robust(
+            np.array(rows["ho"], np.float64))),
+        "cv": pa.array(round6_tie_robust(
+            np.array(rows["cv"], np.float64))),
+    }))
+
+
+CIRCULAR_HOUR_SQL = """
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+h AS (SELECT event_type, hour, COUNT(*) AS n FROM v GROUP BY 1, 2),
+m AS (
+  SELECT event_type, SUM(n) AS nn,
+         SUM(n * COS(2 * PI() * hour / 24) ORDER BY hour) AS c,
+         SUM(n * SIN(2 * PI() * hour / 24) ORDER BY hour) AS s
+  FROM h GROUP BY 1)
+SELECT event_type, CAST(nn AS BIGINT) AS n,
+       ROUND(SQRT(c * c + s * s) / nn, 6) AS resultant,
+       ROUND(((ATAN2(s, c) / (2 * PI()) * 24 + 24) % 24), 6)
+         AS peak_hour
+FROM m
+"""
+
+
+def q_circular_hour_stats(sf_dir: str):
+    """Circular (von Mises-style) hour-of-day statistics per series:
+    the mean-resultant length R (0 = uniform around the clock, 1 = one
+    spike — the concentration readout hourly_entropy approximates) and
+    the circular-mean peak hour.  Folds from the bounded
+    |types| x 24 hour histogram; the trig terms hit at most 24
+    distinct angles with identical op order and an ORDERED fold on
+    both engines, and atan2 sees bit-identical (s, c)."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts"])
+    _HOUR_US = 3_600_000_000
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("hour", pa.int64()), ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (t_us % _DAY_US) // _HOUR_US
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pa.array(hour, pa.int64())})
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "hour", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    hist = parts.groupby(["event_type", "hour"], as_index=False)[
+        "n"].sum()
+    rows = {"et": [], "n": [], "r": [], "ph": []}
+    for et, sub in hist.sort_values(["event_type", "hour"]).groupby(
+            "event_type", sort=True):
+        h = sub["hour"].values.astype(np.float64)
+        n = sub["n"].values.astype(np.float64)
+        ang = 2 * np.pi * h / 24
+        c = float((n * np.cos(ang)).sum())
+        s = float((n * np.sin(ang)).sum())
+        nn = int(n.sum())
+        rows["et"].append(et)
+        rows["n"].append(nn)
+        rows["r"].append(np.sqrt(c * c + s * s) / nn)
+        rows["ph"].append((np.arctan2(s, c) / (2 * np.pi) * 24
+                           + 24) % 24)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "resultant": pa.array(round6_tie_robust(
+            np.array(rows["r"], np.float64))),
+        "peak_hour": pa.array(round6_tie_robust(
+            np.array(rows["ph"], np.float64))),
+    }))
+
+
+BEHAVIOR_KAPPA_SQL = """
+WITH v AS (
+  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL),
+mm AS (SELECT (MIN(day) + MAX(day)) // 2 AS thr FROM v),
+c AS (
+  SELECT user_id,
+         CASE WHEN day <= (SELECT thr FROM mm) THEN 1 ELSE 2 END
+           AS period,
+         event_type, COUNT(*) AS n
+  FROM v GROUP BY 1, 2, 3),
+m AS (
+  SELECT user_id, period, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, period
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c),
+lab AS (SELECT user_id, period, event_type FROM m WHERE rn = 1),
+ab AS (
+  SELECT a.user_id AS user_id, a.event_type AS la, b.event_type AS lb
+  FROM lab a JOIN lab b ON b.user_id = a.user_id
+  WHERE a.period = 1 AND b.period = 2),
+tot AS (SELECT COUNT(*) AS nu,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree
+        FROM ab),
+marg AS (
+  SELECT SUM((na * 1.0 / nu) * (nb * 1.0 / nu) ORDER BY cls) AS pe
+  FROM (
+    SELECT COALESCE(a.cls, b.cls) AS cls,
+           COALESCE(a.n, 0) AS na, COALESCE(b.n, 0) AS nb, tot.nu AS nu
+    FROM (SELECT la AS cls, COUNT(*) AS n FROM ab GROUP BY 1) a
+    FULL JOIN (SELECT lb AS cls, COUNT(*) AS n FROM ab GROUP BY 1) b
+      ON b.cls = a.cls
+    CROSS JOIN tot))
+SELECT CAST(tot.nu AS BIGINT) AS n_users,
+       ROUND(tot.agree * 1.0 / tot.nu, 6) AS po,
+       ROUND(marg.pe, 6) AS pe,
+       ROUND((tot.agree * 1.0 / tot.nu - marg.pe)
+             / (1 - marg.pe), 6) AS kappa
+FROM tot, marg
+"""
+
+
+def q_behavior_kappa(sf_dir: str):
+    """Cohen's kappa for behavioral consistency: each user's MODAL
+    event type in the first vs second timeline half (midpoint-day
+    split; ties break to the lexicographically smallest type), scored
+    as two raters labeling the same users — chance-corrected agreement
+    near 0 means the 'dominant behavior' feature is not stable enough
+    to train on.  Engine path: ONE user-keyed exchange; each
+    group-aligned block resolves its users' modal pair (la, lb)
+    in-block and emits the |types|² pair-count matrix partial — user
+    count never reaches the driver.  po, pe and kappa derive from
+    exact integer counts (pe folds in class order on both engines)."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["user_id", "ts", "event_type"])
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "day": pc.divide(batch["ts"].cast(pa.int64()), _DAY_US),
+            "event_type": batch["event_type"]})
+
+    proj = ds.map_batches(_proj, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    mm = _collect_raw(proj.map_batches(
+        lambda t: pa.table({"lo": pa.array(
+            [pc.min(t["day"]).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t["day"]).as_py()], pa.int64())}),
+        batch_format="pyarrow"))
+    thr = (int(pc.min(mm["lo"]).as_py())
+           + int(pc.max(mm["hi"]).as_py())) // 2
+    pair_schema = pa.schema([("la", pa.string()), ("lb", pa.string()),
+                             ("n", pa.int64())])
+
+    def _modal(uid, per, et):
+        """(user, period, type) rows -> per (user, period) modal type
+        with (count desc, type asc) tie-break; returns dict."""
+        # "|" separator — numpy U-string ops silently DROP embedded
+        # \x00 (it is the padding terminator), so NUL keys never match
+        key = np.char.add(np.char.add(uid.astype(str), "|"),
+                          per.astype(str))
+        t = pa.table({"k": key, "et": et})
+        g = t.group_by(["k", "et"]).aggregate([([], "count_all")])
+        k = np.asarray(g["k"].to_pylist(), dtype=object)
+        e = np.asarray(g["et"].to_pylist(), dtype=object)
+        n = g["count_all"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, -n, k))
+        k, e = k[order], e[order]
+        first = np.empty(len(k), dtype=bool)
+        if not len(k):
+            return {}
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(first)[0]
+        return {k[i]: e[i] for i in starts}
+
+    def _block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pair_schema.empty_table()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        per = np.where(day <= thr, 1, 2)
+        modal = _modal(uid, per, et)
+        las, lbs = [], []
+        for u in np.unique(uid):
+            ka, kb = f"{u}|1", f"{u}|2"
+            if ka in modal and kb in modal:
+                las.append(modal[ka])
+                lbs.append(modal[kb])
+        if not las:
+            return pair_schema.empty_table()
+        t = pa.table({"la": pa.array(las, pa.string()),
+                      "lb": pa.array(lbs, pa.string())})
+        g = t.group_by(["la", "lb"]).aggregate([([], "count_all")])
+        return g.rename_columns(["la", "lb", "n"]).cast(pair_schema)
+
+    mat = _collect_raw(sorted_group_map(
+        proj, ["user_id"], None, pair_schema,
+        block_fn=_block)).to_pandas().groupby(
+        ["la", "lb"], as_index=False)["n"].sum()
+    nu = int(mat["n"].sum())
+    agree = int(mat.loc[mat["la"] == mat["lb"], "n"].sum())
+    na = mat.groupby("la")["n"].sum()
+    nb = mat.groupby("lb")["n"].sum()
+    classes = sorted(set(na.index) | set(nb.index))
+    pe = 0.0
+    for cls in classes:
+        pe += ((int(na.get(cls, 0)) * 1.0 / nu)
+               * (int(nb.get(cls, 0)) * 1.0 / nu))
+    po = agree * 1.0 / nu
+    return _collect(pa.table({
+        "n_users": pa.array([nu], pa.int64()),
+        "po": pa.array(round6_tie_robust(np.array([po]))),
+        "pe": pa.array(round6_tie_robust(np.array([pe]))),
+        "kappa": pa.array(round6_tie_robust(
+            np.array([(po - pe) / (1 - pe)]))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -18581,6 +18894,9 @@ def build_queries() -> dict:
         "gumbel_maxima": q_gumbel_maxima,
         "record_days": q_record_days,
         "churn_labels": q_churn_labels,
+        "inequality_indices": q_inequality_indices,
+        "circular_hour_stats": q_circular_hour_stats,
+        "behavior_kappa": q_behavior_kappa,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -18921,6 +19237,9 @@ WHERE rn <= 2
         "gumbel_maxima": GUMBEL_MAXIMA_SQL,
         "record_days": RECORD_DAYS_SQL,
         "churn_labels": CHURN_LABELS_SQL,
+        "inequality_indices": INEQUALITY_SQL,
+        "circular_hour_stats": CIRCULAR_HOUR_SQL,
+        "behavior_kappa": BEHAVIOR_KAPPA_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
