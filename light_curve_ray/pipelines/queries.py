@@ -17098,8 +17098,10 @@ m AS (
          SUM(obs) OVER () AS n
   FROM o),
 c AS (
-  SELECT SUM(POWER(obs - CAST(row_n AS DOUBLE) * col_n / n, 2)
-             / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2,
+  -- full-grid chi2 via the obs²/exp identity: zero cells contribute
+  -- nothing to Σ obs²/exp, so Σ_all (obs−exp)²/exp = Σ_obs obs²/exp − n
+  SELECT SUM(obs * obs / (CAST(row_n AS DOUBLE) * col_n / n))
+           - ANY_VALUE(n) AS chi2,
          ANY_VALUE(n) AS n,
          (SELECT COUNT(DISTINCT lang) FROM o) AS r,
          (SELECT COUNT(DISTINCT source) FROM o) AS k
@@ -17149,8 +17151,9 @@ def q_cramers_v(sf_dir: str):
     obs = cells["obs"].values.astype(np.float64)
     n = float(obs.sum())
     exp = row_n * col_n / n
-    dev = obs - exp
-    chi2 = float(np.sum(dev * dev / exp))
+    # full-grid chi2 from observed cells only: zero cells add nothing
+    # to Σ obs²/exp, and Σ_all (obs−exp)²/exp = Σ obs²/exp − n
+    chi2 = float(np.sum(obs * obs / exp)) - n
     r = cells["lang"].nunique()
     k = cells["source"].nunique()
     v = np.sqrt(chi2 / (n * min(r - 1, k - 1)))
