@@ -19066,6 +19066,310 @@ def q_label_separation(sf_dir: str):
     }))
 
 
+QUANTILE_NORMALIZE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, mi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mi, day) AS rank
+  FROM d),
+mn AS (SELECT MIN(cnt) AS rmax FROM
+       (SELECT COUNT(*) AS cnt FROM d GROUP BY event_type)),
+q AS (
+  SELECT rank, CAST(SUM(mi) AS DOUBLE) / COUNT(*) / 1000.0 AS qv
+  FROM r WHERE rank <= (SELECT rmax FROM mn) GROUP BY 1)
+SELECT r.event_type AS event_type, CAST(r.day AS BIGINT) AS day,
+       CAST(r.mi AS BIGINT) AS mi, CAST(r.rank AS BIGINT) AS rank,
+       ROUND(q.qv, 6) AS qnorm
+FROM r JOIN q USING (rank)
+WHERE r.rank <= (SELECT rmax FROM mn)
+"""
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Quantile normalization across series (the batch-effect
+    correction used on expression/feature matrices): each series'
+    daily means are ranked (ties broken by day — deterministic), and
+    rank r maps to the MEAN of all series' r-th order statistics, so
+    every series leaves with an identical marginal distribution.
+    Ranks beyond the shortest series drop (the equal-length contract).
+    Rank and order-stat algebra is exact-int on the shared milli
+    series; the per-rank mean is one int-sum ratio.  Driver work is
+    |types| x |days|."""
+    series = _daily_milli_series(sf_dir)
+    ranked = {}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        order = np.lexsort((days, mi))
+        ranked[et] = (days[order], mi[order])
+    if not ranked:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "mi": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "qnorm": pa.array([], pa.float64())})
+    rmax = min(len(v[0]) for v in ranked.values())
+    sums = np.zeros(rmax, dtype=np.int64)
+    for et, (_, mi) in ranked.items():
+        sums += mi[:rmax]
+    qv = sums.astype(np.float64) / len(ranked) / 1000.0
+    rows = {"et": [], "day": [], "mi": [], "rank": [], "q": []}
+    for et, (days, mi) in ranked.items():
+        rows["et"].extend([et] * rmax)
+        rows["day"].extend(days[:rmax].tolist())
+        rows["mi"].extend(mi[:rmax].tolist())
+        rows["rank"].extend(range(1, rmax + 1))
+        rows["q"].extend(qv.tolist())
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "day": pa.array(rows["day"], pa.int64()),
+        "mi": pa.array(rows["mi"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "qnorm": pa.array(rows["q"], pa.float64()),
+    }))
+
+
+TERM_BURSTINESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+dt AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+t AS (SELECT term, COUNT(*) AS df, SUM(n) AS cf FROM dt GROUP BY 1
+      HAVING SUM(n) >= 10)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+FROM t
+"""
+
+
+def q_term_burstiness(sf_dir: str):
+    """Church-Gale term burstiness: for each vocabulary term with
+    collection frequency >= 10, the mean occurrences per CONTAINING
+    document (cf/df) — content words burst (high cf/df), function
+    words spread evenly; the classic stopword/keyword separator that
+    complements tfidf_terms.  Engine path: the shared per-doc term
+    counts ride one doc-keyed combiner pass, then ONE term-keyed
+    exchange folds df (run length) and cf (run sum) in-group.  All
+    integers; one ratio at the output."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    per_doc = term_counts(ds, ["doc_id"], "text")
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("cf", pa.int64()),
+                            ("burstiness", pa.float64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["term"])
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (np.array(ends) - np.array(starts)).astype(np.int64)
+        cf = np.add.reduceat(n, starts)
+        keep = cf >= 10
+        idx = pa.array(np.asarray(starts)[keep], pa.int64())
+        return pa.table({
+            "term": batch["term"].take(idx),
+            "df": pa.array(df[keep], pa.int64()),
+            "cf": pa.array(cf[keep], pa.int64()),
+            "burstiness": pa.array(cf[keep].astype(np.float64)
+                                   / df[keep].astype(np.float64)),
+        }, schema=out_schema)
+
+    return _collect(sorted_group_map(per_doc, ["term"], None,
+                                     out_schema, block_fn=_fold))
+
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+CHAR_ENTROPY_SQL = ("""
+WITH c AS (
+  SELECT lang,
+"""
++ ",\n".join(
+    f"         SUM(LENGTH(lower(text)) - LENGTH(REPLACE(lower(text),"
+    f" '{ch}', ''))) AS n_{ch}" for ch in _LETTERS)
++ """
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+  GROUP BY 1),
+u AS (
+"""
++ "\n  UNION ALL\n".join(
+    f"  SELECT lang, '{ch}' AS ch, n_{ch} AS n FROM c" for ch in
+    _LETTERS)
++ """
+),
+t AS (SELECT lang, SUM(n) AS total FROM u GROUP BY 1)
+SELECT u.lang AS lang, CAST(t.total AS BIGINT) AS n_letters,
+       ROUND(-SUM(CASE WHEN u.n > 0 THEN (u.n * 1.0 / t.total)
+                            * LN(u.n * 1.0 / t.total)
+                       ELSE 0 END ORDER BY u.ch), 6) AS char_entropy,
+       CAST(COUNT(CASE WHEN u.n > 0 THEN 1 END) AS BIGINT)
+         AS n_distinct
+FROM u JOIN t USING (lang) GROUP BY 1, 2
+""")
+
+
+def q_char_entropy(sf_dir: str):
+    """Letter-distribution Shannon entropy per language over a–z of
+    the lowercased corpus — the cheapest language/ciphertext/gibberish
+    fingerprint (English plateaus near 2.9 nats; uniform noise hits
+    ln 26).  Per-block 26-counter partials via vectorized substring
+    counting (Arrow C-speed, no per-char Python), a |langs| x 26
+    driver merge, then p·ln p over exact integer ratios folded in
+    letter order on both engines."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    part_schema = pa.schema([("lang", pa.string())]
+                            + [(f"n_{ch}", pa.int64())
+                               for ch in _LETTERS])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["lang"]),
+                                     pc.is_valid(batch["text"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        low = pc.utf8_lower(batch["text"])
+        cols = {"lang": batch["lang"]}
+        for ch in _LETTERS:
+            cols[f"n_{ch}"] = pc.count_substring(low, ch).cast(
+                pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(["lang"]).aggregate(
+            [(f"n_{ch}", "sum") for ch in _LETTERS])
+        return g.rename_columns(["lang"] + [f"n_{ch}"
+                                            for ch in _LETTERS]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby("lang", as_index=False).sum()
+    rows = {"lang": [], "tot": [], "h": [], "nd": []}
+    for _, row in agg.sort_values("lang").iterrows():
+        n = np.array([int(row[f"n_{ch}"]) for ch in _LETTERS],
+                     dtype=np.int64)
+        tot = int(n.sum())
+        h = 0.0
+        for k in n:          # letter order — mirrors ORDER BY u.ch
+            if k > 0:
+                p = k * 1.0 / tot
+                h += -(p * np.log(p))
+        rows["lang"].append(row["lang"])
+        rows["tot"].append(tot)
+        rows["h"].append(h)
+        rows["nd"].append(int((n > 0).sum()))
+    return _collect(pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "n_letters": pa.array(rows["tot"], pa.int64()),
+        "char_entropy": pa.array(round6_tie_robust(
+            np.array(rows["h"], np.float64))),
+        "n_distinct": pa.array(rows["nd"], pa.int64()),
+    }))
+
+
+REORDER_GAPS_SQL = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+g AS (
+  SELECT o_custkey, day,
+         day - LAG(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day) AS gap
+  FROM (SELECT DISTINCT o_custkey, day FROM o))
+SELECT CAST(gap // 7 AS BIGINT) AS gap_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6)
+         AS mean_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def q_reorder_gaps(sf_dir: str):
+    """Inter-purchase interval histogram: days between a customer's
+    consecutive DISTINCT order days, bucketed by week — the
+    repeat-purchase cadence every CLV / churn model starts from.
+    Blocks pre-distinct (customer, day) pairs, ONE customer-keyed
+    exchange sorts each customer's days in-group and emits gap
+    partials, then a bounded |weeks| histogram merge.  All integer
+    day arithmetic."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    pair_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("day", pa.int64())])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.is_valid(batch["o_custkey"]),
+            pc.is_valid(batch["o_orderdate"])))
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "day": pc.divide(
+                          batch["o_orderdate"].cast(pa.int64()),
+                          _DAY_US)})
+        g = t.group_by(["o_custkey", "day"]).aggregate(
+            [([], "count_all")])
+        return g.drop_columns(["count_all"]).cast(pair_schema)
+
+    pairs = orders.map_batches(_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    hist_schema = pa.schema([("gap_weeks", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.int64())])
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return hist_schema.empty_table()
+        starts, ends = _runs(batch, ["o_custkey"])
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        gaps = []
+        for st, en in zip(starts, ends):
+            d = np.unique(day[st:en])
+            if len(d) > 1:
+                gaps.append(np.diff(d))
+        if not gaps:
+            return hist_schema.empty_table()
+        gap = np.concatenate(gaps)
+        t = pa.table({"gap_weeks": pa.array(gap // 7, pa.int64()),
+                      "gap": pa.array(gap, pa.int64())})
+        g = t.group_by(["gap_weeks"]).aggregate(
+            [([], "count_all"), ("gap", "sum")])
+        return g.rename_columns(["gap_weeks", "n", "s"]).cast(
+            hist_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        pairs, ["o_custkey"], None, hist_schema,
+        block_fn=_fold)).to_pandas()
+    agg = parts.groupby("gap_weeks", as_index=False)[["n", "s"]].sum()
+    return _collect(pa.table({
+        "gap_weeks": pa.array(agg["gap_weeks"].values, pa.int64()),
+        "n_gaps": pa.array(agg["n"].values, pa.int64()),
+        "mean_gap_days": pa.array(
+            agg["s"].values.astype(np.float64)
+            / agg["n"].values.astype(np.float64), pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -19263,6 +19567,10 @@ def build_queries() -> dict:
         "sentence_stats": q_sentence_stats,
         "order_ship_span": q_order_ship_span,
         "label_separation": q_label_separation,
+        "quantile_normalize": q_quantile_normalize,
+        "term_burstiness": q_term_burstiness,
+        "char_entropy": q_char_entropy,
+        "reorder_gaps": q_reorder_gaps,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -19610,6 +19918,10 @@ WHERE rn <= 2
         "sentence_stats": SENTENCE_STATS_SQL,
         "order_ship_span": ORDER_SHIP_SPAN_SQL,
         "label_separation": LABEL_SEPARATION_SQL,
+        "quantile_normalize": QUANTILE_NORMALIZE_SQL,
+        "term_burstiness": TERM_BURSTINESS_SQL,
+        "char_entropy": CHAR_ENTROPY_SQL,
+        "reorder_gaps": REORDER_GAPS_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
