@@ -19370,6 +19370,342 @@ def q_reorder_gaps(sf_dir: str):
     }))
 
 
+WILSON_CI_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+md AS (SELECT MEDIAN(vi) AS med FROM v),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN vi > (SELECT med FROM md)
+                  THEN 1 ELSE 0 END) AS k
+  FROM v GROUP BY 1),
+b AS (
+  SELECT event_type, n, k, k * 1.0 / n AS p,
+         1.959963984540054 AS z
+  FROM a WHERE n > 0)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ROUND(p, 6) AS p_hat,
+       ROUND((p + z * z / (2 * n)
+              - z * SQRT(p * (1 - p) / n + z * z / (4.0 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_lo,
+       ROUND((p + z * z / (2 * n)
+              + z * SQRT(p * (1 - p) / n + z * z / (4.0 * n * n)))
+             / (1 + z * z / n), 6) AS wilson_hi
+FROM b
+"""
+
+
+def q_wilson_ci(sf_dir: str):
+    """Wilson 95% score interval for each series' share of
+    above-global-median values — the closed-form binomial CI monitors
+    prefer over the normal approximation at small n or extreme p.  The
+    global median folds from the distinct-value histogram of the milli
+    quantization (an int or int+0.5 — exact), each type's (k, n) are
+    exact integer tallies, and the Wilson algebra is one shared IEEE
+    chain on p = k/n (z is the same 1.959963984540054 literal on both
+    engines)."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    hist = parts.groupby(["event_type", "vi"], as_index=False)[
+        "n"].sum()
+    gl = hist.groupby("vi", as_index=False)["n"].sum().sort_values(
+        "vi")
+    vals = gl["vi"].values.astype(np.int64)
+    cnts = gl["n"].values.astype(np.int64)
+    cum = np.cumsum(cnts)
+    nn = int(cum[-1])
+    lo_pos, hi_pos = (nn + 1) // 2, nn // 2 + 1
+    lo_v = vals[np.searchsorted(cum, lo_pos)]
+    hi_v = vals[np.searchsorted(cum, hi_pos)]
+    med = (float(lo_v) + float(hi_v)) / 2.0
+    z = 1.959963984540054
+    rows = {"et": [], "n": [], "k": [], "p": [], "lo": [], "hi": []}
+    for et, sub in hist.groupby("event_type"):
+        n = int(sub["n"].sum())
+        k = int(sub.loc[sub["vi"] > med, "n"].sum())
+        p = k * 1.0 / n
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        cen = p + z * z / (2 * n)
+        den = 1 + z * z / n
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["k"].append(k)
+        rows["p"].append(p)
+        rows["lo"].append((cen - half) / den)
+        rows["hi"].append((cen + half) / den)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "k": pa.array(rows["k"], pa.int64()),
+        "p_hat": pa.array(round6_tie_robust(
+            np.array(rows["p"], np.float64))),
+        "wilson_lo": pa.array(round6_tie_robust(
+            np.array(rows["lo"], np.float64))),
+        "wilson_hi": pa.array(round6_tie_robust(
+            np.array(rows["hi"], np.float64))),
+    }))
+
+
+EFFECTIVE_DIM_SQL = f"""
+WITH {_PCA_COV_CTE}
+SELECT CAST(MAX(i) AS BIGINT) AS dim,
+       ROUND(SUM(CASE WHEN i = j THEN c ELSE 0 END)
+             / (1000000.0 * ANY_VALUE(n) * (ANY_VALUE(n) - 1)), 6)
+         AS total_variance,
+       ROUND(POWER(SUM(CASE WHEN i = j THEN c ELSE 0 END), 2)
+             / SUM(c * c), 6) AS effective_dim
+FROM cfull
+"""
+
+
+def q_effective_dim(sf_dir: str):
+    """Participation ratio — the effective dimensionality of the
+    embedding cloud, (Σλ)²/Σλ² over covariance eigenvalues — WITHOUT
+    an eigendecomposition: Σλ = trace(C) and Σλ² = ‖C‖²_F, both exact
+    sums over the integer covariance numerators n·Sij − Si·Sj from the
+    shared Gram exchange (each block ships ONE dim² int64 partial).
+    A collapsed embedding space (effective_dim ≪ dim) is the classic
+    representation-failure alarm.  Scale cancels in the ratio; total
+    variance reports in the milli²-normalized units of
+    embedding_covariance."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.similarity import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    part_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                             ("sij", pa.int64()), ("si", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _gram(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["vec_id"]),
+                                     pc.is_valid(batch["embedding"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        mat = _emb_matrix(batch, "embedding")
+        vi = np.floor(round6_tie_robust(mat) * 1000.0
+                      + 0.5).astype(np.int64)
+        n, d = vi.shape
+        gram = vi.T @ vi
+        si = vi.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "sij": pa.array(gram[iu, ju], pa.int64()),
+            "si": pa.array(np.where(iu == ju, si[iu], 0), pa.int64()),
+            "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+        }, schema=part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _gram, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    d = int(parts.i.max())
+    S = np.zeros((d, d), dtype=np.int64)
+    np.add.at(S, (parts.i.values - 1, parts.j.values - 1),
+              parts.sij.values)
+    si = np.zeros(d, dtype=np.int64)
+    diag = parts[parts.i == parts.j]
+    np.add.at(si, diag.i.values - 1, diag.si.values)
+    n = int(parts[(parts.i == 1) & (parts.j == 1)].n.sum())
+    S = S + np.triu(S, 1).T
+    C = (n * S - np.outer(si, si)).astype(np.float64)
+    tr = float(np.trace(C))
+    frob2 = float((C * C).sum())
+    return _collect(pa.table({
+        "dim": pa.array([d], pa.int64()),
+        "total_variance": pa.array(round6_tie_robust(
+            np.array([tr / (1e6 * n * (n - 1))]))),
+        "effective_dim": pa.array(round6_tie_robust(
+            np.array([tr * tr / frob2]))),
+    }))
+
+
+DISCOUNT_BANDS_SQL = """
+WITH l AS (
+  SELECT CAST(FLOOR(ROUND(l_discount, 6) * 100 + 0.5) AS BIGINT)
+           AS disc_pct,
+         CAST(FLOOR(ROUND(l_quantity, 6) + 0.5) AS BIGINT) // 10
+           AS qty_band,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL)
+SELECT disc_pct, qty_band, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(rev), 6) AS rev_sum
+FROM l GROUP BY 1, 2
+"""
+
+
+def q_discount_bands(sf_dir: str):
+    """Revenue surface over (discount percent, quantity band) — the
+    TPC-H Q19-flavoured pricing-policy grid (does deep discounting on
+    big lots actually carry revenue?).  Integer band edges from the
+    shared rounding quantization (no float boundary can flip a row's
+    cell), per-block cell partials, a bounded |bands|² driver merge."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    part_schema = pa.schema([("disc_pct", pa.int64()),
+                             ("qty_band", pa.int64()),
+                             ("n", pa.int64()), ("rev", pa.float64())])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.and_(
+            pc.is_valid(batch["l_discount"]),
+            pc.is_valid(batch["l_quantity"])),
+            pc.is_valid(batch["l_extendedprice"])))
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        qt = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "disc_pct": pa.array(np.floor(
+                round6_tie_robust(dc) * 100 + 0.5).astype(np.int64)),
+            "qty_band": pa.array((np.floor(round6_tie_robust(qt)
+                                           + 0.5).astype(np.int64)
+                                  // 10), pa.int64()),
+            "rev": pa.array(ep * (1.0 - dc), pa.float64())})
+        g = t.group_by(["disc_pct", "qty_band"]).aggregate(
+            [([], "count_all"), ("rev", "sum")])
+        return g.rename_columns(["disc_pct", "qty_band", "n",
+                                 "rev"]).cast(part_schema)
+
+    parts = _collect_raw(li.map_batches(
+        _partial, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = parts.groupby(["disc_pct", "qty_band"], as_index=False).agg(
+        n=("n", "sum"), rev=("rev", "sum"))
+    return _collect(pa.table({
+        "disc_pct": pa.array(agg["disc_pct"].values, pa.int64()),
+        "qty_band": pa.array(agg["qty_band"].values, pa.int64()),
+        "n_items": pa.array(agg["n"].values, pa.int64()),
+        "rev_sum": pa.array(agg["rev"].values, pa.float64()),
+    }))
+
+
+RICH_CLUB_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT w, COUNT(*) AS d FROM (
+    SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e)
+  GROUP BY 1),
+ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+nodes AS (
+  SELECT ks.k AS k, COUNT(*) AS nk
+  FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (
+  SELECT ks.k AS k, COUNT(*) AS mk
+  FROM ks, e
+  JOIN deg du ON du.w = e.u JOIN deg dv ON dv.w = e.v
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY 1)
+SELECT nodes.k AS k, CAST(nodes.nk AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.mk, 0) AS BIGINT) AS n_edges,
+       ROUND(2.0 * COALESCE(ek.mk, 0)
+             / (nodes.nk * (nodes.nk - 1)), 6) AS phi
+FROM nodes LEFT JOIN ek USING (k)
+WHERE nodes.nk > 1
+"""
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient of the co-purchase graph at degree
+    thresholds k ∈ {2, 4, 8}: the density φ(k) = 2·E_k / (N_k(N_k−1))
+    among nodes of degree > k — hub products trading with each other
+    far above chance is the classic catalog-concentration signal.
+    Engine path: the supported edge list streams ONCE with the sorted
+    degree table broadcast; each block emits per-k (edge, node)
+    tallies — a 3-row exchange; φ is exact-int arithmetic plus one
+    ratio."""
+    import ray
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"k": t.filter(pc.greater_equal(t["nuv"], 2))["k"]},
+            schema=_EK_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes, deg = _copurchase_degrees(edges)
+    out_empty = pa.table({"k": pa.array([], pa.int64()),
+                          "n_nodes": pa.array([], pa.int64()),
+                          "n_edges": pa.array([], pa.int64()),
+                          "phi": pa.array([], pa.float64())})
+    if not len(nodes):
+        return out_empty
+    dref = ray.put((nodes, deg))
+    ks = np.array([2, 4, 8], dtype=np.int64)
+    part_schema = pa.schema([("k", pa.int64()), ("mk", pa.int64())])
+
+    def _edge_tally(batch: pa.Table) -> pa.Table:
+        nd, dg = ray.get(dref)
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        u = kk >> np.int64(32)
+        v = kk & np.int64(0xFFFFFFFF)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        mks = [int(((du > kthr) & (dv > kthr)).sum()) for kthr in ks]
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "mk": pa.array(mks, pa.int64())},
+                        schema=part_schema)
+
+    parts = _collect_raw(edges.map_batches(
+        _edge_tally, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    mk = parts.groupby("k")["mk"].sum()
+    rows = {"k": [], "nk": [], "mk": [], "phi": []}
+    for kthr in ks:
+        nk = int((deg > kthr).sum())
+        if nk < 2:
+            continue
+        m = int(mk.get(kthr, 0))
+        rows["k"].append(int(kthr))
+        rows["nk"].append(nk)
+        rows["mk"].append(m)
+        rows["phi"].append(2.0 * m / (nk * (nk - 1)))
+    return _collect(pa.table({
+        "k": pa.array(rows["k"], pa.int64()),
+        "n_nodes": pa.array(rows["nk"], pa.int64()),
+        "n_edges": pa.array(rows["mk"], pa.int64()),
+        "phi": pa.array(rows["phi"], pa.float64()),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -19571,6 +19907,10 @@ def build_queries() -> dict:
         "term_burstiness": q_term_burstiness,
         "char_entropy": q_char_entropy,
         "reorder_gaps": q_reorder_gaps,
+        "wilson_ci": q_wilson_ci,
+        "effective_dim": q_effective_dim,
+        "discount_bands": q_discount_bands,
+        "rich_club": q_rich_club,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -19922,6 +20262,10 @@ WHERE rn <= 2
         "term_burstiness": TERM_BURSTINESS_SQL,
         "char_entropy": CHAR_ENTROPY_SQL,
         "reorder_gaps": REORDER_GAPS_SQL,
+        "wilson_ci": WILSON_CI_SQL,
+        "effective_dim": EFFECTIVE_DIM_SQL,
+        "discount_bands": DISCOUNT_BANDS_SQL,
+        "rich_club": RICH_CLUB_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
