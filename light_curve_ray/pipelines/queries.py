@@ -19706,6 +19706,338 @@ def q_rich_club(sf_dir: str):
     }))
 
 
+KRUSKAL_WALLIS_SQL = """
+WITH v AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+h AS (SELECT event_type, dow, vi, COUNT(*) AS n FROM v
+      GROUP BY 1, 2, 3),
+g AS (SELECT event_type, vi, SUM(n) AS nv FROM h GROUP BY 1, 2),
+rk AS (
+  SELECT event_type, vi, nv,
+         2 * (SUM(nv) OVER (PARTITION BY event_type ORDER BY vi)
+              - nv) + nv + 1 AS r2
+  FROM g),
+rj AS (
+  SELECT h.event_type AS event_type, h.dow AS dow,
+         SUM(h.n) AS nj, SUM(h.n * rk.r2) AS r2j
+  FROM h JOIN rk ON rk.event_type = h.event_type AND rk.vi = h.vi
+  GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, SUM(nj) AS nn,
+         SUM(CAST(r2j AS DOUBLE) * r2j / (4.0 * nj)
+             ORDER BY dow) AS srr
+  FROM rj GROUP BY 1),
+ties AS (
+  SELECT event_type, SUM(nv * nv * nv - nv) AS tsum FROM g
+  GROUP BY 1),
+hh AS (
+  SELECT agg.event_type AS event_type, agg.nn AS nn,
+         12.0 / (agg.nn * (agg.nn + 1.0)) * agg.srr
+           - 3 * (agg.nn + 1.0) AS h_raw,
+         1.0 - CAST(ties.tsum AS DOUBLE)
+               / (CAST(agg.nn AS DOUBLE) * agg.nn * agg.nn - agg.nn)
+           AS cfac
+  FROM agg JOIN ties USING (event_type))
+SELECT event_type, CAST(nn AS BIGINT) AS n,
+       ROUND(h_raw, 6) AS h_stat,
+       ROUND(h_raw / cfac, 6) AS h_adj
+FROM hh WHERE cfac > 0
+"""
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal–Wallis rank test of value-by-weekday per series — the
+    nonparametric companion to anova_events (rank-based, so one heavy
+    tail cannot fake a seasonal effect), with the standard tie
+    correction.  EXACT rank algebra: midranks live in half-units
+    (r2 = 2·cum_before + n_v + 1, an integer), per-dow rank sums R2_j
+    are exact ints off the bounded (type, dow, value) histogram, and
+    H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1) folds in dow order on both
+    engines.  Cell-count scale everywhere."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("dow", pa.int64()), ("vi", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "dow": pa.array((t_us // _DAY_US + 4) % 7,
+                                      pa.int64()),
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "dow", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "vi",
+                                 "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["event_type", "dow", "vi"],
+                          as_index=False)["n"].sum()
+    rows = {"et": [], "n": [], "h": [], "ha": []}
+    for et, sub in cells.groupby("event_type"):
+        gv = sub.groupby("vi")["n"].sum().sort_index()
+        vals = gv.index.values.astype(np.int64)
+        nv = gv.values.astype(np.int64)
+        cumb = np.concatenate([[0], np.cumsum(nv)[:-1]])
+        r2 = 2 * cumb + nv + 1            # midrank in half-units
+        r2map = dict(zip(vals.tolist(), r2.tolist()))
+        nn = int(nv.sum())
+        srr = 0.0
+        for dow in sorted(sub["dow"].unique()):
+            dsub = sub[sub["dow"] == dow]
+            nj = int(dsub["n"].sum())
+            r2j = int(sum(int(n_) * r2map[int(v_)]
+                          for v_, n_ in zip(dsub["vi"], dsub["n"])))
+            srr += float(r2j) * r2j / (4.0 * nj)
+        h_raw = 12.0 / (nn * (nn + 1.0)) * srr - 3 * (nn + 1.0)
+        tsum = int((nv.astype(object) ** 3 - nv).sum())
+        cfac = 1.0 - float(tsum) / (float(nn) * nn * nn - nn)
+        if cfac <= 0:
+            continue
+        rows["et"].append(et)
+        rows["n"].append(nn)
+        rows["h"].append(h_raw)
+        rows["ha"].append(h_raw / cfac)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "h_stat": pa.array(round6_tie_robust(
+            np.array(rows["h"], np.float64))),
+        "h_adj": pa.array(round6_tie_robust(
+            np.array(rows["ha"], np.float64))),
+    }))
+
+
+HUBER_LOCATION_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+m0 AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(2 * MEDIAN(vi) AS BIGINT) AS m2
+  FROM v GROUP BY 1),
+md AS (
+  SELECT v.event_type AS event_type,
+         CAST(2 * MEDIAN(ABS(2 * v.vi - m0.m2)) AS BIGINT) AS mad4
+  FROM v JOIN m0 USING (event_type) GROUP BY 1),
+cc AS (
+  SELECT m0.event_type AS event_type, m0.n AS n, m0.m2 AS m2,
+         md.mad4 AS mad4,
+         1.345 * (1.4826 * (mad4 / 4.0)) AS c
+  FROM m0 JOIN md USING (event_type)),
+hh0 AS (SELECT event_type, vi, COUNT(*) AS nv FROM v GROUP BY 1, 2),
+i1 AS (
+  SELECT h.event_type AS event_type,
+         SUM(((CASE WHEN ABS(h.vi - cc.m2 / 2.0) = 0 THEN 1
+                    ELSE LEAST(1.0, cc.c / ABS(h.vi - cc.m2 / 2.0))
+               END) * h.nv) * h.vi ORDER BY h.vi) /
+         SUM((CASE WHEN ABS(h.vi - cc.m2 / 2.0) = 0 THEN 1
+                   ELSE LEAST(1.0, cc.c / ABS(h.vi - cc.m2 / 2.0))
+              END) * h.nv ORDER BY h.vi) AS mu_raw
+  FROM hh0 h JOIN cc USING (event_type) GROUP BY 1),
+y1 AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(mu_raw, 6) + 0.5) AS BIGINT) AS mu1
+  FROM i1),
+i2 AS (
+  SELECT h.event_type AS event_type,
+         SUM(((CASE WHEN ABS(h.vi - y1.mu1) = 0 THEN 1
+                    ELSE LEAST(1.0, cc.c / ABS(h.vi - y1.mu1)) END)
+              * h.nv) * h.vi ORDER BY h.vi) /
+         SUM((CASE WHEN ABS(h.vi - y1.mu1) = 0 THEN 1
+                   ELSE LEAST(1.0, cc.c / ABS(h.vi - y1.mu1)) END)
+             * h.nv ORDER BY h.vi) AS mu_raw
+  FROM hh0 h JOIN cc USING (event_type) JOIN y1 USING (event_type)
+  GROUP BY 1)
+SELECT cc.event_type AS event_type, CAST(cc.n AS BIGINT) AS n,
+       ROUND(cc.m2 / 2000.0, 6) AS median_v,
+       ROUND(1.4826 * (cc.mad4 / 4.0) / 1000.0, 6) AS mad_scale,
+       ROUND(i2.mu_raw / 1000.0, 6) AS huber_mu
+FROM cc JOIN i2 USING (event_type)
+"""
+
+
+def q_huber_location(sf_dir: str):
+    """Huber M-estimator of location per series (c = 1.345·σ̂,
+    σ̂ = 1.4826·MAD) by two IRLS iterations from the median — the
+    textbook robust mean that downweights instead of discarding (the
+    soft version of robust_mean's trim).  EXACT-ALGEBRA discipline:
+    median and MAD live in half-/quarter-units ints off the
+    distinct-value histogram, the iterate re-quantizes to milli ints
+    after iteration 1 (floor(round6+0.5) — the geomedian discipline),
+    so every weight sees an exact |x − μ| and the weighted folds run
+    in value order on both engines."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi", "n"]).cast(
+            part_schema)
+
+    def _wmedian2(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """Weighted median in HALF-units (2x) — exact int."""
+        cum = np.cumsum(cnts)
+        nn = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, (nn + 1) // 2)])
+        hi = int(vals[np.searchsorted(cum, nn // 2 + 1)])
+        return lo + hi
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    hist = parts.groupby(["event_type", "vi"], as_index=False)[
+        "n"].sum()
+    rows = {"et": [], "n": [], "med": [], "mad": [], "mu": []}
+    for et, sub in hist.sort_values(["event_type", "vi"]).groupby(
+            "event_type", sort=True):
+        vals = sub["vi"].values.astype(np.int64)
+        cnts = sub["n"].values.astype(np.int64)
+        nn = int(cnts.sum())
+        m2 = _wmedian2(vals, cnts)
+        a2 = np.abs(2 * vals - m2)
+        ao = np.argsort(a2, kind="stable")
+        mad4 = _wmedian2(a2[ao], cnts[ao])
+        c = 1.345 * (1.4826 * (mad4 / 4.0))
+
+        def _irls(mu_milli: float) -> float:
+            ad = np.abs(vals - mu_milli)
+            w = np.where(ad == 0, 1.0,
+                         np.minimum(1.0, c / np.where(ad == 0, 1.0,
+                                                      ad)))
+            num = float((w * cnts * vals).sum())
+            den = float((w * cnts).sum())
+            return num / den
+
+        mu_raw = _irls(m2 / 2.0)
+        mu1 = float(np.floor(round6_tie_robust(
+            np.array([mu_raw]))[0] + 0.5))
+        mu2 = _irls(mu1)
+        rows["et"].append(et)
+        rows["n"].append(nn)
+        rows["med"].append(m2 / 2000.0)
+        rows["mad"].append(1.4826 * (mad4 / 4.0) / 1000.0)
+        rows["mu"].append(mu2 / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "median_v": pa.array(round6_tie_robust(
+            np.array(rows["med"], np.float64))),
+        "mad_scale": pa.array(round6_tie_robust(
+            np.array(rows["mad"], np.float64))),
+        "huber_mu": pa.array(round6_tie_robust(
+            np.array(rows["mu"], np.float64))),
+    }))
+
+
+TAIL_CODEPENDENCE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+q AS (SELECT event_type, QUANTILE_CONT(mi, 0.9) AS p90
+      FROM d GROUP BY 1),
+f AS (
+  SELECT d.event_type AS event_type, d.day AS day,
+         CASE WHEN d.mi > q.p90 THEN 1 ELSE 0 END AS hot
+  FROM d JOIN q USING (event_type)),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_days,
+         SUM(a.hot) AS na, SUM(b.hot) AS nb,
+         SUM(a.hot * b.hot) AS nboth
+  FROM f a JOIN f b ON b.day = a.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+       CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       CAST(nboth AS BIGINT) AS nboth,
+       ROUND(CAST(nboth * n_days AS DOUBLE) / (na * nb), 6)
+         AS tail_lift
+FROM p WHERE na > 0 AND nb > 0
+"""
+
+
+def q_tail_codependence(sf_dir: str):
+    """Upper-tail co-exceedance between every series pair: on days
+    both series exist, how often do BOTH exceed their own p90, vs the
+    independence expectation (lift = P(both)·n / (P(a)·P(b)·n²)·n —
+    the tail-dependence screen EVT risk models start from; pot_clusters
+    and gumbel_maxima are its per-series siblings).  The p90s use the
+    shared numpy-lerp-exact linear quantile on exact milli ints; day
+    joins, exceedance flags and the lift numerator are all integers.
+    Driver work is |types|² x |days|."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    flags = {}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        p90 = np.quantile(mi, 0.9)
+        flags[et] = (days, mi > p90)
+    ets = sorted(flags)
+    rows = {"a": [], "b": [], "nd": [], "na": [], "nb": [],
+            "nboth": [], "lift": []}
+    for i in range(len(ets)):
+        for j in range(i + 1, len(ets)):
+            da, ha = flags[ets[i]]
+            db, hb = flags[ets[j]]
+            common, ia, ib = np.intersect1d(da, db,
+                                            return_indices=True)
+            if not len(common):
+                continue
+            fa, fb = ha[ia], hb[ib]
+            na, nb = int(fa.sum()), int(fb.sum())
+            if na == 0 or nb == 0:
+                continue
+            nboth = int((fa & fb).sum())
+            nd = len(common)
+            rows["a"].append(ets[i])
+            rows["b"].append(ets[j])
+            rows["nd"].append(nd)
+            rows["na"].append(na)
+            rows["nb"].append(nb)
+            rows["nboth"].append(nboth)
+            rows["lift"].append(float(nboth * nd) / (na * nb))
+    return _collect(pa.table({
+        "type_a": pa.array(rows["a"], pa.string()),
+        "type_b": pa.array(rows["b"], pa.string()),
+        "n_days": pa.array(rows["nd"], pa.int64()),
+        "na": pa.array(rows["na"], pa.int64()),
+        "nb": pa.array(rows["nb"], pa.int64()),
+        "nboth": pa.array(rows["nboth"], pa.int64()),
+        "tail_lift": pa.array(round6_tie_robust(
+            np.array(rows["lift"], np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -19911,6 +20243,9 @@ def build_queries() -> dict:
         "effective_dim": q_effective_dim,
         "discount_bands": q_discount_bands,
         "rich_club": q_rich_club,
+        "kruskal_wallis": q_kruskal_wallis,
+        "huber_location": q_huber_location,
+        "tail_codependence": q_tail_codependence,
         # -- last driver-verified in r02 --
         "hot_keys": q_hot_keys,
         "dedup_exact": q_dedup_exact,
@@ -20266,6 +20601,9 @@ WHERE rn <= 2
         "effective_dim": EFFECTIVE_DIM_SQL,
         "discount_bands": DISCOUNT_BANDS_SQL,
         "rich_club": RICH_CLUB_SQL,
+        "kruskal_wallis": KRUSKAL_WALLIS_SQL,
+        "huber_location": HUBER_LOCATION_SQL,
+        "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
             points=EVENTS_POINTS_SQL),
