@@ -427,3 +427,193 @@ def test_label_separation_matches_bruteforce(ray_session):
             (xn.sum(0) @ mats[o].sum(0)) / (n * len(mats[o]))
             for o in mats if o != lab])
         assert abs(got.loc[lab, "between_cos"] - betw) < 1e-6
+
+
+def test_quantile_normalize_equal_marginals(ray_session):
+    from light_curve_ray.pipelines.queries import q_quantile_normalize
+
+    got = q_quantile_normalize(SF).to_pandas()
+    # after normalization every series carries the identical sorted
+    # qnorm vector (the defining property), and rank order follows mi
+    ref = None
+    for _, sub in got.groupby("event_type"):
+        qs = sub.sort_values("rank")["qnorm"].to_numpy()
+        assert (np.diff(sub.sort_values("rank")["mi"]) >= 0).all()
+        if ref is None:
+            ref = qs
+        else:
+            assert np.array_equal(ref, qs)
+    # qnorm at each rank is the cross-series mean of order stats
+    daily = _milli_daily(_events())
+    mats = [np.sort(sub["mi"].to_numpy())
+            for _, sub in daily.groupby("event_type")]
+    rmax = min(len(m) for m in mats)
+    mean_os = np.mean([m[:rmax] for m in mats], axis=0) / 1000.0
+    assert np.allclose(ref, mean_os, atol=1e-6)
+
+
+def test_term_burstiness_matches_re(ray_session):
+    from light_curve_ray.pipelines.queries import q_term_burstiness
+
+    got = q_term_burstiness(SF).to_pandas().set_index("term")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).dropna()
+    cf: dict = {}
+    df_: dict = {}
+    for text in docs["text"]:
+        toks = [t for t in re.split(r"[^a-z0-9]+", str(text).lower())
+                if t]
+        for t in set(toks):
+            df_[t] = df_.get(t, 0) + 1
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+    keep = {t for t, n in cf.items() if n >= 10}
+    assert set(got.index) == keep
+    for t in keep:
+        assert int(got.loc[t, "cf"]) == cf[t]
+        assert int(got.loc[t, "df"]) == df_[t]
+        assert abs(got.loc[t, "burstiness"] - cf[t] / df_[t]) < 1e-6
+
+
+def test_char_entropy_matches_counter(ray_session):
+    from collections import Counter
+
+    from light_curve_ray.pipelines.queries import q_char_entropy
+
+    got = q_char_entropy(SF).to_pandas().set_index("lang")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["lang", "text"]).dropna()
+    for lang, sub in docs.groupby("lang"):
+        cnt = Counter()
+        for text in sub["text"]:
+            cnt.update(c for c in str(text).lower()
+                       if "a" <= c <= "z")
+        tot = sum(cnt.values())
+        h = -sum((n / tot) * np.log(n / tot) for n in cnt.values())
+        assert int(got.loc[lang, "n_letters"]) == tot
+        assert abs(got.loc[lang, "char_entropy"] - h) < 1e-5
+        assert int(got.loc[lang, "n_distinct"]) == len(cnt)
+
+
+def test_reorder_gaps_matches_pandas(ray_session):
+    from light_curve_ray.pipelines.queries import q_reorder_gaps
+
+    got = q_reorder_gaps(SF).to_pandas().set_index("gap_weeks")
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey",
+                                      "o_orderdate"]).dropna()
+    orders["day"] = orders["o_orderdate"].astype("int64") // _DAY_US
+    gaps = []
+    for _, sub in orders.groupby("o_custkey"):
+        d = np.sort(sub["day"].unique())
+        gaps.extend(np.diff(d).tolist())
+    ref = pd.Series(gaps).groupby(np.array(gaps) // 7).agg(
+        ["count", "mean"])
+    assert len(got) == len(ref)
+    for wk, row in ref.iterrows():
+        assert int(got.loc[wk, "n_gaps"]) == int(row["count"])
+        assert abs(got.loc[wk, "mean_gap_days"] - row["mean"]) < 1e-6
+
+
+def test_wilson_and_kw_and_huber(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import (q_huber_location,
+                                                   q_kruskal_wallis,
+                                                   q_wilson_ci)
+
+    df = _events()
+    df["vi"] = np.floor(round6_tie_robust(df["value"].values) * 1000.0
+                        + 0.5).astype(np.int64)
+
+    wil = q_wilson_ci(SF).to_pandas().set_index("event_type")
+    med = np.median(df["vi"])
+    z = 1.959963984540054
+    for et, sub in df.groupby("event_type"):
+        n = len(sub)
+        k = int((sub["vi"] > med).sum())
+        p = k / n
+        cen = p + z * z / (2 * n)
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        den = 1 + z * z / n
+        assert int(wil.loc[et, "k"]) == k
+        assert abs(wil.loc[et, "wilson_lo"] - (cen - half) / den) < 1e-6
+        assert abs(wil.loc[et, "wilson_hi"] - (cen + half) / den) < 1e-6
+
+    kw = q_kruskal_wallis(SF).to_pandas().set_index("event_type")
+    df["dow"] = (df["t_us"] // _DAY_US + 4) % 7
+    for et, sub in df.groupby("event_type"):
+        r = sub["vi"].rank(method="average").to_numpy()
+        nn = len(sub)
+        srr = sum(r[sub["dow"].to_numpy() == d].sum() ** 2
+                  / (sub["dow"] == d).sum()
+                  for d in sub["dow"].unique())
+        h = 12.0 / (nn * (nn + 1)) * srr - 3 * (nn + 1)
+        _, t = np.unique(sub["vi"], return_counts=True)
+        c = 1 - (t.astype(float) ** 3 - t).sum() / (nn ** 3 - nn)
+        assert abs(kw.loc[et, "h_stat"] - h) < 1e-4
+        assert abs(kw.loc[et, "h_adj"] - h / c) < 1e-4
+
+    hub = q_huber_location(SF).to_pandas().set_index("event_type")
+    for et, sub in df.groupby("event_type"):
+        v = sub["vi"].to_numpy(dtype=float)
+        m = np.median(v)
+        mad = np.median(np.abs(v - m))
+        c = 1.345 * 1.4826 * mad
+        mu = m
+        for _ in range(2):
+            ad = np.abs(v - mu)
+            w = np.where(ad == 0, 1.0,
+                         np.minimum(1.0, c / np.where(ad == 0, 1, ad)))
+            mu = (w * v).sum() / w.sum()
+        assert abs(hub.loc[et, "median_v"] - m / 1000.0) < 1e-9
+        assert abs(hub.loc[et, "mad_scale"]
+                   - 1.4826 * mad / 1000.0) < 1e-9
+        # engine quantizes the iterate to milli between passes — agree
+        # to half a milli
+        assert abs(hub.loc[et, "huber_mu"] - mu / 1000.0) < 5e-4
+
+
+def test_tail_effective_richclub_discount(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import (q_discount_bands,
+                                                   q_effective_dim,
+                                                   q_rich_club,
+                                                   q_tail_codependence)
+
+    tc = q_tail_codependence(SF).to_pandas()
+    daily = _milli_daily(_events())
+    piv = daily.pivot_table(index="day", columns="event_type",
+                            values="mi")
+    for _, row in tc.iterrows():
+        a, b = row["type_a"], row["type_b"]
+        sub = piv[[a, b]].dropna()
+        pa_ = np.quantile(daily[daily["event_type"] == a]["mi"], 0.9)
+        pb_ = np.quantile(daily[daily["event_type"] == b]["mi"], 0.9)
+        fa = sub[a].to_numpy() > pa_
+        fb = sub[b].to_numpy() > pb_
+        assert int(row["nboth"]) == int((fa & fb).sum())
+        assert abs(row["tail_lift"]
+                   - (fa & fb).sum() * len(sub)
+                   / (fa.sum() * fb.sum())) < 1e-5
+
+    ed = q_effective_dim(SF).to_pandas().iloc[0]
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").dropna(
+        subset=["vec_id"])
+    vi = np.floor(round6_tie_robust(
+        np.vstack(emb["embedding"].values).astype(np.float64))
+        * 1000.0 + 0.5)
+    n = len(vi)
+    C = n * (vi.T @ vi) - np.outer(vi.sum(0), vi.sum(0))
+    tr = np.trace(C)
+    assert abs(ed["effective_dim"] - tr * tr / (C * C).sum()) < 1e-3
+
+    db = q_discount_bands(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet").dropna(
+        subset=["l_discount", "l_quantity", "l_extendedprice"])
+    assert int(db["n_items"].sum()) == len(li)
+
+    rc = q_rich_club(SF).to_pandas().set_index("k")
+    for k, row in rc.iterrows():
+        nk, mk = int(row["n_nodes"]), int(row["n_edges"])
+        assert 0 <= mk <= nk * (nk - 1) // 2
+        assert abs(row["phi"] - 2.0 * mk / (nk * (nk - 1))) < 1e-6
