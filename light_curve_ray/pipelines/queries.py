@@ -20038,6 +20038,368 @@ def q_tail_codependence(sf_dir: str):
     }))
 
 
+JARQUE_BERA_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+c AS (SELECT event_type, MIN(vi) AS c0 FROM v GROUP BY 1),
+w AS (SELECT v.event_type AS event_type,
+             CAST(v.vi - c.c0 AS HUGEINT) AS w
+      FROM v JOIN c USING (event_type)),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(w) AS s1, SUM(w * w) AS s2,
+         SUM(w * w * w) AS s3, SUM(w * w * w * w) AS s4
+  FROM w GROUP BY 1),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s),
+k AS (
+  SELECT event_type, n, mu, r2, r3, r4,
+         r2 - mu * mu AS m2,
+         r3 - 3.0 * mu * r2 + 2.0 * (mu * mu * mu) AS m3,
+         r4 - 4.0 * mu * r3 + 6.0 * (mu * mu) * r2
+            - 3.0 * (mu * mu * mu * mu) AS m4
+  FROM m),
+f AS (
+  SELECT event_type, n,
+         m3 / (m2 * SQRT(m2)) AS skew,
+         m4 / (m2 * m2) - 3.0 AS exk
+  FROM k WHERE m2 > 0)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(skew, 6) AS skewness,
+       ROUND(exk, 6) AS ex_kurtosis,
+       ROUND(n / 6.0 * (skew * skew + exk * exk / 4.0), 6) AS jb_stat
+FROM f
+"""
+
+
+def q_jarque_bera(sf_dir: str):
+    """Jarque–Bera normality test per series (skewness/kurtosis based —
+    the moment-space companion to anderson_darling, and unlike AD it IS
+    SQL-expressible because it needs no erf).  EXACT algebra end to end:
+    values quantize to milli ints, each block emits a bounded
+    (type, value) histogram (cell-count scale leaves the block, never
+    raw rows), and the driver folds exact arbitrary-precision integer
+    power sums S1..S4 over the merged cells — shifting by the per-type
+    integer MIN first so magnitudes stay well inside HUGEINT on the
+    oracle side.  Only the final moment ratios are floats, with the
+    multiply/divide tree written identically to the SQL mirror
+    (sqrt-only, no pow).  ORACLE-CHECKED against the HUGEINT power-sum
+    SQL."""
+    import math
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["event_type", "vi"],
+                          as_index=False)["n"].sum()
+    rows = {"et": [], "n": [], "sk": [], "ek": [], "jb": []}
+    for et, sub in cells.groupby("event_type"):
+        vi = sub["vi"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        w = (vi - int(vi.min())).astype(object)
+        co = cnt.astype(object)
+        n = int(cnt.sum())
+        s1 = int((w * co).sum())
+        s2 = int((w * w * co).sum())
+        s3 = int((w * w * w * co).sum())
+        s4 = int((w * w * w * w * co).sum())
+        nf = float(n)
+        mu = float(s1) / nf
+        r2 = float(s2) / nf
+        r3 = float(s3) / nf
+        r4 = float(s4) / nf
+        m2 = r2 - mu * mu
+        if m2 <= 0:
+            continue
+        m3 = r3 - 3.0 * mu * r2 + 2.0 * (mu * mu * mu)
+        m4 = (r4 - 4.0 * mu * r3 + 6.0 * (mu * mu) * r2
+              - 3.0 * (mu * mu * mu * mu))
+        skew = m3 / (m2 * math.sqrt(m2))
+        exk = m4 / (m2 * m2) - 3.0
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["sk"].append(skew)
+        rows["ek"].append(exk)
+        rows["jb"].append(n / 6.0 * (skew * skew + exk * exk / 4.0))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "skewness": pa.array(round6_tie_robust(
+            np.array(rows["sk"], np.float64))),
+        "ex_kurtosis": pa.array(round6_tie_robust(
+            np.array(rows["ek"], np.float64))),
+        "jb_stat": pa.array(round6_tie_robust(
+            np.array(rows["jb"], np.float64))),
+    }))
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type AS event_type,
+         CAST(SUM(CASE WHEN b.mi > a.mi THEN 1
+                       WHEN b.mi < a.mi THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.day > a.day
+  GROUP BY 1),
+n0 AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+t AS (
+  SELECT event_type,
+         CAST(SUM(tn * (tn - 1) * (2 * tn + 5)) AS BIGINT) AS tsum
+  FROM (SELECT event_type, mi, COUNT(*) AS tn FROM d GROUP BY 1, 2)
+  GROUP BY 1),
+vv AS (
+  SELECT n0.event_type AS event_type, n0.n AS n, p.s AS s,
+         CAST(n0.n * (n0.n - 1) * (2 * n0.n + 5) - t.tsum AS DOUBLE)
+           / 18.0 AS var_s
+  FROM n0 JOIN p USING (event_type) JOIN t USING (event_type))
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_stat,
+       ROUND(var_s, 6) AS var_s,
+       ROUND(CASE WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                  WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 6) AS z
+FROM vv WHERE var_s > 0
+"""
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotonic-trend test per series over the shared
+    daily-mean milli sequence — the nonparametric sibling of
+    theilsen_trend (same S-statistic family: sign-of-pair-difference
+    sums are immune to outliers that wreck a least-squares slope).
+    S = Σ_{i<j} sign(m_j − m_i) is an EXACT integer off the quantized
+    series; Var(S) carries the standard tie correction as an exact
+    integer numerator over 18.0; only z touches floats (one sqrt,
+    mirrored).  Work after the (type, day) partial collapse is
+    day-count scale — bounded at any corpus size.  ORACLE-CHECKED
+    against the pair-enumeration self-join SQL."""
+    import math
+
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "n": [], "s": [], "v": [], "z": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        if n < 2:
+            continue
+        s = 0
+        for j in range(1, n):
+            s += int((mi[:j] < mi[j]).sum())
+            s -= int((mi[:j] > mi[j]).sum())
+        _, tn = np.unique(mi, return_counts=True)
+        tn = tn.astype(object)
+        tsum = int((tn * (tn - 1) * (2 * tn + 5)).sum())
+        num = n * (n - 1) * (2 * n + 5) - tsum
+        var_s = float(num) / 18.0
+        if var_s <= 0:
+            continue
+        if s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["s"].append(s)
+        rows["v"].append(var_s)
+        rows["z"].append(z)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_days": pa.array(rows["n"], pa.int64()),
+        "s_stat": pa.array(rows["s"], pa.int64()),
+        "var_s": pa.array(round6_tie_robust(
+            np.array(rows["v"], np.float64))),
+        "z": pa.array(round6_tie_robust(
+            np.array(rows["z"], np.float64))),
+    }))
+
+
+READABILITY_ARI_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g'))
+           AS chars,
+         length(regexp_extract_all(text, '\\S+')) AS words,
+         length(regexp_extract_all(text, '[.!?]+')) AS sentences
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, CAST(chars AS BIGINT) AS chars,
+       CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       ROUND(4.71 * (CAST(chars AS DOUBLE) / words)
+             + 0.5 * (CAST(words AS DOUBLE)
+                      / GREATEST(1, sentences))
+             - 21.43, 6) AS ari
+FROM c WHERE words > 0
+"""
+
+
+def q_readability_ari(sf_dir: str):
+    """Automated Readability Index per document — the classic
+    count-based readability grade (ARI = 4.71·chars/words +
+    0.5·words/sentences − 21.43), the quality-filter signal next to
+    text_stats/sentence_stats that needs NO dictionary or syllable
+    model, so every count is exact and cross-engine.  One stateless
+    Arrow map over the corpus: chars/words/sentences are RE2
+    match-counts (pc.count_substring_regex == DuckDB
+    regexp_extract_all length, verified same semantics), zero Python
+    per row, no exchange at all.  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("chars", pa.int64()),
+                            ("words", pa.int64()),
+                            ("sentences", pa.int64()),
+                            ("ari", pa.float64())])
+
+    def _ari(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        txt = batch["text"]
+        chars = pc.count_substring_regex(
+            txt, "[A-Za-z0-9]").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        words = pc.count_substring_regex(
+            txt, r"\S+").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        sents = pc.count_substring_regex(
+            txt, "[.!?]+").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        keep = words > 0
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        chars, words, sents = chars[keep], words[keep], sents[keep]
+        s1 = np.maximum(1, sents).astype(np.float64)
+        ari = (4.71 * (chars.astype(np.float64) / words)
+               + 0.5 * (words.astype(np.float64) / s1) - 21.43)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "chars": pa.array(chars, pa.int64()),
+            "words": pa.array(words, pa.int64()),
+            "sentences": pa.array(sents, pa.int64()),
+            "ari": pa.array(round6_tie_robust(ari), pa.float64()),
+        }, schema=out_schema)
+
+    return _collect(ds.map_batches(_ari, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+
+CHAO1_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+         AS t(term)
+  WHERE t.term <> ''),
+tc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+ff AS (SELECT n, COUNT(*) AS cnt FROM tc GROUP BY 1),
+s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS v_types,
+         CAST(COALESCE(SUM(CASE WHEN n = 1 THEN cnt END), 0)
+              AS BIGINT) AS f1,
+         CAST(COALESCE(SUM(CASE WHEN n = 2 THEN cnt END), 0)
+              AS BIGINT) AS f2,
+         CAST(SUM(n * cnt) AS BIGINT) AS n_tokens
+  FROM ff)
+SELECT v_types, f1, f2, n_tokens,
+       ROUND(v_types + CAST(f1 * (f1 - 1) AS DOUBLE)
+             / (2.0 * (f2 + 1.0)), 6) AS chao1,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS coverage
+FROM s
+"""
+
+
+def q_chao1_richness(sf_dir: str):
+    """Chao1 unseen-vocabulary estimator + Good's coverage over the
+    whole corpus — "how much vocabulary has this crawl NOT seen yet",
+    the capture–recapture companion to heaps_law (Heaps fits growth,
+    Chao1 bounds the asymptote from hapax/dis counts alone).  Pipeline:
+    the shared wordcount exchange (stages/wordcount.term_counts — block
+    combiners, ONE keyed merge) then a frequency-of-frequencies
+    collapse inside map_batches, so what reaches the driver is
+    |distinct count values| rows — log-scale tiny at any corpus size.
+    v/f1/f2/N are exact ints; the bias-corrected f1(f1−1)/(2(f2+1))
+    form avoids the f2=0 pole.  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.wordcount import term_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    tc = term_counts(ds, [], "text")
+    ff_schema = pa.schema([("n", pa.int64()), ("cnt", pa.int64())])
+
+    def _ff(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return ff_schema.empty_table()
+        g = pa.table({"n": batch["n"]}).group_by(["n"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["n", "cnt"]).cast(ff_schema)
+
+    parts = _collect_raw(tc.map_batches(
+        _ff, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    ff = parts.groupby("n")["cnt"].sum()
+    v = int(ff.sum())
+    f1 = int(ff.get(1, 0))
+    f2 = int(ff.get(2, 0))
+    n_tok = int((ff.index.values.astype(object)
+                 * ff.values.astype(object)).sum())
+    chao1 = float(v) + float(f1 * (f1 - 1)) / (2.0 * (f2 + 1.0))
+    coverage = 1.0 - float(f1) / float(n_tok)
+    return _collect(pa.table({
+        "v_types": pa.array([v], pa.int64()),
+        "f1": pa.array([f1], pa.int64()),
+        "f2": pa.array([f2], pa.int64()),
+        "n_tokens": pa.array([n_tok], pa.int64()),
+        "chao1": pa.array(round6_tie_robust(
+            np.array([chao1], np.float64))),
+        "coverage": pa.array(round6_tie_robust(
+            np.array([coverage], np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -20054,6 +20416,10 @@ def build_queries() -> dict:
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "embedding_components": q_embedding_components,
         # -- new in round 4 --
+        "jarque_bera": q_jarque_bera,
+        "mann_kendall": q_mann_kendall,
+        "readability_ari": q_readability_ari,
+        "chao1_richness": q_chao1_richness,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -20603,6 +20969,10 @@ WHERE rn <= 2
         "rich_club": RICH_CLUB_SQL,
         "kruskal_wallis": KRUSKAL_WALLIS_SQL,
         "huber_location": HUBER_LOCATION_SQL,
+        "jarque_bera": JARQUE_BERA_SQL,
+        "mann_kendall": MANN_KENDALL_SQL,
+        "readability_ari": READABILITY_ARI_SQL,
+        "chao1_richness": CHAO1_RICHNESS_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
