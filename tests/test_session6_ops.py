@@ -135,3 +135,122 @@ def test_chao1_matches_direct(ray_session):
     assert got["n_tokens"] == n_tok
     assert abs(got["chao1"] - chao1) < 1e-4
     assert abs(got["coverage"] - (1.0 - f1 / n_tok)) < 1e-6
+
+
+def _milli_daily():
+    df = _events()
+    df["day"] = df["t_us"] // _DAY_US
+    g = df.groupby(["event_type", "day"])["value"].agg(
+        ["sum", "count"]).reset_index()
+    g["mi"] = _vi((g["sum"] / g["count"]).values)
+    return g
+
+
+def test_friedman_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_friedman_test
+
+    got = q_friedman_test(SF).to_pandas().set_index("event_type")
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        sub = sub.sort_values("day")
+        week = sub["day"].to_numpy(np.int64) // 7
+        dow = sub["day"].to_numpy(np.int64) % 7
+        mi = sub["mi"].to_numpy(np.int64)
+        uw, cnts = np.unique(week, return_counts=True)
+        full = uw[cnts == 7]
+        if len(full) == 0:
+            assert et not in got.index
+            continue
+        r2sum: dict = {}
+        a2 = 0
+        n = 0
+        for wv in full:
+            mask = week == wv
+            x, dw = mi[mask], dow[mask]
+            cl = (x[:, None] > x[None, :]).sum(axis=1)
+            ce = (x[:, None] == x[None, :]).sum(axis=1)
+            r2 = 2 * cl + ce + 1
+            for p, rv in zip(dw, r2):
+                r2sum[int(p)] = r2sum.get(int(p), 0) + int(rv)
+            a2 += int((r2.astype(np.int64) ** 2).sum())
+            n += 1
+        s2 = sum((rv - 8 * n) ** 2 for rv in r2sum.values())
+        den = a2 - 448 * n
+        if den <= 0:
+            assert et not in got.index
+            continue
+        row = got.loc[et]
+        assert row["n_weeks"] == n
+        assert abs(row["q_stat"] - 6.0 * s2 / den) < 1e-6
+        # sanity: with 7 untied treatments, 0 <= Q <= 6n(k-1)/n bound-ish
+        assert row["q_stat"] >= 0
+
+
+def test_brown_forsythe_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_brown_forsythe
+
+    got = q_brown_forsythe(SF).to_pandas().set_index("event_type")
+    df = _events()
+    df["dow"] = (df["t_us"] // _DAY_US + 4) % 7
+    df["vi"] = _vi(df["value"].values)
+    for et, sub in df.groupby("event_type"):
+        zs = []
+        for dow, d in sub.groupby("dow"):
+            x = np.sort(d["vi"].to_numpy(np.int64))
+            nj = len(x)
+            m2 = int(x[(nj - 1) // 2]) + int(x[nj // 2])
+            zs.append(np.abs(2 * d["vi"].to_numpy(np.int64) - m2)
+                      .astype(np.float64))
+        k = len(zs)
+        if k < 2:
+            assert et not in got.index or got.loc[et]["k"] >= 2
+            continue
+        allz = np.concatenate(zs)
+        nn = len(allz)
+        gm = allz.mean()
+        ssb = sum(len(z) * (z.mean() - gm) ** 2 for z in zs)
+        ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+        f = (ssb / (k - 1)) / (ssw / (nn - k))
+        row = got.loc[et]
+        assert row["k"] == k
+        assert row["n"] == nn
+        assert abs(row["f_bf"] - f) < 1e-4
+
+
+def test_sample_entropy_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_sample_entropy
+
+    got = q_sample_entropy(SF).to_pandas().set_index("event_type")
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        mi = sub.sort_values("day")["mi"].to_numpy(np.int64)
+        n = len(mi)
+        if n < 4:
+            assert et not in got.index
+            continue
+        x = np.sort(mi)
+        med2 = int(x[(n - 1) // 2]) + int(x[n // 2])
+        dev2 = np.sort(np.abs(2 * mi - med2))
+        mad4 = int(dev2[(n - 1) // 2]) + int(dev2[n // 2])
+        b = a = 0
+        for i in range(n - 1):
+            for j in range(i + 1, n - 1):
+                if 4 * max(abs(int(mi[i]) - int(mi[j])),
+                           abs(int(mi[i + 1]) - int(mi[j + 1]))) \
+                        <= mad4:
+                    b += 1
+        for i in range(n - 2):
+            for j in range(i + 1, n - 2):
+                if 4 * max(abs(int(mi[i]) - int(mi[j])),
+                           abs(int(mi[i + 1]) - int(mi[j + 1])),
+                           abs(int(mi[i + 2]) - int(mi[j + 2]))) \
+                        <= mad4:
+                    a += 1
+        if a == 0 or b == 0:
+            assert et not in got.index
+            continue
+        row = got.loc[et]
+        assert row["n_days"] == n
+        assert row["b_count"] == b
+        assert row["a_count"] == a
+        assert abs(row["sampen"] - (-math.log(a / b))) < 1e-6
