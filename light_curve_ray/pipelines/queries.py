@@ -20716,6 +20716,274 @@ def q_sample_entropy(sf_dir: str):
     }))
 
 
+BOLLINGER_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, mi,
+         SUM(mi) OVER win AS s,
+         SUM(mi * mi) OVER win AS q,
+         COUNT(*) OVER win AS c
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+f AS (SELECT * FROM w WHERE c = 7),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN (7 * mi - s) * (7 * mi - s)
+                            > 4 * (7 * q - s * s)
+                        AND 7 * mi > s THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN (7 * mi - s) * (7 * mi - s)
+                            > 4 * (7 * q - s * s)
+                        AND 7 * mi < s THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_below,
+         SUM(SQRT(CAST(7 * q - s * s AS DOUBLE)) ORDER BY day) AS wsum
+  FROM f GROUP BY 1)
+SELECT event_type, n_windows, n_above, n_below,
+       ROUND(4.0 * wsum / (7000.0 * n_windows), 6) AS mean_band_width
+FROM g
+"""
+
+
+def q_bollinger_daily(sf_dir: str):
+    """Bollinger bands on the daily-mean series — a trailing 7-row
+    window (the last 7 OBSERVED days) per series, counting closes
+    outside mean ± 2·sigma plus the mean band width (4·sigma, the
+    volatility profile).  EXACT band test: with S = Sigma mi and
+    Q = Sigma mi^2 over the window (exact int64 in milli-units), the
+    condition |mi − S/7| > 2·sigma is the integer inequality
+    (7·mi − S)^2 > 4·(7·Q − S^2) — no float enters the decision, so
+    the engine and the oracle's HUGEINT window sums agree bit-for-bit.
+    The width 4·sqrt(7Q − S^2)/7000 uses IEEE-exact sqrt; the
+    window-ordered fold mirrors the oracle's ORDER BY day SUM.
+    Sliding sums are cumsum differences — day-count scale per series,
+    bounded at any corpus size.  ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "nw": [], "na": [], "nb": [], "w": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        if n < 7:
+            continue
+        cs = np.concatenate(([0], np.cumsum(mi, dtype=np.int64)))
+        cq = np.concatenate(([0], np.cumsum(mi.astype(np.int64) ** 2,
+                                            dtype=np.int64)))
+        s = cs[7:] - cs[:-7]
+        q = cq[7:] - cq[:-7]
+        x = mi[6:]
+        lhs = (7 * x - s) ** 2
+        rhs = 4 * (7 * q - s * s)
+        out = lhs > rhs
+        na = int((out & (7 * x > s)).sum())
+        nb = int((out & (7 * x < s)).sum())
+        wsum = 0.0
+        for v in np.sqrt((7 * q - s * s).astype(np.float64)).tolist():
+            wsum += v  # sequential fold == oracle's ORDER BY day SUM
+        rows["et"].append(et)
+        rows["nw"].append(len(x))
+        rows["na"].append(na)
+        rows["nb"].append(nb)
+        rows["w"].append(4.0 * wsum / (7000.0 * len(x)))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_windows": pa.array(rows["nw"], pa.int64()),
+        "n_above": pa.array(rows["na"], pa.int64()),
+        "n_below": pa.array(rows["nb"], pa.int64()),
+        "mean_band_width": pa.array(round6_tie_robust(
+            np.array(rows["w"], np.float64))),
+    }))
+
+
+NDCG_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5)
+              AS BIGINT) AS svi
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY svi DESC, user_id) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id) AS irnk
+  FROM u),
+d AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CASE WHEN rnk <= 10
+                       THEN cnt * (2520 // rnk) ELSE 0 END)
+              AS BIGINT) AS dcg_num,
+         CAST(SUM(CASE WHEN irnk <= 10
+                       THEN cnt * (2520 // irnk) ELSE 0 END)
+              AS BIGINT) AS idcg_num
+  FROM r GROUP BY 1)
+SELECT event_type, n_users, dcg_num, idcg_num,
+       ROUND(CAST(dcg_num AS DOUBLE) / idcg_num, 6) AS ndcg
+FROM d WHERE idcg_num > 0
+"""
+
+
+def q_ndcg_eval(sf_dir: str):
+    """Harmonic-discount NDCG@10 per series — ranking-quality eval of
+    "rank users by total spend, judge by true engagement": the
+    predicted ranking orders users by Sigma value (micro-unit integer
+    after the two-step pre-round, user_id tie-break) and the graded
+    relevance gain is the user's event COUNT.  EXACT algebra: with
+    the harmonic discount 1/i cleared by L = lcm(1..10) = 2520,
+    DCG@10 = Sigma gain_i·(2520/i) / 2520 — so dcg_num and idcg_num
+    (ideal = gains sorted desc, tie-order-invariant) are exact ints
+    and NDCG = dcg_num/idcg_num is ONE float division.  The (type,
+    user) aggregation collapses map-side to user-count-scale partials
+    (same footprint discipline as funnel_users).  ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "user_id", "s",
+                                 "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _parts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    u = parts.groupby(["event_type", "user_id"], as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    weights = {i: 2520 // i for i in range(1, 11)}
+    rows = {"et": [], "nu": [], "d": [], "i": [], "g": []}
+    for et, sub in u.groupby("event_type"):
+        svi = np.floor(round6_tie_robust(sub["s"].to_numpy(np.float64))
+                       * 1e6 + 0.5).astype(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        uid = sub["user_id"].to_numpy(np.int64)
+        pred = np.lexsort((uid, -svi))[:10]
+        ideal = np.lexsort((uid, -cnt))[:10]
+        dcg = sum(int(cnt[j]) * weights[i + 1]
+                  for i, j in enumerate(pred))
+        idcg = sum(int(cnt[j]) * weights[i + 1]
+                   for i, j in enumerate(ideal))
+        if idcg <= 0:
+            continue
+        rows["et"].append(et)
+        rows["nu"].append(len(sub))
+        rows["d"].append(dcg)
+        rows["i"].append(idcg)
+        rows["g"].append(dcg / idcg)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_users": pa.array(rows["nu"], pa.int64()),
+        "dcg_num": pa.array(rows["d"], pa.int64()),
+        "idcg_num": pa.array(rows["i"], pa.int64()),
+        "ndcg": pa.array(round6_tie_robust(
+            np.array(rows["g"], np.float64))),
+    }))
+
+
+ADJUSTED_RAND_SQL = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 300 THEN 1
+              WHEN n_chars < 450 THEN 2 ELSE 3 END AS band
+  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+c AS (SELECT source, band, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM d GROUP BY 1, 2),
+sij AS (SELECT CAST(SUM(n * (n - 1) / 2) AS HUGEINT) AS sij FROM c),
+sa AS (SELECT CAST(SUM(t * (t - 1) / 2) AS HUGEINT) AS sa,
+              CAST(COUNT(*) AS BIGINT) AS k_source
+       FROM (SELECT SUM(n) AS t FROM c GROUP BY source)),
+sb AS (SELECT CAST(SUM(t * (t - 1) / 2) AS HUGEINT) AS sb,
+              CAST(COUNT(*) AS BIGINT) AS k_band
+       FROM (SELECT SUM(n) AS t FROM c GROUP BY band)),
+tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS n FROM c)
+SELECT CAST(n AS BIGINT) AS n_docs, k_source, k_band,
+       CAST(sij AS BIGINT) AS sum_pair_cells,
+       ROUND(CAST(2 * (n * (n - 1) / 2) * sij - 2 * sa * sb AS DOUBLE)
+             / ((n * (n - 1) / 2) * (sa + sb) - 2 * sa * sb), 6) AS ari
+FROM sij, sa, sb, tot
+WHERE (n * (n - 1) / 2) * (sa + sb) - 2 * sa * sb <> 0
+"""
+
+
+def q_adjusted_rand(sf_dir: str):
+    """Adjusted Rand Index between two document partitions — source
+    vs fixed length bands (integer edges 150/300/450, convention-free
+    per the dmdt grid discipline): "does provenance predict document
+    shape", the chance-corrected co-clustering agreement.  EXACT
+    algebra: the contingency cells n_ij, marginals and every binomial
+    C(.,2) are exact ints (Python bigint == oracle HUGEINT), and with
+    P = C(n,2) the index ARI = (2·P·Sij − 2·Sa·Sb)/(P·(Sa+Sb) −
+    2·Sa·Sb) is ONE float division of two exact ints (the /2 cleared
+    so odd Sa+Sb stays integral).  Cells collapse map-side —
+    |sources|x4 rows cross the wire at any corpus size.
+    ORACLE-CHECKED."""
+    import ray.data as rd
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    part_schema = pa.schema([("source", pa.string()),
+                             ("band", pa.int64()), ("n", pa.int64())])
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["source"]),
+                    pc.is_valid(batch["n_chars"]))
+        batch = batch.filter(m)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        band = ((nc >= 150).astype(np.int64) + (nc >= 300)
+                + (nc >= 450))
+        t = pa.table({"source": batch["source"],
+                      "band": pa.array(band, pa.int64())})
+        g = t.group_by(["source", "band"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "band", "n"]).cast(
+            part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _cells, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["source", "band"], as_index=False)["n"].sum()
+    if cells.empty:
+        return pa.table({"n_docs": pa.array([], pa.int64()),
+                         "k_source": pa.array([], pa.int64()),
+                         "k_band": pa.array([], pa.int64()),
+                         "sum_pair_cells": pa.array([], pa.int64()),
+                         "ari": pa.array([], pa.float64())})
+    nij = [int(v) for v in cells["n"]]
+    n = sum(nij)
+    a = [int(v) for v in cells.groupby("source")["n"].sum()]
+    b = [int(v) for v in cells.groupby("band")["n"].sum()]
+    sij = sum(v * (v - 1) // 2 for v in nij)
+    sa = sum(v * (v - 1) // 2 for v in a)
+    sb = sum(v * (v - 1) // 2 for v in b)
+    p = n * (n - 1) // 2
+    den = p * (sa + sb) - 2 * sa * sb
+    rows = ([(n, len(a), len(b), sij,
+              (2 * p * sij - 2 * sa * sb) / den)]
+            if den != 0 else [])
+    return _collect(pa.table({
+        "n_docs": pa.array([r[0] for r in rows], pa.int64()),
+        "k_source": pa.array([r[1] for r in rows], pa.int64()),
+        "k_band": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_pair_cells": pa.array([r[3] for r in rows], pa.int64()),
+        "ari": pa.array(round6_tie_robust(
+            np.array([r[4] for r in rows], np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -20739,6 +21007,9 @@ def build_queries() -> dict:
         "friedman_test": q_friedman_test,
         "brown_forsythe": q_brown_forsythe,
         "sample_entropy": q_sample_entropy,
+        "bollinger_daily": q_bollinger_daily,
+        "ndcg_eval": q_ndcg_eval,
+        "adjusted_rand": q_adjusted_rand,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -21295,6 +21566,9 @@ WHERE rn <= 2
         "friedman_test": FRIEDMAN_SQL,
         "brown_forsythe": BROWN_FORSYTHE_SQL,
         "sample_entropy": SAMPLE_ENTROPY_SQL,
+        "bollinger_daily": BOLLINGER_SQL,
+        "ndcg_eval": NDCG_SQL,
+        "adjusted_rand": ADJUSTED_RAND_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

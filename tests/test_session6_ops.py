@@ -254,3 +254,98 @@ def test_sample_entropy_matches_direct(ray_session):
         assert row["b_count"] == b
         assert row["a_count"] == a
         assert abs(row["sampen"] - (-math.log(a / b))) < 1e-6
+
+
+def test_bollinger_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_bollinger_daily
+
+    got = q_bollinger_daily(SF).to_pandas().set_index("event_type")
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        mi = sub.sort_values("day")["mi"].to_numpy(np.int64)
+        n = len(mi)
+        if n < 7:
+            assert et not in got.index
+            continue
+        na = nb = 0
+        widths = []
+        for i in range(6, n):
+            w = mi[i - 6:i + 1].astype(np.float64)
+            m = w.mean()
+            sd = w.std()  # population std over the 7-day window
+            if mi[i] > m + 2 * sd:
+                na += 1
+            elif mi[i] < m - 2 * sd:
+                nb += 1
+            widths.append(4 * sd / 1000.0)
+        row = got.loc[et]
+        assert row["n_windows"] == n - 6
+        assert row["n_above"] == na
+        assert row["n_below"] == nb
+        assert abs(row["mean_band_width"]
+                   - float(np.mean(widths))) < 1e-5
+
+
+def test_ndcg_matches_direct(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_ndcg_eval
+
+    got = q_ndcg_eval(SF).to_pandas().set_index("event_type")
+    df = _events().dropna(subset=["user_id"])
+    u = df.groupby(["event_type", "user_id"])["value"].agg(
+        ["sum", "count"]).reset_index()
+    for et, sub in u.groupby("event_type"):
+        svi = np.floor(round6_tie_robust(sub["sum"].to_numpy(np.float64))
+                       * 1e6 + 0.5).astype(np.int64)
+        cnt = sub["count"].to_numpy(np.int64)
+        uid = sub["user_id"].to_numpy(np.int64)
+        pred = np.lexsort((uid, -svi))[:10]
+        ideal = np.lexsort((uid, -cnt))[:10]
+        dcg = sum(int(cnt[j]) * (2520 // (i + 1))
+                  for i, j in enumerate(pred))
+        idcg = sum(int(cnt[j]) * (2520 // (i + 1))
+                   for i, j in enumerate(ideal))
+        row = got.loc[et]
+        assert row["n_users"] == len(sub)
+        assert row["dcg_num"] == dcg
+        assert row["idcg_num"] == idcg
+        # NDCG in (0, 1]; ideal ranking of the gains is an upper bound
+        assert 0 < row["ndcg"] <= 1.0
+        assert abs(row["ndcg"] - dcg / idcg) < 1e-6
+
+
+def test_adjusted_rand_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_adjusted_rand
+
+    got = q_adjusted_rand(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/documents.parquet").dropna(
+        subset=["source", "n_chars"])
+    band = ((df["n_chars"] >= 150).astype(int)
+            + (df["n_chars"] >= 300) + (df["n_chars"] >= 450))
+    ct = pd.crosstab(df["source"], band)
+    n = int(ct.values.sum())
+    comb2 = lambda v: int(v) * (int(v) - 1) // 2
+    sij = sum(comb2(v) for v in ct.values.ravel())
+    sa = sum(comb2(v) for v in ct.sum(axis=1))
+    sb = sum(comb2(v) for v in ct.sum(axis=0))
+    p = comb2(n)
+    exp = (sij - sa * sb / p) / ((sa + sb) / 2 - sa * sb / p)
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n_docs"] == n
+    assert row["k_source"] == ct.shape[0]
+    assert row["k_band"] == (band.nunique())
+    assert row["sum_pair_cells"] == sij
+    assert abs(row["ari"] - exp) < 1e-6
+    assert -0.5 <= row["ari"] <= 1.0
+
+
+def test_adjusted_rand_perfect_agreement():
+    # identical partitions => ARI == 1 by the exact-int formula
+    nij = [5, 7, 9]  # diagonal contingency
+    sij = sum(v * (v - 1) // 2 for v in nij)
+    n = sum(nij)
+    p = n * (n - 1) // 2
+    sa = sb = sij
+    ari = (2 * p * sij - 2 * sa * sb) / (p * (sa + sb) - 2 * sa * sb)
+    assert ari == 1.0
