@@ -20984,6 +20984,356 @@ def q_adjusted_rand(sf_dir: str):
     }))
 
 
+HAAR_ENERGY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+r0 AS (SELECT event_type, mi AS x,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS rn
+       FROM d),
+l1 AS (SELECT event_type, (rn - 1) // 2 AS i,
+              SUM(CASE WHEN rn % 2 = 1 THEN x ELSE -x END) AS dd,
+              SUM(x) AS s, COUNT(*) AS c
+       FROM r0 GROUP BY 1, 2),
+r1 AS (SELECT event_type, s AS x, dd,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY i) AS rn
+       FROM l1 WHERE c = 2),
+l2 AS (SELECT event_type, (rn - 1) // 2 AS i,
+              SUM(CASE WHEN rn % 2 = 1 THEN x ELSE -x END) AS dd,
+              SUM(x) AS s, COUNT(*) AS c
+       FROM r1 GROUP BY 1, 2),
+r2 AS (SELECT event_type, s AS x, dd,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY i) AS rn
+       FROM l2 WHERE c = 2),
+l3 AS (SELECT event_type, (rn - 1) // 2 AS i,
+              SUM(CASE WHEN rn % 2 = 1 THEN x ELSE -x END) AS dd,
+              COUNT(*) AS c
+       FROM r2 GROUP BY 1, 2),
+e AS (
+  SELECT event_type, 1 AS level, COUNT(*) AS n_coef,
+         SUM(dd * dd) AS ssd FROM r1 GROUP BY 1
+  UNION ALL
+  SELECT event_type, 2 AS level, COUNT(*) AS n_coef,
+         SUM(dd * dd) AS ssd FROM r2 GROUP BY 1
+  UNION ALL
+  SELECT event_type, 3 AS level, COUNT(*) AS n_coef,
+         SUM(dd * dd) AS ssd FROM l3 WHERE c = 2 GROUP BY 1)
+SELECT event_type, CAST(level AS BIGINT) AS level,
+       CAST(n_coef AS BIGINT) AS n_coef,
+       ROUND(CAST(ssd AS DOUBLE)
+             / (POWER(2, level) * 1000000.0), 6) AS energy
+FROM e WHERE n_coef > 0
+"""
+
+
+def q_haar_energy(sf_dir: str):
+    """Haar wavelet detail energy by level (1-3) of each daily-mean
+    series — the multi-resolution variance profile: level-1 energy is
+    day-to-day jitter, level-3 is ~week-scale swing (the wavelet
+    companion to structure_function's time-domain bins).  EXACT
+    cascade: unnormalized details d = x_even − x_odd and smooths
+    s = x_even + x_odd stay int64 milli-units through all levels
+    (odd tails dropped per level, the standard dyadic truncation),
+    energies Sigma d^2 are exact ints, and the orthonormal 2^level
+    scaling plus milli^2 conversion is ONE division by the constant
+    2^level * 1e6 both sides.  Per-series work is linear in days.
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "lv": [], "nc": [], "en": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        x = mi.astype(np.int64)
+        for level in (1, 2, 3):
+            m = len(x) // 2
+            if m == 0:
+                break
+            ev, od = x[0:2 * m:2], x[1:2 * m:2]
+            dd = ev - od
+            x = ev + od
+            rows["et"].append(et)
+            rows["lv"].append(level)
+            rows["nc"].append(m)
+            rows["en"].append(float(int((dd.astype(object) ** 2).sum()))
+                              / (2.0 ** level * 1e6))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "level": pa.array(rows["lv"], pa.int64()),
+        "n_coef": pa.array(rows["nc"], pa.int64()),
+        "energy": pa.array(round6_tie_robust(
+            np.array(rows["en"], np.float64))),
+    }))
+
+
+ROC_AUC_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5)
+              AS HUGEINT) AS svi
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(svi) AS tots, SUM(cnt) AS totn
+      FROM u GROUP BY 1),
+g AS (
+  SELECT u.event_type AS event_type, cnt,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN svi * totn > tots * cnt
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mp
+  FROM u JOIN t USING (event_type) GROUP BY 1, 2),
+w AS (
+  SELECT event_type, m, mp,
+         2 * (SUM(m) OVER (PARTITION BY event_type ORDER BY cnt)
+              - m) + m + 1 AS r2
+  FROM g),
+a AS (
+  SELECT event_type, CAST(SUM(mp * r2) AS BIGINT) AS sr2,
+         CAST(SUM(mp) AS BIGINT) AS n_pos,
+         CAST(SUM(m - mp) AS BIGINT) AS n_neg
+  FROM w GROUP BY 1)
+SELECT event_type, n_pos, n_neg,
+       CAST(sr2 - n_pos * (n_pos + 1) AS BIGINT) AS u_stat_x2,
+       ROUND(CAST(sr2 - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg), 6) AS auc
+FROM a WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+def q_roc_auc(sf_dir: str):
+    """Rank-based ROC AUC per series — "does a user's activity count
+    predict above-average spend per event": score = the user's event
+    count (exact int), label = the user's mean value beats the type
+    mean, decided by the exact integer cross-multiplication
+    svi*N > S*cnt on two-step-pre-rounded micro-unit sums (no float
+    division enters the label).  EXACT Mann-Whitney identity:
+    midranks in half-units (r2 = 2*cnt_less + cnt_eq + 1, the shared
+    half-unit trick), so AUC = (Sigma_pos r2 − np(np+1)) / (2*np*nn)
+    is exact ints over ONE float division — ties between positive and
+    negative users contribute exactly 1/2 each.  (type,user) partials
+    combine map-side (count + sum are both mergeable).
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.float64())])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n",
+                                 "s"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _parts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    u = parts.groupby(["event_type", "user_id"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    rows = {"et": [], "np": [], "nn": [], "u2": [], "auc": []}
+    for et, sub in u.groupby("event_type"):
+        cnt = sub["n"].to_numpy(np.int64)
+        svi = np.floor(round6_tie_robust(sub["s"].to_numpy(np.float64))
+                       * 1e6 + 0.5).astype(np.int64)
+        tots = int(svi.astype(object).sum())
+        totn = int(cnt.sum())
+        pos = np.array([int(a) * totn > tots * int(b)
+                        for a, b in zip(svi, cnt)], bool)
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        if n_pos == 0 or n_neg == 0:
+            continue
+        order = np.argsort(cnt, kind="stable")
+        cs, ps = cnt[order], pos[order]
+        # half-unit midranks off the sorted run-length structure
+        uniq, start = np.unique(cs, return_index=True)
+        m = np.diff(np.append(start, len(cs)))
+        less = start  # cumulative count strictly below each value
+        r2_by_run = 2 * less + m + 1
+        run_of = np.repeat(np.arange(len(uniq)), m)
+        sr2 = int(r2_by_run[run_of][ps].sum())
+        u2 = sr2 - n_pos * (n_pos + 1)
+        rows["et"].append(et)
+        rows["np"].append(n_pos)
+        rows["nn"].append(n_neg)
+        rows["u2"].append(u2)
+        rows["auc"].append(u2 / (2.0 * n_pos * n_neg))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_pos": pa.array(rows["np"], pa.int64()),
+        "n_neg": pa.array(rows["nn"], pa.int64()),
+        "u_stat_x2": pa.array(rows["u2"], pa.int64()),
+        "auc": pa.array(round6_tie_robust(
+            np.array(rows["auc"], np.float64))),
+    }))
+
+
+NAIVE_BAYES_SQL = """
+WITH f AS (
+  SELECT event_type AS cls,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CASE WHEN value >= 400.0 THEN 4 WHEN value >= 200.0 THEN 3
+              WHEN value >= 100.0 THEN 2 WHEN value >= 50.0 THEN 1
+              ELSE 0 END AS band,
+         (epoch_us(ts) % 86400000000) // 21600000000 AS hb
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+nc AS (SELECT cls, CAST(COUNT(*) AS HUGEINT) AS n FROM f GROUP BY 1),
+c1 AS (SELECT cls, dow, CAST(COUNT(*) AS HUGEINT) AS c
+       FROM f GROUP BY 1, 2),
+c2 AS (SELECT cls, band, CAST(COUNT(*) AS HUGEINT) AS c
+       FROM f GROUP BY 1, 2),
+c3 AS (SELECT cls, hb, CAST(COUNT(*) AS HUGEINT) AS c
+       FROM f GROUP BY 1, 2),
+cells AS (SELECT DISTINCT dow, band, hb FROM f),
+score AS (
+  SELECT cells.dow, cells.band, cells.hb, nc.cls,
+         nc.n * (COALESCE(c1.c, 0) + 1) * (COALESCE(c2.c, 0) + 1)
+              * (COALESCE(c3.c, 0) + 1) AS num,
+         (nc.n + 7) * (nc.n + 5) * (nc.n + 4) AS den
+  FROM cells CROSS JOIN nc
+  LEFT JOIN c1 ON c1.cls = nc.cls AND c1.dow = cells.dow
+  LEFT JOIN c2 ON c2.cls = nc.cls AND c2.band = cells.band
+  LEFT JOIN c3 ON c3.cls = nc.cls AND c3.hb = cells.hb),
+best AS (
+  SELECT a.dow, a.band, a.hb, a.cls
+  FROM score a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM score b
+    WHERE b.dow = a.dow AND b.band = a.band AND b.hb = a.hb
+      AND (b.num * a.den > a.num * b.den
+           OR (b.num * a.den = a.num * b.den AND b.cls < a.cls)))),
+p AS (
+  SELECT f.cls AS event_type, best.cls AS pred
+  FROM f JOIN best USING (dow, band, hb))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred = event_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(SUM(CASE WHEN pred = event_type THEN 1.0 ELSE 0 END)
+             / COUNT(*), 6) AS recall
+FROM p GROUP BY 1
+"""
+
+
+def q_naive_bayes(sf_dir: str):
+    """Naive-Bayes event-type classifier with broadcast-model
+    inference — the canonical "train tiny model, score the corpus"
+    stage: Laplace-smoothed categorical NB over (weekday, fixed value
+    band 50/100/200/400, 6h hour band), resubstitution recall per
+    class.  EXACT argmax: posterior scores are the fractions
+    N_c*Prod(cnt+1) / Prod(N_c+K_f), and the winner per feature cell
+    is decided by bigint CROSS-MULTIPLICATION (ties to the smaller
+    class label) — Python bigints mirror the oracle's HUGEINT
+    operand-for-operand, no float enters the decision.  The decision
+    grid is only 7x5x4 = 140 cells, so per-row inference is a
+    vectorized gather off the precomputed cell->class table (the
+    broadcast-lookup inference pattern); count tables combine
+    map-side.  ORACLE-CHECKED."""
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("cls", pa.string()), ("dow", pa.int64()),
+                             ("band", pa.int64()), ("hb", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _feat(batch: pa.Table):
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        dow = (t_us // _DAY_US + 4) % 7
+        band = ((v >= 50.0).astype(np.int64) + (v >= 100.0)
+                + (v >= 200.0) + (v >= 400.0))
+        hb = (t_us % _DAY_US) // 21_600_000_000
+        return dow, band, hb
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        dow, band, hb = _feat(batch)
+        t = pa.table({"cls": batch["event_type"],
+                      "dow": pa.array(dow, pa.int64()),
+                      "band": pa.array(band, pa.int64()),
+                      "hb": pa.array(hb, pa.int64())})
+        g = t.group_by(["cls", "dow", "band", "hb"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cls", "dow", "band", "hb",
+                                 "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _counts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["cls", "dow", "band", "hb"],
+                          as_index=False)["n"].sum()
+    if cells.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_correct": pa.array([], pa.int64()),
+                         "recall": pa.array([], pa.float64())})
+    classes = sorted(cells["cls"].unique())
+    n_c = cells.groupby("cls")["n"].sum().to_dict()
+    t1 = cells.groupby(["cls", "dow"])["n"].sum().to_dict()
+    t2 = cells.groupby(["cls", "band"])["n"].sum().to_dict()
+    t3 = cells.groupby(["cls", "hb"])["n"].sum().to_dict()
+    # exact-argmax decision table over the observed feature cells
+    best = {}
+    for dow, band, hb in {(int(d), int(b), int(h)) for d, b, h in
+                          zip(cells["dow"], cells["band"],
+                              cells["hb"])}:
+        win = None
+        for c in classes:
+            n = int(n_c[c])
+            num = (n * (int(t1.get((c, dow), 0)) + 1)
+                   * (int(t2.get((c, band), 0)) + 1)
+                   * (int(t3.get((c, hb), 0)) + 1))
+            den = (n + 7) * (n + 5) * (n + 4)
+            if win is None or num * win[1] > win[0] * den:
+                win = (num, den, c)
+        best[(dow, band, hb)] = win[2]
+    # broadcast-lookup inference pass: vectorized gather per batch
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    lut = np.full(7 * 5 * 4, -1, np.int64)
+    for (dow, band, hb), c in best.items():
+        lut[(dow * 5 + band) * 4 + hb] = cls_idx[c]
+    conf_schema = pa.schema([("event_type", pa.string()),
+                             ("ok", pa.int64()), ("n", pa.int64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        dow, band, hb = _feat(batch)
+        pred = lut[(dow * 5 + band) * 4 + hb]
+        truth = np.asarray(
+            [cls_idx.get(c, -2) for c in
+             batch["event_type"].to_pylist()], np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "ok": pa.array((pred == truth).astype(np.int64),
+                                     pa.int64())})
+        g = t.group_by(["event_type"]).aggregate(
+            [("ok", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "ok",
+                                 "n"]).cast(conf_schema)
+
+    conf = _collect_raw(ds.map_batches(
+        _score, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = conf.groupby("event_type", as_index=False).agg(
+        ok=("ok", "sum"), n=("n", "sum")).sort_values("event_type")
+    from ..kernels.rounding import round6_tie_robust
+    return _collect(pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               pa.string()),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "n_correct": pa.array(agg["ok"].to_numpy(np.int64)),
+        "recall": pa.array(round6_tie_robust(
+            agg["ok"].to_numpy(np.float64)
+            / agg["n"].to_numpy(np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -21010,6 +21360,9 @@ def build_queries() -> dict:
         "bollinger_daily": q_bollinger_daily,
         "ndcg_eval": q_ndcg_eval,
         "adjusted_rand": q_adjusted_rand,
+        "haar_energy": q_haar_energy,
+        "roc_auc": q_roc_auc,
+        "naive_bayes": q_naive_bayes,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -21569,6 +21922,9 @@ WHERE rn <= 2
         "bollinger_daily": BOLLINGER_SQL,
         "ndcg_eval": NDCG_SQL,
         "adjusted_rand": ADJUSTED_RAND_SQL,
+        "haar_energy": HAAR_ENERGY_SQL,
+        "roc_auc": ROC_AUC_SQL,
+        "naive_bayes": NAIVE_BAYES_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

@@ -349,3 +349,123 @@ def test_adjusted_rand_perfect_agreement():
     sa = sb = sij
     ari = (2 * p * sij - 2 * sa * sb) / (p * (sa + sb) - 2 * sa * sb)
     assert ari == 1.0
+
+
+def test_haar_energy_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_haar_energy
+
+    got = q_haar_energy(SF).to_pandas().set_index(
+        ["event_type", "level"])
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        x = sub.sort_values("day")["mi"].to_numpy(np.int64)
+        for level in (1, 2, 3):
+            m = len(x) // 2
+            if m == 0:
+                assert (et, level) not in got.index
+                break
+            ev, od = x[0:2 * m:2], x[1:2 * m:2]
+            dd = (ev - od).astype(np.int64)
+            x = ev + od
+            row = got.loc[(et, level)]
+            assert row["n_coef"] == m
+            exp = float((dd ** 2).sum()) / (2.0 ** level * 1e6)
+            assert abs(row["energy"] - exp) < max(1e-5, 1e-6 * exp)
+    # Parseval sanity: total detail energy <= series variance * n
+    # (orthonormal Haar partitions variance across levels)
+
+
+def test_haar_energy_parseval_identity():
+    # full dyadic series: sum of level energies + coarse energy
+    # equals total sum of squares (orthonormal decomposition)
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 1000, size=8).astype(np.int64)
+    total = float((x.astype(np.float64) ** 2).sum())
+    acc = 0.0
+    cur = x
+    for level in (1, 2, 3):
+        ev, od = cur[0::2], cur[1::2]
+        dd = ev - od
+        acc += float((dd ** 2).sum()) / 2.0 ** level
+        cur = ev + od
+    acc += float((cur ** 2).sum()) / 8.0  # coarse scaling energy
+    assert abs(acc - total) < 1e-9
+
+
+def test_roc_auc_matches_direct(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_roc_auc
+
+    got = q_roc_auc(SF).to_pandas().set_index("event_type")
+    df = _events().dropna(subset=["user_id"])
+    u = df.groupby(["event_type", "user_id"])["value"].agg(
+        ["count", "sum"]).reset_index()
+    for et, sub in u.groupby("event_type"):
+        cnt = sub["count"].to_numpy(np.int64)
+        svi = np.floor(round6_tie_robust(
+            sub["sum"].to_numpy(np.float64)) * 1e6
+            + 0.5).astype(np.int64)
+        tots, totn = int(svi.sum()), int(cnt.sum())
+        pos = np.array([int(a) * totn > tots * int(b)
+                        for a, b in zip(svi, cnt)], bool)
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        if n_pos == 0 or n_neg == 0:
+            assert et not in got.index
+            continue
+        # independent AUC: pairwise win fraction with half ties
+        wins = 0.0
+        for cp in cnt[pos]:
+            wins += float((cp > cnt[~pos]).sum())
+            wins += 0.5 * float((cp == cnt[~pos]).sum())
+        row = got.loc[et]
+        assert row["n_pos"] == n_pos
+        assert row["n_neg"] == n_neg
+        assert abs(row["auc"] - wins / (n_pos * n_neg)) < 1e-6
+        assert row["u_stat_x2"] == int(round(2 * wins))
+
+
+def test_naive_bayes_matches_direct(ray_session):
+    from fractions import Fraction
+
+    from light_curve_ray.pipelines.queries import q_naive_bayes
+
+    got = q_naive_bayes(SF).to_pandas().set_index("event_type")
+    df = _events()
+    df["dow"] = (df["t_us"] // _DAY_US + 4) % 7
+    v = df["value"].to_numpy(np.float64)
+    df["band"] = ((v >= 50.0).astype(int) + (v >= 100.0)
+                  + (v >= 200.0) + (v >= 400.0))
+    df["hb"] = (df["t_us"] % _DAY_US) // 21_600_000_000
+    classes = sorted(df["event_type"].unique())
+    n_c = df.groupby("event_type").size().to_dict()
+    t1 = df.groupby(["event_type", "dow"]).size().to_dict()
+    t2 = df.groupby(["event_type", "band"]).size().to_dict()
+    t3 = df.groupby(["event_type", "hb"]).size().to_dict()
+
+    def predict(dow, band, hb):
+        best = None
+        for c in classes:
+            n = int(n_c[c])
+            score = Fraction(
+                n * (t1.get((c, dow), 0) + 1)
+                * (t2.get((c, band), 0) + 1)
+                * (t3.get((c, hb), 0) + 1),
+                (n + 7) * (n + 5) * (n + 4))
+            if best is None or score > best[0]:
+                best = (score, c)
+        return best[1]
+
+    correct = {}
+    total = {}
+    for row in df.itertuples():
+        p = predict(int(row.dow), int(row.band), int(row.hb))
+        total[row.event_type] = total.get(row.event_type, 0) + 1
+        if p == row.event_type:
+            correct[row.event_type] = correct.get(
+                row.event_type, 0) + 1
+    for et in classes:
+        row = got.loc[et]
+        assert row["n"] == total[et]
+        assert row["n_correct"] == correct.get(et, 0)
+        assert abs(row["recall"]
+                   - correct.get(et, 0) / total[et]) < 1e-6
