@@ -21334,6 +21334,356 @@ def q_naive_bayes(sf_dir: str):
     }))
 
 
+MATRIX_PROFILE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+w AS (
+  SELECT event_type, day, mi AS x0,
+         LEAD(mi, 1) OVER win AS x1, LEAD(mi, 2) OVER win AS x2,
+         LEAD(mi, 3) OVER win AS x3,
+         ROW_NUMBER() OVER win AS idx
+  FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day)),
+v AS (SELECT * FROM w WHERE x3 IS NOT NULL),
+p AS (
+  SELECT a.event_type AS event_type, a.idx AS idx, a.day AS day,
+         MIN((a.x0 - b.x0) * (a.x0 - b.x0)
+             + (a.x1 - b.x1) * (a.x1 - b.x1)
+             + (a.x2 - b.x2) * (a.x2 - b.x2)
+             + (a.x3 - b.x3) * (a.x3 - b.x3)) AS mp
+  FROM v a JOIN v b ON b.event_type = a.event_type
+                   AND ABS(a.idx - b.idx) >= 2
+  GROUP BY 1, 2, 3),
+r AS (
+  SELECT event_type, idx, day, mp,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mp DESC, idx) AS rn
+  FROM p)
+SELECT r.event_type AS event_type,
+       CAST(s.n AS BIGINT) AS n_windows,
+       CAST(r.idx AS BIGINT) AS discord_idx,
+       CAST(r.day AS BIGINT) AS discord_day,
+       ROUND(CAST(r.mp AS DOUBLE) / 1000000.0, 6) AS discord_d2,
+       ROUND(CAST(s.mn AS DOUBLE) / 1000000.0, 6) AS motif_d2,
+       ROUND(CAST(s.sm AS DOUBLE) / (1000000.0 * s.n), 6) AS mean_mp
+FROM r JOIN (SELECT event_type, COUNT(*) AS n, MIN(mp) AS mn,
+                    SUM(mp) AS sm
+             FROM p GROUP BY 1) s USING (event_type)
+WHERE r.rn = 1
+"""
+
+
+def q_matrix_profile(sf_dir: str):
+    """Matrix profile (window = 4 observed days, trivial-match
+    exclusion |i−j| >= 2) of each daily-mean series — the discord /
+    motif detector: each subsequence's distance to its nearest
+    non-overlapping neighbor; the max of that profile is the series'
+    most anomalous week-shape (discord), the min its most repeated
+    one (motif).  EXACT: squared euclidean distances between
+    milli-unit windows are exact int64, the profile is an integer
+    MIN per window, and discord selection orders by (mp DESC, idx) —
+    integer compares only; the three reported floats are single
+    divisions by 1e6.  Per-series O(windows^2 * 4) int work — day-
+    count scale, bounded at any corpus size (the per-series work does
+    not grow with corpus rows).  ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "nw": [], "di": [], "dd": [], "d2": [],
+            "mo": [], "mm": []}
+    for et in sorted(series):
+        days, mi, _ = series[et]
+        n = len(mi)
+        nw = n - 3
+        if nw < 3:
+            continue
+        w = np.stack([mi[i:i + nw] for i in range(4)],
+                     axis=1).astype(np.int64)
+        diff = w[:, None, :] - w[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        big = np.int64(2 ** 62)
+        ii = np.arange(nw)
+        excl = np.abs(ii[:, None] - ii[None, :]) < 2
+        d2[excl] = big
+        mp = d2.min(axis=1)
+        best = int(np.lexsort((ii, -mp))[0])  # max mp, tie -> min idx
+        rows["et"].append(et)
+        rows["nw"].append(nw)
+        rows["di"].append(best + 1)
+        rows["dd"].append(int(days[best]))
+        rows["d2"].append(float(mp[best]) / 1e6)
+        rows["mo"].append(float(mp.min()) / 1e6)
+        rows["mm"].append(float(int(mp.astype(object).sum()))
+                          / (1e6 * nw))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_windows": pa.array(rows["nw"], pa.int64()),
+        "discord_idx": pa.array(rows["di"], pa.int64()),
+        "discord_day": pa.array(rows["dd"], pa.int64()),
+        "discord_d2": pa.array(round6_tie_robust(
+            np.array(rows["d2"], np.float64))),
+        "motif_d2": pa.array(round6_tie_robust(
+            np.array(rows["mo"], np.float64))),
+        "mean_mp": pa.array(round6_tie_robust(
+            np.array(rows["mm"], np.float64))),
+    }))
+
+
+LABEL_PROP_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+n AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+inc AS (SELECT u AS w, v AS nbr FROM e
+        UNION ALL SELECT v AS w, u AS nbr FROM e),
+l0 AS (SELECT node, node AS lab FROM n),
+c1 AS (SELECT i.w AS w, l.lab AS lab, COUNT(*) AS c
+       FROM inc i JOIN l0 l ON l.node = i.nbr GROUP BY 1, 2),
+l1 AS (SELECT w AS node, lab FROM c1
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY c DESC, lab) = 1),
+c2 AS (SELECT i.w AS w, l.lab AS lab, COUNT(*) AS c
+       FROM inc i JOIN l1 l ON l.node = i.nbr GROUP BY 1, 2),
+l2 AS (SELECT w AS node, lab FROM c2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY c DESC, lab) = 1)
+SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS size
+FROM l2 GROUP BY 1
+"""
+
+
+def q_label_propagation(sf_dir: str):
+    """Two synchronous rounds of label propagation over the SUPPORTED
+    part co-purchase graph (edges = part pairs sharing >= 2 orders,
+    the adamic_adar convention) — the linear-time community detector
+    next to cc_events' exact components: labels start as node ids and
+    each round every node adopts its neighbors' plurality label
+    (count DESC, then smallest label — a fully deterministic integer
+    argmax).  Engine path: the supported edge list comes off the
+    existing pair-count exchange; per round, the node->label map
+    broadcasts (node-count scale, the pagerank discipline), neighbor-
+    label counts collapse map-side per block, and the driver resolves
+    the plurality argmax with one lexsort.  Output: community label ->
+    size.  ORACLE-CHECKED against the QUALIFY/ROW_NUMBER SQL."""
+    import ray
+
+    pairs = _copurchase_pair_counts(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"k": t.filter(pc.greater_equal(t["nuv"], 2))["k"]},
+            schema=_EK_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    nodes, _deg = _copurchase_degrees(edges)
+    if len(nodes) == 0:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "size": pa.array([], pa.int64())})
+
+    inc_schema = pa.schema([("w", pa.int64()), ("nbr", pa.int64())])
+
+    def _inc(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        return pa.table({"w": np.concatenate([u, v]),
+                         "nbr": np.concatenate([v, u])},
+                        schema=inc_schema)
+
+    inc = edges.map_batches(_inc, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    cnt_schema = pa.schema([("w", pa.int64()), ("lab", pa.int64()),
+                            ("c", pa.int64())])
+    labels = nodes.copy()
+    for _round in range(2):
+        lref = ray.put((nodes, labels))
+
+        def _count(batch: pa.Table, _lref=lref) -> pa.Table:
+            nd, lb = ray.get(_lref)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            nbr = batch["nbr"].to_numpy(zero_copy_only=False)
+            lab = lb[np.searchsorted(nd, nbr)]
+            t = pa.table({"w": w, "lab": lab})
+            g = t.group_by(["w", "lab"]).aggregate([([], "count_all")])
+            return g.rename_columns(["w", "lab", "c"]).cast(cnt_schema)
+
+        parts = _collect_raw(inc.map_batches(
+            _count, batch_format="pyarrow", zero_copy_batch=True))
+        w = parts["w"].to_numpy(zero_copy_only=False)
+        lab = parts["lab"].to_numpy(zero_copy_only=False)
+        c = parts["c"].to_numpy(zero_copy_only=False)
+        # merge block partials, then plurality argmax per node
+        order = np.lexsort((lab, w))
+        w, lab, c = w[order], lab[order], c[order]
+        kf = np.empty(len(w), dtype=bool)
+        kf[0] = True
+        kf[1:] = (w[1:] != w[:-1]) | (lab[1:] != lab[:-1])
+        ks = np.nonzero(kf)[0]
+        w, lab = w[ks], lab[ks]
+        c = np.add.reduceat(c, ks)
+        pick = np.lexsort((lab, -c, w))
+        first = np.empty(len(w), dtype=bool)
+        wp = w[pick]
+        first[0] = True
+        first[1:] = wp[1:] != wp[:-1]
+        sel = pick[first]
+        new_labels = labels.copy()
+        new_labels[np.searchsorted(nodes, w[sel])] = lab[sel]
+        labels = new_labels
+    uniq, size = np.unique(labels, return_counts=True)
+    return _collect(pa.table({
+        "label": pa.array(uniq, pa.int64()),
+        "size": pa.array(size.astype(np.int64), pa.int64()),
+    }))
+
+
+NGRAM_NOVELTY_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND text IS NOT NULL),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         arr[i.i + 1] || ' ' || arr[i.i + 2] || ' ' || arr[i.i + 3]
+           AS gram
+  FROM t, UNNEST(range(len(arr) - 2)) AS i(i)),
+f AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY 1)
+SELECT g.source AS source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN f.fd = g.doc_id THEN 1.0 ELSE 0 END)
+             / COUNT(*), 6) AS novelty_rate
+FROM g JOIN f USING (gram)
+GROUP BY 1
+"""
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-source trigram novelty rate — the corpus-growth /
+    contamination profile behind dedup policy: of each document's
+    DISTINCT word trigrams, the fraction not seen in any earlier
+    document (first-seen = MIN doc_id over the whole corpus; a
+    source whose rate collapses is re-crawling known text).  Engine
+    path: per block, Arrow-native tokenize (the shared utf8_lower +
+    split_pattern_regex discipline) -> consecutive-triple join ->
+    per-doc DISTINCT grams; ONE gram-keyed exchange
+    (sorted_group_map) where each gram-run credits its min-doc row's
+    source with the novelty and every row's source with the total —
+    the output partials are |sources|-scale, so nothing wider than
+    the gram exchange ever moves.  At web scale the gram key would be
+    a 128-bit hash instead of the string (documented switch; string
+    keys keep the oracle exact here).  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import TOKEN_SPLIT_RE
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    gram_schema = pa.schema([("gram", pa.string()),
+                             ("doc_id", pa.int64()),
+                             ("source", pa.string())])
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["doc_id"]),
+                            pc.is_valid(batch["source"])),
+                    pc.is_valid(batch["text"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return gram_schema.empty_table()
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]),
+                                      TOKEN_SPLIT_RE)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ft = flat.filter(pa.array(keep))
+        fd = doc_rep[keep]
+        if len(fd) < 3:
+            return gram_schema.empty_table()
+        tri = (fd[:-2] == fd[1:-1]) & (fd[1:-1] == fd[2:])
+        idx = np.nonzero(tri)[0]
+        if len(idx) == 0:
+            return gram_schema.empty_table()
+        ia = pa.array(idx, pa.int64())
+        gram = pc.binary_join_element_wise(
+            ft.take(ia), ft.take(pa.array(idx + 1, pa.int64())),
+            ft.take(pa.array(idx + 2, pa.int64())), " ")
+        rows = pa.table({
+            "gram": gram,
+            "doc_id": batch["doc_id"].take(pa.array(fd[idx],
+                                                    pa.int64())),
+            "source": batch["source"].take(pa.array(fd[idx],
+                                                    pa.int64()))})
+        return rows.group_by(["gram", "doc_id", "source"]).aggregate(
+            []).cast(gram_schema)
+
+    grams = ds.map_batches(_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_grams", pa.int64()),
+                            ("n_novel", pa.int64())])
+
+    def _credit(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["gram"])
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        run_id = np.repeat(np.arange(len(starts)),
+                           (ends - starts))
+        # argmin doc per gram-run: first row of each run after a
+        # (run, doc) sort
+        order = np.lexsort((doc, run_id))
+        rf = np.empty(len(order), dtype=bool)
+        rid = run_id[order]
+        rf[0] = True
+        rf[1:] = rid[1:] != rid[:-1]
+        novel_rows = order[rf]
+        src = batch["source"]
+        tot = pa.table({"source": src}).group_by(
+            ["source"]).aggregate([([], "count_all")])
+        nov = pa.table({"source": src.take(pa.array(
+            novel_rows, pa.int64()))}).group_by(
+            ["source"]).aggregate([([], "count_all")])
+        tp = dict(zip(tot["source"].to_pylist(),
+                      tot["count_all"].to_pylist()))
+        np_ = dict(zip(nov["source"].to_pylist(),
+                       nov["count_all"].to_pylist()))
+        srcs = sorted(tp)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "n_grams": pa.array([tp[s] for s in srcs], pa.int64()),
+            "n_novel": pa.array([np_.get(s, 0) for s in srcs],
+                                pa.int64())}, schema=out_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        grams, ["gram"], None, out_schema,
+        block_fn=_credit)).to_pandas()
+    agg = parts.groupby("source", as_index=False).agg(
+        n_grams=("n_grams", "sum"),
+        n_novel=("n_novel", "sum")).sort_values("source")
+    from ..kernels.rounding import round6_tie_robust
+    return _collect(pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_grams": pa.array(agg["n_grams"].to_numpy(np.int64)),
+        "n_novel": pa.array(agg["n_novel"].to_numpy(np.int64)),
+        "novelty_rate": pa.array(round6_tie_robust(
+            agg["n_novel"].to_numpy(np.float64)
+            / agg["n_grams"].to_numpy(np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -21363,6 +21713,9 @@ def build_queries() -> dict:
         "haar_energy": q_haar_energy,
         "roc_auc": q_roc_auc,
         "naive_bayes": q_naive_bayes,
+        "matrix_profile": q_matrix_profile,
+        "label_propagation": q_label_propagation,
+        "ngram_novelty": q_ngram_novelty,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -21925,6 +22278,9 @@ WHERE rn <= 2
         "haar_energy": HAAR_ENERGY_SQL,
         "roc_auc": ROC_AUC_SQL,
         "naive_bayes": NAIVE_BAYES_SQL,
+        "matrix_profile": MATRIX_PROFILE_SQL,
+        "label_propagation": LABEL_PROP_SQL,
+        "ngram_novelty": NGRAM_NOVELTY_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

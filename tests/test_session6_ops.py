@@ -469,3 +469,105 @@ def test_naive_bayes_matches_direct(ray_session):
         assert row["n_correct"] == correct.get(et, 0)
         assert abs(row["recall"]
                    - correct.get(et, 0) / total[et]) < 1e-6
+
+
+def test_matrix_profile_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_matrix_profile
+
+    got = q_matrix_profile(SF).to_pandas().set_index("event_type")
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        sub = sub.sort_values("day")
+        mi = sub["mi"].to_numpy(np.int64)
+        days = sub["day"].to_numpy(np.int64)
+        nw = len(mi) - 3
+        if nw < 3:
+            assert et not in got.index
+            continue
+        mp = []
+        for i in range(nw):
+            best = None
+            for j in range(nw):
+                if abs(i - j) < 2:
+                    continue
+                d2 = sum((int(mi[i + t]) - int(mi[j + t])) ** 2
+                         for t in range(4))
+                best = d2 if best is None else min(best, d2)
+            mp.append(best)
+        disc = max(range(nw), key=lambda i: (mp[i], -i))
+        row = got.loc[et]
+        assert row["n_windows"] == nw
+        assert row["discord_idx"] == disc + 1
+        assert row["discord_day"] == days[disc]
+        assert abs(row["discord_d2"] - mp[disc] / 1e6) < 1e-5
+        assert abs(row["motif_d2"] - min(mp) / 1e6) < 1e-5
+        assert abs(row["mean_mp"] - sum(mp) / (1e6 * nw)) < 1e-5
+
+
+def test_label_propagation_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_label_propagation
+
+    got = q_label_propagation(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]].dropna().drop_duplicates()
+    from collections import Counter, defaultdict
+    pairs = Counter()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] += 1
+    edges = [e for e, c in pairs.items() if c >= 2]
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lab = {n: n for n in adj}
+    for _ in range(2):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lab[x] for x in nbrs)
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lab = new
+    sizes = Counter(lab.values())
+    exp = pd.DataFrame(sorted(sizes.items()),
+                       columns=["label", "size"])
+    gs = got.sort_values("label").reset_index(drop=True)
+    assert len(gs) == len(exp)
+    assert (gs["label"].to_numpy() == exp["label"].to_numpy()).all()
+    assert (gs["size"].to_numpy() == exp["size"].to_numpy()).all()
+
+
+def test_ngram_novelty_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_ngram_novelty
+
+    got = q_ngram_novelty(SF).to_pandas().set_index("source")
+    docs = pd.read_parquet(f"{SF}/documents.parquet").dropna(
+        subset=["doc_id", "source", "text"]).sort_values("doc_id")
+    first = {}
+    per_src = {}
+    for row in docs.itertuples():
+        toks = [t for t in re.split(r"[^a-z0-9]+", row.text.lower())
+                if t]
+        grams = {" ".join(toks[i:i + 3])
+                 for i in range(len(toks) - 2)}
+        tot, nov = per_src.get(row.source, (0, 0))
+        for gm in grams:
+            if gm not in first or first[gm] > row.doc_id:
+                first[gm] = row.doc_id
+    # second pass now that global first-doc is known
+    for row in docs.itertuples():
+        toks = [t for t in re.split(r"[^a-z0-9]+", row.text.lower())
+                if t]
+        grams = {" ".join(toks[i:i + 3])
+                 for i in range(len(toks) - 2)}
+        tot, nov = per_src.get(row.source, (0, 0))
+        tot += len(grams)
+        nov += sum(1 for gm in grams if first[gm] == row.doc_id)
+        per_src[row.source] = (tot, nov)
+    for src, (tot, nov) in per_src.items():
+        row = got.loc[src]
+        assert row["n_grams"] == tot
+        assert row["n_novel"] == nov
+        assert abs(row["novelty_rate"] - nov / tot) < 1e-6
