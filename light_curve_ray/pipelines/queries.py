@@ -21684,6 +21684,337 @@ def q_ngram_novelty(sf_dir: str):
     }))
 
 
+LARGE_ORDERS_SQL = """
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+    AND l_quantity IS NOT NULL
+  GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+       epoch_us(o.o_orderdate) AS orderdate_us,
+       ROUND(o.o_totalprice, 6) AS o_totalprice, q.total_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+"""
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders: orders whose total line
+    quantity exceeds 300 units, with customer / date / price
+    attached.  Quantities are integral doubles, so the per-order sum
+    is an exact int64 and the >300 gate is an integer compare.
+    Engine path: lineitem collapses map-side to (orderkey, qty-sum)
+    partials, ONE orderkey exchange merges them, the filtered
+    survivor set (rare by construction) broadcasts into the orders
+    scan under collect_small's gate — orders never shuffles.
+    ORACLE-CHECKED."""
+    import ray
+    import ray.data as rd
+    from ..kernels.rounding import round6_tie_robust
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    part_schema = pa.schema([("k", pa.int64()), ("q", pa.int64())])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["l_orderkey"]),
+                    pc.is_valid(batch["l_quantity"]))
+        batch = batch.filter(m)
+        t = pa.table({"k": batch["l_orderkey"],
+                      "q": pc.cast(batch["l_quantity"], pa.int64())})
+        g = t.group_by(["k"]).aggregate([("q", "sum")])
+        return g.rename_columns(["k", "q"]).cast(part_schema)
+
+    parts = _collect_raw(li.map_batches(
+        _parts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    tot = parts.groupby("k", as_index=False)["q"].sum()
+    big = tot[tot["q"] > 300]
+    keys = np.sort(big["k"].to_numpy(np.int64))
+    qty = big.set_index("k")["q"]
+    qmap = qty.loc[keys].to_numpy(np.int64)
+    bref = ray.put((keys, qmap))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ks, qs = ray.get(bref)
+        empty = pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "orderdate_us": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.int64())})
+        if len(ks) == 0:
+            return empty
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos_c = np.minimum(np.searchsorted(ks, ok), len(ks) - 1)
+        hit = ks[pos_c] == ok
+        batch = batch.filter(pa.array(hit))
+        if len(batch) == 0:
+            return empty
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "orderdate_us": batch["o_orderdate"].cast(pa.int64()),
+            "o_totalprice": batch["o_totalprice"],
+            "total_qty": pa.array(qs[np.searchsorted(ks, ok)],
+                                  pa.int64())})
+
+    return _collect(orders.map_batches(_attach, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH s AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1),
+f AS (
+  SELECT p.p_brand AS p_brand, l.l_extendedprice AS price
+  FROM lineitem l
+  JOIN s ON s.l_partkey = l.l_partkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    AND p.p_brand IS NOT NULL
+    AND 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sq)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(price) / 7.0, 6) AS avg_yearly
+FROM f GROUP BY 1
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: per brand, the
+    average yearly revenue (7 calendar years of data) from line items
+    whose quantity is below 20% of that part's average quantity.  The
+    20% gate is the EXACT integer cross-multiplication
+    5*qty*cnt < sum_qty (quantities are integral doubles), so no
+    float division enters the filter; revenue sums round at the
+    output.  Engine path: pass 1 collapses lineitem map-side to
+    (partkey, cnt, qty-sum) partials (part-count scale); the per-part
+    stats and the part->brand map broadcast (ray.put) into pass 2's
+    filter-and-sum over lineitem — no lineitem shuffle at all, two
+    streaming scans.  ORACLE-CHECKED."""
+    import ray
+    import ray.data as rd
+    from ..kernels.rounding import round6_tie_robust
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part_schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                             ("sq", pa.int64())])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["l_partkey"]),
+                    pc.is_valid(batch["l_quantity"]))
+        batch = batch.filter(m)
+        t = pa.table({"k": batch["l_partkey"],
+                      "q": pc.cast(batch["l_quantity"], pa.int64())})
+        g = t.group_by(["k"]).aggregate([([], "count_all"),
+                                         ("q", "sum")])
+        return g.rename_columns(["k", "n", "sq"]).cast(part_schema)
+
+    parts = _collect_raw(li.map_batches(
+        _stats, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    st = parts.groupby("k", as_index=False).agg(
+        n=("n", "sum"), sq=("sq", "sum"))
+    pk = np.sort(st["k"].to_numpy(np.int64))
+    byk = st.set_index("k")
+    cnt = byk["n"].loc[pk].to_numpy(np.int64)
+    sq = byk["sq"].loc[pk].to_numpy(np.int64)
+
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pb = _collect_raw(pt).to_pandas().dropna()
+    bk = np.sort(pb["p_partkey"].to_numpy(np.int64))
+    brands = pb.set_index("p_partkey")["p_brand"].loc[bk].to_numpy(
+        object)
+    bref = ray.put((pk, cnt, sq, bk, brands))
+
+    out_schema = pa.schema([("p_brand", pa.string()),
+                            ("n_items", pa.int64()),
+                            ("rev", pa.float64())])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        kp, kc, ks, kb, kbr = ray.get(bref)
+        m = pc.and_(pc.and_(pc.is_valid(batch["l_partkey"]),
+                            pc.is_valid(batch["l_quantity"])),
+                    pc.is_valid(batch["l_extendedprice"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        key = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kp, key)
+        small = 5 * q * kc[pos] < ks[pos]
+        bpos = np.searchsorted(kb, key)
+        has_brand = (np.take(kb, np.minimum(bpos, len(kb) - 1),
+                             mode="clip") == key) if len(kb) \
+            else np.zeros(len(key), bool)
+        keep = small & has_brand
+        if not keep.any():
+            return out_schema.empty_table()
+        t = pa.table({
+            "p_brand": pa.array(kbr[np.searchsorted(kb, key[keep])],
+                                pa.string()),
+            "price": batch["l_extendedprice"].filter(
+                pa.array(keep))})
+        g = t.group_by(["p_brand"]).aggregate(
+            [([], "count_all"), ("price", "sum")])
+        return g.rename_columns(["p_brand", "n_items",
+                                 "rev"]).cast(out_schema)
+
+    rows = _collect_raw(li.map_batches(
+        _filter, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = rows.groupby("p_brand", as_index=False).agg(
+        n_items=("n_items", "sum"),
+        rev=("rev", "sum")).sort_values("p_brand")
+    return _collect(pa.table({
+        "p_brand": pa.array(agg["p_brand"].tolist(), pa.string()),
+        "n_items": pa.array(agg["n_items"].to_numpy(np.int64)),
+        "avg_yearly": pa.array(round6_tie_robust(
+            agg["rev"].to_numpy(np.float64) / 7.0)),
+    }))
+
+
+_IDLE_CUTOFF_US = 962409600000000  # 2000-07-01 in epoch microseconds
+
+IDLE_BALANCE_SQL = """
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(ROUND(c_acctbal, 6) * 1000000 + 0.5) AS HUGEINT)
+           AS avi,
+         c_acctbal
+  FROM customer
+  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+    AND c_acctbal IS NOT NULL AND c_acctbal > 0.0),
+t AS (SELECT SUM(avi) AS s, CAST(COUNT(*) AS HUGEINT) AS n FROM pos),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-07-01'),
+idle AS (
+  SELECT pos.c_nationkey AS c_nationkey, pos.c_acctbal AS bal
+  FROM pos, t
+  WHERE pos.avi * t.n > t.s
+    AND pos.c_custkey NOT IN (SELECT o_custkey FROM recent))
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       ROUND(SUM(bal), 6) AS total_acctbal
+FROM idle GROUP BY 1
+"""
+
+
+def q_idle_balance(sf_dir: str):
+    """TPC-H Q22-shaped idle-balance audit: customers with an
+    above-average positive account balance and NO order since
+    2000-07-01, grouped by nation.  The above-average gate is the
+    exact integer cross-multiplication avi*N > S on two-step
+    pre-rounded micro-unit balances (no float division decides
+    membership); balance sums round at the output.  Engine path: the
+    global (S, N) pair folds map-side; the recent-buyer key set
+    (distinct custkeys of a date-pruned orders scan) broadcasts as a
+    sorted int64 array into the customer scan — an anti-join with no
+    shuffle (beyond the collect gate the documented switch is the
+    partitioned anti-join in stages/joins).  ORACLE-CHECKED."""
+    import ray
+    import ray.data as rd
+    from ..kernels.rounding import round6_tie_robust
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["c_custkey"]),
+                            pc.is_valid(batch["c_nationkey"])),
+                    pc.and_(pc.is_valid(batch["c_acctbal"]),
+                            pc.greater(batch["c_acctbal"], 0.0)))
+        return batch.filter(m)
+
+    pos = cust.map_batches(_clean, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    # global mean gate: micro-int fold, map-side partials
+    sn_schema = pa.schema([("s", pa.float64()), ("n", pa.int64())])
+
+    def _sn(batch: pa.Table) -> pa.Table:
+        avi = np.floor(round6_tie_robust(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False))
+            * 1e6 + 0.5)
+        return pa.table({"s": pa.array([float(avi.sum())],
+                                       pa.float64()),
+                         "n": pa.array([len(avi)], pa.int64())},
+                        schema=sn_schema)
+
+    snp = _collect_raw(pos.map_batches(
+        _sn, batch_format="pyarrow", zero_copy_batch=True))
+    s_total = int(sum(int(v) for v in snp["s"].to_pylist()))
+    n_total = int(sum(snp["n"].to_pylist()))
+    if n_total == 0:
+        return pa.table({"c_nationkey": pa.array([], pa.int32()),
+                         "n_custs": pa.array([], pa.int64()),
+                         "total_acctbal": pa.array([], pa.float64())})
+
+    ords = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+
+    def _recent(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["o_custkey"]),
+                    pc.greater_equal(batch["o_orderdate"].cast(
+                        pa.int64()), _IDLE_CUTOFF_US))
+        t = pa.table({"k": batch.filter(m)["o_custkey"]})
+        return t.group_by(["k"]).aggregate([])
+
+    recent = np.unique(_collect_raw(ords.map_batches(
+        _recent, batch_format="pyarrow",
+        zero_copy_batch=True))["k"].to_numpy(zero_copy_only=False))
+    rref = ray.put((recent, s_total, n_total))
+
+    out_schema = pa.schema([("c_nationkey", pa.int32()),
+                            ("n", pa.int64()), ("bal", pa.float64())])
+
+    def _pick(batch: pa.Table) -> pa.Table:
+        rec, s, n = ray.get(rref)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        avi = np.floor(round6_tie_robust(bal) * 1e6 + 0.5)
+        above = np.array([int(a) * n > s for a in avi], bool)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        pos_i = np.searchsorted(rec, ck)
+        has = (np.take(rec, np.minimum(pos_i, len(rec) - 1),
+                       mode="clip") == ck) if len(rec) \
+            else np.zeros(len(ck), bool)
+        keep = above & ~has
+        t = pa.table({"c_nationkey": batch["c_nationkey"].filter(
+                          pa.array(keep)),
+                      "bal": pa.array(bal[keep], pa.float64())})
+        g = t.group_by(["c_nationkey"]).aggregate(
+            [([], "count_all"), ("bal", "sum")])
+        return g.rename_columns(["c_nationkey", "n",
+                                 "bal"]).cast(out_schema)
+
+    rows = _collect_raw(pos.map_batches(
+        _pick, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    agg = rows.groupby("c_nationkey", as_index=False).agg(
+        n=("n", "sum"), bal=("bal", "sum")).sort_values("c_nationkey")
+    return _collect(pa.table({
+        "c_nationkey": pa.array(agg["c_nationkey"].to_numpy(np.int32),
+                                pa.int32()),
+        "n_custs": pa.array(agg["n"].to_numpy(np.int64)),
+        "total_acctbal": pa.array(round6_tie_robust(
+            agg["bal"].to_numpy(np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -21716,6 +22047,9 @@ def build_queries() -> dict:
         "matrix_profile": q_matrix_profile,
         "label_propagation": q_label_propagation,
         "ngram_novelty": q_ngram_novelty,
+        "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "idle_balance": q_idle_balance,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -22281,6 +22615,9 @@ WHERE rn <= 2
         "matrix_profile": MATRIX_PROFILE_SQL,
         "label_propagation": LABEL_PROP_SQL,
         "ngram_novelty": NGRAM_NOVELTY_SQL,
+        "large_orders": LARGE_ORDERS_SQL,
+        "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+        "idle_balance": IDLE_BALANCE_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

@@ -571,3 +571,73 @@ def test_ngram_novelty_matches_direct(ray_session):
         assert row["n_grams"] == tot
         assert row["n_novel"] == nov
         assert abs(row["novelty_rate"] - nov / tot) < 1e-6
+
+
+def test_large_orders_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_large_orders
+
+    got = q_large_orders(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_quantity"]].dropna()
+    tot = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = tot[tot > 300]
+    orders = pd.read_parquet(f"{SF}/orders.parquet").set_index(
+        "o_orderkey")
+    assert len(got) == len(big)
+    g = got.set_index("o_orderkey")
+    for ok, q in big.items():
+        row = g.loc[ok]
+        assert row["total_qty"] == int(q)
+        assert row["o_custkey"] == orders.loc[ok, "o_custkey"]
+        assert row["orderdate_us"] == int(
+            orders.loc[ok, "o_orderdate"].value) // 1000
+        assert abs(row["o_totalprice"]
+                   - orders.loc[ok, "o_totalprice"]) < 1e-5
+
+
+def test_small_qty_revenue_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_small_qty_revenue
+
+    got = q_small_qty_revenue(SF).to_pandas().set_index("p_brand")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_partkey", "l_quantity", "l_extendedprice"]].dropna()
+    st = li.groupby("l_partkey")["l_quantity"].agg(["count", "sum"])
+    part = pd.read_parquet(f"{SF}/part.parquet")[
+        ["p_partkey", "p_brand"]].dropna().set_index("p_partkey")
+    m = li.join(st, on="l_partkey")
+    small = m[5 * m["l_quantity"].astype(np.int64)
+              * m["count"] < m["sum"]]
+    small = small.join(part, on="l_partkey").dropna(
+        subset=["p_brand"])
+    for brand, sub in small.groupby("p_brand"):
+        row = got.loc[brand]
+        assert row["n_items"] == len(sub)
+        assert abs(row["avg_yearly"]
+                   - sub["l_extendedprice"].sum() / 7.0) < 1e-4
+
+
+def test_idle_balance_matches_direct(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import (_IDLE_CUTOFF_US,
+                                                   q_idle_balance)
+
+    got = q_idle_balance(SF).to_pandas().set_index("c_nationkey")
+    cust = pd.read_parquet(f"{SF}/customer.parquet").dropna(
+        subset=["c_custkey", "c_nationkey", "c_acctbal"])
+    pos = cust[cust["c_acctbal"] > 0].copy()
+    avi = np.floor(round6_tie_robust(
+        pos["c_acctbal"].to_numpy(np.float64)) * 1e6
+        + 0.5).astype(np.int64)
+    s, n = int(avi.sum()), len(avi)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    recent = set(orders[orders["o_orderdate"]
+                        >= pd.Timestamp("2000-07-01")]["o_custkey"])
+    pos["above"] = [int(a) * n > s for a in avi]
+    idle = pos[pos["above"]
+               & ~pos["c_custkey"].isin(recent)]
+    assert int(got["n_custs"].sum()) == len(idle)
+    for nk, sub in idle.groupby("c_nationkey"):
+        row = got.loc[nk]
+        assert row["n_custs"] == len(sub)
+        assert abs(row["total_acctbal"]
+                   - sub["c_acctbal"].sum()) < 1e-4
