@@ -22015,6 +22015,338 @@ def q_idle_balance(sf_dir: str):
     }))
 
 
+DFA_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+med AS (SELECT event_type, CAST(2 * MEDIAN(mi) AS BIGINT) AS med2
+        FROM d GROUP BY 1),
+p AS (
+  SELECT d.event_type AS event_type,
+         ROW_NUMBER() OVER win AS rn,
+         SUM(2 * mi - med2) OVER (PARTITION BY d.event_type
+                                  ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS pk
+  FROM d JOIN med USING (event_type)
+  WINDOW win AS (PARTITION BY d.event_type ORDER BY day)),
+sc AS (SELECT UNNEST([4, 8, 16]) AS s),
+b AS (
+  SELECT event_type, s, (rn - 1) // s AS box, (rn - 1) % s AS x,
+         CAST(pk AS BIGINT) AS pk
+  FROM p, sc),
+bx AS (SELECT event_type, s, box, MIN(pk) AS mn,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM b GROUP BY 1, 2, 3),
+st AS (
+  SELECT b.event_type AS event_type, b.s AS s, b.box AS box,
+         SUM(b.pk - bx.mn) AS sy,
+         SUM((b.pk - bx.mn) * (b.pk - bx.mn)) AS syy,
+         SUM(b.x * (b.pk - bx.mn)) AS sxy
+  FROM b JOIN bx USING (event_type, s, box)
+  WHERE bx.c = b.s
+  GROUP BY 1, 2, 3),
+cn AS (SELECT s, s * (s - 1) // 2 AS sx,
+              (s - 1) * s * (2 * s - 1) // 6 AS sxx
+       FROM sc),
+nn AS (
+  SELECT st.event_type AS event_type, st.s AS s, st.box AS box,
+         CAST((cn.s * cn.sxx - cn.sx * cn.sx)
+                * (st.s * st.syy - st.sy * st.sy)
+              - (st.s * st.sxy - cn.sx * st.sy)
+                * (st.s * st.sxy - cn.sx * st.sy) AS BIGINT) AS n_num,
+         CAST(st.s * (cn.s * cn.sxx - cn.sx * cn.sx) AS BIGINT)
+           AS sdd
+  FROM st JOIN cn ON cn.s = st.s),
+f AS (
+  SELECT event_type, s, CAST(COUNT(*) AS BIGINT) AS nb,
+         SUM(CAST(n_num AS DOUBLE) / sdd ORDER BY box) AS total
+  FROM nn GROUP BY 1, 2)
+SELECT event_type, CAST(s AS BIGINT) AS scale, nb AS n_boxes,
+       ROUND(SQRT(total / (nb * s * 4000000.0)), 6) AS fluct
+FROM f WHERE nb >= 2
+"""
+
+
+def q_dfa_fluctuation(sf_dir: str):
+    """Detrended fluctuation analysis F(s) at scales 4/8/16 observed
+    days per series — the fractal-scaling profile next to hurst_rs
+    (DFA detrends each box, so slow trends can't masquerade as
+    long-range memory; the log-log slope of F(s) is the DFA
+    exponent).  EXACT per-box algebra: the profile is the running sum
+    of 2*mi − med2 (the doubled-median trick, exact ints), each box
+    shifts by its min (least-squares residuals are shift-invariant —
+    this caps magnitudes at int64-safe bounds), and the detrended
+    SS_res = [D*(s*Syy − Sy²) − (s*Sxy − Sx*Sy)²] / (s*D) has an
+    exact-int numerator over the constant denominator s*D; the
+    box-ordered float fold and single sqrt mirror the oracle
+    operand-for-operand.  Day-count-scale per-series work.
+    ORACLE-CHECKED."""
+    import math
+
+    from ..kernels.rounding import round6_tie_robust
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "s": [], "nb": [], "f": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        n = len(mi)
+        if n < 8:
+            continue
+        x = np.sort(mi)
+        med2 = int(x[(n - 1) // 2]) + int(x[n // 2])
+        prof = np.cumsum(2 * mi.astype(np.int64) - med2)
+        for s in (4, 8, 16):
+            nb = n // s
+            if nb < 2:
+                continue
+            sx = s * (s - 1) // 2
+            sxx = (s - 1) * s * (2 * s - 1) // 6
+            dd = s * sxx - sx * sx
+            xs = np.arange(s, dtype=np.int64)
+            total = 0.0
+            for b in range(nb):
+                y = prof[b * s:(b + 1) * s]
+                y = (y - y.min()).astype(object)
+                sy = int(y.sum())
+                syy = int((y * y).sum())
+                sxy = int((xs.astype(object) * y).sum())
+                n_num = (dd * (s * syy - sy * sy)
+                         - (s * sxy - sx * sy) ** 2)
+                total += float(n_num) / (s * dd)
+            rows["et"].append(et)
+            rows["s"].append(s)
+            rows["nb"].append(nb)
+            rows["f"].append(math.sqrt(total / (nb * s * 4000000.0)))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "scale": pa.array(rows["s"], pa.int64()),
+        "n_boxes": pa.array(rows["nb"], pa.int64()),
+        "fluct": pa.array(round6_tie_robust(
+            np.array(rows["f"], np.float64))),
+    }))
+
+
+LIS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(ROUND(SUM(value) / COUNT(*), 6) * 1000 + 0.5)
+              AS BIGINT) AS mi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+v AS (
+  SELECT event_type, mi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day) AS idx
+  FROM d),
+chain(event_type, idx, mi, k) AS (
+  SELECT event_type, idx, mi, 1 FROM v
+  UNION
+  SELECT v.event_type, v.idx, v.mi, c.k + 1
+  FROM chain c
+  JOIN v ON v.event_type = c.event_type AND v.idx > c.idx
+        AND v.mi > c.mi),
+n0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM v GROUP BY 1)
+SELECT chain.event_type AS event_type, n0.n_days,
+       CAST(MAX(chain.k) AS BIGINT) AS lis_len
+FROM chain JOIN n0 USING (event_type)
+GROUP BY 1, 2
+"""
+
+
+def q_lis_daily(sf_dir: str):
+    """Longest strictly-increasing SUBSEQUENCE of each daily-mean
+    series — the order-structure depth next to streak_stats'
+    contiguous runs (a trending series has LIS near n, a mean-
+    reverting one near 2*sqrt(n)).  EXACT: milli-unit integers
+    compare exactly, so the classic O(n log n) patience-sorting tails
+    array gives the same length as the oracle's recursive set
+    fixpoint S_k = "indices that end an increasing chain of length k"
+    (DuckDB recursive CTE with UNION dedup).  Day-count-scale
+    per-series work.  ORACLE-CHECKED."""
+    import bisect
+
+    series = _daily_milli_series(sf_dir)
+    rows = {"et": [], "n": [], "l": []}
+    for et in sorted(series):
+        _, mi, _ = series[et]
+        tails = []
+        for vv in mi.tolist():
+            i = bisect.bisect_left(tails, vv)
+            if i == len(tails):
+                tails.append(vv)
+            else:
+                tails[i] = vv
+        rows["et"].append(et)
+        rows["n"].append(len(mi))
+        rows["l"].append(len(tails))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_days": pa.array(rows["n"], pa.int64()),
+        "lis_len": pa.array(rows["l"], pa.int64()),
+    }))
+
+
+SOURCE_GRAM_OVERLAP_SQL = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS arr
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+g AS (
+  SELECT DISTINCT source,
+         arr[i.i + 1] || ' ' || arr[i.i + 2] || ' ' || arr[i.i + 3]
+           AS gram
+  FROM t, UNNEST(range(len(arr) - 2)) AS i(i)),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY 1),
+p AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM g a JOIN g b ON b.gram = a.gram AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.sa AS source_a, p.sb AS source_b, ta.n AS n_a, tb.n AS n_b,
+       p.ns AS n_shared,
+       ROUND(CAST(p.ns AS DOUBLE) / (ta.n + tb.n - p.ns), 6)
+         AS jaccard
+FROM p JOIN tot ta ON ta.source = p.sa
+JOIN tot tb ON tb.source = p.sb
+"""
+
+
+def q_source_gram_overlap(sf_dir: str):
+    """Pairwise trigram-set Jaccard between sources — the provenance
+    overlap matrix behind mixing decisions (two sources with high
+    overlap are near-mirrors; their combined weight double-counts):
+    for each source pair, |shared distinct trigrams| over the union.
+    EXACT: set intersections/unions are integer counts, Jaccard is
+    ONE float division.  Engine path: per block Arrow-native trigrams
+    -> distinct (gram, source); ONE gram-keyed exchange
+    (sorted_group_map) where each gram-run distincts its sources and
+    emits run-pair partials via the shared length-class trick —
+    |sources|^2-scale partials out, the gram never re-shuffles.
+    At web scale the gram key would hash (same switch as
+    ngram_novelty).  ORACLE-CHECKED."""
+    import ray.data as rd
+
+    from ..stages.sorted_groups import _runs, sorted_group_map
+    from ..stages.wordcount import TOKEN_SPLIT_RE
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    gs_schema = pa.schema([("gram", pa.string()),
+                           ("source", pa.string())])
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["source"]),
+                    pc.is_valid(batch["text"]))
+        batch = batch.filter(m)
+        if len(batch) == 0:
+            return gs_schema.empty_table()
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]),
+                                      TOKEN_SPLIT_RE)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64),
+                            lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ft = flat.filter(pa.array(keep))
+        fd = doc_rep[keep]
+        if len(fd) < 3:
+            return gs_schema.empty_table()
+        tri = (fd[:-2] == fd[1:-1]) & (fd[1:-1] == fd[2:])
+        idx = np.nonzero(tri)[0]
+        if len(idx) == 0:
+            return gs_schema.empty_table()
+        gram = pc.binary_join_element_wise(
+            ft.take(pa.array(idx, pa.int64())),
+            ft.take(pa.array(idx + 1, pa.int64())),
+            ft.take(pa.array(idx + 2, pa.int64())), " ")
+        rows = pa.table({"gram": gram,
+                         "source": batch["source"].take(
+                             pa.array(fd[idx], pa.int64()))})
+        return rows.group_by(["gram", "source"]).aggregate(
+            []).cast(gs_schema)
+
+    grams = ds.map_batches(_grams, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # partial rows: sb == "" marks a per-source distinct-gram total
+    out_schema = pa.schema([("sa", pa.string()), ("sb", pa.string()),
+                            ("n", pa.int64())])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["gram"])
+        run_id = np.repeat(np.arange(len(starts)), (ends - starts))
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        import pandas as pd
+        dd = pd.DataFrame({"r": run_id, "s": src}).drop_duplicates()
+        dd = dd.sort_values(["r", "s"])
+        r = dd["r"].to_numpy(np.int64)
+        s = dd["s"].to_numpy(object)
+        # per-source totals off the per-run distinct rows
+        tsrc, tcnt = np.unique(s.astype(str), return_counts=True)
+        parts = [pa.table({"sa": pa.array(tsrc, pa.string()),
+                           "sb": pa.array([""] * len(tsrc),
+                                          pa.string()),
+                           "n": pa.array(tcnt.astype(np.int64))},
+                          schema=out_schema)]
+        rf = np.empty(len(r), dtype=bool)
+        if len(r):
+            rf[0] = True
+            rf[1:] = r[1:] != r[:-1]
+            rs = np.nonzero(rf)[0]
+            rl = np.diff(np.append(rs, len(r)))
+            pa_list, pb_list = [], []
+            for length in np.unique(rl):
+                if length < 2:
+                    continue
+                sel = rs[rl == length]
+                idx = sel[:, None] + np.arange(length)
+                m = s[idx]
+                iu, ju = np.triu_indices(int(length), 1)
+                pa_list.append(m[:, iu].ravel())
+                pb_list.append(m[:, ju].ravel())
+            if pa_list:
+                ua = np.concatenate(pa_list).astype(str)
+                ub = np.concatenate(pb_list).astype(str)
+                key = pd.DataFrame({"sa": ua, "sb": ub})
+                cnt = key.value_counts().reset_index(name="n")
+                parts.append(pa.table({
+                    "sa": pa.array(cnt["sa"].tolist(), pa.string()),
+                    "sb": pa.array(cnt["sb"].tolist(), pa.string()),
+                    "n": pa.array(cnt["n"].to_numpy(np.int64))},
+                    schema=out_schema))
+        return pa.concat_tables(parts)
+
+    parts = _collect_raw(sorted_group_map(
+        grams, ["gram"], None, out_schema,
+        block_fn=_pairs)).to_pandas()
+    tot = parts[parts["sb"] == ""].groupby("sa")["n"].sum().to_dict()
+    pr = parts[parts["sb"] != ""].groupby(
+        ["sa", "sb"], as_index=False)["n"].sum().sort_values(
+        ["sa", "sb"])
+    from ..kernels.rounding import round6_tie_robust
+    na = np.array([tot[s] for s in pr["sa"]], np.int64)
+    nb = np.array([tot[s] for s in pr["sb"]], np.int64)
+    ns = pr["n"].to_numpy(np.int64)
+    return _collect(pa.table({
+        "source_a": pa.array(pr["sa"].tolist(), pa.string()),
+        "source_b": pa.array(pr["sb"].tolist(), pa.string()),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "n_shared": pa.array(ns),
+        "jaccard": pa.array(round6_tie_robust(
+            ns.astype(np.float64) / (na + nb - ns))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -22050,6 +22382,9 @@ def build_queries() -> dict:
         "large_orders": q_large_orders,
         "small_qty_revenue": q_small_qty_revenue,
         "idle_balance": q_idle_balance,
+        "dfa_fluctuation": q_dfa_fluctuation,
+        "lis_daily": q_lis_daily,
+        "source_gram_overlap": q_source_gram_overlap,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -22618,6 +22953,9 @@ WHERE rn <= 2
         "large_orders": LARGE_ORDERS_SQL,
         "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
         "idle_balance": IDLE_BALANCE_SQL,
+        "dfa_fluctuation": DFA_SQL,
+        "lis_daily": LIS_SQL,
+        "source_gram_overlap": SOURCE_GRAM_OVERLAP_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

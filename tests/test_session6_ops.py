@@ -641,3 +641,82 @@ def test_idle_balance_matches_direct(ray_session):
         assert row["n_custs"] == len(sub)
         assert abs(row["total_acctbal"]
                    - sub["c_acctbal"].sum()) < 1e-4
+
+
+def test_dfa_matches_direct(ray_session):
+    import math
+
+    from light_curve_ray.pipelines.queries import q_dfa_fluctuation
+
+    got = q_dfa_fluctuation(SF).to_pandas().set_index(
+        ["event_type", "scale"])
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        mi = sub.sort_values("day")["mi"].to_numpy(np.int64)
+        n = len(mi)
+        x = np.sort(mi)
+        med2 = int(x[(n - 1) // 2]) + int(x[n // 2])
+        prof = np.cumsum(2 * mi - med2)
+        for s in (4, 8, 16):
+            nb = n // s
+            if nb < 2:
+                assert (et, s) not in got.index
+                continue
+            # independent reference: float least squares per box
+            total = 0.0
+            for b in range(nb):
+                y = prof[b * s:(b + 1) * s].astype(np.float64)
+                xs = np.arange(s, dtype=np.float64)
+                A = np.vstack([xs, np.ones(s)]).T
+                res = y - A @ np.linalg.lstsq(A, y, rcond=None)[0]
+                total += float((res ** 2).sum())
+            exp = math.sqrt(total / (nb * s)) / 2000.0
+            row = got.loc[(et, s)]
+            assert row["n_boxes"] == nb
+            assert abs(row["fluct"] - exp) < max(1e-4, 1e-5 * exp)
+
+
+def test_lis_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_lis_daily
+
+    got = q_lis_daily(SF).to_pandas().set_index("event_type")
+    g = _milli_daily()
+    for et, sub in g.groupby("event_type"):
+        mi = sub.sort_values("day")["mi"].to_numpy(np.int64)
+        n = len(mi)
+        # O(n^2) DP reference
+        dp = [1] * n
+        for i in range(n):
+            for j in range(i):
+                if mi[j] < mi[i]:
+                    dp[i] = max(dp[i], dp[j] + 1)
+        row = got.loc[et]
+        assert row["n_days"] == n
+        assert row["lis_len"] == max(dp)
+
+
+def test_source_gram_overlap_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_source_gram_overlap
+
+    got = q_source_gram_overlap(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet").dropna(
+        subset=["source", "text"])
+    sets: dict = {}
+    for row in docs.itertuples():
+        toks = [t for t in re.split(r"[^a-z0-9]+", row.text.lower())
+                if t]
+        grams = {" ".join(toks[i:i + 3])
+                 for i in range(len(toks) - 2)}
+        sets.setdefault(row.source, set()).update(grams)
+    srcs = sorted(sets)
+    exp = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            sh = len(sets[a] & sets[b])
+            if sh:
+                exp[(a, b)] = (len(sets[a]), len(sets[b]), sh)
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        na, nb, sh = exp[(row.source_a, row.source_b)]
+        assert row.n_a == na and row.n_b == nb and row.n_shared == sh
+        assert abs(row.jaccard - sh / (na + nb - sh)) < 1e-6
