@@ -22347,6 +22347,348 @@ def q_source_gram_overlap(sf_dir: str):
     }))
 
 
+WASSERSTEIN_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 IN (6, 0)
+              THEN 1 ELSE 0 END AS wk,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL),
+h AS (SELECT event_type, wk, vi, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2, 3),
+sup AS (SELECT DISTINCT event_type, vi FROM h),
+m AS (
+  SELECT sup.event_type AS event_type, sup.vi AS vi,
+         COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM sup
+  LEFT JOIN h a ON a.event_type = sup.event_type AND a.vi = sup.vi
+               AND a.wk = 1
+  LEFT JOIN h b ON b.event_type = sup.event_type AND b.vi = sup.vi
+               AND b.wk = 0),
+c AS (
+  SELECT event_type, vi,
+         SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb,
+         LEAD(vi) OVER w AS nxt
+  FROM m WINDOW w AS (PARTITION BY event_type ORDER BY vi)),
+n AS (SELECT event_type,
+             CAST(SUM(CASE WHEN wk = 1 THEN c ELSE 0 END) AS HUGEINT)
+               AS na,
+             CAST(SUM(CASE WHEN wk = 0 THEN c ELSE 0 END) AS HUGEINT)
+               AS nb
+      FROM h GROUP BY 1),
+w1 AS (
+  SELECT c.event_type AS event_type,
+         SUM(ABS(cuma * nb - cumb * na) * (nxt - vi)) AS num
+  FROM c JOIN n USING (event_type)
+  WHERE nxt IS NOT NULL GROUP BY 1)
+SELECT w1.event_type AS event_type, CAST(na AS BIGINT) AS n_weekend,
+       CAST(nb AS BIGINT) AS n_weekday,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1000.0), 6)
+         AS w1
+FROM w1 JOIN n USING (event_type) WHERE na > 0 AND nb > 0
+"""
+
+
+def q_wasserstein_weekend(sf_dir: str):
+    """1-D Wasserstein (earth mover's) distance between each series'
+    weekend and weekday value distributions — the distribution-shift
+    magnitude in VALUE UNITS (where ks_drift gives a unitless sup-gap,
+    W1 says "weekend values sit X units away on average").  EXACT:
+    over the discrete milli-unit support, W1 = Sigma |cumA*nb −
+    cumB*na| * gap / (na*nb) — the numerator accumulates in exact
+    ints off the bounded value histogram (the CDF-difference identity
+    with the na*nb common denominator clearing both normalizations),
+    and ONE float division lands the result.  Cell-count scale: the
+    (type, weekend, milli-value) histogram collapses map-side.
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "ts", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("wk", pa.int64()), ("vi", pa.int64()),
+                             ("n", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t_us = batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        dow = (t_us // _DAY_US + 4) % 7
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        vi = np.floor(round6_tie_robust(v) * 1000.0
+                      + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "wk": pa.array(wk, pa.int64()),
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "wk", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "wk", "vi",
+                                 "n"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = parts.groupby(["event_type", "wk", "vi"],
+                          as_index=False)["n"].sum()
+    rows = {"et": [], "na": [], "nb": [], "w1": []}
+    for et, sub in cells.groupby("event_type"):
+        piv = sub.pivot_table(index="vi", columns="wk", values="n",
+                              fill_value=0, aggfunc="sum")
+        vi = piv.index.to_numpy(np.int64)
+        ca = (piv[1].to_numpy(np.int64) if 1 in piv.columns
+              else np.zeros(len(vi), np.int64))
+        cb = (piv[0].to_numpy(np.int64) if 0 in piv.columns
+              else np.zeros(len(vi), np.int64))
+        na, nb = int(ca.sum()), int(cb.sum())
+        if na == 0 or nb == 0:
+            continue
+        cuma = np.cumsum(ca.astype(object))
+        cumb = np.cumsum(cb.astype(object))
+        gaps = (vi[1:] - vi[:-1]).astype(object)
+        num = int((abs(cuma[:-1] * nb - cumb[:-1] * na)
+                   * gaps).sum()) if len(vi) > 1 else 0
+        rows["et"].append(et)
+        rows["na"].append(na)
+        rows["nb"].append(nb)
+        rows["w1"].append(float(num) / (float(na) * float(nb)
+                                        * 1000.0))
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_weekend": pa.array(rows["na"], pa.int64()),
+        "n_weekday": pa.array(rows["nb"], pa.int64()),
+        "w1": pa.array(round6_tie_robust(
+            np.array(rows["w1"], np.float64))),
+    }))
+
+
+EDGE_SUPPORT_SQL = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+s AS (SELECT a AS u, b AS v FROM tri
+      UNION ALL SELECT b, c FROM tri
+      UNION ALL SELECT a, c FROM tri),
+cnt AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup
+        FROM s GROUP BY 1, 2),
+f AS (SELECT e.u AS u, e.v AS v, COALESCE(cnt.sup, 0) AS sup
+      FROM e LEFT JOIN cnt USING (u, v))
+SELECT sup AS support, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM f GROUP BY 1
+"""
+
+
+def q_edge_support_hist(sf_dir: str):
+    """Per-edge triangle-support histogram of the part co-purchase
+    graph — the k-truss profile (an edge with support >= k−2 survives
+    the k-truss; the histogram says how much of the graph is
+    community-glued vs tree-like).  Engine path: the shared
+    degree-oriented wedge emission (each triangle discovered exactly
+    once at its (degree,id)-minimal vertex, O(m^1.5) work), but
+    instead of counting, every closed wedge credits its THREE packed
+    edge keys; one edge-key exchange sums credits and the driver
+    folds the (support -> count) histogram, with the zero bucket =
+    |E| − |supported edges|.  All integers.  ORACLE-CHECKED."""
+    import ray
+
+    from ..stages.sorted_groups import sorted_group_map
+
+    edges = _copurchase_edges(sf_dir)
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table({"support": pa.array([], pa.int64()),
+                         "n_edges": pa.array([], pa.int64())})
+    nodes, deg = _copurchase_degrees(edges)
+    nodes_ref = ray.put(nodes)
+    deg_ref = ray.put(deg)
+    edge_keys = np.sort(np.concatenate(
+        [t["k"].to_numpy(zero_copy_only=False)
+         for t in ray.get(edges.to_arrow_refs()) if len(t)]
+        or [np.empty(0, np.int64)]))
+    ek_ref = ray.put(edge_keys)
+
+    dir_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        dg = ray.get(deg_ref)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        u = k >> np.int64(32)
+        v = k & np.int64(0xFFFFFFFF)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        flip = du > dv
+        return pa.table({"src": np.where(flip, v, u),
+                         "dst": np.where(flip, u, v)},
+                        schema=dir_schema)
+
+    directed = edges.map_batches(_orient, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    cred_schema = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+
+    def _wedge_credit(batch: pa.Table) -> pa.Table:
+        ek = ray.get(ek_ref)
+        if len(batch) < 2:
+            return cred_schema.empty_table()
+        tbl = batch.sort_by([("src", "ascending"),
+                             ("dst", "ascending")])
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        first = np.empty(len(src), dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(src)))
+        # pairs (b, c) with the wedge center w repeated per pair
+        bs, cs, ws = [], [], []
+        for length in np.unique(lens):
+            if length < 2:
+                continue
+            sel = starts[lens == length]
+            idx = sel[:, None] + np.arange(length)
+            m = dst[idx]
+            iu, ju = np.triu_indices(int(length), 1)
+            bs.append(m[:, iu].ravel())
+            cs.append(m[:, ju].ravel())
+            ws.append(np.repeat(src[sel], len(iu)))
+        if not bs:
+            return cred_schema.empty_table()
+        b = np.concatenate(bs)
+        c = np.concatenate(cs)
+        w = np.concatenate(ws)
+        lo = np.minimum(b, c)
+        hi = np.maximum(b, c)
+        wk = (lo << np.int64(32)) | hi
+        pos = np.searchsorted(ek, wk)
+        hit = (pos < len(ek)) & (ek[np.minimum(pos,
+                                               len(ek) - 1)] == wk)
+        if not hit.any():
+            return cred_schema.empty_table()
+        b, c, w, wk = b[hit], c[hit], w[hit], wk[hit]
+        k1 = (np.minimum(w, b) << np.int64(32)) | np.maximum(w, b)
+        k2 = (np.minimum(w, c) << np.int64(32)) | np.maximum(w, c)
+        allk = np.concatenate([wk, k1, k2])
+        uniq, cnts = np.unique(allk, return_counts=True)
+        return pa.table({"k": uniq, "n": cnts.astype(np.int64)},
+                        schema=cred_schema)
+
+    credits = sorted_group_map(directed, ["src"], None, cred_schema,
+                               block_fn=_wedge_credit)
+    parts = _collect_raw(credits).to_pandas()
+    sup = parts.groupby("k")["n"].sum() if len(parts) else None
+    if sup is None or sup.empty:
+        return pa.table({
+            "support": pa.array([0], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64())})
+    vals, cnts = np.unique(sup.to_numpy(np.int64),
+                           return_counts=True)
+    n_zero = n_edges - int(cnts.sum())
+    support = vals.tolist()
+    counts = cnts.tolist()
+    if n_zero > 0:
+        support = [0] + support
+        counts = [n_zero] + counts
+    return pa.table({
+        "support": pa.array(support, pa.int64()),
+        "n_edges": pa.array(counts, pa.int64())})
+
+
+MRR_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5)
+              AS HUGEINT) AS svi
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(svi) AS tots, SUM(cnt) AS totn
+      FROM u GROUP BY 1),
+r AS (
+  SELECT u.event_type AS event_type,
+         CASE WHEN svi * totn > tots * cnt THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY u.event_type
+                            ORDER BY svi DESC, user_id) AS rnk
+  FROM u JOIN t USING (event_type)),
+a AS (
+  SELECT event_type, CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS fr,
+         CAST(SUM(CASE WHEN rel = 1 AND rnk <= 10 THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits10
+  FROM r GROUP BY 1)
+SELECT event_type, n_rel, fr AS first_rel_rank,
+       ROUND(1.0 / fr, 6) AS mrr, hits10,
+       ROUND(CAST(hits10 AS DOUBLE) / n_rel, 6) AS recall_at_10
+FROM a WHERE n_rel > 0
+"""
+
+
+def q_mrr_eval(sf_dir: str):
+    """Mean-reciprocal-rank + recall@10 per series — the remaining
+    classic retrieval-eval pair next to ndcg_eval/roc_auc, on the
+    same deterministic setup (predicted ranking = users by micro-int
+    total spend, relevant = above-type-mean spenders via the exact
+    integer cross-mult label): MRR = 1/(first relevant rank) and
+    recall@10 = hits/|relevant| are each ONE float division of exact
+    ints.  Same mergeable (type,user) partial combine.
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.float64())])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n",
+                                 "s"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _parts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    u = parts.groupby(["event_type", "user_id"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    rows = {"et": [], "nr": [], "fr": [], "mrr": [], "h": [],
+            "rc": []}
+    for et, sub in u.groupby("event_type"):
+        cnt = sub["n"].to_numpy(np.int64)
+        svi = np.floor(round6_tie_robust(sub["s"].to_numpy(np.float64))
+                       * 1e6 + 0.5).astype(np.int64)
+        uid = sub["user_id"].to_numpy(np.int64)
+        tots = int(svi.astype(object).sum())
+        totn = int(cnt.sum())
+        rel = np.array([int(a) * totn > tots * int(b)
+                        for a, b in zip(svi, cnt)], bool)
+        n_rel = int(rel.sum())
+        if n_rel == 0:
+            continue
+        order = np.lexsort((uid, -svi))
+        rel_sorted = rel[order]
+        fr = int(np.nonzero(rel_sorted)[0][0]) + 1
+        hits10 = int(rel_sorted[:10].sum())
+        rows["et"].append(et)
+        rows["nr"].append(n_rel)
+        rows["fr"].append(fr)
+        rows["mrr"].append(1.0 / fr)
+        rows["h"].append(hits10)
+        rows["rc"].append(float(hits10) / n_rel)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_rel": pa.array(rows["nr"], pa.int64()),
+        "first_rel_rank": pa.array(rows["fr"], pa.int64()),
+        "mrr": pa.array(round6_tie_robust(
+            np.array(rows["mrr"], np.float64))),
+        "hits10": pa.array(rows["h"], pa.int64()),
+        "recall_at_10": pa.array(round6_tie_robust(
+            np.array(rows["rc"], np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -22385,6 +22727,9 @@ def build_queries() -> dict:
         "dfa_fluctuation": q_dfa_fluctuation,
         "lis_daily": q_lis_daily,
         "source_gram_overlap": q_source_gram_overlap,
+        "wasserstein_weekend": q_wasserstein_weekend,
+        "edge_support_hist": q_edge_support_hist,
+        "mrr_eval": q_mrr_eval,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -22956,6 +23301,9 @@ WHERE rn <= 2
         "dfa_fluctuation": DFA_SQL,
         "lis_daily": LIS_SQL,
         "source_gram_overlap": SOURCE_GRAM_OVERLAP_SQL,
+        "wasserstein_weekend": WASSERSTEIN_SQL,
+        "edge_support_hist": EDGE_SUPPORT_SQL,
+        "mrr_eval": MRR_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(

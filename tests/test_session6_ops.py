@@ -720,3 +720,97 @@ def test_source_gram_overlap_matches_direct(ray_session):
         na, nb, sh = exp[(row.source_a, row.source_b)]
         assert row.n_a == na and row.n_b == nb and row.n_shared == sh
         assert abs(row.jaccard - sh / (na + nb - sh)) < 1e-6
+
+
+def test_wasserstein_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_wasserstein_weekend
+
+    got = q_wasserstein_weekend(SF).to_pandas().set_index(
+        "event_type")
+    df = _events()
+    df["vi"] = _vi(df["value"].values)
+    dow = (df["t_us"] // _DAY_US + 4) % 7
+    df["wk"] = ((dow == 0) | (dow == 6)).astype(int)
+    for et, sub in df.groupby("event_type"):
+        a = np.sort(sub[sub["wk"] == 1]["vi"].to_numpy(np.float64))
+        b = np.sort(sub[sub["wk"] == 0]["vi"].to_numpy(np.float64))
+        if len(a) == 0 or len(b) == 0:
+            assert et not in got.index
+            continue
+        # independent reference: quantile-function integral form
+        allv = np.sort(np.concatenate([a, b]))
+        # piecewise-constant CDF difference integral
+        support = np.unique(allv)
+        Fa = np.searchsorted(a, support, side="right") / len(a)
+        Fb = np.searchsorted(b, support, side="right") / len(b)
+        w1 = float(np.sum(np.abs(Fa[:-1] - Fb[:-1])
+                          * np.diff(support))) / 1000.0
+        row = got.loc[et]
+        assert row["n_weekend"] == len(a)
+        assert row["n_weekday"] == len(b)
+        assert abs(row["w1"] - w1) < 1e-5
+
+
+def test_edge_support_hist_matches_direct(ray_session):
+    from light_curve_ray.pipelines.queries import q_edge_support_hist
+
+    got = q_edge_support_hist(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]].dropna().drop_duplicates()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    sup = Counter()
+    for u, v in edges:
+        sup[(u, v)] = len(adj[u] & adj[v])
+    hist = Counter(sup.values())
+    exp = pd.DataFrame(sorted(hist.items()),
+                       columns=["support", "n_edges"])
+    gs = got.sort_values("support").reset_index(drop=True)
+    assert len(gs) == len(exp)
+    assert (gs["support"].to_numpy() == exp["support"].to_numpy()
+            ).all()
+    assert (gs["n_edges"].to_numpy() == exp["n_edges"].to_numpy()
+            ).all()
+    # identity: sum over edges of support == 3 * n_triangles
+    assert int((gs["support"] * gs["n_edges"]).sum()) % 3 == 0
+
+
+def test_mrr_matches_direct(ray_session):
+    from light_curve_ray.kernels.rounding import round6_tie_robust
+    from light_curve_ray.pipelines.queries import q_mrr_eval
+
+    got = q_mrr_eval(SF).to_pandas().set_index("event_type")
+    df = _events().dropna(subset=["user_id"])
+    u = df.groupby(["event_type", "user_id"])["value"].agg(
+        ["count", "sum"]).reset_index()
+    for et, sub in u.groupby("event_type"):
+        cnt = sub["count"].to_numpy(np.int64)
+        svi = np.floor(round6_tie_robust(
+            sub["sum"].to_numpy(np.float64)) * 1e6
+            + 0.5).astype(np.int64)
+        uid = sub["user_id"].to_numpy(np.int64)
+        tots, totn = int(svi.sum()), int(cnt.sum())
+        rel = np.array([int(a) * totn > tots * int(b)
+                        for a, b in zip(svi, cnt)], bool)
+        if not rel.any():
+            assert et not in got.index
+            continue
+        order = np.lexsort((uid, -svi))
+        rs = rel[order]
+        fr = int(np.nonzero(rs)[0][0]) + 1
+        row = got.loc[et]
+        assert row["n_rel"] == int(rel.sum())
+        assert row["first_rel_rank"] == fr
+        assert abs(row["mrr"] - 1.0 / fr) < 1e-9
+        assert row["hits10"] == int(rs[:10].sum())
+        assert abs(row["recall_at_10"]
+                   - int(rs[:10].sum()) / int(rel.sum())) < 1e-6
