@@ -22689,6 +22689,373 @@ def q_mrr_eval(sf_dir: str):
     }))
 
 
+LC_CATALOG_SQL = """
+WITH v AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t_us,
+         CAST(FLOOR(ROUND(value, 6) * 1000 + 0.5) AS BIGINT) AS vi
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    AND value IS NOT NULL AND event_id IS NOT NULL),
+med AS (
+  SELECT event_type, CAST(2 * MEDIAN(vi) AS BIGINT) AS med2,
+         MIN(vi) AS mn, MAX(vi) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1),
+mb AS (
+  SELECT v.event_type AS event_type,
+         CAST(SUM(CASE WHEN 10 * ABS(2 * v.vi - med.med2)
+                            < (med.mx - med.mn)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_buf,
+         MAX(ABS(2 * v.vi - med.med2)) AS maxdev2
+  FROM v JOIN med USING (event_type) GROUP BY 1),
+lastn AS (
+  SELECT event_type, vi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY t_us DESC, event_id DESC) AS rb
+  FROM v),
+pst AS (
+  SELECT a.event_type AS event_type,
+         CAST(SUM(CASE WHEN a.vi > b.vi THEN 1
+                       WHEN a.vi < b.vi THEN -1 ELSE 0 END)
+              AS BIGINT) AS net
+  FROM lastn a JOIN lastn b
+    ON b.event_type = a.event_type AND b.rb = a.rb + 1
+  WHERE a.rb <= 30 GROUP BY 1),
+srt AS (
+  SELECT event_type, vi,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY vi) AS r
+  FROM v),
+ipr AS (
+  SELECT s1.event_type AS event_type, s2.vi - s1.vi AS spread
+  FROM srt s1
+  JOIN med ON med.event_type = s1.event_type
+  JOIN srt s2 ON s2.event_type = s1.event_type
+            AND s2.r = 9 * (med.n - 1) // 10 + 1
+  WHERE s1.r = (med.n - 1) // 10 + 1)
+SELECT med.event_type AS event_type, med.n AS n,
+       ROUND(med.med2 / 2000.0, 6) AS median,
+       ROUND(CAST(mb.n_buf AS DOUBLE) / med.n, 6)
+         AS median_buffer_range_pct,
+       ROUND(CAST(mb.maxdev2 AS DOUBLE) / ABS(med.med2), 6)
+         AS percent_amplitude,
+       ROUND(CAST(pst.net AS DOUBLE) / 30.0, 6) AS pair_slope_trend,
+       ROUND(ipr.spread / 1000.0, 6) AS inter_percentile_range
+FROM med JOIN mb USING (event_type)
+JOIN pst USING (event_type) JOIN ipr USING (event_type)
+WHERE med.med2 <> 0 AND med.n > 30
+"""
+
+
+def q_lc_catalog_features(sf_dir: str):
+    """Four more light-curve feature-catalog rows per series
+    (reference ecosystem parity — the catalog light-curve-feature
+    exports these next to the moments the rollup already computes;
+    /root/reference/README.md:18): MedianBufferRangePercentage
+    (fraction of points within a tenth of the full range around the
+    median — the integer compare 10*|2v − med2| < max − min),
+    PercentAmplitude (max|v − median| / |median|, one division of
+    exact ints via the doubled-median trick), PairSlopeTrend (sign
+    balance of the last 30 consecutive time-ordered differences,
+    event_id tie-break — exact counts over 30), and
+    InterPercentileRange p10..p90 (index convention (n−1)//10 and
+    9*(n−1)//10 on the sorted milli values — exact int spread).
+    The (type, milli-value) histogram + last-30 tail collapse
+    map-side; per-series driver work is value-support scale.
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "event_id", "ts",
+                                  "value"])
+    hist_schema = pa.schema([("event_type", pa.string()),
+                             ("vi", pa.int64()), ("n", pa.int64())])
+    tail_schema = pa.schema([("event_type", pa.string()),
+                             ("t_us", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("vi", pa.int64())])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        vi = np.floor(round6_tie_robust(
+            batch["value"].to_numpy(zero_copy_only=False)) * 1000.0
+            + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "vi": pa.array(vi, pa.int64())})
+        g = t.group_by(["event_type", "vi"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "vi",
+                                 "n"]).cast(hist_schema)
+
+    def _tail(batch: pa.Table) -> pa.Table:
+        # block-local last-30 candidates per type (mergeable: the
+        # global last-30 is within the union of block last-30s)
+        vi = np.floor(round6_tie_robust(
+            batch["value"].to_numpy(zero_copy_only=False)) * 1000.0
+            + 0.5).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "t_us": batch["ts"].cast(pa.int64()),
+                      "event_id": batch["event_id"],
+                      "vi": pa.array(vi, pa.int64())})
+        df = t.to_pandas()
+        keep = df.sort_values(["t_us", "event_id"],
+                              ascending=False).groupby(
+            "event_type").head(31)
+        return pa.Table.from_pandas(keep, preserve_index=False).cast(
+            tail_schema)
+
+    hist = _collect_raw(ds.map_batches(
+        _hist, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    cells = hist.groupby(["event_type", "vi"], as_index=False)[
+        "n"].sum()
+    tails = _collect_raw(ds.map_batches(
+        _tail, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    rows = {"et": [], "n": [], "md": [], "mb": [], "pa_": [],
+            "ps": [], "ip": []}
+    for et, sub in cells.groupby("event_type"):
+        vi = sub["vi"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        order = np.argsort(vi)
+        vi, cnt = vi[order], cnt[order]
+        n = int(cnt.sum())
+        if n <= 30:
+            continue
+        cum = np.cumsum(cnt)
+        lo = int(vi[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(vi[np.searchsorted(cum, n // 2 + 1)])
+        med2 = lo + hi
+        if med2 == 0:
+            continue
+        mn, mx = int(vi[0]), int(vi[-1])
+        dev2 = np.abs(2 * vi - med2)
+        n_buf = int(cnt[10 * dev2 < (mx - mn)].sum())
+        maxdev2 = int(dev2.max())
+        i10 = int(vi[np.searchsorted(cum, (n - 1) // 10 + 1)])
+        i90 = int(vi[np.searchsorted(cum, 9 * (n - 1) // 10 + 1)])
+        tl = tails[tails["event_type"] == et].sort_values(
+            ["t_us", "event_id"], ascending=False).head(31)
+        tv = tl["vi"].to_numpy(np.int64)
+        d = tv[:-1] - tv[1:]  # newest-first: a.vi - next-older b.vi
+        d = d[:30]
+        net = int(np.sign(d).sum())
+        rows["et"].append(et)
+        rows["n"].append(n)
+        rows["md"].append(med2 / 2000.0)
+        rows["mb"].append(float(n_buf) / n)
+        rows["pa_"].append(float(maxdev2) / abs(med2))
+        rows["ps"].append(net / 30.0)
+        rows["ip"].append((i90 - i10) / 1000.0)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "median": pa.array(round6_tie_robust(
+            np.array(rows["md"], np.float64))),
+        "median_buffer_range_pct": pa.array(round6_tie_robust(
+            np.array(rows["mb"], np.float64))),
+        "percent_amplitude": pa.array(round6_tie_robust(
+            np.array(rows["pa_"], np.float64))),
+        "pair_slope_trend": pa.array(round6_tie_robust(
+            np.array(rows["ps"], np.float64))),
+        "inter_percentile_range": pa.array(round6_tie_robust(
+            np.array(rows["ip"], np.float64))),
+    }))
+
+
+AVG_PRECISION_SQL = """
+WITH u AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(FLOOR(ROUND(SUM(value), 6) * 1000000 + 0.5)
+              AS HUGEINT) AS svi
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND value IS NOT NULL
+  GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(svi) AS tots, SUM(cnt) AS totn
+      FROM u GROUP BY 1),
+r AS (
+  SELECT u.event_type AS event_type,
+         CASE WHEN svi * totn > tots * cnt THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY u.event_type
+                            ORDER BY svi DESC, user_id) AS rnk
+  FROM u JOIN t USING (event_type)),
+h AS (
+  SELECT event_type, rel, rnk,
+         SUM(rel) OVER (PARTITION BY event_type ORDER BY rnk)
+           AS hits
+  FROM r),
+a AS (
+  SELECT event_type,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         SUM(CASE WHEN rel = 1
+                  THEN CAST(hits AS DOUBLE) / rnk
+                  ELSE 0.0 END ORDER BY rnk) AS ap_sum
+  FROM h GROUP BY 1)
+SELECT event_type, n_rel,
+       ROUND(ap_sum / n_rel, 6) AS avg_precision
+FROM a WHERE n_rel > 0
+"""
+
+
+def q_avg_precision(sf_dir: str):
+    """Average precision per series — the last classic IR-eval member
+    next to ndcg_eval / mrr_eval / roc_auc, same deterministic setup
+    (spend ranking, above-mean relevance): AP = mean over relevant
+    ranks of precision@rank.  Each precision term hits/rank is ONE
+    exact-int division; the rank-ordered fold mirrors the oracle's
+    ORDER BY rnk SUM operand-for-operand, and the final /n_rel is the
+    single closing division.  Mergeable (type,user) partials.
+    ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id", "value"])
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("user_id", pa.int64()),
+                             ("n", pa.int64()), ("s", pa.float64())])
+
+    def _parts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["event_type", "user_id", "n",
+                                 "s"]).cast(part_schema)
+
+    parts = _collect_raw(ds.map_batches(
+        _parts, batch_format="pyarrow",
+        zero_copy_batch=True)).to_pandas()
+    u = parts.groupby(["event_type", "user_id"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"))
+    rows = {"et": [], "nr": [], "ap": []}
+    for et, sub in u.groupby("event_type"):
+        cnt = sub["n"].to_numpy(np.int64)
+        svi = np.floor(round6_tie_robust(sub["s"].to_numpy(np.float64))
+                       * 1e6 + 0.5).astype(np.int64)
+        uid = sub["user_id"].to_numpy(np.int64)
+        tots = int(svi.astype(object).sum())
+        totn = int(cnt.sum())
+        rel = np.array([int(a) * totn > tots * int(b)
+                        for a, b in zip(svi, cnt)], bool)
+        n_rel = int(rel.sum())
+        if n_rel == 0:
+            continue
+        order = np.lexsort((uid, -svi))
+        rs = rel[order]
+        ap_sum = 0.0
+        hits = 0
+        for rnk, r in enumerate(rs.tolist(), start=1):
+            if r:
+                hits += 1
+                ap_sum += float(hits) / rnk
+        rows["et"].append(et)
+        rows["nr"].append(n_rel)
+        rows["ap"].append(ap_sum / n_rel)
+    return _collect(pa.table({
+        "event_type": pa.array(rows["et"], pa.string()),
+        "n_rel": pa.array(rows["nr"], pa.int64()),
+        "avg_precision": pa.array(round6_tie_robust(
+            np.array(rows["ap"], np.float64))),
+    }))
+
+
+GAP_ALARM_SQL = """
+WITH e AS (
+  SELECT event_type, user_id, epoch_us(ts) AS t_us
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    AND ts IS NOT NULL),
+g AS (
+  SELECT event_type, user_id,
+         t_us - LAG(t_us) OVER (PARTITION BY event_type, user_id
+                                ORDER BY t_us) AS gap
+  FROM e),
+s AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         MAX(gap) AS mx, CAST(2 * MEDIAN(gap) AS BIGINT) AS med2
+  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+f AS (SELECT event_type,
+             CASE WHEN 2 * mx > 5 * med2 THEN 1 ELSE 0 END AS alarm
+      FROM s WHERE n_gaps >= 4)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(alarm) AS BIGINT) AS n_alarms,
+       ROUND(CAST(SUM(alarm) AS DOUBLE) / COUNT(*), 6) AS alarm_rate
+FROM f GROUP BY 1
+"""
+
+
+def q_gap_alarm(sf_dir: str):
+    """Inter-arrival gap alarms per series — the ops-monitoring
+    "did this user's cadence break" flag: a (type, user) pair alarms
+    when its MAX inter-event gap exceeds 5x its MEDIAN gap (and it
+    has >= 4 gaps, so the median is meaningful).  EXACT: gaps are
+    epoch-microsecond int64 differences; the 5x threshold is the
+    integer cross-multiplication 2*max > 5*med2 via the doubled-
+    MEDIAN trick — no float enters the flag; the alarm rate is ONE
+    division.  Per-(type,user) gap stats come off one user-keyed
+    sorted pass (sorted_group_map discipline at scale; here the
+    per-pair event lists collapse map-side to gap partials is NOT
+    valid — gaps need global time order — so the exchange is the
+    (type,user) sort itself).  ORACLE-CHECKED."""
+    from ..kernels.rounding import round6_tie_robust
+    from ..stages.sorted_groups import _runs, sorted_group_map
+
+    ds = _events_nonnull(sf_dir, ["event_type", "user_id", "ts"])
+    ev_schema = pa.schema([("event_type", pa.string()),
+                           ("user_id", pa.int64()),
+                           ("t_us", pa.int64())])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"event_type": batch["event_type"],
+                         "user_id": batch["user_id"],
+                         "t_us": batch["ts"].cast(pa.int64())},
+                        schema=ev_schema)
+
+    ev = ds.map_batches(_prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("alarm", pa.int64()),
+                            ("n", pa.int64())])
+
+    def _flags(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        starts, ends = _runs(batch, ["event_type", "user_id"])
+        t = batch["t_us"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"]
+        rows_et, rows_alarm = [], []
+        for s0, e0 in zip(starts.tolist(), ends.tolist()):
+            ts = np.sort(t[s0:e0])
+            gaps = np.diff(ts)
+            if len(gaps) < 4:
+                continue
+            gs = np.sort(gaps)
+            m = len(gs)
+            med2 = int(gs[(m - 1) // 2]) + int(gs[m // 2])
+            rows_et.append(et[s0].as_py())
+            rows_alarm.append(int(2 * int(gs[-1]) > 5 * med2))
+        if not rows_et:
+            return out_schema.empty_table()
+        tt = pa.table({"event_type": pa.array(rows_et, pa.string()),
+                       "alarm": pa.array(rows_alarm, pa.int64())})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("alarm", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "alarm",
+                                 "n"]).cast(out_schema)
+
+    parts = _collect_raw(sorted_group_map(
+        ev, ["event_type", "user_id"], None, out_schema,
+        block_fn=_flags)).to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        alarm=("alarm", "sum"), n=("n", "sum")).sort_values(
+        "event_type")
+    return _collect(pa.table({
+        "event_type": pa.array(agg["event_type"].tolist(),
+                               pa.string()),
+        "n_users": pa.array(agg["n"].to_numpy(np.int64)),
+        "n_alarms": pa.array(agg["alarm"].to_numpy(np.int64)),
+        "alarm_rate": pa.array(round6_tie_robust(
+            agg["alarm"].to_numpy(np.float64)
+            / agg["n"].to_numpy(np.float64))),
+    }))
+
+
 def build_queries() -> dict:
     # ORDERING CONTRACT: the correctness driver verifies a bounded PREFIX of
     # this dict (50 entries in r03).  Least-recently-driver-verified families
@@ -22730,6 +23097,9 @@ def build_queries() -> dict:
         "wasserstein_weekend": q_wasserstein_weekend,
         "edge_support_hist": q_edge_support_hist,
         "mrr_eval": q_mrr_eval,
+        "lc_catalog_features": q_lc_catalog_features,
+        "avg_precision": q_avg_precision,
+        "gap_alarm": q_gap_alarm,
         "dmdt_map": q_dmdt_map,
         "dmdt_gausses": q_dmdt_gausses,
         "conditional_entropy": q_conditional_entropy,
@@ -23304,6 +23674,9 @@ WHERE rn <= 2
         "wasserstein_weekend": WASSERSTEIN_SQL,
         "edge_support_hist": EDGE_SUPPORT_SQL,
         "mrr_eval": MRR_SQL,
+        "lc_catalog_features": LC_CATALOG_SQL,
+        "avg_precision": AVG_PRECISION_SQL,
+        "gap_alarm": GAP_ALARM_SQL,
         "tail_codependence": TAIL_CODEPENDENCE_SQL,
         "otsu_split": _otsu_sql(EVENTS_POINTS_SQL),
         "percentile_ratios": PERCENTILE_RATIOS_SQL.format(
