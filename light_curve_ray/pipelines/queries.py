@@ -16765,10 +16765,12 @@ FREQUENT_TRIPLES_SQL = """
 WITH op AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+pr AS (
+  SELECT a.o AS o, a.p AS u, b.p AS v
+  FROM op a JOIN op b USING (o) WHERE a.p < b.p),
 tr AS (
-  SELECT a.p AS u, b.p AS v, c.p AS w
-  FROM op a JOIN op b ON b.o = a.o AND a.p < b.p
-            JOIN op c ON c.o = a.o AND b.p < c.p)
+  SELECT pr.u AS u, pr.v AS v, c.p AS w
+  FROM pr JOIN op c USING (o) WHERE pr.v < c.p)
 SELECT u, v, w, COUNT(*) AS support
 FROM tr GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
 """
