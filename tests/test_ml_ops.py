@@ -55,6 +55,63 @@ def test_logreg_gd_weights_move_toward_separation(ray_session):
     assert float(out["train_acc"].iloc[0]) >= majority - 1e-9
 
 
+def _bpe_reference(texts, n_merges):
+    """Independent BPE: re-tokenizes and re-counts from scratch with
+    plain Python (collections.Counter over regex tokens), merges with
+    string replace over space-joined symbol strings."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = Counter({" ".join(w): c for w, c in words.items()})
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            toks = sym.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left + " " + right) + r"(?!\S)")
+        vocab = Counter({pat.sub(left + right, sym): c
+                         for sym, c in vocab.items()})
+    return merges
+
+
+def test_bpe_merges_matches_independent_reference(ray_session):
+    from light_curve_ray.pipelines.queries import q_bpe_merges
+
+    out = q_bpe_merges(SF, n_merges=6).to_pandas()
+    texts = pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["text"]).to_pandas()["text"].dropna().tolist()
+    ref = _bpe_reference(texts, 6)
+    assert len(out) == len(ref)
+    for i, (rank, left, right, cnt) in enumerate(ref):
+        row = out.iloc[i]
+        assert (int(row["rank"]), row["left"], row["right"],
+                int(row["pair_count"])) == (rank, left, right, cnt)
+
+
+def test_bpe_kernel_known_corpus():
+    from light_curve_ray.kernels.bpe import bpe_train
+
+    # "low" x5, "lower" x2: first merge is ('l','o') count 7,
+    # then ('lo','w') count 7
+    merges = bpe_train(["low", "lower"], [5, 2], 2)
+    assert merges[0] == (1, "l", "o", 7)
+    assert merges[1] == (2, "lo", "w", 7)
+
+
 def test_ols_fit_matches_lstsq(ray_session):
     from light_curve_ray.pipelines.queries import q_ols_fit
 
