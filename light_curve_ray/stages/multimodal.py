@@ -1300,6 +1300,49 @@ def image_dhash(gray: np.ndarray) -> int:
     return out
 
 
+def _dctii_matrix(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II basis (the 8x8 JPEG basis generalized
+    to n — same normalization, see _dct_matrix)."""
+    x = np.arange(n, dtype=np.float64)
+    m = np.cos((2.0 * x[None, :] + 1.0) * x[:, None] * np.pi / (2 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_CACHE: dict = {}
+
+
+def _dctii_cached(n: int) -> np.ndarray:
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        m = _DCT_CACHE[n] = _dctii_matrix(n)
+    return m
+
+
+def image_phash(gray: np.ndarray) -> int:
+    """64-bit perceptual DCT hash (classic pHash): area-resize to
+    32x32 (clamped to the image size — resize_area only downsamples),
+    2-D orthonormal DCT-II, keep the top-left 8x8 low-frequency
+    block, threshold each coefficient against the MEDIAN of the
+    non-DC coefficients (63 of them at full size — odd count, so the
+    median is an exact element, no interpolation ambiguity).
+    Invariant to uniform brightness scaling (the DCT is linear, so
+    the median scales with the coefficients) and robust to
+    blur/resize — the frequency-domain complement of image_dhash's
+    gradient signs.  Returned as a PYTHON int in [0, 2^64)."""
+    h, w = gray.shape
+    th, tw = min(32, h), min(32, w)
+    t = resize_area(gray, th, tw)
+    d = _dctii_cached(th) @ t @ _dctii_cached(tw).T
+    block = d[:min(8, th), :min(8, tw)].ravel()
+    med = float(np.median(block[1:])) if len(block) > 1 else 0.0
+    out = 0
+    for b in (block > med):
+        out = (out << 1) | int(b)
+    return out
+
+
 def frame_sample_indices(n_frames: int, k: int) -> np.ndarray:
     """Deterministic frame sampling: k indices evenly spread over
     [0, n_frames), always including the first frame, strictly
@@ -1377,6 +1420,7 @@ class MediaFeatureStage:
         n = len(payloads)
         kind = [""] * n
         dhash = [None] * n
+        phash = [None] * n
         thumb_mean = np.full(n, np.nan)
         thumb_std = np.full(n, np.nan)
         centroid = np.full(n, np.nan)
@@ -1404,6 +1448,7 @@ class MediaFeatureStage:
                         g = px.mean(axis=2) if px.ndim == 3 else px
                     kind[i] = "image"
                     dhash[i] = image_dhash(g) - (1 << 63)  # int64 view
+                    phash[i] = image_phash(g) - (1 << 63)
                     t = resize_area(g, min(4, g.shape[0]),
                                     min(4, g.shape[1]))
                     thumb_mean[i] = t.mean()
@@ -1422,6 +1467,7 @@ class MediaFeatureStage:
         out = batch.drop_columns([self.payload_col])
         out = out.append_column("kind", pa.array(kind, pa.string()))
         out = out.append_column("dhash", pa.array(dhash, pa.int64()))
+        out = out.append_column("phash", pa.array(phash, pa.int64()))
         out = out.append_column("thumb_mean",
                                 pa.array(thumb_mean, pa.float64()))
         out = out.append_column("thumb_std",

@@ -272,6 +272,151 @@ def inverted_index(ds, id_col: str = "doc_id", text_col: str = "text",
                             block_fn=_postings)
 
 
+_PAIR_SCHEMA = pa.schema([("a", pa.string()), ("b", pa.string()),
+                          ("n_ab", pa.int64())])
+
+
+def _adjacent_pair_partials(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-block adjacent-token bigram partial counts (the bigram
+    combiner shared by PMI and Kneser-Ney): tokenize Arrow-native,
+    pair tokens adjacent WITHIN a doc, hash-count within the block."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
+                                  TOKEN_SPLIT_RE)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.where(np.isnan(lens), 0, lens).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat = flat.filter(pa.array(keep)).combine_chunks()
+    doc_idx = doc_idx[keep]
+    if len(doc_idx) < 2:
+        return _PAIR_SCHEMA.empty_table()
+    adj = np.nonzero(doc_idx[1:] == doc_idx[:-1])[0]
+    if adj.size == 0:
+        return _PAIR_SCHEMA.empty_table()
+    # Arrow-native gather: tokens never materialize as Python strs
+    ia = pa.array(adj, pa.int64())
+    ib = pa.array(adj + 1, pa.int64())
+    tbl = pa.table({"a": flat.take(ia), "b": flat.take(ib)})
+    g = tbl.group_by(["a", "b"]).aggregate([("a", "count")])
+    return g.rename_columns(["a", "b", "n_ab"])
+
+
+def kneser_ney_bigrams(ds, text_col: str = "text", k: int = 20,
+                       min_count: int = 5, discount: float = 0.75,
+                       stats_limit: int = 20_000_000, round6=None):
+    """Top-k bigrams by interpolated Kneser-Ney probability — the
+    smoothing every n-gram LM production stack uses (Kneser & Ney 1995;
+    Chen & Goodman 1999):
+
+        P_kn(b|a) = (c(a,b) − d) / c(a·)
+                    + d · N1+(a,·) / c(a·) · (N1+(·,b) / T)
+
+    with discount d, context count c(a·), continuation fan-outs
+    N1+(a,·) / N1+(·,b) and total distinct-bigram count T.
+
+    Topology: the shared adjacent-pair combiner, then ONE a-keyed
+    exchange whose block kernel merges (a,b) duplicates AND attaches
+    the per-context stats (c(a·), N1+(a,·)) from the a-runs — whole-a
+    groups colocate, so no second context pass.  The continuation
+    table (distinct b → N1+(·,b)) is vocab-scale (Heaps' law) and
+    broadcasts once under ``stats_limit``'s loud gate; T is its exact
+    sum.  Scoring is a stateless map; ranking is the distributed
+    grouped top-k on the 6-dp-rounded score (bigram tie-break)."""
+    import ray
+
+    from .joins import collect_small
+    from .topk import top_k_by_key
+
+    partials = ds.map_batches(
+        lambda b: _adjacent_pair_partials(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    stats_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n_ab", pa.int64()), ("cw", pa.int64()),
+                              ("n1f", pa.int64())])
+
+    def _merge_a(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return stats_schema.empty_table()
+        g = (batch.group_by(["a", "b"]).aggregate([("n_ab", "sum")])
+             .rename_columns(["a", "b", "n_ab"])
+             .sort_by([("a", "ascending"), ("b", "ascending")]))
+        starts, ends = _runs(g, ["a"])
+        lens = ends - starts
+        n = g["n_ab"].to_numpy(zero_copy_only=False)
+        cw = np.repeat(np.add.reduceat(n, starts), lens)
+        n1f = np.repeat(lens, lens)
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "n_ab": pa.array(n, pa.int64()),
+                         "cw": pa.array(cw, pa.int64()),
+                         "n1f": pa.array(n1f, pa.int64())},
+                        schema=stats_schema)
+
+    merged = sorted_group_map(partials, ["a"], None, stats_schema,
+                              block_fn=_merge_a).materialize()
+
+    # continuation stats: rows are globally distinct bigrams now, so
+    # per-block b-counts sum to N1+((·,b)); vocab-scale -> broadcast
+    def _bpart(batch: pa.Table) -> pa.Table:
+        g = batch.select(["b"]).group_by(["b"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["b", "nb"])
+
+    bstats = collect_small(
+        merged.map_batches(_bpart, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        max_rows=stats_limit)
+    btab = (bstats.group_by(["b"]).aggregate([("nb", "sum")])
+            .rename_columns(["b", "nbs"]))
+    b_terms = btab["b"].combine_chunks()
+    n1b = btab["nbs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total_t = float(n1b.sum())
+    ref = ray.put((b_terms, n1b))
+
+    if round6 is None:
+        from ..kernels.rounding import round6_tie_robust as round6
+
+    out_schema = pa.schema([("bigram", pa.string()),
+                            ("n_ab", pa.int64()),
+                            ("p_kn", pa.float64()), ("g", pa.int64())])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vt, nb = ray.get(ref)
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        m = n_ab >= min_count
+        if not m.any():
+            return out_schema.empty_table()
+        sel = batch.filter(pa.array(m))
+        n_ab = n_ab[m].astype(np.float64)
+        cw = sel["cw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1f = sel["n1f"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pos = np.asarray(pc.index_in(sel["b"].combine_chunks(),
+                                     value_set=vt))
+        cont = nb[pos]
+        # operation order mirrors the SQL expression exactly:
+        # (c - d)/cw + d*n1f/cw*(cont/T)
+        p = ((n_ab - discount) / cw
+             + discount * n1f / cw * (cont / total_t))
+        big = pc.binary_join_element_wise(sel["a"].combine_chunks(),
+                                          sel["b"].combine_chunks(),
+                                          " ")
+        return pa.table({"bigram": big,
+                         "n_ab": pa.array(n_ab.astype(np.int64)),
+                         "p_kn": pa.array(round6(p), pa.float64()),
+                         "g": pa.array(np.zeros(int(m.sum()),
+                                                np.int64))},
+                        schema=out_schema)
+
+    scored = merged.map_batches(_score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    top = top_k_by_key(scored, ["g"], "p_kn", k, tiebreak_col="bigram",
+                       descending=True)
+    return top.map_batches(lambda t: t.drop_columns(["g"]),
+                           batch_format="pyarrow")
+
+
 def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
                k: int = 20, min_count: int = 5,
                vocab_limit: int = 20_000_000, round6=None):
@@ -295,33 +440,11 @@ def bigram_pmi(ds, id_col: str = "doc_id", text_col: str = "text",
     total = float(n_u.sum())
     ref = ray.put((uni["term"].combine_chunks(), n_u))
 
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                             ("n_ab", pa.int64())])
+    pair_schema = _PAIR_SCHEMA
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(pc.utf8_lower(batch[text_col]),
-                                      TOKEN_SPLIT_RE)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        lens = np.where(np.isnan(lens), 0, lens).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
-        keep = np.asarray(pc.not_equal(flat, ""))
-        flat = flat.filter(pa.array(keep)).combine_chunks()
-        doc_idx = doc_idx[keep]
-        if len(doc_idx) < 2:
-            return pair_schema.empty_table()
-        adj = np.nonzero(doc_idx[1:] == doc_idx[:-1])[0]
-        if adj.size == 0:
-            return pair_schema.empty_table()
-        # Arrow-native gather: tokens never materialize as Python strs
-        ia = pa.array(adj, pa.int64())
-        ib = pa.array(adj + 1, pa.int64())
-        tbl = pa.table({"a": flat.take(ia), "b": flat.take(ib)})
-        g = tbl.group_by(["a", "b"]).aggregate([("a", "count")])
-        return g.rename_columns(["a", "b", "n_ab"])
-
-    partials = ds.map_batches(_pairs, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    partials = ds.map_batches(
+        lambda b: _adjacent_pair_partials(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def _merge(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:

@@ -394,6 +394,40 @@ def test_image_dhash_invariances():
     assert image_dhash(g2) != h                # different image differs
 
 
+def test_image_phash_invariances():
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import (
+        image_phash,
+        pnm_gray,
+        synth_ppm,
+    )
+
+    g = pnm_gray(synth_ppm(64, 48, seed=5))
+    h = image_phash(g)
+    assert 0 <= h < (1 << 64)
+    # DCT is linear and the threshold is the coefficient median, so a
+    # uniform CONTRAST scale cannot flip any bit
+    assert image_phash(g * 2.0) == h
+    assert image_phash(g * 0.3) == h
+    g2 = pnm_gray(synth_ppm(64, 48, seed=6))
+    assert image_phash(g2) != h                # different image differs
+    # mild blur (2x2 box) moves few low-frequency bits
+    gb = (g[0::2, 0::2] + g[1::2, 0::2] + g[0::2, 1::2]
+          + g[1::2, 1::2]) / 4.0
+    hb = image_phash(gb)
+    assert bin(h ^ hb).count("1") <= 16
+
+
+def test_phash_dct_matrix_orthonormal():
+    import numpy as np
+
+    from light_curve_ray.stages.multimodal import _dctii_matrix
+
+    m = _dctii_matrix(32)
+    assert np.allclose(m @ m.T, np.eye(32), atol=1e-12)
+
+
 def test_audio_spectral_known_tone():
     from light_curve_ray.stages.multimodal import audio_spectral, synth_wav
 

@@ -119,3 +119,61 @@ def test_unigram_logprob_vs_brute(ray_session):
     for d, (n, v) in expect.items():
         assert got[d][0] == n
         assert abs(got[d][1] - v) < 1e-5
+
+
+def test_kneser_ney_vs_brute(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import kneser_ney_bigrams
+
+    docs = ["the cat sat on the mat",
+            "the cat ate the fish",
+            "a cat and the cat sat",
+            "the dog sat on a log the cat sat"]
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = kneser_ney_bigrams(
+        rd.from_arrow(tbl).repartition(3), "text", k=5,
+        min_count=2).to_pandas().sort_values("rn")
+
+    # brute-force KN over the same tokenizer
+    bc = Counter()
+    for d in docs:
+        toks = [t for t in re.split("[^a-z0-9]+", d.lower()) if t]
+        for a, b in zip(toks, toks[1:]):
+            bc[(a, b)] += 1
+    cw = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (a, b), n in bc.items():
+        cw[a] += n
+        n1f[a] += 1
+        n1b[b] += 1
+    T = float(len(bc))
+    scored = []
+    for (a, b), n in bc.items():
+        if n < 2:
+            continue
+        p = (n - 0.75) / cw[a] + 0.75 * n1f[a] / cw[a] * (n1b[b] / T)
+        scored.append((round(p, 6), f"{a} {b}", n))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    want = scored[:5]
+    got = list(zip(out["p_kn"], out["bigram"], out["n_ab"]))
+    assert [(w[1], w[2]) for w in want] == [(g[1], g[2]) for g in got]
+    for w, g in zip(want, got):
+        assert abs(w[0] - g[0]) < 1e-9
+
+
+def test_kneser_ney_probabilities_sum_below_one(ray_session):
+    import ray.data as rd
+
+    from light_curve_ray.stages.wordcount import kneser_ney_bigrams
+
+    docs = ["x y x z x y x w", "x y x z"]
+    tbl = pa.table({"doc_id": [0, 1], "text": docs})
+    out = kneser_ney_bigrams(rd.from_arrow(tbl), "text", k=50,
+                             min_count=1).to_pandas()
+    # all probabilities are valid and the discount keeps them below 1
+    assert (out["p_kn"] > 0).all() and (out["p_kn"] < 1).all()
