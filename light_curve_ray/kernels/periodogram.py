@@ -59,3 +59,48 @@ def lomb_scargle(t_sec: np.ndarray, v: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         p = 0.5 * (cd * cd / cc + sd * sd / ss) / s2
     return p
+
+
+def gls_power(t_sec: np.ndarray, v: np.ndarray,
+              omegas: np.ndarray) -> np.ndarray:
+    """GENERALIZED Lomb-Scargle power (Zechmeister & Kürsten 2009,
+    A&A 496, 577): the floating-mean variant — the constant offset is
+    fit TOGETHER with the sinusoid at every frequency, so the
+    statistic stays correct when the sampling window biases the sample
+    mean away from the true mean (the classic LS failure mode on
+    gappy astronomical cadences; the `light-curve-feature` catalog's
+    periodogram family ships exactly this fix).  Uniform weights
+    w_i = 1/n; normalized to [0, 1]:
+
+        P(w) = [SS·YC² + CC·YS² − 2·CS·YC·YS] / (YY·D),  D = CC·SS − CS²
+
+    with the hatted (mean-subtracted) second moments of ZK09 eq. 5-12.
+    Returns float64[len(omegas)]; NaN when n < 3 or variance is 0.
+    The SQL oracle evaluates the identical expression tree."""
+    t = np.asarray(t_sec, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    n = t.size
+    out = np.full(len(omegas), np.nan)
+    if n < 3:
+        return out
+    t = t - t.min()
+    wgt = 1.0 / n
+    y = (wgt * v).sum()
+    yy = (wgt * v * v).sum() - y * y
+    if not np.isfinite(yy) or yy <= 0.0:
+        return out
+    w = np.asarray(omegas, dtype=np.float64)[:, None]  # (F, 1)
+    th = w * t[None, :]
+    cth = np.cos(th)
+    sth = np.sin(th)
+    c = (wgt * cth).sum(axis=1)
+    s = (wgt * sth).sum(axis=1)
+    yc = (wgt * v[None, :] * cth).sum(axis=1) - y * c
+    ys = (wgt * v[None, :] * sth).sum(axis=1) - y * s
+    cc = (wgt * cth * cth).sum(axis=1) - c * c
+    ss = (wgt * sth * sth).sum(axis=1) - s * s
+    cs = (wgt * cth * sth).sum(axis=1) - c * s
+    d = cc * ss - cs * cs
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (ss * yc * yc + cc * ys * ys - 2.0 * cs * yc * ys) / (yy * d)
+    return p

@@ -184,3 +184,40 @@ def test_anderson_darling_matches_direct_formula():
             for i in range(n))
     expect = (-n - s / n) * (1 + 4 / n - 25 / n ** 2)
     assert abs(ad(v) - expect) < 1e-10
+
+
+def test_gls_power_recovers_true_frequency():
+    import numpy as np
+
+    from light_curve_ray.kernels.periodogram import gls_power
+
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0, 100.0, 300))
+    f0 = 0.35  # Hz
+    v = 5.0 + 2.0 * np.sin(2 * np.pi * f0 * t + 0.4)
+    freqs = np.linspace(0.05, 1.0, 96)
+    p = gls_power(t, v, 2 * np.pi * freqs)
+    assert abs(freqs[int(np.nanargmax(p))] - f0) < 0.02
+    # normalized to [0, 1]; a clean sinusoid saturates the statistic
+    assert 0.95 < np.nanmax(p) <= 1.0 + 1e-9
+
+
+def test_gls_power_offset_invariance_and_edge_cases():
+    import numpy as np
+
+    from light_curve_ray.kernels.periodogram import gls_power
+
+    rng = np.random.default_rng(8)
+    t = np.sort(rng.uniform(0, 50.0, 120))
+    v = np.sin(2 * np.pi * 0.2 * t) + 0.3 * rng.normal(size=120)
+    om = 2 * np.pi * np.linspace(0.05, 0.5, 40)
+    p1 = gls_power(t, v, om)
+    # the floating mean makes the statistic exactly offset-invariant
+    p2 = gls_power(t, v + 123.456, om)
+    assert np.allclose(p1, p2, atol=1e-9, equal_nan=True)
+    # degenerate inputs -> NaN, not crashes
+    assert np.isnan(gls_power(t[:2], v[:2], om)).all()
+    # constant series: float cancellation may leave yy a few ulps above
+    # zero, in which case power is ~1e-15 noise rather than NaN
+    pc_ = gls_power(t[:10], np.full(10, 3.0), om)
+    assert np.all(np.isnan(pc_) | (np.abs(pc_) < 1e-9))
