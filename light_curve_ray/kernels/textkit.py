@@ -374,3 +374,42 @@ def levenshtein(a: str, b: str) -> int:
                    out=base[1:])
         prev = np.minimum.accumulate(base - j_idx) + j_idx
     return int(prev[-1])
+
+
+# --------------------------------------------------------------- soundex
+
+_SOUNDEX_CODE = {}
+for _grp, _dig in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                   ("l", "4"), ("mn", "5"), ("r", "6")):
+    for _ch in _grp:
+        _SOUNDEX_CODE[_ch] = _dig
+
+
+def soundex(word: str) -> str:
+    """American Soundex (Russell & Odell; the classic phonetic blocking
+    key of record-linkage systems): first letter + three digits, with
+    the standard rules — adjacent same-code letters collapse, h/w are
+    transparent separators (same-code letters AROUND an h/w still
+    collapse), vowels (a e i o u y) break runs, the first letter's own
+    code is skipped but still collapses a following same-code letter.
+    Non-alpha characters are stripped; empty input -> ''."""
+    w = [c for c in word.lower() if c.isalpha()]
+    if not w:
+        return ""
+    out = [w[0].upper()]
+    prev = _SOUNDEX_CODE.get(w[0], "")
+    for c in w[1:]:
+        code = _SOUNDEX_CODE.get(c, "")
+        if c in "hw":
+            continue            # transparent: prev survives
+        if code and code != prev:
+            out.append(code)
+            if len(out) == 4:
+                break
+        prev = code             # vowels reset prev to ""
+    return "".join(out) + "0" * (4 - len(out))
+
+
+def soundex_array(words) -> list:
+    """Vectorized-enough soundex over an iterable of strings."""
+    return [soundex(w) for w in words]

@@ -240,3 +240,34 @@ def test_levenshtein_matches_duckdb_bytes():
     for a, b in cases:
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert levenshtein(a, b) == want, (a, b)
+
+
+def test_soundex_canonical_nara_examples():
+    from light_curve_ray.kernels.textkit import soundex
+
+    # the canonical example set from the NARA Soundex specification
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"   # h transparent
+    assert soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"    # vowel breaks the run
+    assert soundex("Pfister") == "P236"    # first-letter code skipped
+    assert soundex("Honeyman") == "H555"
+    assert soundex("Washington") == "W252"
+    assert soundex("Lee") == "L000"        # zero-padded
+    assert soundex("Jackson") == "J250"
+    assert soundex("") == ""
+    assert soundex("42!") == ""            # non-alpha stripped
+    assert soundex("O'Brien") == soundex("obrien")
+
+
+def test_soundex_blocking_property():
+    from light_curve_ray.kernels.textkit import soundex
+
+    # blocking guarantee: phonetically-close spellings share a block
+    # (note soundex keeps the first LETTER literally, so
+    # catherine/kathryn land in different blocks by design)
+    for a, b in [("smith", "smyth"), ("meyer", "meier"),
+                 ("gail", "gayle")]:
+        assert soundex(a) == soundex(b)
+    assert soundex("smith") != soundex("jones")
