@@ -573,3 +573,173 @@ def ann_topk_lsh(ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         _final, batch_format="pyarrow")
+
+
+# ------------------------------------------------ product quantization
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic L2 k-means (driver-side, small sample): farthest-
+    first (maximin) init — start at the first sample row, repeatedly
+    add the point with the largest min-distance to the chosen set
+    (ties -> lowest index), which covers every well-separated cluster
+    by construction where a random init can double-cover one — then
+    argmin assignment / mean update; empty clusters keep their old
+    centroid.  The PQ sub-quantizer trainer (Jégou et al., TPAMI 2011
+    — the PQ part this time).  ``seed`` kept for signature stability;
+    the init is fully deterministic."""
+    k = min(k, len(sample))
+    picks = [0]
+    mind = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind))
+        picks.append(nxt)
+        mind = np.minimum(mind, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cent = sample[picks].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(ds, m: int = 4, ksub: int = 16,
+                       sample_size: int = 4096, iters: int = 10,
+                       seed: int = 42, emb_col: str = "embedding",
+                       sample_blocks: int = 16) -> list:
+    """Train PQ sub-codebooks on a SPREAD corpus sample (same
+    clustered-write hazard and spread-block fix as the IVF trainer).
+    Vectors are L2-NORMALIZED before splitting into ``m`` contiguous
+    subspaces (PQ over normalized vectors makes the asymmetric L2
+    distance a monotone proxy for cosine: ||a−b||² = 2 − 2·cos).
+    Returns a list of m (ksub, d_sub) float64 codebooks."""
+    sample = _normalize(_pq_spread_sample(ds, sample_size, emb_col,
+                                          sample_blocks))
+    subs = np.array_split(sample, m, axis=1)
+    return [_kmeans_l2(np.ascontiguousarray(s), ksub, iters=iters,
+                       seed=seed + 17 * j)
+            for j, s in enumerate(subs)]
+
+
+def _pq_spread_sample(ds, sample_size: int, emb_col: str,
+                      sample_blocks: int) -> np.ndarray:
+    """Spread-block sample collection (the train_ivf_centroids
+    discipline, shared): evenly spaced blocks, evenly spaced rows
+    inside each on a materialized dataset; strided bounded scan on a
+    lazy one."""
+    from ray.data.dataset import MaterializedDataset
+
+    rows = []
+    if isinstance(ds, MaterializedDataset):
+        import ray
+
+        refs = ds.to_arrow_refs()
+        if len(refs) > sample_blocks:
+            idx = np.linspace(0, len(refs) - 1, sample_blocks,
+                              dtype=np.int64)
+            refs = [refs[i] for i in dict.fromkeys(idx.tolist())]
+        per_block = max(1, sample_size // max(1, len(refs)))
+        for tbl in ray.get(refs):
+            if not len(tbl):
+                continue
+            pos = np.unique(np.linspace(0, len(tbl) - 1,
+                                        min(per_block, len(tbl)),
+                                        dtype=np.int64))
+            rows.append(_emb_matrix(
+                tbl.take(pa.array(pos, pa.int64())), emb_col))
+    else:
+        stride, seen = 8, 0
+        for batch in ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=2048):
+            mat = _emb_matrix(batch, emb_col)
+            rows.append(mat[(np.arange(len(mat)) + seen) % stride == 0])
+            seen += len(batch)
+            if seen >= sample_size * stride:
+                break
+    sample = np.vstack(rows)
+    if len(sample) > sample_size:
+        pos = np.unique(np.linspace(0, len(sample) - 1, sample_size,
+                                    dtype=np.int64))
+        sample = sample[pos]
+    return sample
+
+
+def ann_topk_pq(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                k: int = 5, m: int = 4, ksub: int = 16,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                exclude_self: bool = True, codebooks: list = None,
+                seed: int = 42):
+    """Approximate cosine top-k via PRODUCT QUANTIZATION with
+    asymmetric distance computation (ADC, Jégou et al. 2011) — the
+    memory-scale ANN path: each corpus vector compresses to ``m``
+    bytes (codes), each query precomputes m × ksub distance tables
+    ONCE, and the per-vector distance is m table lookups + adds
+    instead of a d-dim dot product.  At 100 TB this is the difference
+    between holding 64-float vectors and holding 4-byte codes in the
+    scan.
+
+    Encode + ADC are FUSED in one streaming pass (codes never
+    materialize corpus-wide); per-block partial top-k then the same
+    deterministic grouped merge as brute force (rounded distance asc,
+    vec_id tie-break).  Returns (query_id, vec_id, approx_dist2).
+    ``codebooks``: pass pre-trained ones (train_pq_codebooks) or None
+    to train on the spread sample here."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(ds, m=m, ksub=ksub, seed=seed,
+                                       emb_col=emb_col)
+    m = len(codebooks)          # pre-trained codebooks define the split
+    qmat = _normalize(np.asarray(query_mat, np.float64))
+    qsubs = np.array_split(qmat, m, axis=1)
+    # per-query distance tables: tabs[j][q, c] = ||q_sub - c||^2
+    tabs = [((qs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            for qs, cb in zip(qsubs, codebooks)]
+    qref = ray.put((np.asarray(query_ids), codebooks, tabs))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids, cbs, dtabs = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        bsubs = np.array_split(bmat, len(cbs), axis=1)
+        nq, nb = len(qids), len(vids)
+        adist = np.zeros((nq, nb))
+        for j, (bs, cb) in enumerate(zip(bsubs, cbs)):
+            d2 = ((bs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)        # (nb,) uint8-range
+            adist += dtabs[j][:, codes]
+        if exclude_self:
+            adist[qids[:, None] == vids[None, :]] = np.inf
+        kk = min(k, nb)
+        idx = np.argpartition(adist, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_v = vids[idx.ravel()]
+        rows_d = np.take_along_axis(adist, idx, axis=1).ravel()
+        keep = np.isfinite(rows_d)
+        return pa.table({
+            "query_id": pa.array(rows_q[keep], pa.int64()),
+            "vec_id": pa.array(rows_v[keep], pa.int64()),
+            "approx_dist2": pa.array(rows_d[keep], pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        d = group["approx_dist2"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, round6_tie_robust(d)))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "approx_dist2": pa.array(d[order], pa.float64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")

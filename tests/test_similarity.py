@@ -240,3 +240,71 @@ def test_attach_cosine_join_matches_broadcast(ray_session, emb_corpus):
     import numpy as np
 
     np.testing.assert_array_equal(sa, sb)  # identical row-dot both paths
+
+
+def test_ann_pq_planted_and_recall(ray_session, emb_corpus):
+    """PQ-ADC top-k: planted near-copies (cos ~0.9999) must always
+    surface as the nearest code, and recall@5 vs brute force stays
+    above the random-Gaussian worst-case floor at m=8, ksub=32."""
+    from light_curve_ray.stages.similarity import (
+        ann_topk,
+        ann_topk_pq,
+        load_corpus,
+    )
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat).materialize()
+    cids, cmat = load_corpus(ds)
+    nq = 20
+    exact = ann_topk(ds, cids[:nq], cmat[:nq], k=5).to_pandas()
+    approx = ann_topk_pq(ds, cids[:nq], cmat[:nq], k=5, m=8,
+                         ksub=32).to_pandas()
+    hits = total = 0
+    for q in range(nq):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.4, hits / total
+    # a 0.01-perturbed copy quantizes to (nearly) the same codes ->
+    # smallest ADC distance
+    for i in range(10):
+        a = approx[approx["query_id"] == i]["vec_id"]
+        assert len(a) > 0 and a.iloc[0] == 290 + i
+
+
+def test_ann_pq_partition_invariance(ray_session, emb_corpus):
+    """Same codebooks => identical results at any block layout."""
+    from light_curve_ray.stages.similarity import (
+        ann_topk_pq,
+        load_corpus,
+        train_pq_codebooks,
+    )
+
+    ids, mat = emb_corpus
+    ds1 = _emb_ds(ids, mat).materialize()
+    cids, cmat = load_corpus(ds1)
+    cbs = train_pq_codebooks(ds1, m=8, ksub=32)
+    a = ann_topk_pq(ds1, cids[:8], cmat[:8], k=5,
+                    codebooks=cbs).to_pandas()
+    ds2 = _emb_ds(ids, mat).repartition(7).materialize()
+    b = ann_topk_pq(ds2, cids[:8], cmat[:8], k=5,
+                    codebooks=cbs).to_pandas()
+    key = ["query_id", "vec_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert np.allclose(a["approx_dist2"], b["approx_dist2"], atol=1e-12)
+
+
+def test_pq_clustered_data_exact():
+    """On perfectly clustered data the sub-quantizers reproduce the
+    cluster structure and ADC distance 0 identifies exact copies."""
+    from light_curve_ray.stages.similarity import _kmeans_l2
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((4, 8))
+    sample = np.repeat(centers, 50, axis=0)
+    cent = _kmeans_l2(sample, 4, iters=5, seed=1)
+    d2 = ((centers[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assert np.allclose(d2.min(axis=1), 0.0, atol=1e-18)
