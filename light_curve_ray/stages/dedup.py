@@ -1109,3 +1109,83 @@ def decontaminate_counts(corpus_ds, eval_ds, window: int = 8,
             "n_contaminated": pc.cast(t["sum(n_contaminated)"],
                                       pa.int64())}),
         batch_format="pyarrow")
+
+
+def decontaminate_fractions(corpus_ds, eval_ds, window: int = 8,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            keep_below: float = 0.05,
+                            max_eval_grams: int = 50_000_000):
+    """Contamination FRACTION per corpus doc — the metric pretraining
+    filters actually threshold on (Brown et al. 2020 drop a doc when
+    too much of it overlaps the eval set): distinct-gram overlap count
+    divided by the doc's own distinct-gram count, plus the keep flag
+    at ``keep_below``.  Same topology as :func:`decontaminate_counts`
+    (eval grams broadcast once under the loud gate, corpus side a
+    stateless map — no corpus exchange); the denominator rides the
+    SAME probe pass as (doc, total, hits) partials, merged in one
+    doc-keyed groupby.  Docs with zero grams emit no row."""
+    import ray
+
+    from .joins import collect_small
+
+    ev = doc_gram_pairs(eval_ds, window, id_col, text_col)
+
+    def _just_grams(batch: pa.Table) -> pa.Table:
+        g = np.unique(batch["gram_h"].to_numpy(zero_copy_only=False))
+        return pa.table({"gram_h": pa.array(g, pa.uint64())})
+
+    ev_tbl = collect_small(
+        ev.map_batches(_just_grams, batch_format="pyarrow",
+                       zero_copy_batch=True), max_rows=max_eval_grams)
+    ev_grams = np.unique(ev_tbl["gram_h"].to_numpy(zero_copy_only=False))
+    ref = ray.put(ev_grams)
+
+    pairs = doc_gram_pairs(corpus_ds, window, id_col, text_col)
+    part_schema = pa.schema([(id_col, pa.int64()),
+                             ("n_grams", pa.int64()),
+                             ("n_contaminated", pa.int64())])
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        h = batch["gram_h"].to_numpy(zero_copy_only=False)
+        docs = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return part_schema.empty_table()
+        if len(grams):
+            pos = np.minimum(np.searchsorted(grams, h), len(grams) - 1)
+            hit = (grams[pos] == h).astype(np.int64)
+        else:
+            hit = np.zeros(len(h), np.int64)
+        uids, inv = np.unique(docs, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(uids))
+        hits = np.bincount(inv, weights=hit,
+                           minlength=len(uids)).astype(np.int64)
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "n_grams": pa.array(tot, pa.int64()),
+                         "n_contaminated": pa.array(hits, pa.int64())},
+                        schema=part_schema)
+
+    partials = pairs.map_batches(_probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    import pyarrow.compute as pc
+
+    from ..kernels.rounding import round6_tie_robust
+
+    summed = partials.groupby(id_col).sum(["n_grams", "n_contaminated"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t["sum(n_grams)"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hits = pc.cast(t["sum(n_contaminated)"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        frac = round6_tie_robust(hits.astype(np.float64) / tot)
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams": pa.array(tot, pa.int64()),
+            "n_contaminated": pa.array(hits, pa.int64()),
+            "fraction": pa.array(frac, pa.float64()),
+            "keep": pa.array(frac <= keep_below),
+        })
+
+    return summed.map_batches(_final, batch_format="pyarrow")
