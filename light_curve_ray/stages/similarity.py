@@ -743,3 +743,111 @@ def ann_topk_pq(ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
     return partials.groupby("query_id").map_groups(
         _final, batch_format="pyarrow")
+
+
+def ann_topk_ivfpq(ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                   k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+                   m: int = 8, ksub: int = 32, sample_size: int = 4096,
+                   seed: int = 42, id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   exclude_self: bool = True):
+    """IVF-PQ with residual encoding — the canonical FAISS-style
+    billion-scale index (Jégou et al. 2011 §IV): the IVF coarse
+    quantizer routes each vector to a cell, the RESIDUAL x − c(x) is
+    product-quantized to ``m`` codes, and a query probes ``nprobe``
+    cells with per-cell ADC tables over the residual codebooks
+    (table[j][code] = ||(q − c)_j − cb_j[code]||²).  At 100 TB the
+    corpus holds 1 cell id + m bytes per vector; the scan is table
+    lookups, never a d-dim dot product.
+
+    Train on the spread-block sample (coarse centroids, then residual
+    sub-codebooks); scan FUSES assign + encode + ADC per batch.
+    Returns (query_id, vec_id, approx_dist2); deterministic merge on
+    the rounded distance with vec_id tie-break."""
+    import ray
+
+    from ..kernels.rounding import round6_tie_robust
+
+    qids = np.asarray(query_ids)
+    qmat = _normalize(np.asarray(query_mat, np.float64))
+    cent = train_ivf_centroids(ds, n_centroids, sample_size, seed=seed,
+                               emb_col=emb_col)
+    # residual sub-codebooks from the SAME spread sample discipline
+    sample = _normalize(_pq_spread_sample(ds, sample_size, emb_col, 16))
+    sassign = np.argmax(sample @ cent.T, axis=1)
+    resid = sample - cent[sassign]
+    rsubs = np.array_split(resid, m, axis=1)
+    codebooks = [_kmeans_l2(np.ascontiguousarray(s), ksub, seed=seed
+                            + 31 * j)
+                 for j, s in enumerate(rsubs)]
+
+    # per-(query, probed cell) ADC tables
+    qcells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    tabs: dict = {}          # (qi, cell) -> list of m (ksub,) tables
+    probes: dict = {}        # cell -> [qi, ...]
+    for qi in range(len(qids)):
+        for c in qcells[qi]:
+            c = int(c)
+            probes.setdefault(c, []).append(qi)
+            qr = qmat[qi] - cent[c]
+            qrs = np.array_split(qr, m)
+            tabs[(qi, c)] = [((qs[None, :] - cb) ** 2).sum(axis=1)
+                             for qs, cb in zip(qrs, codebooks)]
+    qref = ray.put((qids, cent, codebooks, probes, tabs))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _qids, _cent, _cbs, _probes, _tabs = ray.get(qref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False)
+        bmat = _normalize(_emb_matrix(batch, emb_col))
+        vcells = np.argmax(bmat @ _cent.T, axis=1)
+        mm = len(_cbs)
+        out_q, out_v, out_d = [], [], []
+        for cell in np.unique(vcells):
+            cell = int(cell)
+            qidx = _probes.get(cell)
+            if not qidx:
+                continue
+            sel = vcells == cell
+            svids = vids[sel]
+            rm = bmat[sel] - _cent[cell]
+            rsub = np.array_split(rm, mm, axis=1)
+            codes = [np.argmin(((s[:, None, :] - cb[None, :, :]) ** 2)
+                               .sum(axis=2), axis=1)
+                     for s, cb in zip(rsub, _cbs)]
+            for qi in qidx:
+                t = _tabs[(qi, cell)]
+                dist = np.zeros(len(svids))
+                for j in range(mm):
+                    dist += t[j][codes[j]]
+                if exclude_self:
+                    dist = np.where(svids == _qids[qi], np.inf, dist)
+                kk = min(k, len(dist))
+                top = np.argpartition(dist, kk - 1)[:kk]
+                for ti in top:
+                    if np.isfinite(dist[ti]):
+                        out_q.append(_qids[qi])
+                        out_v.append(svids[ti])
+                        out_d.append(dist[ti])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "approx_dist2": pa.array(np.asarray(out_d, np.float64),
+                                     pa.float64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group["vec_id"].to_numpy(zero_copy_only=False)
+        d = group["approx_dist2"].to_numpy(zero_copy_only=False)
+        q = group["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, round6_tie_robust(d)))[:k]
+        return pa.table({
+            "query_id": pa.array(q[order], pa.int64()),
+            "vec_id": pa.array(v[order], pa.int64()),
+            "approx_dist2": pa.array(d[order], pa.float64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        _final, batch_format="pyarrow")

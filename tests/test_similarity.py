@@ -308,3 +308,39 @@ def test_pq_clustered_data_exact():
     cent = _kmeans_l2(sample, 4, iters=5, seed=1)
     d2 = ((centers[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     assert np.allclose(d2.min(axis=1), 0.0, atol=1e-18)
+
+
+def test_ann_ivfpq_planted_and_recall(ray_session, emb_corpus):
+    """IVF-PQ: at nprobe=all, planted near-copies (cos ~0.9999 so the
+    residual codes coincide) rank first; at nprobe=4/16 recall vs
+    brute force stays above a conservative floor despite the double
+    approximation (cell routing + residual codes)."""
+    from light_curve_ray.stages.similarity import (
+        ann_topk,
+        ann_topk_ivfpq,
+        load_corpus,
+    )
+
+    ids, mat = emb_corpus
+    ds = _emb_ds(ids, mat).materialize()
+    cids, cmat = load_corpus(ds)
+    nq = 20
+    exact = ann_topk(ds, cids[:nq], cmat[:nq], k=5).to_pandas()
+    full = ann_topk_ivfpq(ds, cids[:nq], cmat[:nq], k=5,
+                          n_centroids=8, nprobe=8, m=8,
+                          ksub=32).to_pandas()
+    for i in range(10):
+        a = full[full["query_id"] == i]["vec_id"]
+        assert len(a) > 0 and a.iloc[0] == 290 + i
+    approx = ann_topk_ivfpq(ds, cids[:nq], cmat[:nq], k=5,
+                            n_centroids=8, nprobe=4, m=8,
+                            ksub=32).to_pandas()
+    hits = total = 0
+    for q in range(nq):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.3, hits / total
+    # probing fewer cells can only reduce the candidate pool
+    assert len(approx) <= len(full) + 1e-9
