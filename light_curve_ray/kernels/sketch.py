@@ -246,3 +246,42 @@ def kmv_intersection(sa: np.ndarray, sb: np.ndarray, k: int) -> float:
     in_both = np.isin(union, sa) & np.isin(union, sb)
     rho = float(in_both.sum()) / len(union) if len(union) else 0.0
     return rho * kmv_estimate(union, k)
+
+
+# ------------------------------------------------------- Misra-Gries
+
+def mg_from_counts(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Build a k-counter Misra-Gries summary from EXACT (key, count)
+    pairs (a block's local histogram): keep the k largest counters and
+    subtract the (k+1)-th largest from each survivor — the mergeable-
+    summaries form (Agarwal et al., PODS 2012) whose estimate obeys
+    true − n/(k+1) ≤ est ≤ true with n the summarized weight.
+    Deterministic: ties at the cut resolved by key order.  Returns
+    (keys, residual_counts) sorted by key."""
+    keys = np.asarray(keys, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if len(keys) <= k:
+        o = np.argsort(keys, kind="stable")
+        return keys[o], counts[o]
+    # k largest by (count desc, key asc) — deterministic cut
+    order = np.lexsort((keys, -counts))
+    cut = counts[order[k]]            # the (k+1)-th largest count
+    keep = order[:k]
+    resid = counts[keep] - cut
+    m = resid > 0
+    kk, cc = keys[keep][m], resid[m]
+    o = np.argsort(kk, kind="stable")
+    return kk[o], cc[o]
+
+
+def mg_merge(k1: np.ndarray, c1: np.ndarray,
+             k2: np.ndarray, c2: np.ndarray, k: int):
+    """Merge two MG summaries: add counters keywise, then re-apply the
+    k-counter cut.  Error adds at most the two inputs' offsets (the
+    mergeability theorem), so any merge tree keeps the n/(k+1) bound."""
+    keys = np.concatenate([k1, k2])
+    counts = np.concatenate([c1, c2])
+    uk, inv = np.unique(keys, return_inverse=True)
+    summed = np.bincount(inv, weights=counts,
+                         minlength=len(uk)).astype(np.int64)
+    return mg_from_counts(uk, summed, k)

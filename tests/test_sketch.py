@@ -263,3 +263,47 @@ def test_kmv_estimate_and_intersection_bounds():
     assert kmv_estimate(ss, k) == 500.0
     st = kmv_add(np.empty(0, np.uint64), hashes(small[:300]), k)
     assert round(kmv_intersection(ss, st, k)) == 300
+
+
+def test_misra_gries_guarantees():
+    import numpy as np
+
+    from light_curve_ray.kernels.sketch import mg_from_counts, mg_merge
+
+    rng = np.random.RandomState(0)
+    keys = rng.zipf(1.5, 20000) % 500
+    uk, c = np.unique(keys, return_counts=True)
+    n = int(c.sum())
+    k = 20
+    mk, mc = mg_from_counts(uk, c, k)
+    true = dict(zip(uk.tolist(), c.tolist()))
+    assert len(mk) <= k
+    for kk, cc in zip(mk, mc):
+        # underestimate only, error bounded by n/(k+1)
+        assert cc <= true[kk]
+        assert true[kk] - cc <= n // (k + 1) + 1
+    # every item with frequency > n/(k+1) must survive the cut
+    thresh = n / (k + 1)
+    heavy = {int(u) for u, cnt in zip(uk, c) if cnt > thresh}
+    assert heavy <= set(mk.tolist())
+
+
+def test_misra_gries_merge_bound_and_exactness():
+    import numpy as np
+
+    from light_curve_ray.kernels.sketch import mg_from_counts, mg_merge
+
+    rng = np.random.RandomState(1)
+    keys = rng.zipf(1.3, 30000) % 300
+    uk, c = np.unique(keys, return_counts=True)
+    true = dict(zip(uk.tolist(), c.tolist()))
+    half = len(uk) // 2
+    a = mg_from_counts(uk[:half], c[:half], 16)
+    b = mg_from_counts(uk[half:], c[half:], 16)
+    mk, mc = mg_merge(*a, *b, 16)
+    assert len(mk) <= 16
+    for kk, cc in zip(mk, mc):
+        assert cc <= true[kk]
+    # fewer distinct keys than counters -> MG is EXACT
+    ek, ec = mg_from_counts(np.array([5, 2, 9]), np.array([7, 3, 11]), 16)
+    assert ek.tolist() == [2, 5, 9] and ec.tolist() == [3, 7, 11]
