@@ -75,3 +75,43 @@ def test_dtw_matrix_pairs():
     assert len(ii) == 6 and (ii < jj).all()
     for i, j, d in zip(ii, jj, dd):
         assert abs(d - dtw_distance(series[i], series[j])) < 1e-12
+
+
+def test_jenks_vs_brute_force_all_splits():
+    import itertools
+
+    import numpy as np
+
+    from light_curve_ray.pipelines.queries import _jenks_breaks
+
+    rng = np.random.RandomState(5)
+    for _ in range(6):
+        v = np.sort(rng.randint(0, 100, 14).astype(np.float64))
+
+        def ssd(seg):
+            return ((seg - seg.mean()) ** 2).sum()
+
+        best, bcuts = float("inf"), None
+        n = len(v)
+        for cuts in itertools.combinations(range(1, n), 3):
+            parts = np.split(v, list(cuts))
+            c = sum(ssd(p) for p in parts)
+            if c < best - 1e-12:
+                best, bcuts = c, cuts
+        uppers, gvf = _jenks_breaks(v, 4)
+        want = [float(v[c - 1]) for c in bcuts]
+        assert uppers == want, (uppers, want)
+        total = ssd(v)
+        assert abs(gvf - (1.0 - best / total)) < 1e-9
+
+
+def test_jenks_separated_clusters_exact():
+    import numpy as np
+
+    from light_curve_ray.pipelines.queries import _jenks_breaks
+
+    v = np.concatenate([np.full(5, 1.0), np.full(5, 100.0),
+                        np.full(5, 200.0), np.full(5, 300.0)])
+    uppers, gvf = _jenks_breaks(v, 4)
+    assert uppers == [1.0, 100.0, 200.0]
+    assert abs(gvf - 1.0) < 1e-12
